@@ -1,13 +1,191 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import graft.queries.{Core, EventsQ}
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * Every entry in [[queries]] is one operator from SURVEY.md §2 (or a
+  * scale-path extension) expressed over the driver testdata; [[oracleSql]]
+  * holds the DuckDB-equivalent ANSI SQL for the hash-match correctness gate.
+  * Column names are aliased identically on both sides (the driver compare
+  * sorts columns by name before hashing).
+  */
 object SparkEntry {
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
+    Core.martDailySales(spark, "/root/testdata/sf0.001")
+
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // A1 — hash group-by mart (mart_daily_sales.sql:6-15)
+    "q_mart_daily_sales" -> Core.martDailySales,
+    // A1/P2 — scan-heavy pricing summary (TPC-H Q1 shape)
+    "q_pricing_summary" -> Core.pricingSummary,
+    // P1/P4 — cast-boundary projection + pushed filter
+    "q_filter_project" -> Core.filterProject,
+    // J1 — broadcast dim-enrichment join (implied fct_sales writer)
+    "q_join_enrich" -> Core.joinEnrich,
+    // J3 — EXISTS as left-semi join
+    "q_exists_semi" -> Core.existsSemiJoin,
+    // K6 — idempotent-seed anti-join (ON CONFLICT DO NOTHING)
+    "q_anti_new_keys" -> Core.antiJoinNewKeys,
+    // K5 — keyed last-write-wins upsert merge (ON CONFLICT DO UPDATE)
+    "q_upsert_merge" -> Core.upsertMerge,
+    // A2/V5 — row-count canary vs threshold
+    "q_count_canary" -> Core.countCanary,
+    // V3 — not_null column checks (single-scan unpivot)
+    "q_not_null_checks" -> Core.notNullChecks,
+    // V4 — non-empty singular test
+    "q_non_empty" -> Core.nonEmptyCheck,
+    // V1 — contract validation → ordered violations relation
+    "q_contract_violations" -> Core.contractViolations,
+    // O1 — ordered limit (TakeOrderedAndProject)
+    "q_ordered_limit" -> Core.orderedLimit,
+    // O2 — windowed top-k per group
+    "q_topk_per_group" -> Core.topKPerGroup,
+    // P7/S3 — JSON field extraction (JSONB analog)
+    "q_json_extract" -> Core.jsonExtract,
+    // §2.10 — tumbling event-time window (batch twin of streaming agg)
+    "q_tumbling_window" -> EventsQ.tumblingWindow,
+    // §2.10 — gap-based sessionization
+    "q_sessionize" -> EventsQ.sessionize,
+    // windowed cumulative aggregation
+    "q_running_totals" -> EventsQ.runningTotals,
+  )
+
+  /** DuckDB oracle SQL per query. Money math goes through DECIMAL(18,2) in
+    * both engines (exact, order-independent) then DOUBLE on output; integer
+    * SUMs are cast to BIGINT because DuckDB widens them to HUGEINT.
+    */
+  def oracleSql: Map[String, String] = Map(
+    "q_mart_daily_sales" ->
+      """SELECT CAST(o_orderdate AS DATE) AS day, o_orderstatus AS status,
+        | count(*) AS txns,
+        | CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS gross,
+        | count(DISTINCT o_custkey) AS customers
+        |FROM orders GROUP BY 1, 2""".stripMargin,
+    "q_pricing_summary" ->
+      """SELECT l_returnflag AS returnflag, l_linestatus AS linestatus,
+        | SUM(l_quantity) AS sum_qty,
+        | CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+        | CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS sum_disc_price,
+        | count(*) AS count_order
+        |FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+        |GROUP BY 1, 2""".stripMargin,
+    "q_filter_project" ->
+      """SELECT l_orderkey AS orderkey, l_linenumber AS linenumber,
+        | CAST(l_quantity AS BIGINT) AS qty,
+        | CAST(CAST(l_extendedprice AS DECIMAL(18,2)) AS DOUBLE) AS price
+        |FROM lineitem
+        |WHERE l_shipdate < TIMESTAMP '1996-01-01 00:00:00' AND l_discount > 0.05""".stripMargin,
+    "q_join_enrich" ->
+      """SELECT p_brand AS brand, s_name AS supplier, count(*) AS n_lines,
+        | CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
+        |FROM lineitem
+        |JOIN part ON l_partkey = p_partkey
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |GROUP BY 1, 2""".stripMargin,
+    "q_exists_semi" ->
+      """SELECT c_custkey AS custkey, c_name AS name FROM customer c
+        |WHERE EXISTS (SELECT 1 FROM orders o
+        |  WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 100000)""".stripMargin,
+    "q_anti_new_keys" ->
+      """SELECT c_custkey AS custkey, c_name AS name, c_mktsegment AS mktsegment
+        |FROM customer c
+        |WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)""".stripMargin,
+    "q_upsert_merge" ->
+      """WITH unioned AS (
+        |  SELECT o_orderkey, o_orderstatus, o_totalprice, 1 AS src FROM orders
+        |  UNION ALL
+        |  SELECT o_orderkey, 'U', o_totalprice * 2, 2 FROM orders WHERE o_orderkey % 7 = 0
+        |), ranked AS (
+        |  SELECT *, row_number() OVER (PARTITION BY o_orderkey ORDER BY src DESC) AS rn
+        |  FROM unioned
+        |)
+        |SELECT o_orderkey AS orderkey, o_orderstatus AS status,
+        | CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE) AS totalprice
+        |FROM ranked WHERE rn = 1""".stripMargin,
+    "q_count_canary" ->
+      """SELECT 'orders_1995_plus' AS canary, count(*) AS n, count(*) >= 10 AS pass
+        |FROM orders WHERE CAST(o_orderdate AS DATE) >= DATE '1995-01-01'""".stripMargin,
+    "q_not_null_checks" ->
+      """SELECT column_name, nulls, nulls = 0 AS pass FROM (
+        |  SELECT 'o_orderkey' AS column_name, CAST(SUM(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS nulls FROM orders
+        |  UNION ALL
+        |  SELECT 'o_custkey', CAST(SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) FROM orders
+        |  UNION ALL
+        |  SELECT 'o_orderstatus', CAST(SUM(CASE WHEN o_orderstatus IS NULL THEN 1 ELSE 0 END) AS BIGINT) FROM orders
+        |  UNION ALL
+        |  SELECT 'o_totalprice', CAST(SUM(CASE WHEN o_totalprice IS NULL THEN 1 ELSE 0 END) AS BIGINT) FROM orders
+        |  UNION ALL
+        |  SELECT 'o_orderdate', CAST(SUM(CASE WHEN o_orderdate IS NULL THEN 1 ELSE 0 END) AS BIGINT) FROM orders
+        |)""".stripMargin,
+    "q_non_empty" ->
+      """SELECT 'orders' AS table_name, count(*) AS n, count(*) > 0 AS non_empty
+        |FROM orders""".stripMargin,
+    "q_contract_violations" ->
+      """SELECT event_id, violation FROM (
+        |  SELECT event_id, CASE WHEN value < 0 THEN 'value_negative' END AS violation FROM events
+        |  UNION ALL
+        |  SELECT event_id, CASE WHEN value > 190 THEN 'value_over_cap' END FROM events
+        |  UNION ALL
+        |  SELECT event_id, CASE WHEN event_type NOT IN ('click','view','purchase','signup','error') THEN 'unknown_event_type' END FROM events
+        |  UNION ALL
+        |  SELECT event_id, CASE WHEN user_id IS NULL THEN 'missing_user' END FROM events
+        |) WHERE violation IS NOT NULL""".stripMargin,
+    "q_ordered_limit" ->
+      """SELECT o_orderkey AS orderkey,
+        | CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE) AS totalprice
+        |FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 10""".stripMargin,
+    "q_topk_per_group" ->
+      """WITH ranked AS (
+        |  SELECT o_custkey, o_orderkey, o_totalprice,
+        |   row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rk
+        |  FROM orders
+        |)
+        |SELECT o_custkey AS custkey, rk AS "rank", o_orderkey AS orderkey,
+        | CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE) AS totalprice
+        |FROM ranked WHERE rk <= 3""".stripMargin,
+    "q_json_extract" ->
+      """SELECT event_id,
+        | CAST(regexp_extract(props, '"k": (\d+)', 1) AS INTEGER) AS k
+        |FROM events
+        |WHERE regexp_matches(props, '"k": \d+')
+        |  AND CAST(regexp_extract(props, '"k": (\d+)', 1) AS INTEGER) > 80""".stripMargin,
+    "q_tumbling_window" ->
+      """SELECT TIMESTAMP '1970-01-01 00:00:00'
+        |   + to_seconds(CAST(floor(epoch(ts)/300)*300 AS BIGINT)) AS bucket_start,
+        | event_type, count(*) AS n,
+        | CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+        |FROM events GROUP BY 1, 2""".stripMargin,
+    "q_sessionize" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, ts, CAST(floor(epoch(ts)) AS BIGINT) AS ts_s,
+        |   CAST(value AS DECIMAL(18,2)) AS val
+        |  FROM events
+        |), x AS (
+        |  SELECT *, lag(ts_s) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_s FROM e
+        |), y AS (
+        |  SELECT *, CASE WHEN prev_s IS NULL OR ts_s - prev_s > 1800 THEN 1 ELSE 0 END AS is_new FROM x
+        |), z AS (
+        |  SELECT *, CAST(SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id FROM y
+        |)
+        |SELECT user_id, session_id, count(*) AS n_events,
+        | min(ts_s) AS start_s, max(ts_s) AS end_s,
+        | CAST(SUM(val) AS DOUBLE) AS total_value
+        |FROM z GROUP BY 1, 2""".stripMargin,
+    "q_running_totals" ->
+      """WITH e AS (
+        |  SELECT event_id, user_id, ts, CAST(value AS DECIMAL(18,2)) AS val FROM events
+        |)
+        |SELECT event_id, user_id,
+        | row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS seq,
+        | CAST(SUM(val) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_value
+        |FROM e""".stripMargin,
+  )
 }

@@ -1,0 +1,68 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.types.DecimalType
+
+import graft.Tables
+
+/** Event-time operators over the `events` table — the batch twins of the
+  * Structured Streaming layer (SURVEY.md §2.10: the reference is batch-only;
+  * event-time windowing is the natural Spark extension of its
+  * `event_time TIMESTAMPTZ` column, sql/init.sql:20).
+  *
+  * Second-granularity epoch math (`unix_timestamp`) is used for gap logic so
+  * the DuckDB oracle can reproduce it exactly (`floor(epoch(ts))`).
+  */
+object EventsQ {
+
+  /** Tumbling 5-minute window aggregation — batch twin of the streaming
+    * windowed agg. Spark's `window()` floors to epoch-aligned buckets.
+    */
+  def tumblingWindow(spark: SparkSession, dir: String): DataFrame = {
+    Tables(spark, dir, "events")
+      .groupBy(window(col("ts"), "5 minutes"), col("event_type"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("value").cast(DecimalType(18, 2))).cast("double").as("total_value"))
+      .select(col("window.start").as("bucket_start"), col("event_type"),
+        col("n"), col("total_value"))
+  }
+
+  /** Session windows via gap > 30 min: lag + cumulative-sum-of-new-session
+    * flags. This is the classic sessionization shape; one shuffle on
+    * user_id, then two window passes over the same partitioning (Spark
+    * reuses the exchange). The streaming equivalent is
+    * `session_window(ts, "30 minutes")` in graft.streaming.
+    */
+  def sessionize(spark: SparkSession, dir: String): DataFrame = {
+    val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val cum = byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables(spark, dir, "events")
+      .withColumn("ts_s", unix_timestamp(col("ts")))
+      .withColumn("prev_s", lag(col("ts_s"), 1).over(byUser))
+      .withColumn("is_new",
+        when(col("prev_s").isNull || col("ts_s") - col("prev_s") > 1800, 1L).otherwise(0L))
+      .withColumn("session_id", sum(col("is_new")).over(cum))
+      .groupBy(col("user_id"), col("session_id"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        min(col("ts_s")).as("start_s"),
+        max(col("ts_s")).as("end_s"),
+        sum(col("value").cast(DecimalType(18, 2))).cast("double").as("total_value"))
+  }
+
+  /** Per-user running totals ordered by event time — windowed cumulative
+    * aggregation (frame: unbounded preceding → current row).
+    */
+  def runningTotals(spark: SparkSession, dir: String): DataFrame = {
+    val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val cum = byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables(spark, dir, "events")
+      .withColumn("running_value",
+        sum(col("value").cast(DecimalType(18, 2))).over(cum).cast("double"))
+      .withColumn("seq", row_number().over(byUser).cast("long"))
+      .select(col("event_id"), col("user_id"), col("seq"), col("running_value"))
+  }
+}
