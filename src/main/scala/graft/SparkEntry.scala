@@ -2,6 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
+import graft.etl.{Enricher, PosGenerator, RetailPipeline}
 import graft.queries.{Core, EventsQ}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -54,6 +55,17 @@ object SparkEntry {
     "q_sessionize" -> EventsQ.sessionize,
     // windowed cumulative aggregation
     "q_running_totals" -> EventsQ.runningTotals,
+    // S2 — deterministic seeded POS source (no oracle: engine-specific
+    // murmur3 seeding; driver records rows-only)
+    "q_pos_generate" -> ((s, _) => PosGenerator.transactions(s, "verify-run", "ok", 200)),
+    // J1+A1 — grocery fct enrichment + daily mart over the generated source
+    // (rows-only for the same reason)
+    "q_grocery_daily_mart" -> ((s, _) => Enricher.dailySalesMart(
+      Enricher.enrich(s, PosGenerator.transactions(s, "verify-run", "ok", 200)))),
+    // P1+A1 — retail staging cast + mart over the canonical ok seed
+    // (computed oracle from the same VALUES fixture)
+    "q_retail_mart" -> ((s, _) => RetailPipeline.martDailySales(
+      RetailPipeline.stgTransactions(RetailPipeline.seedSource(s, "ok"), "ok"))),
   )
 
   /** DuckDB oracle SQL per query. Money math goes through DECIMAL(18,2) in
@@ -187,5 +199,20 @@ object SparkEntry {
         | CAST(SUM(val) OVER (PARTITION BY user_id ORDER BY ts, event_id
         |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_value
         |FROM e""".stripMargin,
+    "q_retail_mart" ->
+      """WITH transactions_src(transaction_id, store_id, sku, amount_cents, quantity, transaction_ts) AS (
+        |  VALUES ('t1', 101, 'banana', '199', 1, TIMESTAMP '2024-03-05 09:15:00'),
+        |         ('t2', 101, 'apple', '299', 2, TIMESTAMP '2024-03-05 11:40:00'),
+        |         ('t3', 102, 'milk', '499', 1, TIMESTAMP '2024-03-05 13:05:00')
+        |), stg AS (
+        |  SELECT store_id, CAST(amount_cents AS INTEGER) AS amount_cents,
+        |   quantity, transaction_ts
+        |  FROM transactions_src
+        |)
+        |SELECT CAST(date_trunc('day', transaction_ts) AS DATE) AS day, store_id,
+        | count(*) AS txns,
+        | CAST(SUM(amount_cents) AS BIGINT) AS gross_amount_cents,
+        | CAST(SUM(quantity) AS BIGINT) AS units
+        |FROM stg GROUP BY 1, 2""".stripMargin,
   )
 }

@@ -1,0 +1,62 @@
+package graft.etl
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Keyed upsert semantics (reference: grocery_lib/pg.py:33-60 —
+  * `INSERT ... ON CONFLICT (run_id, txn_id) DO UPDATE`, executed row-at-a-
+  * time; sql/init.sql:47-61 — `ON CONFLICT DO NOTHING` idempotent seeds).
+  *
+  * The row-at-a-time loop is deliberately NOT ported: the set-based
+  * equivalent is a single windowed merge — one shuffle on the key. At
+  * 100 TB the base side lives bucketed/partitioned on the key so only the
+  * (comparatively tiny) update batch shuffles; last-write-wins is
+  * decided by `row_number` over (source-priority, version) which AQE can
+  * skew-split safely because the dedup is per-key.
+  */
+object Upsert {
+
+  /** Last-write-wins merge: rows in `updates` replace same-keyed rows in
+    * `base`; within each side the greatest `versionCol` wins. Equivalent
+    * to ON CONFLICT DO UPDATE with deterministic ordering.
+    */
+  def merge(base: DataFrame, updates: DataFrame, keys: Seq[String],
+      versionCol: String): DataFrame = {
+    val w = Window.partitionBy(keys.map(col): _*)
+      .orderBy(col("__src").desc, col(versionCol).desc)
+    base.withColumn("__src", lit(0))
+      .unionByName(updates.withColumn("__src", lit(1)))
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .drop("__src", "__rn")
+  }
+
+  /** ON CONFLICT DO NOTHING: append only rows whose key is absent. */
+  def insertIfAbsent(existing: DataFrame, rows: DataFrame,
+      keys: Seq[String]): DataFrame =
+    existing.unionByName(
+      rows.join(existing.select(keys.map(col): _*).distinct(), keys, "left_anti"))
+
+  /** Upsert a batch into a parquet "table" directory with atomic swap:
+    * write merged output to `<dir>__tmp`, then rename over the target —
+    * the same commit-by-rename idea as the reference's atomic artifact
+    * writer (grocery_lib/io_utils.py:66-73). On a real deployment this is
+    * a MERGE INTO on a table format (Delta/Iceberg); plain parquet needs
+    * the rewrite-and-swap.
+    */
+  def upsertParquet(spark: SparkSession, dir: String, updates: DataFrame,
+      keys: Seq[String], versionCol: String): Unit = {
+    val fs = new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val target = new Path(dir)
+    val merged =
+      if (fs.exists(target)) merge(spark.read.parquet(dir), updates, keys, versionCol)
+      else updates
+    val tmp = new Path(dir + "__tmp")
+    merged.write.mode("overwrite").parquet(tmp.toString)
+    if (fs.exists(target)) fs.delete(target, true)
+    if (!fs.rename(tmp, target))
+      throw new RuntimeException(s"atomic swap failed: $tmp -> $target")
+  }
+}

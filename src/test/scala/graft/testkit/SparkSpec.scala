@@ -1,0 +1,25 @@
+package graft.testkit
+
+import org.apache.spark.sql.SparkSession
+
+/** One shared local SparkSession across all suites (same JVM, sequential
+  * suite execution under sbt's forked test runner).
+  */
+trait SparkSpec {
+  lazy val spark: SparkSession = SparkSpec.session
+}
+
+object SparkSpec {
+  lazy val session: SparkSession = {
+    val s = SparkSession.builder()
+      .master("local[4]")
+      .appName("graft-test")
+      .config("spark.sql.shuffle.partitions", "8")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+}
