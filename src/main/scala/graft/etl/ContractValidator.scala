@@ -61,6 +61,11 @@ object ContractValidator {
     val bad = parsed.filter(col("env").isNull || col("env.ok").isNull).count()
     if (bad > 0)
       throw new DataContractError(Seq("$: malformed JSON envelope"), bad)
+    // a well-formed envelope may still signal failure (ok=false) — that is
+    // the producer's error channel, not a payload to process
+    val notOk = parsed.filter(!col("env.ok")).count()
+    if (notOk > 0)
+      throw new DataContractError(Seq("$.ok: producer signalled failure (ok=false)"), notOk)
     parsed.select(posexplode(col("env.transactions")).as(Seq("pos", "txn")))
   }
 

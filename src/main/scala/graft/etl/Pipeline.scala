@@ -31,7 +31,8 @@ object Retry {
     while (true) {
       try return f
       catch {
-        case e: Throwable if attempt < retries =>
+        // fatal errors (OOM, InterruptedException, …) propagate immediately
+        case scala.util.control.NonFatal(_) if attempt < retries =>
           attempt += 1
           Thread.sleep(delayMs)
       }
@@ -81,10 +82,13 @@ object GroceryPipeline {
   /** Stage 1 — ingest: fetch the envelope (seeded generator standing in
     * for the HTTP source) and write the raw artifact. partial_write
     * reproduces io_utils.py:76-89: half the bytes, a pause, the rest —
-    * the race window a concurrent reader can observe.
+    * the race window a concurrent reader can observe. `midWrite` runs
+    * between the two writes (default: sleep `partialPauseMs`); tests pass
+    * a latch here to observe the torn state without wall-clock races.
     */
   def ingest(spark: SparkSession, paths: RunPaths, scenario: String,
-      n: Int = 40, partialPauseMs: Long = 1500): Unit = {
+      n: Int = 40, partialPauseMs: Long = 1500,
+      midWrite: Option[() => Unit] = None): Unit = {
     paths.mkdirs()
     val body = PosGenerator.envelopeJson(spark, paths.runId, scenario, n)
     val target = Paths.get(paths.rawFile)
@@ -93,7 +97,7 @@ object GroceryPipeline {
       // truncated JSON (grocery_ingest_dag.py:62-63)
       val half = body.length / 2
       Files.write(target, body.substring(0, half).getBytes(StandardCharsets.UTF_8))
-      Thread.sleep(partialPauseMs)
+      midWrite.getOrElse(() => Thread.sleep(partialPauseMs))()
       Files.write(target, body.getBytes(StandardCharsets.UTF_8))
     } else {
       // atomic tmp+rename commit (io_utils.py:66-73)

@@ -39,12 +39,16 @@ object Upsert {
     existing.unionByName(
       rows.join(existing.select(keys.map(col): _*).distinct(), keys, "left_anti"))
 
-  /** Upsert a batch into a parquet "table" directory with atomic swap:
-    * write merged output to `<dir>__tmp`, then rename over the target —
-    * the same commit-by-rename idea as the reference's atomic artifact
-    * writer (grocery_lib/io_utils.py:66-73). On a real deployment this is
-    * a MERGE INTO on a table format (Delta/Iceberg); plain parquet needs
-    * the rewrite-and-swap.
+  /** Upsert a batch into a parquet "table" directory with a rename swap:
+    * write merged output to `<dir>__tmp`, rename the live table aside to
+    * `<dir>__old`, rename tmp in, then drop the old copy — the same
+    * commit-by-rename idea as the reference's atomic artifact writer
+    * (grocery_lib/io_utils.py:66-73). There is no window with no live
+    * data: a crash before the tmp→target rename leaves the old table
+    * recoverable at `__old`, and a failed write cleans up its tmp. On a
+    * real deployment this is a MERGE INTO on a table format
+    * (Delta/Iceberg) whose snapshot commit is truly atomic; plain parquet
+    * needs the rewrite-and-swap.
     */
   def upsertParquet(spark: SparkSession, dir: String, updates: DataFrame,
       keys: Seq[String], versionCol: String): Unit = {
@@ -54,9 +58,22 @@ object Upsert {
       if (fs.exists(target)) merge(spark.read.parquet(dir), updates, keys, versionCol)
       else updates
     val tmp = new Path(dir + "__tmp")
-    merged.write.mode("overwrite").parquet(tmp.toString)
-    if (fs.exists(target)) fs.delete(target, true)
-    if (!fs.rename(tmp, target))
-      throw new RuntimeException(s"atomic swap failed: $tmp -> $target")
+    val old = new Path(dir + "__old")
+    try merged.write.mode("overwrite").parquet(tmp.toString)
+    catch {
+      case e: Throwable =>
+        if (fs.exists(tmp)) fs.delete(tmp, true)
+        throw e
+    }
+    if (fs.exists(old)) fs.delete(old, true)
+    val hadTarget = fs.exists(target)
+    if (hadTarget && !fs.rename(target, old))
+      throw new RuntimeException(s"swap failed: $target -> $old")
+    if (!fs.rename(tmp, target)) {
+      // restore the previous table before surfacing the failure
+      if (hadTarget) fs.rename(old, target)
+      throw new RuntimeException(s"swap failed: $tmp -> $target")
+    }
+    if (hadTarget) fs.delete(old, true)
   }
 }

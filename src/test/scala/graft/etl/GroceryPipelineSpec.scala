@@ -71,15 +71,20 @@ class GroceryPipelineSpec extends AnyFunSuite with SparkSpec {
   test("partial_write: a concurrent reader inside the race window sees torn JSON") {
     val base = tmp()
     val paths = RunPaths(base, "run-pw")
+    // latches synchronize writer and reader deterministically: the writer
+    // parks inside the torn-file window until the reader has observed it
+    val halfWritten = new java.util.concurrent.CountDownLatch(1)
+    val readerDone = new java.util.concurrent.CountDownLatch(1)
     val writer = new Thread(() =>
-      GroceryPipeline.ingest(spark, paths, "partial_write", partialPauseMs = 1500))
+      GroceryPipeline.ingest(spark, paths, "partial_write",
+        midWrite = Some { () =>
+          halfWritten.countDown()
+          readerDone.await()
+        }))
     writer.start()
-    // wait for the first half to land, then read inside the window
-    val target = java.nio.file.Paths.get(paths.rawFile)
-    var tries = 0
-    while (!Files.exists(target) && tries < 100) { Thread.sleep(20); tries += 1 }
-    Thread.sleep(50)
-    val torn = new String(Files.readAllBytes(target))
+    halfWritten.await()
+    val torn = new String(Files.readAllBytes(java.nio.file.Paths.get(paths.rawFile)))
+    readerDone.countDown()
     intercept[DataContractError] {
       ContractValidator.parseEnvelope(spark, torn)
     }
