@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 import graft.etl.{Enricher, PosGenerator, RetailPipeline}
-import graft.queries.{Core, EventsQ}
+import graft.queries.{Core, EventsQ, TextQ}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -66,6 +66,14 @@ object SparkEntry {
     // (computed oracle from the same VALUES fixture)
     "q_retail_mart" -> ((s, _) => RetailPipeline.martDailySales(
       RetailPipeline.stgTransactions(RetailPipeline.seedSource(s, "ok"), "ok"))),
+    // text analysis — token counting (whitespace + BPE-ish regex)
+    "q_token_stats" -> TextQ.tokenStats,
+    // text analysis — quality scoring for corpus filtering
+    "q_quality_score" -> TextQ.qualityScore,
+    // text analysis — n-gram-heuristic language identification
+    "q_lang_id" -> TextQ.langId,
+    // text analysis — rolling-hash document fingerprints
+    "q_fingerprint" -> TextQ.fingerprint,
   )
 
   /** DuckDB oracle SQL per query. Money math goes through DECIMAL(18,2) in
@@ -214,5 +222,81 @@ object SparkEntry {
         | CAST(SUM(amount_cents) AS BIGINT) AS gross_amount_cents,
         | CAST(SUM(quantity) AS BIGINT) AS units
         |FROM stg GROUP BY 1, 2""".stripMargin,
+    "q_token_stats" ->
+      """WITH d AS (
+        |  SELECT doc_id, text,
+        |   string_split(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' ') AS toks
+        |  FROM documents
+        |)
+        |SELECT doc_id,
+        | CAST(length(text) AS BIGINT) AS chars,
+        | CAST(len(toks) AS BIGINT) AS ws_tokens,
+        | CAST(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\s]')) AS BIGINT) AS re_tokens,
+        | CAST(len(list_distinct(toks)) AS BIGINT) AS distinct_tokens,
+        | round(CAST(list_sum(list_transform(toks, t -> length(t))) AS DOUBLE)
+        |   / CAST(len(toks) AS DOUBLE), 6) AS avg_token_len
+        |FROM d""".stripMargin,
+    "q_quality_score" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |   string_split(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' ') AS toks
+        |  FROM documents
+        |), s AS (
+        |  SELECT doc_id,
+        |   CAST(len(toks) AS BIGINT) AS n_tokens,
+        |   round(CAST(len(list_filter(toks, t -> list_contains(
+        |     ['the','a','an','and','of','to','in','is','it','for'], t))) AS DOUBLE)
+        |     / CAST(len(toks) AS DOUBLE), 6) AS stop_ratio,
+        |   round(CAST(len(list_distinct(toks)) AS DOUBLE)
+        |     / CAST(len(toks) AS DOUBLE), 6) AS diversity,
+        |   round(least(CAST(len(toks) AS DOUBLE) / 50.0, 1.0), 6) AS length_signal
+        |  FROM d
+        |), q AS (
+        |  SELECT *, CAST(
+        |    CAST(0.4 AS DECIMAL(2,1)) * CAST(length_signal AS DECIMAL(9,6))
+        |    + CAST(0.3 AS DECIMAL(2,1)) * CAST(diversity AS DECIMAL(9,6))
+        |    + CAST(0.3 AS DECIMAL(2,1)) * (CAST(1.0 AS DECIMAL(2,1)) - CAST(stop_ratio AS DECIMAL(9,6)))
+        |   AS DOUBLE) AS quality FROM s
+        |)
+        |SELECT *, (quality >= 0.5 AND n_tokens >= 10) AS keep FROM q""".stripMargin,
+    "q_lang_id" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |   string_split(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' ') AS toks
+        |  FROM documents
+        |), s AS (
+        |  SELECT doc_id,
+        |   round(CAST(len(list_filter(toks, t -> list_contains(['the','a','and','of','to','is','that','with'], t))) AS DOUBLE) / CAST(len(toks) AS DOUBLE), 6) AS score_en,
+        |   round(CAST(len(list_filter(toks, t -> list_contains(['der','die','das','und','ist','nicht','ein'], t))) AS DOUBLE) / CAST(len(toks) AS DOUBLE), 6) AS score_de,
+        |   round(CAST(len(list_filter(toks, t -> list_contains(['el','los','las','y','es','un','una','que'], t))) AS DOUBLE) / CAST(len(toks) AS DOUBLE), 6) AS score_es,
+        |   round(CAST(len(list_filter(toks, t -> list_contains(['le','les','et','est','une','dans','pour'], t))) AS DOUBLE) / CAST(len(toks) AS DOUBLE), 6) AS score_fr,
+        |   round(CAST(len(list_filter(toks, t -> list_contains(['de','shi','bu','zhe','ge'], t))) AS DOUBLE) / CAST(len(toks) AS DOUBLE), 6) AS score_zh
+        |  FROM d
+        |)
+        |SELECT *,
+        | CASE WHEN score_en >= greatest(score_de, score_es, score_fr, score_zh) THEN 'en'
+        |      WHEN score_de >= greatest(score_es, score_fr, score_zh) THEN 'de'
+        |      WHEN score_es >= greatest(score_fr, score_zh) THEN 'es'
+        |      WHEN score_fr >= score_zh THEN 'fr'
+        |      ELSE 'zh' END AS predicted
+        |FROM s""".stripMargin,
+    "q_fingerprint" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |   trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')) AS norm
+        |  FROM documents
+        |), t AS (
+        |  SELECT doc_id, norm,
+        |   array_to_string(list_sort(list_distinct(string_split(norm, ' '))), ' ') AS bag
+        |  FROM d
+        |)
+        |SELECT doc_id,
+        | list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |   list_transform(string_split(norm, ''), c -> CAST(ascii(c) AS BIGINT))),
+        |   (a, b) -> (a * 31 + b) % 1000000007) AS content_hash,
+        | list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |   list_transform(string_split(bag, ''), c -> CAST(ascii(c) AS BIGINT))),
+        |   (a, b) -> (a * 31 + b) % 1000000007) AS bag_hash
+        |FROM t""".stripMargin,
   )
 }

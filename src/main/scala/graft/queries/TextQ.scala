@@ -1,0 +1,89 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+import graft.Tables
+import graft.text.TextOps
+
+/** Text-analysis queries over the `documents` table. Each is a single
+  * narrow scan-stage pass (no shuffle) — per-document scoring stays
+  * embarrassingly parallel at any corpus size; only the final driver
+  * collect in Verify is small. DuckDB oracle twins live in
+  * `SparkEntry.oracleSql`.
+  */
+object TextQ {
+
+  /** Token statistics per document: whitespace tokens, BPE-ish regex
+    * tokens, distinct tokens, average token length.
+    */
+  def tokenStats(spark: SparkSession, dir: String): DataFrame = {
+    val toks = TextOps.tokens(col("text"))
+    Tables(spark, dir, "documents")
+      .select(
+        col("doc_id"),
+        length(col("text")).cast("long").as("chars"),
+        size(toks).cast("long").as("ws_tokens"),
+        TextOps.regexTokenCount(col("text")).cast("long").as("re_tokens"),
+        size(array_distinct(toks)).cast("long").as("distinct_tokens"),
+        round(TextOps.totalTokenChars(toks).cast("double") /
+          size(toks).cast("double"), 6).as("avg_token_len"))
+  }
+
+  /** Quality scoring: stopword ratio, lexical diversity, length signal,
+    * composite score and keep/drop verdict — the pre-training corpus
+    * filter. All ratios are exact integer/integer doubles rounded to 6dp
+    * so both engines agree bitwise.
+    */
+  def qualityScore(spark: SparkSession, dir: String): DataFrame = {
+    val toks = TextOps.tokens(col("text"))
+    Tables(spark, dir, "documents")
+      .select(col("doc_id"), col("text"))
+      .withColumn("n_tokens", size(toks).cast("long"))
+      .withColumn("stop_ratio",
+        round(TextOps.wordRatio(toks, TextOps.stopwords), 6))
+      .withColumn("diversity",
+        round(size(array_distinct(toks)).cast("double") /
+          size(toks).cast("double"), 6))
+      .withColumn("length_signal",
+        round(least(col("n_tokens").cast("double") / 50.0, lit(1.0)), 6))
+      // composite in exact DECIMAL (the 6dp components are exact decimals):
+      // double rounding of a x.xxxxxx5 midpoint differs across engines,
+      // decimal arithmetic never needs to round
+      .withColumn("quality",
+        (lit(BigDecimal("0.4")) * col("length_signal").cast(DecimalType(9, 6)) +
+          lit(BigDecimal("0.3")) * col("diversity").cast(DecimalType(9, 6)) +
+          lit(BigDecimal("0.3")) *
+            (lit(BigDecimal("1.0")) - col("stop_ratio").cast(DecimalType(9, 6))))
+          .cast("double"))
+      .withColumn("keep", col("quality") >= 0.5 && col("n_tokens") >= 10)
+      .drop("text")
+  }
+
+  /** n-gram-heuristic language identification: marker-token hit ratios
+    * per language, argmax with fixed-priority tie-break.
+    */
+  def langId(spark: SparkSession, dir: String): DataFrame = {
+    val toks = TextOps.tokens(col("text"))
+    val scores = TextOps.langScores(toks)
+    val scoreCols = scores.map { case (l, c) => round(c, 6).as(s"score_$l") }
+    Tables(spark, dir, "documents")
+      .select(col("doc_id") +: scoreCols: _*)
+      .withColumn("predicted",
+        TextOps.predictLang(scores.map { case (l, _) => l -> col(s"score_$l") }))
+  }
+
+  /** Document fingerprints: order-sensitive rolling hash of the
+    * normalized text + order-independent bag-of-words hash. Exact dedup
+    * at 100 TB groups on these 8-byte keys instead of comparing bodies.
+    */
+  def fingerprint(spark: SparkSession, dir: String): DataFrame = {
+    val toks = TextOps.tokens(col("text"))
+    Tables(spark, dir, "documents")
+      .select(
+        col("doc_id"),
+        TextOps.rollingHash(TextOps.normalize(col("text"))).as("content_hash"),
+        TextOps.bagHash(toks).as("bag_hash"))
+  }
+}

@@ -1,0 +1,94 @@
+package graft.text
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis column operators for large-scale document pipelines:
+  * normalization, tokenization, token statistics, stopword/quality
+  * signals, n-gram-heuristic language ID and rolling-hash fingerprints.
+  *
+  * These extend the reference's validation layer (SURVEY.md §2.7 — the
+  * reference validates transaction payloads; a training-data pipeline
+  * validates documents) with the per-document scoring a 100 TB corpus
+  * needs before dedup/filtering.
+  *
+  * Everything here is a pure `Column` expression — narrow (no shuffle),
+  * codegen-friendly except the higher-order `aggregate` folds, which
+  * Spark evaluates per-element but still fully distributed and
+  * pipelined inside the scan stage. All arithmetic is integer or
+  * exact-double so the DuckDB oracle reproduces results bit-for-bit.
+  */
+object TextOps {
+
+  /** Lowercased, non-alphanumerics collapsed to single spaces, trimmed. */
+  def normalize(text: Column): Column =
+    trim(regexp_replace(lower(text), "[^a-z0-9]+", " "))
+
+  /** Whitespace tokens of the normalized text. */
+  def tokens(text: Column): Column = split(normalize(text), " ")
+
+  /** "BPE-ish" regex token count: letter runs, digit runs, and single
+    * non-alphanumeric marks each count as one token — the usual cheap
+    * stand-in for a subword tokenizer's token count.
+    */
+  def regexTokenCount(text: Column): Column =
+    size(regexp_extract_all(lower(text), lit("[a-z]+|[0-9]+|[^a-z0-9\\s]"), lit(0)))
+
+  /** Sum of the elements' lengths (total characters across tokens). */
+  def totalTokenChars(toks: Column): Column =
+    aggregate(toks, lit(0L), (acc, t) => acc + length(t))
+
+  /** Fraction of tokens found in `words`, as an exact double in [0,1]. */
+  def wordRatio(toks: Column, words: Seq[String]): Column = {
+    val hits = size(filter(toks, t => array_contains(lit(words.toArray), t)))
+    hits.cast("double") / size(toks).cast("double")
+  }
+
+  /** English-ish stopwords used for the quality signal. */
+  val stopwords: Seq[String] =
+    Seq("the", "a", "an", "and", "of", "to", "in", "is", "it", "for")
+
+  /** Rolling polynomial hash (base 31, mod 1e9+7) over the characters of
+    * `s` — the classic Rabin–Karp document fingerprint, order-sensitive.
+    * Fold is left-to-right so every engine computes the identical value.
+    */
+  def rollingHash(s: Column): Column =
+    aggregate(split(s, ""), lit(0L),
+      (acc, c) => (acc * 31 + ascii(c)) % 1000000007L)
+
+  /** Order-independent content fingerprint: rolling hash of the sorted
+    * distinct token list (bag-of-words identity; catches reorderings that
+    * the order-sensitive fingerprint misses).
+    */
+  def bagHash(toks: Column): Column =
+    rollingHash(array_join(array_sort(array_distinct(toks)), " "))
+
+  /** Marker tokens per language for the n-gram-heuristic language ID.
+    * Priority order (ties resolve to the earlier entry) is part of the
+    * operator contract.
+    */
+  val langMarkers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "and", "of", "to", "is", "that", "with"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "nicht", "ein"),
+    "es" -> Seq("el", "los", "las", "y", "es", "un", "una", "que"),
+    "fr" -> Seq("le", "les", "et", "est", "une", "dans", "pour"),
+    "zh" -> Seq("de", "shi", "bu", "zhe", "ge"))
+
+  /** Per-language marker-hit ratios, in declaration order. */
+  def langScores(toks: Column): Seq[(String, Column)] =
+    langMarkers.map { case (lang, markers) => lang -> wordRatio(toks, markers) }
+
+  /** Predicted language: argmax of the marker ratios with first-wins
+    * tie-break in `langMarkers` order. The sequential chain
+    * `when(s_i >= max(s_{i+1}…s_n))` is a correct first-wins argmax: if
+    * entry i fails its test, some later score strictly exceeds it.
+    */
+  def predictLang(scores: Seq[(String, Column)]): Column = {
+    def gmax(cs: Seq[Column]): Column =
+      if (cs.size == 1) cs.head else greatest(cs: _*)
+    scores.zipWithIndex.init.foldRight(lit(scores.last._1): Column) {
+      case (((lang, s), i), rest) =>
+        when(s >= gmax(scores.drop(i + 1).map(_._2)), lang).otherwise(rest)
+    }
+  }
+}

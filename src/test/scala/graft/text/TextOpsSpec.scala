@@ -1,0 +1,77 @@
+package graft.text
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.testkit.SparkSpec
+
+class TextOpsSpec extends AnyFunSuite with SparkSpec {
+
+  private def docs(rows: (Int, String)*) = {
+    import spark.implicits._
+    rows.toDF("doc_id", "text")
+  }
+
+  test("normalize collapses punctuation and case") {
+    val r = docs(1 -> "  Hello,   WORLD!! 42 ")
+      .select(TextOps.normalize(col("text"))).head().getString(0)
+    assert(r == "hello world 42")
+  }
+
+  test("token counts: whitespace vs BPE-ish regex") {
+    val r = docs(1 -> "Hi there, 42 cats!")
+      .select(
+        size(TextOps.tokens(col("text"))),
+        TextOps.regexTokenCount(col("text")))
+      .head()
+    assert(r.getInt(0) == 4) // hi there 42 cats
+    assert(r.getInt(1) == 6) // hi | there | , | 42 | cats | !
+  }
+
+  test("language ID picks the language with the most marker hits") {
+    val r = docs(
+      1 -> "the cat and the dog of the house",
+      2 -> "der hund und die katze ist nicht da",
+      3 -> "el perro y el gato es un animal",
+      4 -> "le chien et le chat est dans une maison")
+      .select(col("doc_id"),
+        TextOps.predictLang(TextOps.langScores(TextOps.tokens(col("text")))))
+      .collect().map(r => r.getInt(0) -> r.getString(1)).toMap
+    assert(r == Map(1 -> "en", 2 -> "de", 3 -> "es", 4 -> "fr"))
+  }
+
+  test("rolling hash is order-sensitive, bag hash is order-independent") {
+    val df = docs(1 -> "alpha beta gamma", 2 -> "gamma beta alpha")
+      .select(
+        TextOps.rollingHash(TextOps.normalize(col("text"))).as("content"),
+        TextOps.bagHash(TextOps.tokens(col("text"))).as("bag"))
+    val Array(a, b) = df.collect()
+    assert(a.getLong(0) != b.getLong(0))
+    assert(a.getLong(1) == b.getLong(1))
+  }
+
+  test("rolling hash matches the hand-computed fold") {
+    // "ab": ((0*31+97)*31+98) % 1e9+7 = 3105
+    val h = docs(1 -> "ab").select(TextOps.rollingHash(col("text")))
+      .head().getLong(0)
+    assert(h == 3105L)
+  }
+
+  test("identical normalized content yields identical fingerprints") {
+    val df = docs(1 -> "Spark is FAST!", 2 -> "spark is fast")
+      .select(TextOps.rollingHash(TextOps.normalize(col("text"))))
+    val Array(a, b) = df.collect()
+    assert(a.getLong(0) == b.getLong(0))
+  }
+
+  test("quality signals: stopword ratio and diversity") {
+    val toks = TextOps.tokens(col("text"))
+    val r = docs(1 -> "the the the cat")
+      .select(
+        TextOps.wordRatio(toks, TextOps.stopwords),
+        size(array_distinct(toks)).cast("double") / size(toks).cast("double"))
+      .head()
+    assert(r.getDouble(0) == 0.75)
+    assert(r.getDouble(1) == 0.5)
+  }
+}
