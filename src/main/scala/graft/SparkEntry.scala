@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 import graft.etl.{Enricher, PosGenerator, RetailPipeline}
-import graft.queries.{Core, EventsQ, TextQ}
+import graft.queries.{Core, DedupQ, EventsQ, TextQ}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -74,6 +74,16 @@ object SparkEntry {
     "q_lang_id" -> TextQ.langId,
     // text analysis — rolling-hash document fingerprints
     "q_fingerprint" -> TextQ.fingerprint,
+    // dedup — exact hash-groupBy over a corpus with planted duplicates
+    "q_dedup_exact" -> DedupQ.dedupExact,
+    // dedup — exact n-gram Jaccard via shingle inverted index
+    "q_jaccard_pairs" -> DedupQ.jaccardPairs,
+    // dedup — MinHash+LSH candidates + exact verify (same oracle as exact)
+    "q_minhash_lsh" -> DedupQ.minhashLsh,
+    // dedup — SimHash hamming<=3 pairs (rows-only: engine-specific bits)
+    "q_simhash_pairs" -> DedupQ.simhashPairs,
+    // dedup — embedding cosine near-dup pairs
+    "q_embed_near_dup" -> DedupQ.embedNearDup,
   )
 
   /** DuckDB oracle SQL per query. Money math goes through DECIMAL(18,2) in
@@ -298,5 +308,57 @@ object SparkEntry {
         |   list_transform(string_split(bag, ''), c -> CAST(ascii(c) AS BIGINT))),
         |   (a, b) -> (a * 31 + b) % 1000000007) AS bag_hash
         |FROM t""".stripMargin,
+    "q_dedup_exact" ->
+      """WITH all_docs AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 100000, upper(text) FROM documents
+        |), k AS (
+        |  SELECT doc_id,
+        |   list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |     list_transform(string_split(
+        |       trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ''),
+        |       c -> CAST(ascii(c) AS BIGINT))),
+        |     (a, b) -> (a * 31 + b) % 1000000007) AS content_hash
+        |  FROM all_docs
+        |)
+        |SELECT content_hash, min(doc_id) AS canonical_id,
+        | count(*) AS n_copies
+        |FROM k GROUP BY 1""".stripMargin,
+    "q_jaccard_pairs" -> jaccardPairsSql,
+    "q_minhash_lsh" -> jaccardPairsSql,
+    "q_embed_near_dup" ->
+      """WITH e AS (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+        |), p AS (
+        |  SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+        |   list_cosine_similarity(a.v, b.v) AS c
+        |  FROM e a JOIN e b ON a.vec_id < b.vec_id
+        |)
+        |SELECT a_id, b_id, round(c, 6) AS cosine FROM p WHERE c >= 0.4""".stripMargin,
   )
+
+  /** Exact 3-gram Jaccard pairs — the oracle for BOTH q_jaccard_pairs and
+    * q_minhash_lsh (LSH + exact verification reproduces the exact result).
+    */
+  private val jaccardPairsSql: String =
+    """WITH d AS (
+      |  SELECT doc_id,
+      |   string_split(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' ') AS ws
+      |  FROM documents
+      |), g AS (
+      |  SELECT doc_id, list_distinct(
+      |    [ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]
+      |     for i in generate_series(1, len(ws) - 2)]) AS gs
+      |  FROM d WHERE len(ws) >= 3
+      |), p AS (
+      |  SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+      |   len(list_intersect(a.gs, b.gs)) AS inter,
+      |   len(a.gs) AS na, len(b.gs) AS nb
+      |  FROM g a JOIN g b ON a.doc_id < b.doc_id
+      |)
+      |SELECT a_id, b_id,
+      | round(CAST(inter AS DOUBLE) / CAST(na + nb - inter AS DOUBLE), 6) AS jaccard
+      |FROM p
+      |WHERE CAST(inter AS DOUBLE) / CAST(na + nb - inter AS DOUBLE) >= 0.8""".stripMargin
 }

@@ -1,0 +1,55 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.dedup.Dedup
+
+/** Dedup queries over the `documents` and `embeddings` tables. The
+  * corpus contains planted near-duplicates (word-overlap pairs with
+  * 3-gram Jaccard ≥ 0.85) — exact Jaccard, MinHash+LSH and SimHash all
+  * surface them through different machinery; MinHash and exact Jaccard
+  * must agree exactly (LSH candidates are verified with the true
+  * Jaccard, and recall at t=0.8 with 32×4 banding is 1 − 5e-8).
+  */
+object DedupQ {
+
+  /** Exact dedup over a corpus with planted exact duplicates: the union
+    * of `documents` and a case-mangled copy (ids offset by 100000). Every
+    * content group must collapse to the original id with 2 copies.
+    */
+  def dedupExact(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(spark, dir, "documents").select(col("doc_id"), col("text"))
+    val mangled = docs.select((col("doc_id") + 100000).as("doc_id"),
+      upper(col("text")).as("text"))
+    Dedup.exactGroups(docs.unionByName(mangled), "doc_id", "text")
+  }
+
+  /** Exact 3-gram Jaccard near-dup pairs at threshold 0.8. */
+  def jaccardPairs(spark: SparkSession, dir: String): DataFrame =
+    Dedup.jaccardPairs(Tables(spark, dir, "documents"), "doc_id", "text",
+      n = 3, threshold = 0.8)
+
+  /** MinHash(128) + LSH(32 bands × 4) with exact verification — must
+    * reproduce [[jaccardPairs]] exactly (shared oracle).
+    */
+  def minhashLsh(spark: SparkSession, dir: String): DataFrame =
+    Dedup.minhashLshPairs(Tables(spark, dir, "documents"), "doc_id", "text",
+      n = 3, threshold = 0.8, nHashes = 128, nBands = 32)
+
+  /** SimHash near-dup pairs at Hamming ≤ 3 (engine-specific xxhash64
+    * bits — no SQL oracle; the driver records a rows-only check and
+    * DedupSpec pins the semantics).
+    */
+  def simhashPairs(spark: SparkSession, dir: String): DataFrame =
+    Dedup.simhashPairs(Tables(spark, dir, "documents"), "doc_id", "text",
+      maxHamming = 3)
+
+  /** Embedding cosine near-dup pairs at cosine ≥ 0.4 (the corpus has a
+    * clear margin around 0.4 at every scale factor).
+    */
+  def embedNearDup(spark: SparkSession, dir: String): DataFrame =
+    Dedup.cosinePairs(Tables(spark, dir, "embeddings"), "vec_id", "embedding",
+      threshold = 0.4)
+}

@@ -56,6 +56,16 @@ object TextOps {
     aggregate(split(s, ""), lit(0L),
       (acc, c) => (acc * 31 + ascii(c)) % 1000000007L)
 
+  /** Distinct word n-gram shingles of a token array (space-joined). A doc
+    * with fewer than `n` tokens has no shingles. The shingle SET (not
+    * multiset) is the standard unit for Jaccard/MinHash dedup.
+    */
+  def shingles(toks: Column, n: Int): Column =
+    when(size(toks) >= n,
+      array_distinct(transform(sequence(lit(0), size(toks) - n),
+        i => concat_ws(" ", slice(toks, i + 1, lit(n))))))
+      .otherwise(array().cast("array<string>"))
+
   /** Order-independent content fingerprint: rolling hash of the sorted
     * distinct token list (bag-of-words identity; catches reorderings that
     * the order-sensitive fingerprint misses).

@@ -1,0 +1,78 @@
+package graft.dedup
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.testkit.SparkSpec
+
+class DedupSpec extends AnyFunSuite with SparkSpec {
+
+  private def docs(rows: (Int, String)*) = {
+    import spark.implicits._
+    rows.toDF("doc_id", "text")
+  }
+
+  private val corpus = docs(
+    1 -> "the quick brown fox jumps over the lazy dog near the river bank today",
+    2 -> "the quick brown fox jumps over the lazy dog near the river bank tonight", // near-dup of 1
+    3 -> "THE QUICK BROWN FOX JUMPS OVER THE LAZY DOG NEAR THE RIVER BANK TODAY!", // exact dup of 1 (normalized)
+    4 -> "completely different content about spark query engines and shuffles at scale",
+    5 -> "another unrelated document mentioning joins aggregates and window functions")
+
+  test("exactGroups collapses normalized-identical docs to the min id") {
+    val g = Dedup.exactGroups(corpus, "doc_id", "text").collect()
+    assert(g.length == 4) // 1+3 merge
+    val merged = g.find(_.getAs[Long]("n_copies") == 2).get
+    assert(merged.getAs[Int]("canonical_id") == 1)
+  }
+
+  test("jaccardPairs finds the near-dup pair and nothing else") {
+    val p = Dedup.jaccardPairs(corpus, "doc_id", "text", n = 3, threshold = 0.5)
+      .collect().map(r => (r.getAs[Int]("a_id"), r.getAs[Int]("b_id"))).toSet
+    // 1~2 and 1~3 and 2~3 are high-overlap; 4,5 must not appear
+    assert(p.contains((1, 2)) && p.contains((1, 3)))
+    assert(!p.exists { case (a, b) => a >= 4 || b >= 4 })
+  }
+
+  test("minhashLshPairs agrees with exact jaccardPairs") {
+    val exact = Dedup.jaccardPairs(corpus, "doc_id", "text", n = 3, threshold = 0.5)
+      .collect().map(r => (r.getInt(0), r.getInt(1), r.getDouble(2))).toSet
+    val lsh = Dedup.minhashLshPairs(corpus, "doc_id", "text", n = 3,
+      threshold = 0.5, nHashes = 128, nBands = 64)
+      .collect().map(r => (r.getInt(0), r.getInt(1), r.getDouble(2))).toSet
+    assert(lsh == exact)
+  }
+
+  test("simhash: identical docs distance 0, near-dups close, unrelated far") {
+    val h = corpus.select(col("doc_id"),
+      Dedup.simhash(graft.text.TextOps.tokens(col("text"))).as("h"))
+      .collect().map(r => r.getAs[Int]("doc_id") -> r.getAs[Long]("h")).toMap
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(ham(h(1), h(3)) == 0) // normalized-identical
+    // short docs are noisy in absolute terms; the invariant is relative:
+    // a one-token edit stays far closer than unrelated content
+    assert(ham(h(1), h(2)) < ham(h(1), h(4)))
+    assert(ham(h(1), h(2)) < ham(h(1), h(5)))
+  }
+
+  test("simhashPairs surfaces only low-hamming pairs, deduped across chunks") {
+    val p = Dedup.simhashPairs(corpus, "doc_id", "text", maxHamming = 3)
+      .collect().map(r => (r.getAs[Int]("a_id"), r.getAs[Int]("b_id")))
+    assert(p.toSet.size == p.length) // chunk join introduced no duplicates
+    assert(p.contains((1, 3)))
+    assert(!p.exists { case (a, b) => a >= 4 || b >= 4 })
+  }
+
+  test("cosinePairs finds identical and near-identical vectors only") {
+    import spark.implicits._
+    val vecs = Seq(
+      (1, Array(1.0f, 0.0f, 0.0f)),
+      (2, Array(0.9f, 0.1f, 0.0f)), // cos ~ 0.9939
+      (3, Array(0.0f, 1.0f, 0.0f)), // orthogonal to 1
+      (4, Array(1.0f, 0.0f, 0.0f))) // identical to 1
+      .toDF("vec_id", "embedding")
+    val p = Dedup.cosinePairs(vecs, "vec_id", "embedding", threshold = 0.95)
+      .collect().map(r => (r.getInt(0), r.getInt(1))).toSet
+    assert(p == Set((1, 2), (1, 4), (2, 4)))
+  }
+}
