@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 import graft.etl.{Enricher, PosGenerator, RetailPipeline}
-import graft.queries.{Core, DedupQ, EventsQ, TextQ}
+import graft.queries.{AnnQ, Core, DedupQ, EventsQ, TextQ}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -84,6 +84,10 @@ object SparkEntry {
     "q_simhash_pairs" -> DedupQ.simhashPairs,
     // dedup — embedding cosine near-dup pairs
     "q_embed_near_dup" -> DedupQ.embedNearDup,
+    // similarity search — exact cosine top-k baseline
+    "q_ann_topk" -> AnnQ.bruteTopK,
+    // similarity search — sign-LSH bucketed top-k (rows-only: approximate)
+    "q_ann_lsh" -> AnnQ.lshTopK,
   )
 
   /** DuckDB oracle SQL per query. Money math goes through DECIMAL(18,2) in
@@ -336,6 +340,22 @@ object SparkEntry {
         |  FROM e a JOIN e b ON a.vec_id < b.vec_id
         |)
         |SELECT a_id, b_id, round(c, 6) AS cosine FROM p WHERE c >= 0.4""".stripMargin,
+    "q_ann_topk" ->
+      """WITH e AS (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+        |), q AS (
+        |  SELECT vec_id, v FROM e WHERE vec_id < 20
+        |), p AS (
+        |  SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+        |   list_cosine_similarity(e.v, q.v) AS c
+        |  FROM e JOIN q ON e.vec_id != q.vec_id
+        |), r AS (
+        |  SELECT *, CAST(row_number() OVER (
+        |    PARTITION BY query_id ORDER BY c DESC, neighbor_id) AS BIGINT) AS rank
+        |  FROM p
+        |)
+        |SELECT query_id, rank, neighbor_id, round(c, 6) AS cosine
+        |FROM r WHERE rank <= 5""".stripMargin,
   )
 
   /** Exact 3-gram Jaccard pairs — the oracle for BOTH q_jaccard_pairs and

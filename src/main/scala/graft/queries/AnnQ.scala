@@ -1,0 +1,36 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.ann.Ann
+
+/** Similarity-search queries over the `embeddings` table. The query set
+  * is the first 20 vectors (vec_id < 20) — the standard serve-time shape
+  * of a small query batch against a large corpus.
+  */
+object AnnQ {
+
+  private def corpusAndQueries(spark: SparkSession, dir: String) = {
+    val e = Tables(spark, dir, "embeddings")
+    (e, e.filter(col("vec_id") < 20))
+  }
+
+  /** Exact cosine top-5 per query — the ANN correctness baseline. */
+  def bruteTopK(spark: SparkSession, dir: String): DataFrame = {
+    val (corpus, queries) = corpusAndQueries(spark, dir)
+    Ann.bruteForceTopK(corpus, queries, "vec_id", "embedding", k = 5)
+  }
+
+  /** LSH-bucketed approximate top-5 (32 tables × 6 bits — measured 0.81
+    * recall@5 on this corpus, whose true neighbors sit at cosine
+    * 0.4–0.5 where sign-LSH collides rarely; the parameters trade
+    * candidate volume for recall). Rows-only for the driver
+    * (approximate by design); AnnSpec pins recall against [[bruteTopK]].
+    */
+  def lshTopK(spark: SparkSession, dir: String): DataFrame = {
+    val (corpus, queries) = corpusAndQueries(spark, dir)
+    Ann.lshNeighbors(corpus, queries, "vec_id", "embedding", k = 5)
+  }
+}

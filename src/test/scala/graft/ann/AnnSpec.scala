@@ -1,0 +1,48 @@
+package graft.ann
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.Tables
+import graft.testkit.SparkSpec
+
+class AnnSpec extends AnyFunSuite with SparkSpec {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  test("bruteForceTopK: exact ranks, no self-matches, k per query") {
+    import spark.implicits._
+    val vecs = Seq(
+      (1, Array(1.0f, 0.0f)),
+      (2, Array(0.9f, 0.1f)),
+      (3, Array(0.0f, 1.0f)),
+      (4, Array(-1.0f, 0.0f))).toDF("vec_id", "embedding")
+    val r = Ann.bruteForceTopK(vecs, vecs.filter($"vec_id" === 1),
+      "vec_id", "embedding", k = 3)
+      .orderBy("rank").collect()
+    assert(r.map(_.getAs[Int]("neighbor_id")).toSeq == Seq(2, 3, 4))
+    assert(r.map(_.getAs[Long]("rank")).toSeq == Seq(1L, 2L, 3L))
+  }
+
+  test("lshNeighbors recall@5 >= 0.75 vs brute force on the testdata") {
+    val e = Tables(spark, dir, "embeddings")
+    val q = e.filter(col("vec_id") < 20)
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.select("query_id", "neighbor_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val brute = pairs(Ann.bruteForceTopK(e, q, "vec_id", "embedding", 5))
+    val lsh = pairs(Ann.lshNeighbors(e, q, "vec_id", "embedding", 5))
+    val recall = (brute & lsh).size.toDouble / brute.size
+    assert(recall >= 0.75, s"recall=$recall")
+    // every LSH hit must be a genuine corpus vector ranked by true cosine
+    assert(lsh.forall { case (qid, nid) => qid < 20 && qid != nid })
+  }
+
+  test("lshNeighbors is deterministic (seeded planes)") {
+    val e = Tables(spark, dir, "embeddings")
+    val q = e.filter(col("vec_id") < 3)
+    def run() = Ann.lshNeighbors(e, q, "vec_id", "embedding", 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(run() == run())
+  }
+}
