@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 import graft.etl.{Enricher, PosGenerator, RetailPipeline}
-import graft.queries.{AnnQ, Core, DedupQ, EventsQ, TextQ}
+import graft.queries.{AnnQ, Core, DedupQ, EventsQ, MultimodalQ, TextQ}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -88,6 +88,10 @@ object SparkEntry {
     "q_ann_topk" -> AnnQ.bruteTopK,
     // similarity search — sign-LSH bucketed top-k (rows-only: approximate)
     "q_ann_lsh" -> AnnQ.lshTopK,
+    // multimodal — binary media columns + partition-batched decode stub
+    "q_multimodal_features" -> MultimodalQ.features,
+    // multimodal — metadata-only video frame sampling
+    "q_frame_sample" -> MultimodalQ.frameSample,
   )
 
   /** DuckDB oracle SQL per query. Money math goes through DECIMAL(18,2) in
@@ -356,6 +360,32 @@ object SparkEntry {
         |)
         |SELECT query_id, rank, neighbor_id, round(c, 6) AS cosine
         |FROM r WHERE rank <= 5""".stripMargin,
+    "q_multimodal_features" ->
+      """WITH a AS (
+        |  SELECT doc_id AS asset_id,
+        |   CASE CAST(doc_id % 3 AS INTEGER) WHEN 0 THEN 'image' WHEN 1 THEN 'video' ELSE 'audio' END AS modality,
+        |   16 + n_chars % 64 AS width,
+        |   16 + (n_chars * 7) % 64 AS height,
+        |   CAST(list_sum(list_transform(string_split(text, ''),
+        |     c -> CAST(ascii(c) AS BIGINT))) AS BIGINT) AS byte_sum,
+        |   CAST(octet_length(encode(text)) AS BIGINT) AS byte_len
+        |  FROM documents
+        |)
+        |SELECT asset_id, modality, byte_len, byte_sum,
+        | CAST(byte_sum * 100 // byte_len AS BIGINT) AS mean_byte_x100,
+        | width, height
+        |FROM a""".stripMargin,
+    "q_frame_sample" ->
+      """WITH a AS (
+        |  SELECT doc_id AS asset_id,
+        |   16 + n_chars % 64 AS width,
+        |   16 + (n_chars * 7) % 64 AS height,
+        |   1 + doc_id % 24 AS n_frames
+        |  FROM documents WHERE CAST(doc_id % 3 AS INTEGER) = 1
+        |)
+        |SELECT asset_id, CAST(f AS BIGINT) AS frame_idx,
+        | CAST(f * width * height * 3 AS BIGINT) AS byte_offset
+        |FROM a, UNNEST(range(0, n_frames, 4)) AS t(f)""".stripMargin,
   )
 
   /** Exact 3-gram Jaccard pairs — the oracle for BOTH q_jaccard_pairs and

@@ -1,0 +1,23 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import graft.Tables
+import graft.multimodal.Multimodal
+
+/** Multimodal queries: documents → fake media assets → decoded features /
+  * sampled frames. The byte statistics have exact SQL oracles because the
+  * "media" is the UTF-8 text (pure ASCII in the testdata corpus).
+  */
+object MultimodalQ {
+
+  def features(spark: SparkSession, dir: String): DataFrame =
+    Multimodal.extractFeatures(
+      Multimodal.assetsFromDocuments(spark, Tables(spark, dir, "documents")))
+      .toDF()
+
+  def frameSample(spark: SparkSession, dir: String): DataFrame =
+    Multimodal.sampleFrames(
+      Multimodal.assetsFromDocuments(spark, Tables(spark, dir, "documents")),
+      step = 4)
+}
