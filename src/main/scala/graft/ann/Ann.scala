@@ -69,50 +69,57 @@ object Ann {
     Seq.fill(n)(Seq.fill(dim)(next()))
   }
 
-  /** Packed sign bits of `v` against each plane (one long per table). */
-  private def bucketOf(v: Column, ps: Seq[Seq[Double]]): Column =
-    ps.zipWithIndex.map { case (plane, i) =>
-      val d = plane.zipWithIndex
-        .map { case (w, j) => element_at(v, j + 1) * lit(w) }
-        .reduce(_ + _)
-      when(d >= 0, lit(1L << i)).otherwise(lit(0L))
-    }.reduce(_ bitwiseOR _)
-
   /** LSH-bucketed approximate top-`k`: candidates are corpus rows that
     * share any table's full bucket with the query, then exact cosine +
     * ranking on candidates only. Output shape matches
     * [[bruteForceTopK]]; recall < 1 by design (see AnnSpec for the
     * measured recall/candidate trade-off on the testdata).
+    *
+    * Plan shape: the plane tensor ships as ONE array literal and buckets
+    * are computed by per-table folds after an explode barrier — an
+    * earlier version unrolled tables×bits×dim expression nodes, which
+    * ballooned the plan to tens of MB and spent minutes in codegen.
     */
   def lshNeighbors(corpus: DataFrame, queries: DataFrame,
       idCol: String, vecCol: String, k: Int,
       tables: Int = 32, bitsPerTable: Int = 6, dim: Int = 64,
       seed: Long = 42L): DataFrame = {
-    val allPlanes = (0 until tables).map(t =>
-      planes(seed + t, bitsPerTable, dim))
-    def withBuckets(df: DataFrame, id: String, vec: String): DataFrame = {
-      val v = asDouble(col(vec))
-      val buckets = array(allPlanes.zipWithIndex.map { case (ps, t) =>
-        struct(lit(t).as("table"), bucketOf(v, ps).as("bucket"))
-      }: _*)
-      df.select(col(id), v.as("v"), explode(buckets).as("tb"))
-        .select(col(id), col("v"), col("tb.table").as("table"),
-          col("tb.bucket").as("bucket"))
+    // plane tensor [table][bit][dim] as a single literal
+    val planeLit = typedlit((0 until tables).map(t =>
+      planes(seed + t, bitsPerTable, dim)))
+    def withBuckets(df: DataFrame, id: String): DataFrame = {
+      // explode the table axis first: v materializes at the Generate
+      // node, then each output row computes one bucket (bits × dim fold)
+      val tablePlanes = element_at(planeLit, col("table") + 1)
+      val bucket = aggregate(
+        sequence(lit(0), lit(bitsPerTable - 1)),
+        lit(0L),
+        (acc, b) => {
+          val d = dot(col("v"), element_at(tablePlanes, b + 1))
+          acc.bitwiseOR(when(d >= 0, call_function("shiftleft", lit(1L), b))
+            .otherwise(lit(0L)))
+        })
+      df.select(col(id), col("v"),
+        explode(sequence(lit(0), lit(tables - 1))).as("table"))
+        .withColumn("bucket", bucket)
     }
-    val cb = withBuckets(corpus.select(col(idCol).as("neighbor_id"), col(vecCol)),
-      "neighbor_id", vecCol)
-    val qb = withBuckets(queries.select(col(idCol).as("query_id"), col(vecCol)),
-      "query_id", vecCol)
-      .withColumnRenamed("v", "vq")
+    val cv = corpus.select(col(idCol).as("neighbor_id"),
+      asDouble(col(vecCol)).as("v"))
+    val qv = queries.select(col(idCol).as("query_id"),
+      asDouble(col(vecCol)).as("v"))
+    val cb = withBuckets(cv, "neighbor_id").drop("v")
+    val qb = withBuckets(qv, "query_id").drop("v")
     val candidates = cb.join(broadcast(qb), Seq("table", "bucket"))
       .filter(col("neighbor_id") =!= col("query_id"))
-      .select(col("query_id"), col("neighbor_id"), col("v"), col("vq"))
+      .select(col("query_id"), col("neighbor_id"))
       .distinct()
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cosine").desc, col("neighbor_id"))
     candidates
-      .withColumn("cosine",
-        dot(col("v"), col("vq")) / (l2(col("v")) * l2(col("vq"))))
+      .join(cv.withColumn("nc", l2(col("v"))), "neighbor_id")
+      .join(broadcast(qv.select(col("query_id"), col("v").as("vq"))
+        .withColumn("nq", l2(col("vq")))), "query_id")
+      .withColumn("cosine", dot(col("v"), col("vq")) / (col("nc") * col("nq")))
       .withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= k)
       .select(col("query_id"), col("rank"), col("neighbor_id"),

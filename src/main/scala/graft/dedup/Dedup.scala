@@ -78,12 +78,20 @@ object Dedup {
       nHashes: Int = 128, nBands: Int = 32): DataFrame = {
     require(nHashes % nBands == 0, "nBands must divide nHashes")
     val rowsPerBand = nHashes / nBands
-    val withSh = df.select(col(idCol).as("doc"),
-      TextOps.shingles(TextOps.tokens(col(textCol)), n).as("sh"))
-      .filter(size(col("sh")) > 0)
-    val sig = withSh.withColumn("sig",
-      transform(sequence(lit(0), lit(nHashes - 1)),
-        i => array_min(transform(col("sh"), s => xxhash64(i, s)))))
+    // (doc, shingle) inverted rows. The Generate (explode) node is a real
+    // plan barrier: the tokenize+shingle expression runs ONCE per doc.
+    // Computing signatures as nested HOFs instead would let Catalyst's
+    // CollapseProject inline that expression into every one of the 128
+    // hash lambdas — measured 50x slower at sf0.1.
+    val sh = df.select(col(idCol).as("doc"),
+      explode(TextOps.shingles(TextOps.tokens(col(textCol)), n)).as("sh"))
+    // 128 min-aggregates over xxhash64(seed_i, shingle): one map-side-
+    // combinable shuffle on doc, whole-stage codegen throughout.
+    val sigCols = (0 until nHashes).map(i => min(xxhash64(lit(i), col("sh"))).as(s"h$i"))
+    val sig = sh.groupBy(col("doc"))
+      .agg(sigCols.head, sigCols.tail: _*)
+      .select(col("doc"),
+        array((0 until nHashes).map(i => col(s"h$i")): _*).as("sig"))
     val bands = sig.select(col("doc"),
       posexplode(transform(sequence(lit(0), lit(nBands - 1)),
         b => xxhash64(b, slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand))))))
@@ -92,8 +100,10 @@ object Dedup {
       .filter(col("x.doc") < col("y.doc"))
       .select(col("x.doc").as("a_id"), col("y.doc").as("b_id"))
       .distinct()
-    val a = withSh.select(col("doc").as("a_id"), col("sh").as("sh_a"))
-    val b = withSh.select(col("doc").as("b_id"), col("sh").as("sh_b"))
+    // shingle sets for exact verification, materialized by the aggregate
+    val shSets = sh.groupBy(col("doc")).agg(collect_list(col("sh")).as("shs"))
+    val a = shSets.select(col("doc").as("a_id"), col("shs").as("sh_a"))
+    val b = shSets.select(col("doc").as("b_id"), col("shs").as("sh_b"))
     candidates.join(a, "a_id").join(b, "b_id")
       .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))))
       .withColumn("jaccard",
@@ -124,11 +134,31 @@ object Dedup {
     * come from a self-join on (chunk index, chunk value) — a content-key
     * shuffle, never N² — and are verified with bit_count(xor).
     */
+  /** Distributed simhash: explode tokens (one tokenize per doc, plan
+    * barrier as in [[minhashLshPairs]]), 64 vote-sum aggregates over the
+    * token hash bits, pack the sign bits. Bit-identical to [[simhash]]
+    * for non-empty token lists, but whole-stage-codegen'd and map-side
+    * combinable.
+    */
+  def simhash64(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val toks = df.select(col(idCol).as("doc"),
+      explode(TextOps.tokens(col(textCol))).as("t"))
+      .withColumn("h", xxhash64(col("t")))
+    val voteCols = (0 until 64).map(j =>
+      sum(when(shiftright(col("h"), j).bitwiseAND(1) === 1, 1L).otherwise(-1L))
+        .as(s"v$j"))
+    toks.groupBy(col("doc"))
+      .agg(voteCols.head, voteCols.tail: _*)
+      .select(col("doc"),
+        (0 until 64).map(j =>
+          when(col(s"v$j") >= 0, lit(1L << j)).otherwise(lit(0L)))
+          .reduce(_ bitwiseOR _).as("sh64"))
+  }
+
   def simhashPairs(df: DataFrame, idCol: String, textCol: String,
       maxHamming: Int = 3): DataFrame = {
     require(maxHamming < 4, "4x16-bit chunking is only exact for hamming <= 3")
-    val hashed = df.select(col(idCol).as("doc"),
-      simhash(TextOps.tokens(col(textCol))).as("sh64"))
+    val hashed = simhash64(df, idCol, textCol)
     val chunks = hashed.select(col("doc"), col("sh64"),
       posexplode(transform(sequence(lit(0), lit(3)),
         c => call_function("shiftright", col("sh64"), c * 16).bitwiseAND(0xFFFFL))))
