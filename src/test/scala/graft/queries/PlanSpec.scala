@@ -1,0 +1,61 @@
+package graft.queries
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkEntry
+import graft.testkit.SparkSpec
+
+/** Physical-plan invariants — the properties that decide whether these
+  * queries survive a 100× scale-up. A green result set with a wrong plan
+  * (full-column scan, shuffled dim join) is a latent scale bug, so the
+  * plan IS part of the contract.
+  */
+class PlanSpec extends AnyFunSuite with SparkSpec {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  private def plan(q: String): String =
+    SparkEntry.queries(q)(spark, dir).queryExecution.executedPlan.toString
+
+  test("filter_project: predicate AND projection reach the parquet scan") {
+    val p = plan("q_filter_project")
+    assert(p.contains("PushedFilters: [IsNotNull(l_shipdate), IsNotNull(l_discount), LessThan(l_shipdate"))
+    // 6 of 16 lineitem columns read, nothing more
+    assert(p.contains("ReadSchema: struct<l_orderkey:bigint,l_linenumber:int," +
+      "l_quantity:double,l_extendedprice:double,l_discount:dou"))
+  }
+
+  test("join_enrich: dims broadcast, fact never shuffles before the agg") {
+    val p = plan("q_join_enrich")
+    assert(p.contains("BroadcastHashJoin"))
+    assert(!p.contains("SortMergeJoin"))
+    assert(p.contains("partial_count")) // map-side combine
+  }
+
+  test("document scans are pruned to (doc_id, text)") {
+    for (q <- Seq("q_fingerprint", "q_token_stats", "q_quality_score")) {
+      val p = plan(q)
+      assert(p.contains("ReadSchema: struct<doc_id:bigint,text:string>"),
+        s"$q reads more than doc_id+text")
+    }
+  }
+
+  test("dedup_exact: partial+final hash agg on the content key") {
+    val p = plan("q_dedup_exact")
+    assert(p.contains("partial_min"))
+    assert(p.contains("partial_count"))
+  }
+
+  test("ann_topk: the query side is broadcast (corpus is streamed once)") {
+    val p = plan("q_ann_topk")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"))
+  }
+
+  test("no query plan uses a cartesian product without broadcast") {
+    for ((name, _) <- SparkEntry.queries
+        if name != "q_embed_near_dup") { // all-pairs by definition
+      val p = plan(name)
+      assert(!p.contains("CartesianProduct"), s"$name has a CartesianProduct")
+    }
+  }
+}
