@@ -1,0 +1,25 @@
+package graft
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
+
+import graft.functions.RollingHash
+
+/** Session extensions: registers graft's native SQL functions. Opt in
+  * with `.config("spark.sql.extensions", "graft.GraftExtensions")` —
+  * after which `SELECT graft_rolling_hash(text)` works in plain SQL.
+  * The DataFrame API does not require this (RollingHash.ofColumn builds
+  * the expression directly).
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction((
+      new FunctionIdentifier("graft_rolling_hash"),
+      new ExpressionInfo(classOf[RollingHash].getName, "graft_rolling_hash"),
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+        require(children.size == 1, "graft_rolling_hash takes exactly 1 argument")
+        RollingHash(children.head)
+      }))
+  }
+}

@@ -22,7 +22,9 @@ object Tables {
     */
   val sessionConfs: Map[String, String] = Map(
     "spark.sql.legacy.parquet.nanosAsLong" -> "true",
-    "spark.sql.session.timeZone" -> "UTC")
+    "spark.sql.session.timeZone" -> "UTC",
+    // graft's native SQL functions (graft_rolling_hash, …)
+    "spark.sql.extensions" -> "graft.GraftExtensions")
 
   def apply(spark: SparkSession, dir: String, name: String): DataFrame = {
     val df = spark.read.parquet(s"$dir/$name.parquet")

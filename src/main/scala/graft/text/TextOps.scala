@@ -51,8 +51,17 @@ object TextOps {
   /** Rolling polynomial hash (base 31, mod 1e9+7) over the characters of
     * `s` — the classic Rabin–Karp document fingerprint, order-sensitive.
     * Fold is left-to-right so every engine computes the identical value.
+    * Backed by the native codegen'd [[graft.functions.RollingHash]]
+    * expression; [[rollingHashFold]] is the pure-built-ins reference
+    * implementation it is differentially tested against.
     */
   def rollingHash(s: Column): Column =
+    graft.functions.RollingHash.ofColumn(s)
+
+  /** Reference implementation of [[rollingHash]] using only public
+    * higher-order functions (interpreted, allocates a per-char array).
+    */
+  def rollingHashFold(s: Column): Column =
     aggregate(split(s, ""), lit(0L),
       (acc, c) => (acc * 31 + ascii(c)) % 1000000007L)
 
