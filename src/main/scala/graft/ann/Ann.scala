@@ -27,13 +27,15 @@ object Ann {
   /** Cast a float-array column to double for deterministic arithmetic. */
   private def asDouble(v: Column): Column = transform(v, _.cast("double"))
 
-  /** L2 norm via an index-order fold (cross-engine deterministic). */
-  private def l2(v: Column): Column =
-    sqrt(aggregate(v, lit(0.0d), (acc, x) => acc + x * x))
+  /** L2 norm via the native index-order dot (cross-engine deterministic). */
+  private def l2(v: Column): Column = sqrt(dot(v, v))
 
-  /** Index-order-fold dot product of two double arrays. */
+  /** Index-order dot product of two double arrays — the native codegen'd
+    * [[graft.functions.ArrayDotProduct]]; bit-identical to the
+    * `aggregate(zip_with(...))` fold it replaced.
+    */
   private def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0d), (acc, p) => acc + p)
+    graft.functions.ArrayDotProduct.ofColumns(a, b)
 
   /** Exact cosine top-`k` neighbors per query. `queries` must be small
     * enough to broadcast (the usual ANN-serving shape); self-matches are

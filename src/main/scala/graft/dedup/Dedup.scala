@@ -198,16 +198,14 @@ object Dedup {
     */
   def cosinePairs(df: DataFrame, idCol: String, vecCol: String,
       threshold: Double): DataFrame = {
+    import graft.functions.ArrayDotProduct.ofColumns
     val v = transform(col(vecCol), x => x.cast("double"))
     val prepped = df.select(col(idCol).as("doc"), v.as("v"))
-      .withColumn("norm",
-        sqrt(aggregate(col("v"), lit(0.0d), (acc, x) => acc + x * x)))
+      .withColumn("norm", sqrt(ofColumns(col("v"), col("v"))))
     val a = prepped.select(col("doc").as("a_id"), col("v").as("va"), col("norm").as("na"))
     val b = prepped.select(col("doc").as("b_id"), col("v").as("vb"), col("norm").as("nb"))
     a.crossJoin(b).filter(col("a_id") < col("b_id"))
-      .withColumn("dot",
-        aggregate(zip_with(col("va"), col("vb"), (x, y) => x * y),
-          lit(0.0d), (acc, p) => acc + p))
+      .withColumn("dot", ofColumns(col("va"), col("vb")))
       .withColumn("cosine", col("dot") / (col("na") * col("nb")))
       .filter(col("cosine") >= threshold)
       .select(col("a_id"), col("b_id"), round(col("cosine"), 6).as("cosine"))
