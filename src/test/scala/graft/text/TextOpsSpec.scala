@@ -40,6 +40,18 @@ class TextOpsSpec extends AnyFunSuite with SparkSpec {
     assert(r == Map(1 -> "en", 2 -> "de", 3 -> "es", 4 -> "fr"))
   }
 
+  test("shingles: distinct 3-grams, short docs empty, dups collapsed") {
+    val sh = docs(
+      1 -> "a b c d",
+      2 -> "a b", // shorter than n
+      3 -> "x y x y x y") // repeated shingles collapse
+      .select(col("doc_id"), TextOps.shingles(TextOps.tokens(col("text")), 3).as("sh"))
+      .collect().map(r => r.getInt(0) -> r.getSeq[String](1).toList).toMap
+    assert(sh(1) == List("a b c", "b c d"))
+    assert(sh(2) == Nil)
+    assert(sh(3) == List("x y x", "y x y"))
+  }
+
   test("rolling hash is order-sensitive, bag hash is order-independent") {
     val df = docs(1 -> "alpha beta gamma", 2 -> "gamma beta alpha")
       .select(
