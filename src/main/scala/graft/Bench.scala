@@ -11,6 +11,15 @@ object Bench {
     Tables.sessionConfs.foreach { case (k, v) => b.config(k, v) }
     val spark = b.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // Untimed warm-up: JVM/codegen/broadcast/parquet-reader bootstrap
+    // otherwise lands on whichever query runs first (~5s of fixed cost).
+    locally {
+      import org.apache.spark.sql.functions.{broadcast, col, hash}
+      val r = Tables(spark, sfDir, "region")
+      r.join(broadcast(Tables(spark, sfDir, "nation")),
+        col("r_regionkey") === col("n_regionkey")).count()
+      spark.range(100).select(hash(col("id"))).count()
+    }
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }

@@ -58,6 +58,10 @@ object SparkEntry {
     // S2 — deterministic seeded POS source (no oracle: engine-specific
     // murmur3 seeding; driver records rows-only)
     "q_pos_generate" -> ((s, _) => PosGenerator.transactions(s, "verify-run", "ok", 200)),
+    // S1/S2 — DataSource V2 connector form of the POS source (rows-only)
+    "q_pos_source" -> ((s, _) => s.read.format("graft-pos")
+      .option("run_id", "verify-run").option("scenario", "ok")
+      .option("n", 200).option("partitions", 4).load()),
     // J1+A1 — grocery fct enrichment + daily mart over the generated source
     // (rows-only for the same reason)
     "q_grocery_daily_mart" -> ((s, _) => Enricher.dailySalesMart(
