@@ -28,5 +28,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         require(children.size == 2, "graft_dot takes exactly 2 arguments")
         ArrayDotProduct(children.head, children(1))
       }))
+    // declaratively-written dot-product folds run the native loop
+    ext.injectOptimizerRule(_ => graft.plans.NativeDotRewrite)
   }
 }

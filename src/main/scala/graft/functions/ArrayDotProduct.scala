@@ -14,13 +14,18 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType}
   * the all-pairs cosine queries that fold dominates runtime. This
   * expression is one tight loop inside whole-stage codegen.
   *
-  * Accumulation is index-order, exactly like the fold, so results are
-  * bit-identical to the reference implementation (and to the DuckDB
-  * oracle's list arithmetic) — verified differentially in
-  * ArrayDotProductSpec.
+  * Semantics are EXACTLY the fold's, including the degenerate cases —
+  * unequal lengths or a null element yield null (zip_with pads the
+  * shorter side with null, null poisons the product and then the sum) —
+  * so [[graft.plans.NativeDotRewrite]] may substitute this expression
+  * for the fold pattern without observable change. Accumulation is
+  * index-order like the fold, so results are bit-identical (verified
+  * differentially in ArrayDotProductSpec).
   */
 case class ArrayDotProduct(left: Expression, right: Expression)
     extends BinaryExpression {
+
+  override def nullable: Boolean = true
 
   override def checkInputDataTypes(): TypeCheckResult =
     if (left.dataType == ArrayType(DoubleType, false) ||
@@ -37,11 +42,20 @@ case class ArrayDotProduct(left: Expression, right: Expression)
   override def prettyName: String = "graft_dot"
 
   override protected def nullSafeEval(a: Any, b: Any): Any =
-    ArrayDotProduct.dot(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+    ArrayDotProduct.dotOrNull(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    defineCodeGen(ctx, ev, (a, b) =>
-      s"graft.functions.ArrayDotProduct.dot($a, $b)")
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val r = ctx.freshName("dotResult")
+      s"""
+         |java.lang.Double $r = graft.functions.ArrayDotProduct.dotOrNull($a, $b);
+         |if ($r == null) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  ${ev.value} = $r.doubleValue();
+         |}
+       """.stripMargin
+    })
 
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): ArrayDotProduct =
@@ -50,16 +64,16 @@ case class ArrayDotProduct(left: Expression, right: Expression)
 
 object ArrayDotProduct {
 
-  /** Index-order multiply-accumulate; truncates to the shorter array
-    * (mirrors `zip_with` which pads with null — the fold then skips
-    * nothing because embedding arrays are equal-length; unequal lengths
-    * are a caller bug either way).
+  /** Index-order multiply-accumulate with the fold's null semantics:
+    * unequal lengths or a null element → null.
     */
-  def dot(a: ArrayData, b: ArrayData): Double = {
-    val n = math.min(a.numElements(), b.numElements())
+  def dotOrNull(a: ArrayData, b: ArrayData): java.lang.Double = {
+    val n = a.numElements()
+    if (b.numElements() != n) return null
     var acc = 0.0d
     var i = 0
     while (i < n) {
+      if (a.isNullAt(i) || b.isNullAt(i)) return null
       acc += a.getDouble(i) * b.getDouble(i)
       i += 1
     }

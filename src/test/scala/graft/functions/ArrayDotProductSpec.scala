@@ -19,14 +19,23 @@ class ArrayDotProductSpec extends AnyFunSuite with SparkSpec {
   }
 
   test("bit-identical to the zip_with/aggregate fold on the embeddings corpus") {
-    val e = Tables(spark, "/root/testdata/sf0.001", "embeddings")
-      .select(transform(col("embedding"), x => x.cast("double")).as("v"))
-    val fold = aggregate(zip_with(col("v"), col("v"), (x, y) => x * y),
-      lit(0.0d), (acc, p) => acc + p)
-    val diff = e.select(
-      ArrayDotProduct.ofColumns(col("v"), col("v")).as("native"), fold.as("ref"))
-      .filter(col("native") =!= col("ref")).count()
-    assert(diff == 0L)
+    // exclude NativeDotRewrite so the reference side really runs the fold
+    // (otherwise this test compares the native expression to itself)
+    val prev = spark.conf.getOption("spark.sql.optimizer.excludedRules")
+    spark.conf.set("spark.sql.optimizer.excludedRules", "graft.plans.NativeDotRewrite")
+    try {
+      val e = Tables(spark, "/root/testdata/sf0.001", "embeddings")
+        .select(transform(col("embedding"), x => x.cast("double")).as("v"))
+      val fold = aggregate(zip_with(col("v"), col("v"), (x, y) => x * y),
+        lit(0.0d), (acc, p) => acc + p)
+      val diff = e.select(
+        ArrayDotProduct.ofColumns(col("v"), col("v")).as("native"), fold.as("ref"))
+        .filter(col("native") =!= col("ref")).count()
+      assert(diff == 0L)
+    } finally prev match {
+      case Some(v) => spark.conf.set("spark.sql.optimizer.excludedRules", v)
+      case None => spark.conf.unset("spark.sql.optimizer.excludedRules")
+    }
   }
 
   test("registered SQL function works via GraftExtensions") {
