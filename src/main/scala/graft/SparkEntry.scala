@@ -49,6 +49,14 @@ object SparkEntry {
     "q_topk_per_group" -> Core.topKPerGroup,
     // P7/S3 — JSON field extraction (JSONB analog)
     "q_json_extract" -> Core.jsonExtract,
+    // multi-level rollup mart with grouping_id
+    "q_mart_rollup" -> Core.martRollup,
+    // pivot (conditional-aggregation compilation)
+    "q_pivot_status" -> Core.pivotStatus,
+    // set operations: INTERSECT / EXCEPT / UNION distinct
+    "q_set_ops" -> Core.setOps,
+    // exact interpolated percentiles per group
+    "q_percentiles" -> Core.percentiles,
     // §2.10 — tumbling event-time window (batch twin of streaming agg)
     "q_tumbling_window" -> EventsQ.tumblingWindow,
     // §2.10 — gap-based sessionization
@@ -153,6 +161,34 @@ object SparkEntry {
     "q_count_canary" ->
       """SELECT 'orders_1995_plus' AS canary, count(*) AS n, count(*) >= 10 AS pass
         |FROM orders WHERE CAST(o_orderdate AS DATE) >= DATE '1995-01-01'""".stripMargin,
+    "q_mart_rollup" ->
+      """SELECT strftime(CAST(o_orderdate AS DATE), '%Y-%m') AS month,
+        | o_orderstatus AS status,
+        | CAST(GROUPING(strftime(CAST(o_orderdate AS DATE), '%Y-%m'), o_orderstatus) AS BIGINT) AS gid,
+        | count(*) AS txns,
+        | CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS gross
+        |FROM orders
+        |GROUP BY ROLLUP(strftime(CAST(o_orderdate AS DATE), '%Y-%m'), o_orderstatus)""".stripMargin,
+    "q_pivot_status" ->
+      """SELECT CAST(year(CAST(o_orderdate AS DATE)) AS INTEGER) AS yr,
+        | CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) FILTER (o_orderstatus = 'F') AS DOUBLE) AS "F",
+        | CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) FILTER (o_orderstatus = 'O') AS DOUBLE) AS "O",
+        | CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) FILTER (o_orderstatus = 'P') AS DOUBLE) AS "P"
+        |FROM orders GROUP BY 1""".stripMargin,
+    "q_set_ops" ->
+      """SELECT c_custkey AS custkey FROM customer WHERE c_mktsegment = 'AUTOMOBILE'
+        |INTERSECT
+        |SELECT o_custkey FROM orders
+        |UNION
+        |(SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+        | EXCEPT
+        | SELECT o_custkey FROM orders)""".stripMargin,
+    "q_percentiles" ->
+      """SELECT o_orderstatus AS status,
+        | quantile_cont(o_totalprice, 0.5) AS p50,
+        | quantile_cont(o_totalprice, 0.9) AS p90,
+        | count(*) AS n
+        |FROM orders GROUP BY 1""".stripMargin,
     "q_not_null_checks" ->
       """SELECT column_name, nulls, nulls = 0 AS pass FROM (
         |  SELECT 'o_orderkey' AS column_name, CAST(SUM(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS nulls FROM orders

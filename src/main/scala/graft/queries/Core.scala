@@ -239,4 +239,61 @@ object Core {
         regexp_extract(col("props"), "\"k\": (\\d+)", 1).cast("int").as("k"))
       .filter(col("k") > 80)
   }
+
+  // -------------------------------------------------------------------
+  // Rollup with subtotal rows — multi-level mart in one pass (partial
+  // agg handles every grouping set map-side; no per-level rescan).
+  // grouping_id bit order (first key = MSB) matches DuckDB's GROUPING.
+  // -------------------------------------------------------------------
+  def martRollup(spark: SparkSession, dir: String): DataFrame = {
+    // month as a string key: a nullable DATE subtotal key round-trips
+    // differently through pandas (NaT vs None) in the oracle compare
+    Tables(spark, dir, "orders")
+      .rollup(date_format(to_date(col("o_orderdate")), "yyyy-MM").as("month"),
+        col("o_orderstatus").as("status"))
+      .agg(
+        grouping_id().as("gid"),
+        count(lit(1)).as("txns"),
+        sum(dec(col("o_totalprice"))).cast("double").as("gross"))
+  }
+
+  // -------------------------------------------------------------------
+  // Pivot — status columns from rows (compiles to conditional
+  // aggregation: one scan, no join).
+  // -------------------------------------------------------------------
+  def pivotStatus(spark: SparkSession, dir: String): DataFrame = {
+    Tables(spark, dir, "orders")
+      .groupBy(year(to_date(col("o_orderdate"))).as("yr"))
+      .pivot("o_orderstatus", Seq("F", "O", "P"))
+      .agg(sum(dec(col("o_totalprice"))).cast("double"))
+  }
+
+  // -------------------------------------------------------------------
+  // Set operations — INTERSECT / EXCEPT / UNION (distinct semantics).
+  // Spark plans these as semi/anti joins + dedup aggregates.
+  // -------------------------------------------------------------------
+  def setOps(spark: SparkSession, dir: String): DataFrame = {
+    val cust = Tables(spark, dir, "customer")
+    val withOrders = Tables(spark, dir, "orders")
+      .select(col("o_custkey").as("custkey"))
+    def seg(s: String) = cust.filter(col("c_mktsegment") === s)
+      .select(col("c_custkey").as("custkey"))
+    seg("AUTOMOBILE").intersect(withOrders)
+      .union(seg("BUILDING").except(withOrders))
+      .distinct()
+  }
+
+  // -------------------------------------------------------------------
+  // Exact percentiles per group — `percentile` uses the standard
+  // (n−1)p linear interpolation, the same formula as DuckDB's
+  // quantile_cont, so values are cross-engine exact.
+  // -------------------------------------------------------------------
+  def percentiles(spark: SparkSession, dir: String): DataFrame = {
+    Tables(spark, dir, "orders")
+      .groupBy(col("o_orderstatus").as("status"))
+      .agg(
+        expr("percentile(o_totalprice, 0.5)").as("p50"),
+        expr("percentile(o_totalprice, 0.9)").as("p90"),
+        count(lit(1)).as("n"))
+  }
 }
