@@ -100,6 +100,8 @@ object SparkEntry {
     "q_ann_topk" -> AnnQ.bruteTopK,
     // similarity search — sign-LSH bucketed top-k (rows-only: approximate)
     "q_ann_lsh" -> AnnQ.lshTopK,
+    // similarity search — IVF coarse-quantized top-k (rows-only)
+    "q_ann_ivf" -> AnnQ.ivfTopK,
     // multimodal — binary media columns + partition-batched decode stub
     "q_multimodal_features" -> MultimodalQ.features,
     // multimodal — metadata-only video frame sampling

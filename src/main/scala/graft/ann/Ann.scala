@@ -61,6 +61,89 @@ object Ann {
         round(col("cosine"), 6).as("cosine"))
   }
 
+  /** IVF (inverted-file) ANN: a spherical k-means coarse quantizer
+    * splits the corpus into `nCentroids` cells; a query scans only its
+    * `nProbe` nearest cells. At corpus scale the assignment is the only
+    * full pass and search cost drops by ~nCentroids/nProbe; cells are
+    * the natural partitioning key for a 100 TB vector table.
+    *
+    * Training is driver-coordinated Lloyd iterations (the centroid
+    * matrix is metadata-sized): init = the `nCentroids` vectors with
+    * the smallest xxhash64(id) (deterministic, data-independent order),
+    * assign by max cosine via the native dot, recompute means per
+    * dimension, renormalize. Everything is seeded/orderless, so plans
+    * and results are reproducible run to run.
+    */
+  def ivfNeighbors(corpus: DataFrame, queries: DataFrame,
+      idCol: String, vecCol: String, k: Int,
+      nCentroids: Int = 16, nProbe: Int = 4, iterations: Int = 3): DataFrame = {
+    val spark = corpus.sparkSession
+    val cv = corpus.select(col(idCol).as("neighbor_id"),
+      asDouble(col(vecCol)).as("v"))
+      .withColumn("nc", l2(col("v")))
+      .withColumn("vn", transform(col("v"), x => x / col("nc")))
+    // deterministic init: smallest-hash rows
+    var centroids: Seq[Seq[Double]] = cv
+      .orderBy(xxhash64(col("neighbor_id")))
+      .limit(nCentroids)
+      .select("vn").collect().map(_.getSeq[Double](0).toIndexedSeq).toIndexedSeq
+    def assignExpr(cs: Seq[Seq[Double]]): Column = {
+      val clit = typedlit(cs)
+      // fold argmax over centroids: native dot per cell, no explode
+      aggregate(
+        sequence(lit(0), lit(cs.size - 1)),
+        struct(lit(-1).as("c"), lit(Double.NegativeInfinity).as("best")),
+        (acc, c) => {
+          val d = graft.functions.ArrayDotProduct.ofColumns(
+            col("vn"), element_at(clit, c + 1))
+          when(d > acc.getField("best"),
+            struct(c.as("c"), d.as("best"))).otherwise(acc)
+        }).getField("c")
+    }
+    for (_ <- 1 to iterations) {
+      val assigned = cv.withColumn("cluster", assignExpr(centroids))
+      val sums = assigned
+        .select(col("cluster"), posexplode(col("vn")).as(Seq("dim", "x")))
+        .groupBy(col("cluster"), col("dim"))
+        .agg(avg(col("x")).as("m"))
+        .collect().map(r => (r.getInt(0), r.getInt(1)) -> r.getDouble(2)).toMap
+      centroids = centroids.zipWithIndex.map { case (old, c) =>
+        val dim = old.size
+        val mean = (0 until dim).map(j => sums.getOrElse((c, j), 0.0))
+        val n = math.sqrt(mean.map(x => x * x).sum)
+        if (n == 0.0) old else mean.map(_ / n) // empty cell keeps its centroid
+      }
+    }
+    val assigned = cv.withColumn("cluster", assignExpr(centroids))
+    // per-query probe list: nProbe nearest centroids (driver-side math
+    // over the broadcastable query batch)
+    val cFinal = centroids
+    val qRows = queries.select(col(idCol).as("query_id"),
+      asDouble(col(vecCol)).as("vq"))
+      .withColumn("nq", l2(col("vq")))
+      .collect()
+    import spark.implicits._
+    val probes = qRows.flatMap { r =>
+      val qid = r.getLong(0)
+      val vq = r.getSeq[Double](1)
+      val nq = r.getDouble(2)
+      cFinal.zipWithIndex
+        .map { case (c, i) => i -> c.zip(vq).map { case (a, b) => a * b }.sum }
+        .sortBy { case (i, d) => (-d, i) }
+        .take(nProbe)
+        .map { case (i, _) => (qid, i, vq, nq) }
+    }.toSeq.toDF("query_id", "cluster", "vq", "nq")
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id"))
+    assigned.join(broadcast(probes), Seq("cluster"))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .withColumn("cosine", dot(col("v"), col("vq")) / (col("nc") * col("nq")))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"),
+        round(col("cosine"), 6).as("cosine"))
+  }
+
   /** Deterministic uniform[-1,1] hyperplanes from a 64-bit LCG. */
   def planes(seed: Long, n: Int, dim: Int): Seq[Seq[Double]] = {
     var s = seed

@@ -38,6 +38,21 @@ class AnnSpec extends AnyFunSuite with SparkSpec {
     assert(lsh.forall { case (qid, nid) => qid < 20 && qid != nid })
   }
 
+  test("ivfNeighbors: recall@5 >= 0.5 probing 4/16 cells; deterministic") {
+    val e = Tables(spark, dir, "embeddings")
+    val q = e.filter(col("vec_id") < 20)
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.select("query_id", "neighbor_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val brute = pairs(Ann.bruteForceTopK(e, q, "vec_id", "embedding", 5))
+    val ivf = pairs(Ann.ivfNeighbors(e, q, "vec_id", "embedding", 5,
+      nCentroids = 16, nProbe = 4))
+    val recall = (brute & ivf).size.toDouble / brute.size
+    assert(recall >= 0.5, s"recall=$recall")
+    assert(ivf == pairs(Ann.ivfNeighbors(e, q, "vec_id", "embedding", 5,
+      nCentroids = 16, nProbe = 4)))
+  }
+
   test("lshNeighbors is deterministic (seeded planes)") {
     val e = Tables(spark, dir, "embeddings")
     val q = e.filter(col("vec_id") < 3)
