@@ -94,6 +94,8 @@ object SparkEntry {
     "q_minhash_lsh" -> DedupQ.minhashLsh,
     // dedup — SimHash hamming<=3 pairs (rows-only: engine-specific bits)
     "q_simhash_pairs" -> DedupQ.simhashPairs,
+    // dedup — connected-component duplicate clusters (label propagation)
+    "q_dedup_clusters" -> DedupQ.dedupClusters,
     // dedup — embedding cosine near-dup pairs
     "q_embed_near_dup" -> DedupQ.embedNearDup,
     // similarity search — exact cosine top-k baseline
@@ -377,6 +379,18 @@ object SparkEntry {
         |FROM k GROUP BY 1""".stripMargin,
     "q_jaccard_pairs" -> jaccardPairsSql,
     "q_minhash_lsh" -> jaccardPairsSql,
+    "q_dedup_clusters" ->
+      s"""WITH RECURSIVE p AS ($jaccardPairsSql),
+        |edges AS (
+        |  SELECT a_id AS s, b_id AS d FROM p
+        |  UNION ALL SELECT b_id, a_id FROM p
+        |),
+        |reach(s, d) AS (
+        |  SELECT doc_id, doc_id FROM documents
+        |  UNION
+        |  SELECT r.s, e.d FROM reach r JOIN edges e ON r.d = e.s
+        |)
+        |SELECT s AS doc_id, min(d) AS cluster_id FROM reach GROUP BY s""".stripMargin,
     "q_embed_near_dup" ->
       """WITH e AS (
         |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings

@@ -191,6 +191,49 @@ object Dedup {
       .filter(col("hamming") <= maxHamming)
   }
 
+  /** Duplicate CLUSTERS: connected components over the near-dup pair
+    * graph, labeling every document with the minimum doc id of its
+    * component (singletons label themselves). Pairs say "these two match";
+    * clusters are what dedup actually acts on — keep one representative
+    * per cluster.
+    *
+    * Distributed label propagation: each iteration every node takes the
+    * min of its own and its neighbors' labels; converges in
+    * O(component diameter) rounds (near-dup components are tiny — chains
+    * longer than a few hops are rare), checked with a driver-side
+    * changed-count so the loop stops exactly at the fixpoint. Each round
+    * is one join + one aggregate, shuffling on node id — the standard
+    * scale shape for connected components without a graph engine.
+    */
+  def duplicateClusters(df: DataFrame, idCol: String, textCol: String,
+      n: Int = 3, threshold: Double = 0.8, maxIters: Int = 20): DataFrame = {
+    val pairs = jaccardPairs(df, idCol, textCol, n, threshold)
+      .select(col("a_id"), col("b_id"))
+    val edges = pairs
+      .unionByName(pairs.select(col("b_id").as("a_id"), col("a_id").as("b_id")))
+      .toDF("src", "dst")
+      .localCheckpoint()
+    var labels = df.select(col(idCol).as("doc"), col(idCol).as("label"))
+      .localCheckpoint()
+    var changed = 1L
+    var iter = 0
+    while (changed > 0 && iter < maxIters) {
+      val nbMin = edges
+        .join(labels.select(col("doc").as("src"), col("label").as("nl")), "src")
+        .groupBy(col("dst").as("doc"))
+        .agg(min(col("nl")).as("nbl"))
+      val next = labels.join(nbMin, Seq("doc"), "left")
+        .select(col("doc"),
+          least(col("label"), coalesce(col("nbl"), col("label"))).as("label"))
+        .localCheckpoint()
+      changed = next.join(labels.withColumnRenamed("label", "old"), "doc")
+        .filter(col("label") =!= col("old")).count()
+      labels = next
+      iter += 1
+    }
+    labels.select(col("doc").as("doc_id"), col("label").as("cluster_id"))
+  }
+
   /** Exact cosine near-duplicate pairs over an embedding column, cosine
     * ≥ `threshold`. All-pairs — correct at verification scale; the
     * bucketed scale path is [[graft.ann.Ann.lshNeighbors]], which

@@ -46,6 +46,13 @@ object DedupQ {
     Dedup.simhashPairs(Tables(spark, dir, "documents"), "doc_id", "text",
       maxHamming = 3)
 
+  /** Connected-component duplicate clusters over the 3-gram Jaccard
+    * pair graph — every doc labeled with its component's min id.
+    */
+  def dedupClusters(spark: SparkSession, dir: String): DataFrame =
+    Dedup.duplicateClusters(Tables(spark, dir, "documents"), "doc_id", "text",
+      n = 3, threshold = 0.8)
+
   /** Embedding cosine near-dup pairs at cosine ≥ 0.4 (the corpus has a
     * clear margin around 0.4 at every scale factor).
     */

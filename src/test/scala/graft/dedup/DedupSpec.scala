@@ -63,6 +63,21 @@ class DedupSpec extends AnyFunSuite with SparkSpec {
     assert(!p.exists { case (a, b) => a >= 4 || b >= 4 })
   }
 
+  test("duplicateClusters: transitive near-dups share one min-id label") {
+    // 1-2 and 2-6 are near-dups but 1-6 may not pair directly: the
+    // component {1,2,6} must still collapse to label 1 transitively
+    val chain = docs(
+      1 -> "the quick brown fox jumps over the lazy dog near the river bank today",
+      2 -> "the quick brown fox jumps over the lazy dog near the river bank tonight",
+      6 -> "a quick brown fox jumps over the lazy dog near the river bank tonight",
+      4 -> "completely different content about spark query engines and shuffles at scale")
+    val labels = Dedup.duplicateClusters(chain, "doc_id", "text",
+      n = 3, threshold = 0.5)
+      .collect().map(r => r.getAs[Int]("doc_id") -> r.getAs[Int]("cluster_id")).toMap
+    assert(labels(1) == 1 && labels(2) == 1 && labels(6) == 1)
+    assert(labels(4) == 4) // singleton keeps its own id
+  }
+
   test("cosinePairs finds identical and near-identical vectors only") {
     import spark.implicits._
     val vecs = Seq(
