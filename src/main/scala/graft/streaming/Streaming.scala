@@ -1,8 +1,20 @@
 package graft.streaming
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, Dataset}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 import org.apache.spark.sql.types.DecimalType
+
+/** Wire shape for the custom stateful operators. */
+final case class UserEvent(event_id: Long, user_id: Long,
+    ts: java.sql.Timestamp, value: Double)
+
+/** A closed session emitted by [[Streaming.statefulSessions]]. */
+final case class UserSession(user_id: Long, start_s: Long, end_s: Long,
+    n_events: Long, total_value: Double)
+
+private[streaming] final case class SessionAcc(start: Long, last: Long,
+    n: Long, total: Double)
 
 /** Structured Streaming twins of the batch operators (SURVEY.md §2.10:
   * the reference is batch-pull "near-real-time"; these are the Spark
@@ -51,6 +63,73 @@ object Streaming {
       .select(col("session_window.start").as("session_start"),
         col("session_window.end").as("session_end"),
         col("user_id"), col("n_events"), col("total_value"))
+
+  /** Custom stateful sessionization via flatMapGroupsWithState — the
+    * escape hatch for state machines session_window can't express
+    * (here: sessions also emit on event-time TIMEOUT, so an abandoned
+    * session closes when the watermark passes its gap even if the user
+    * never returns). One state entry per active user, retired on
+    * timeout — bounded by active users, not history.
+    */
+  def statefulSessions(events: Dataset[UserEvent],
+      gapSeconds: Long = 1800,
+      watermark: String = "30 minutes"): Dataset[UserSession] = {
+    import events.sparkSession.implicits._
+    events
+      .withWatermark("ts", watermark)
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionAcc, UserSession](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (user: Long, evs: Iterator[UserEvent], state: GroupState[SessionAcc]) =>
+          if (state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            Iterator(UserSession(user, s.start, s.last, s.n, s.total))
+          } else {
+            val batch = evs.toSeq
+            val lo = batch.map(_.ts.getTime / 1000).min
+            val hi = batch.map(_.ts.getTime / 1000).max
+            val closed = state.getOption match {
+              case Some(s) if lo > s.last + gapSeconds =>
+                // gap inside the batch boundary: close the old session
+                state.remove()
+                Some(UserSession(user, s.start, s.last, s.n, s.total))
+              case _ => None
+            }
+            val base = state.getOption.getOrElse(
+              SessionAcc(lo, lo, 0L, 0.0))
+            val next = SessionAcc(
+              math.min(base.start, lo), math.max(base.last, hi),
+              base.n + batch.size, base.total + batch.map(_.value).sum)
+            state.update(next)
+            state.setTimeoutTimestamp((next.last + gapSeconds) * 1000L)
+            closed.iterator
+          }
+      }
+  }
+
+  /** Stream–stream interval join: enrich a click/event stream with the
+    * orders/transactions stream that happened within `horizon` BEFORE
+    * the event, keyed by user. Both sides are watermarked and the join
+    * condition bounds event-time distance, so state for either side is
+    * retired once the watermark passes the interval — the canonical
+    * bounded-state stream-stream join shape.
+    */
+  def intervalJoin(events: DataFrame, txns: DataFrame,
+      horizon: String = "30 minutes",
+      watermark: String = "30 minutes"): DataFrame = {
+    val e = events.withWatermark("ts", watermark)
+      .select(col("user_id"), col("event_id"), col("ts").as("event_ts"))
+    val t = txns.withWatermark("ts", watermark)
+      .select(col("user_id").as("t_user"), col("txn_id"),
+        col("ts").as("txn_ts"), col("value"))
+    e.join(t,
+      col("user_id") === col("t_user") &&
+        col("txn_ts") >= col("event_ts") - expr(s"INTERVAL $horizon") &&
+        col("txn_ts") <= col("event_ts"))
+      .select(col("user_id"), col("event_id"), col("event_ts"),
+        col("txn_id"), col("txn_ts"), col("value"))
+  }
 
   /** Streaming exact dedup on a content key within the watermark horizon
     * — the streaming twin of Dedup.exactGroups: the state store keeps

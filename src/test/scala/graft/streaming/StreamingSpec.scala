@@ -63,6 +63,54 @@ class StreamingSpec extends AnyFunSuite with SparkSpec {
     assert(out.contains((2L, 1L, 8.0)))
   }
 
+  test("intervalJoin matches txns within the horizon before each event") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val ev = MemoryStream[Ev]
+    val tx = MemoryStream[Ev] // reuse the shape; event_id plays txn num
+    ev.addData(
+      Ev(100, 1, "click", t(40), 0.0),
+      Ev(99, 9, "tick", Timestamp.valueOf("2024-01-01 13:00:00"), 0.0))
+    tx.addData(
+      Ev(1, 1, "txn", t(20), 5.0), // 20 min before event 100: joins
+      Ev(2, 1, "txn", t(45), 7.0), // after the event: no join
+      Ev(3, 2, "txn", t(39), 9.0), // other user: no join
+      Ev(99, 9, "txn", Timestamp.valueOf("2024-01-01 13:00:00"), 0.0))
+    val joined = Streaming.intervalJoin(
+      ev.toDF(),
+      tx.toDF().withColumnRenamed("event_id", "txn_id"))
+    val out = runToCompletion(joined, "ij_sink", OutputMode.Append())
+      .collect().map(r => (r.getAs[Long]("event_id"), r.getAs[Long]("txn_id")))
+      .filter(_._1 != 99L).toSet
+    assert(out == Set((100L, 1L)))
+  }
+
+  test("statefulSessions closes a session on event-time timeout (abandoned user)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[UserEvent]
+    in.addData(
+      UserEvent(1, 1, t(0), 1.0),
+      UserEvent(2, 1, t(10), 2.0)) // same session
+    val q = Streaming.statefulSessions(in.toDS())
+      .writeStream.format("memory").queryName("ss_sink")
+      .outputMode(OutputMode.Append()).start()
+    q.processAllAvailable()
+    // user 1 never returns; a later event for another user advances the
+    // watermark past start+gap, firing the event-time timeout
+    in.addData(UserEvent(99, 9, Timestamp.valueOf("2024-01-01 13:00:00"), 0.0))
+    q.processAllAvailable()
+    in.addData(UserEvent(100, 9, Timestamp.valueOf("2024-01-01 13:30:00"), 0.0))
+    q.processAllAvailable()
+    q.stop()
+    val out = spark.table("ss_sink").as[UserSession].collect()
+      .filter(_.user_id == 1L)
+    assert(out.length == 1)
+    val s = out.head
+    assert(s.n_events == 2 && s.total_value == 3.0)
+    assert(s.end_s - s.start_s == 600)
+  }
+
   test("dedupStream keeps first occurrence per key within the watermark") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
