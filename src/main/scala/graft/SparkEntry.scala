@@ -49,6 +49,18 @@ object SparkEntry {
     "q_topk_per_group" -> Core.topKPerGroup,
     // P7/S3 — JSON field extraction (JSONB analog)
     "q_json_extract" -> Core.jsonExtract,
+    // skew-safe salted join — must equal the plain join (shared oracle shape)
+    "q_salted_join" -> ((s, dir) => {
+      import org.apache.spark.sql.functions._
+      val orders = graft.Tables(s, dir, "orders")
+      val cust = graft.Tables(s, dir, "customer")
+        .select(col("c_custkey").as("o_custkey"), col("c_mktsegment"))
+      graft.ops.SkewJoin.saltedInner(orders, cust, "o_custkey", salts = 8)
+        .groupBy(col("c_mktsegment").as("segment"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("o_totalprice").cast(org.apache.spark.sql.types.DataTypes
+            .createDecimalType(18, 2))).cast("double").as("gross"))
+    }),
     // multi-level rollup mart with grouping_id
     "q_mart_rollup" -> Core.martRollup,
     // pivot (conditional-aggregation compilation)
@@ -165,6 +177,11 @@ object SparkEntry {
     "q_count_canary" ->
       """SELECT 'orders_1995_plus' AS canary, count(*) AS n, count(*) >= 10 AS pass
         |FROM orders WHERE CAST(o_orderdate AS DATE) >= DATE '1995-01-01'""".stripMargin,
+    "q_salted_join" ->
+      """SELECT c_mktsegment AS segment, count(*) AS n,
+        | CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS gross
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |GROUP BY 1""".stripMargin,
     "q_mart_rollup" ->
       """SELECT strftime(CAST(o_orderdate AS DATE), '%Y-%m') AS month,
         | o_orderstatus AS status,
