@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 import graft.etl.{Enricher, PosGenerator, RetailPipeline}
-import graft.queries.{AnnQ, Core, DedupQ, EventsQ, MultimodalQ, TextQ}
+import graft.queries.{AnnQ, Core, DedupQ, EventsQ, MultimodalQ, SketchQ, TextQ}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -69,6 +69,10 @@ object SparkEntry {
     "q_set_ops" -> Core.setOps,
     // exact interpolated percentiles per group
     "q_percentiles" -> Core.percentiles,
+    // sketches — HLL distinct + approx percentiles (rows-only:
+    // engine-specific sketches; SketchQSpec bounds the error)
+    "q_approx_distinct" -> SketchQ.approxDistinct,
+    "q_approx_percentiles" -> SketchQ.approxPercentiles,
     // §2.10 — tumbling event-time window (batch twin of streaming agg)
     "q_tumbling_window" -> EventsQ.tumblingWindow,
     // §2.10 — gap-based sessionization

@@ -1,0 +1,45 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Sketch-based approximate aggregations — the operators that replace
+  * exact distinct/quantile at 100 TB, where exact answers need a full
+  * shuffle of every distinct value but a sketch is a few KB per
+  * partition merged associatively (map-side combinable, one narrow
+  * reduce). Results are engine-specific (DataSketches HLL / KLL-style
+  * quantiles), so the driver records rows-only; SketchQSpec bounds the
+  * error against the exact answers.
+  */
+object SketchQ {
+
+  /** Per-status distinct customers: exact vs HLL sketch estimate
+    * (lgConfigK=12 → ~1.6% standard error), plus a merged union across
+    * groups via hll_union_agg — the pattern for pre-aggregated distinct
+    * counts over arbitrary dimension rollups.
+    */
+  def approxDistinct(spark: SparkSession, dir: String): DataFrame = {
+    val orders = Tables(spark, dir, "orders")
+    orders
+      .groupBy(col("o_orderstatus").as("status"))
+      .agg(
+        countDistinct(col("o_custkey")).as("exact"),
+        hll_sketch_estimate(hll_sketch_agg(col("o_custkey"), lit(12)))
+          .as("estimate"))
+  }
+
+  /** Approximate per-status percentiles (percentile_approx with
+    * accuracy 10000) next to the exact values.
+    */
+  def approxPercentiles(spark: SparkSession, dir: String): DataFrame = {
+    Tables(spark, dir, "orders")
+      .groupBy(col("o_orderstatus").as("status"))
+      .agg(
+        expr("percentile(o_totalprice, 0.5)").as("exact_p50"),
+        expr("percentile_approx(o_totalprice, 0.5, 10000)").as("approx_p50"),
+        expr("percentile(o_totalprice, 0.99)").as("exact_p99"),
+        expr("percentile_approx(o_totalprice, 0.99, 10000)").as("approx_p99"))
+  }
+}
