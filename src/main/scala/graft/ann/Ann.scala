@@ -129,7 +129,8 @@ object Ann {
       .collect()
     import spark.implicits._
     val probes = qRows.flatMap { r =>
-      val qid = r.getLong(0)
+      // id column may be int or long — don't assume LongType
+      val qid = r.get(0).asInstanceOf[Number].longValue()
       val vq = r.getSeq[Double](1)
       val nq = r.getDouble(2)
       cFinal.zipWithIndex
@@ -172,11 +173,16 @@ object Ann {
     */
   def lshNeighbors(corpus: DataFrame, queries: DataFrame,
       idCol: String, vecCol: String, k: Int,
-      tables: Int = 32, bitsPerTable: Int = 6, dim: Int = 64,
+      tables: Int = 32, bitsPerTable: Int = 6, dim: Int = -1,
       seed: Long = 42L): DataFrame = {
+    // dim <= 0 → infer from the data: a plane/vector length mismatch
+    // would null every dot product, landing ALL rows in bucket 0 and
+    // silently degrading the bucket join to a full cross product
+    val d = if (dim > 0) dim
+    else corpus.select(size(col(vecCol))).head().getInt(0)
     // plane tensor [table][bit][dim] as a single literal
     val planeLit = typedlit((0 until tables).map(t =>
-      planes(seed + t, bitsPerTable, dim)))
+      planes(seed + t, bitsPerTable, d)))
     def withBuckets(df: DataFrame, id: String): DataFrame = {
       // explode the table axis first: v materializes at the Generate
       // node, then each output row computes one bucket (bits × dim fold)

@@ -69,6 +69,16 @@ object Dedup {
       .filter(col("x.doc") < col("y.doc"))
       .select(col("x.doc").as("a_id"), col("y.doc").as("b_id"))
       .distinct()
+    verifyExactJaccard(candidates, sh, threshold)
+  }
+
+  /** Exact-Jaccard verification of candidate pairs against the exploded
+    * (doc, shingle) relation — the single definition both candidate
+    * generators ([[jaccardPairs]], [[minhashLshPairs]]) must share so
+    * their outputs stay provably identical.
+    */
+  private def verifyExactJaccard(candidates: DataFrame, sh: DataFrame,
+      threshold: Double): DataFrame = {
     val shSets = sh.groupBy(col("doc")).agg(collect_list(col("sh")).as("shs"))
     candidates
       .join(shSets.select(col("doc").as("a_id"), col("shs").as("sh_a")), "a_id")
@@ -120,17 +130,7 @@ object Dedup {
       .filter(col("x.doc") < col("y.doc"))
       .select(col("x.doc").as("a_id"), col("y.doc").as("b_id"))
       .distinct()
-    // shingle sets for exact verification, materialized by the aggregate
-    val shSets = sh.groupBy(col("doc")).agg(collect_list(col("sh")).as("shs"))
-    val a = shSets.select(col("doc").as("a_id"), col("shs").as("sh_a"))
-    val b = shSets.select(col("doc").as("b_id"), col("shs").as("sh_b"))
-    candidates.join(a, "a_id").join(b, "b_id")
-      .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))))
-      .withColumn("jaccard",
-        col("inter").cast("double") /
-          (size(col("sh_a")) + size(col("sh_b")) - col("inter")).cast("double"))
-      .filter(col("jaccard") >= threshold)
-      .select(col("a_id"), col("b_id"), round(col("jaccard"), 6).as("jaccard"))
+    verifyExactJaccard(candidates, sh, threshold)
   }
 
   /** 64-bit SimHash over the token multiset (term-frequency weighted):
@@ -228,9 +228,13 @@ object Dedup {
         .localCheckpoint()
       changed = next.join(labels.withColumnRenamed("label", "old"), "doc")
         .filter(col("label") =!= col("old")).count()
+      // the superseded round's blocks are no longer referenced — release
+      // them, or long chains pin O(iterations) copies of the label table
+      labels.unpersist()
       labels = next
       iter += 1
     }
+    edges.unpersist()
     labels.select(col("doc").as("doc_id"), col("label").as("cluster_id"))
   }
 

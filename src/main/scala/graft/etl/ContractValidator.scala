@@ -58,12 +58,17 @@ object ContractValidator {
     import spark.implicits._
     val parsed = Seq(rawJson).toDF("raw")
       .select(from_json(col("raw"), envelopeSchema).as("env"))
-    val bad = parsed.filter(col("env").isNull || col("env.ok").isNull).count()
+    // both envelope checks in ONE aggregate pass (a second count() would
+    // re-parse the document)
+    val flags = parsed.agg(
+      sum(when(col("env").isNull || col("env.ok").isNull, 1L).otherwise(0L)),
+      sum(when(col("env.ok") === false, 1L).otherwise(0L))).head()
+    val bad = flags.getLong(0)
     if (bad > 0)
       throw new DataContractError(Seq("$: malformed JSON envelope"), bad)
     // a well-formed envelope may still signal failure (ok=false) — that is
     // the producer's error channel, not a payload to process
-    val notOk = parsed.filter(!col("env.ok")).count()
+    val notOk = flags.getLong(1)
     if (notOk > 0)
       throw new DataContractError(Seq("$.ok: producer signalled failure (ok=false)"), notOk)
     parsed.select(posexplode(col("env.transactions")).as(Seq("pos", "txn")))

@@ -54,11 +54,17 @@ object Upsert {
       keys: Seq[String], versionCol: String): Unit = {
     val fs = new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
     val target = new Path(dir)
+    val tmp = new Path(dir + "__tmp")
+    val old = new Path(dir + "__old")
+    // crash recovery: a previous run that died between its two renames
+    // leaves the live table at __old and no target — restore it FIRST,
+    // or this run would both merge against nothing and delete the only
+    // surviving copy below
+    if (!fs.exists(target) && fs.exists(old) && !fs.rename(old, target))
+      throw new RuntimeException(s"recovery failed: $old -> $target")
     val merged =
       if (fs.exists(target)) merge(spark.read.parquet(dir), updates, keys, versionCol)
       else updates
-    val tmp = new Path(dir + "__tmp")
-    val old = new Path(dir + "__old")
     try merged.write.mode("overwrite").parquet(tmp.toString)
     catch {
       case e: Throwable =>

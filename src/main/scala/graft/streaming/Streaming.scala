@@ -86,24 +86,29 @@ object Streaming {
             state.remove()
             Iterator(UserSession(user, s.start, s.last, s.n, s.total))
           } else {
-            val batch = evs.toSeq
-            val lo = batch.map(_.ts.getTime / 1000).min
-            val hi = batch.map(_.ts.getTime / 1000).max
-            val closed = state.getOption match {
-              case Some(s) if lo > s.last + gapSeconds =>
-                // gap inside the batch boundary: close the old session
-                state.remove()
-                Some(UserSession(user, s.start, s.last, s.n, s.total))
-              case _ => None
+            // fold the batch in event-time order, closing a session at
+            // every gap — including gaps BETWEEN events of this batch,
+            // which a batch-min/max merge would silently swallow
+            val closed = Seq.newBuilder[UserSession]
+            var acc = state.getOption
+            for (e <- evs.toSeq.sortBy(_.ts.getTime)) {
+              val s = e.ts.getTime / 1000
+              acc match {
+                case Some(a) if s > a.last + gapSeconds =>
+                  closed += UserSession(user, a.start, a.last, a.n, a.total)
+                  acc = Some(SessionAcc(s, s, 1L, e.value))
+                case Some(a) =>
+                  acc = Some(SessionAcc(a.start, math.max(a.last, s),
+                    a.n + 1, a.total + e.value))
+                case None =>
+                  acc = Some(SessionAcc(s, s, 1L, e.value))
+              }
             }
-            val base = state.getOption.getOrElse(
-              SessionAcc(lo, lo, 0L, 0.0))
-            val next = SessionAcc(
-              math.min(base.start, lo), math.max(base.last, hi),
-              base.n + batch.size, base.total + batch.map(_.value).sum)
-            state.update(next)
-            state.setTimeoutTimestamp((next.last + gapSeconds) * 1000L)
-            closed.iterator
+            acc.foreach { a =>
+              state.update(a)
+              state.setTimeoutTimestamp((a.last + gapSeconds) * 1000L)
+            }
+            closed.result().iterator
           }
       }
   }

@@ -76,13 +76,18 @@ class GroceryPipelineSpec extends AnyFunSuite with SparkSpec {
     val halfWritten = new java.util.concurrent.CountDownLatch(1)
     val readerDone = new java.util.concurrent.CountDownLatch(1)
     val writer = new Thread(() =>
-      GroceryPipeline.ingest(spark, paths, "partial_write",
+      try GroceryPipeline.ingest(spark, paths, "partial_write",
         midWrite = Some { () =>
           halfWritten.countDown()
           readerDone.await()
-        }))
+        })
+      finally halfWritten.countDown() // never leave the main thread hanging
+    )
     writer.start()
-    halfWritten.await()
+    assert(halfWritten.await(60, java.util.concurrent.TimeUnit.SECONDS),
+      "writer never reached the torn-file window")
+    assert(Files.exists(java.nio.file.Paths.get(paths.rawFile)),
+      "writer failed before the first half landed")
     val torn = new String(Files.readAllBytes(java.nio.file.Paths.get(paths.rawFile)))
     readerDone.countDown()
     intercept[DataContractError] {

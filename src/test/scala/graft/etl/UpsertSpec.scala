@@ -71,4 +71,22 @@ class UpsertSpec extends AnyFunSuite with SparkSpec {
     val again = spark.read.parquet(dir).as[(String, String, Long, Long)].collect().toSet
     assert(again == after)
   }
+
+  test("upsertParquet recovers a table stranded at __old by a mid-swap crash") {
+    val root = Files.createTempDirectory("upsert").toString
+    val dir = s"$root/fct"
+    Upsert.upsertParquet(spark, dir, base, keys, "v")
+    // simulate a crash between the two renames: live data at __old only
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(fs.rename(new org.apache.hadoop.fs.Path(dir),
+      new org.apache.hadoop.fs.Path(dir + "__old")))
+    // the next upsert must restore the history and merge against it —
+    // NOT treat the table as empty and delete the only surviving copy
+    Upsert.upsertParquet(spark, dir, updates, keys, "v")
+    val after = spark.read.parquet(dir).as[(String, String, Long, Long)].collect().toSet
+    assert(after == Set(
+      ("r1", "t1", 100L, 1L), ("r1", "t2", 999L, 2L),
+      ("r1", "t3", 300L, 1L), ("r1", "t4", 400L, 2L)))
+  }
 }

@@ -16,10 +16,20 @@ class BucketedJoinSpec extends AnyFunSuite with SparkSpec {
 
   private val dir = "/root/testdata/sf0.001"
 
-  test("bucketed tables join with zero Exchange nodes") {
-    val wh = spark.conf.get("spark.sql.warehouse.dir")
+  private def dropBucketedTables(): Unit = {
     spark.sql("DROP TABLE IF EXISTS orders_b")
     spark.sql("DROP TABLE IF EXISTS customer_b")
+    // a fresh session's catalog may not know a table left by an earlier
+    // JVM, so also remove the managed locations themselves
+    val wh = new java.net.URI(spark.conf.get("spark.sql.warehouse.dir")).getPath
+    Seq("orders_b", "customer_b").foreach { t =>
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(wh, t))
+    }
+  }
+
+  test("bucketed tables join with zero Exchange nodes") {
+    dropBucketedTables()
+    try {
     Tables(spark, dir, "orders")
       .write.bucketBy(8, "o_custkey").sortBy("o_custkey")
       .mode("overwrite").saveAsTable("orders_b")
@@ -41,6 +51,7 @@ class BucketedJoinSpec extends AnyFunSuite with SparkSpec {
           Tables(spark, dir, "customer")
             .select(col("c_custkey").as("o_custkey")), "o_custkey").count())
     }
+    } finally dropBucketedTables()
   }
 
   private def withSQLConf[T](pairs: (String, String)*)(f: => T): T = {

@@ -111,6 +111,30 @@ class StreamingSpec extends AnyFunSuite with SparkSpec {
     assert(s.end_s - s.start_s == 600)
   }
 
+  test("statefulSessions splits a gap INSIDE one micro-batch into two sessions") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[UserEvent]
+    // both events in ONE batch, 3h apart (gap 30min): must become two sessions
+    in.addData(
+      UserEvent(1, 1, t(0), 1.0),
+      UserEvent(2, 1, Timestamp.valueOf("2024-01-01 13:00:00"), 2.0))
+    val q = Streaming.statefulSessions(in.toDS())
+      .writeStream.format("memory").queryName("ss_split_sink")
+      .outputMode(OutputMode.Append()).start()
+    q.processAllAvailable()
+    in.addData(UserEvent(99, 9, Timestamp.valueOf("2024-01-01 16:00:00"), 0.0))
+    q.processAllAvailable()
+    in.addData(UserEvent(100, 9, Timestamp.valueOf("2024-01-01 17:00:00"), 0.0))
+    q.processAllAvailable()
+    q.stop()
+    val out = spark.table("ss_split_sink").as[UserSession].collect()
+      .filter(_.user_id == 1L).sortBy(_.start_s)
+    assert(out.length == 2, s"expected 2 sessions, got ${out.toSeq}")
+    assert(out(0).n_events == 1 && out(0).total_value == 1.0)
+    assert(out(1).n_events == 1 && out(1).total_value == 2.0)
+  }
+
   test("dedupStream keeps first occurrence per key within the watermark") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
