@@ -141,13 +141,19 @@ object Ann {
     }.toSeq.toDF("query_id", "cluster", "vq", "nq")
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cosine").desc, col("neighbor_id"))
-    assigned.join(broadcast(probes), Seq("cluster"))
+    // materialize the (tiny, |Q|×k) result so the checkpointed corpus
+    // working set can be released instead of staying pinned for the
+    // session lifetime
+    val result = assigned.join(broadcast(probes), Seq("cluster"))
       .filter(col("neighbor_id") =!= col("query_id"))
       .withColumn("cosine", dot(col("v"), col("vq")) / (col("nc") * col("nq")))
       .withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= k)
       .select(col("query_id"), col("rank"), col("neighbor_id"),
         round(col("cosine"), 6).as("cosine"))
+      .localCheckpoint()
+    cv.unpersist()
+    result
   }
 
   /** Deterministic uniform[-1,1] hyperplanes from a 64-bit LCG. */

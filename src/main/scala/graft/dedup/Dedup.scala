@@ -234,8 +234,14 @@ object Dedup {
       labels = next
       iter += 1
     }
+    // pin only the (tiny) result; release the loop's working state so a
+    // long-lived session doesn't accumulate label-table copies
+    val result = labels
+      .select(col("doc").as("doc_id"), col("label").as("cluster_id"))
+      .localCheckpoint()
+    labels.unpersist()
     edges.unpersist()
-    labels.select(col("doc").as("doc_id"), col("label").as("cluster_id"))
+    result
   }
 
   /** Exact cosine near-duplicate pairs over an embedding column, cosine
