@@ -49,6 +49,26 @@ object SparkEntry {
     "q_topk_per_group" -> Core.topKPerGroup,
     // P7/S3 — JSON field extraction (JSONB analog)
     "q_json_extract" -> Core.jsonExtract,
+    // as-of join (latest purchase at-or-before each click, per user) —
+    // union+window implementation, DuckDB's native ASOF JOIN as oracle.
+    // Compared at MICROsecond precision: DuckDB reads TIMESTAMP(NANOS)
+    // parquet as µs timestamps, so both engines must order identically
+    // (no cross-type events collide at µs in this data — verified)
+    "q_asof_join" -> ((s, dir) => {
+      import org.apache.spark.sql.functions._
+      val ev = s.read.parquet(s"$dir/events.parquet")
+        .withColumn("ts_us", expr("ts div 1000"))
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("event_id"), col("user_id"), col("ts_us"))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("ts_us"), col("value"))
+      graft.ops.AsofJoin.lastBefore(clicks, purchases,
+        keyCols = Seq("user_id"), tsCol = "ts_us",
+        payload = Seq("event_id", "value"), tieCol = "event_id",
+        prefix = "p_")
+        .select(col("event_id"), col("user_id"), col("ts_us"),
+          col("p_event_id"), col("p_value"))
+    }),
     // skew-safe salted join — must equal the plain join (shared oracle shape)
     "q_salted_join" -> ((s, dir) => {
       import org.apache.spark.sql.functions._
@@ -181,6 +201,12 @@ object SparkEntry {
     "q_count_canary" ->
       """SELECT 'orders_1995_plus' AS canary, count(*) AS n, count(*) >= 10 AS pass
         |FROM orders WHERE CAST(o_orderdate AS DATE) >= DATE '1995-01-01'""".stripMargin,
+    "q_asof_join" ->
+      """SELECT c.event_id, c.user_id, epoch_us(c.ts) AS ts_us,
+        | p.event_id AS p_event_id, p.value AS p_value
+        |FROM (SELECT * FROM events WHERE event_type = 'click') c
+        |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+        |  ON c.user_id = p.user_id AND c.ts >= p.ts""".stripMargin,
     "q_salted_join" ->
       """SELECT c_mktsegment AS segment, count(*) AS n,
         | CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS gross
