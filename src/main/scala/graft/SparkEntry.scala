@@ -97,6 +97,19 @@ object SparkEntry {
     "q_tumbling_window" -> EventsQ.tumblingWindow,
     // §2.10 — gap-based sessionization
     "q_sessionize" -> EventsQ.sessionize,
+    // binned range join — events matched into their session's interval
+    "q_range_join" -> ((s, dir) => {
+      import org.apache.spark.sql.functions._
+      val sessions = EventsQ.sessionize(s, dir)
+        .select(col("user_id"), col("session_id"), col("start_s"), col("end_s"))
+      val points = graft.Tables(s, dir, "events")
+        .select(col("event_id"), col("user_id"),
+          unix_timestamp(col("ts")).as("ts_s"))
+      graft.ops.RangeJoin.pointInInterval(points, sessions,
+        keyCols = Seq("user_id"), tsCol = "ts_s",
+        startCol = "start_s", endCol = "end_s", binWidth = 3600L)
+        .select(col("event_id"), col("user_id"), col("session_id"))
+    }),
     // windowed cumulative aggregation
     "q_running_totals" -> EventsQ.runningTotals,
     // S2 — deterministic seeded POS source (no oracle: engine-specific
@@ -290,23 +303,16 @@ object SparkEntry {
         | event_type, count(*) AS n,
         | CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
         |FROM events GROUP BY 1, 2""".stripMargin,
-    "q_sessionize" ->
-      """WITH e AS (
-        |  SELECT user_id, event_id, ts, CAST(floor(epoch(ts)) AS BIGINT) AS ts_s,
-        |   CAST(value AS DECIMAL(18,2)) AS val
+    "q_sessionize" -> sessionizeSql,
+    "q_range_join" ->
+      s"""WITH sess AS ($sessionizeSql),
+        |pts AS (
+        |  SELECT event_id, user_id, CAST(floor(epoch(ts)) AS BIGINT) AS ts_s
         |  FROM events
-        |), x AS (
-        |  SELECT *, lag(ts_s) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_s FROM e
-        |), y AS (
-        |  SELECT *, CASE WHEN prev_s IS NULL OR ts_s - prev_s > 1800 THEN 1 ELSE 0 END AS is_new FROM x
-        |), z AS (
-        |  SELECT *, CAST(SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
-        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id FROM y
         |)
-        |SELECT user_id, session_id, count(*) AS n_events,
-        | min(ts_s) AS start_s, max(ts_s) AS end_s,
-        | CAST(SUM(val) AS DOUBLE) AS total_value
-        |FROM z GROUP BY 1, 2""".stripMargin,
+        |SELECT p.event_id, p.user_id, s.session_id
+        |FROM pts p JOIN sess s
+        |  ON p.user_id = s.user_id AND p.ts_s BETWEEN s.start_s AND s.end_s""".stripMargin,
     "q_running_totals" ->
       """WITH e AS (
         |  SELECT event_id, user_id, ts, CAST(value AS DECIMAL(18,2)) AS val FROM events
@@ -490,6 +496,27 @@ object SparkEntry {
         | CAST(f * width * height * 3 AS BIGINT) AS byte_offset
         |FROM a, UNNEST(range(0, n_frames, 4)) AS t(f)""".stripMargin,
   )
+
+  /** Gap-sessionization SQL — the oracle for q_sessionize and the
+    * interval side of q_range_join.
+    */
+  private val sessionizeSql: String =
+    """WITH e AS (
+      |  SELECT user_id, event_id, ts, CAST(floor(epoch(ts)) AS BIGINT) AS ts_s,
+      |   CAST(value AS DECIMAL(18,2)) AS val
+      |  FROM events
+      |), x AS (
+      |  SELECT *, lag(ts_s) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_s FROM e
+      |), y AS (
+      |  SELECT *, CASE WHEN prev_s IS NULL OR ts_s - prev_s > 1800 THEN 1 ELSE 0 END AS is_new FROM x
+      |), z AS (
+      |  SELECT *, CAST(SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id FROM y
+      |)
+      |SELECT user_id, session_id, count(*) AS n_events,
+      | min(ts_s) AS start_s, max(ts_s) AS end_s,
+      | CAST(SUM(val) AS DOUBLE) AS total_value
+      |FROM z GROUP BY 1, 2""".stripMargin
 
   /** Exact 3-gram Jaccard pairs — the oracle for BOTH q_jaccard_pairs and
     * q_minhash_lsh (LSH + exact verification reproduces the exact result).
