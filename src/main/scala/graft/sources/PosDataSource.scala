@@ -8,6 +8,7 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownLimit}
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset}
 import org.apache.spark.sql.sources.DataSourceRegister
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
@@ -81,21 +82,38 @@ private[sources] class PosTable(options: CaseInsensitiveStringMap)
     s"graft-pos(${options.getOrDefault("run_id", "run")})"
   override def schema(): StructType = PosDataSource.schema
   override def capabilities(): java.util.Set[TableCapability] =
-    java.util.EnumSet.of(TableCapability.BATCH_READ)
+    java.util.EnumSet.of(
+      TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ)
   override def newScanBuilder(o: CaseInsensitiveStringMap): ScanBuilder =
     new PosScanBuilder(
       o.getOrDefault("run_id", "run"),
       o.getOrDefault("scenario", "ok"),
       o.getOrDefault("n", "40").toLong,
-      o.getOrDefault("partitions", "1").toInt)
+      o.getOrDefault("partitions", "1").toInt,
+      o.getOrDefault("rowsPerBatch", "40").toLong)
 }
 
 private[sources] class PosScanBuilder(runId: String, scenario: String,
-    var n: Long, partitions: Int) extends ScanBuilder with SupportsPushDownLimit {
+    var n: Long, partitions: Int, rowsPerBatch: Long)
+    extends ScanBuilder with SupportsPushDownLimit {
 
   override def pushLimit(limit: Int): Boolean = {
     n = math.min(n, limit.toLong)
     true // fully pushed: the scan generates exactly min(n, limit) rows
+  }
+
+  private def splitRange(start: Long, end: Long): Array[InputPartition] = {
+    val span = end - start
+    val parts = math.max(1L, math.min(partitions.toLong, span)).toInt
+    (0 until parts).map { p =>
+      PosRange(runId, scenario,
+        start + span * p / parts, start + span * (p + 1) / parts): InputPartition
+    }.toArray
+  }
+
+  private val readerFactory = new PartitionReaderFactory {
+    override def createReader(p: InputPartition): PartitionReader[InternalRow] =
+      new PosPartitionReader(p.asInstanceOf[PosRange])
   }
 
   override def build(): Scan = new Scan with Batch {
@@ -104,21 +122,46 @@ private[sources] class PosScanBuilder(runId: String, scenario: String,
       s"graft-pos run_id=$runId scenario=$scenario n=$n"
     override def toBatch: Batch = this
 
-    override def planInputPartitions(): Array[InputPartition] = {
-      val parts = math.max(1, math.min(partitions.toLong, n)).toInt
-      (0 until parts).map { p =>
-        val start = n * p / parts
-        val end = n * (p + 1) / parts
-        PosRange(runId, scenario, start, end): InputPartition
-      }.toArray
-    }
+    override def planInputPartitions(): Array[InputPartition] =
+      splitRange(0L, n)
 
-    override def createReaderFactory(): PartitionReaderFactory =
-      new PartitionReaderFactory {
-        override def createReader(p: InputPartition): PartitionReader[InternalRow] =
-          new PosPartitionReader(p.asInstanceOf[PosRange])
+    override def createReaderFactory(): PartitionReaderFactory = readerFactory
+
+    /** Streaming form: the generator is an ordered, replayable row space
+      * [0, n); offsets are plain row counters, each trigger serves up to
+      * `rowsPerBatch` rows, and any offset range replans exactly the
+      * same partitions — which is all exactly-once recovery needs.
+      */
+    override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
+      new MicroBatchStream {
+        // rate limiting lives HERE: latestOffset advances the cursor by
+        // rowsPerBatch per trigger. planInputPartitions must serve the
+        // engine's [start, end) verbatim — truncating there would commit
+        // offsets for rows never emitted.
+        private var cursor = 0L
+        override def initialOffset(): Offset = PosOffset(0L)
+        override def deserializeOffset(json: String): Offset = {
+          val p = json.toLong
+          cursor = math.max(cursor, p) // resume after restart
+          PosOffset(p)
+        }
+        override def latestOffset(): Offset = {
+          cursor = math.min(cursor + rowsPerBatch, n)
+          PosOffset(cursor)
+        }
+        override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] =
+          splitRange(start.asInstanceOf[PosOffset].pos,
+            end.asInstanceOf[PosOffset].pos)
+        override def createReaderFactory(): PartitionReaderFactory = readerFactory
+        override def commit(end: Offset): Unit = ()
+        override def stop(): Unit = ()
       }
   }
+}
+
+/** Row-counter offset for the streaming POS source. */
+private[sources] final case class PosOffset(pos: Long) extends Offset {
+  override def json(): String = pos.toString
 }
 
 private[sources] final case class PosRange(runId: String, scenario: String,

@@ -47,6 +47,23 @@ class PosDataSourceSpec extends AnyFunSuite with SparkSpec {
     assert(scanDesc.contains("n=7"), s"scan not limited:\n$scanDesc")
   }
 
+  test("streaming read: rowsPerBatch per trigger, same rows as the batch read") {
+    val stream = spark.readStream.format("graft-pos")
+      .option("run_id", "run-dsv2").option("scenario", "ok")
+      .option("n", 100).option("partitions", 2).option("rowsPerBatch", 40)
+      .load()
+    val q = stream.writeStream.format("memory").queryName("pos_stream")
+      .outputMode("append").start()
+    q.processAllAvailable()
+    q.stop()
+    // 40 + 40 + 20 across three micro-batches
+    assert(q.recentProgress.count(_.numInputRows > 0) == 3)
+    assert(q.recentProgress.map(_.numInputRows).sum == 100)
+    val streamed = spark.table("pos_stream").collect().map(_.toString).sorted
+    val batch = read(100).collect().map(_.toString).sorted
+    assert(streamed.sameElements(batch))
+  }
+
   test("different run_ids generate different data") {
     val a = spark.read.format("graft-pos").option("run_id", "run-a")
       .option("n", 50).load().select("sku", "quantity").collect().toSeq
