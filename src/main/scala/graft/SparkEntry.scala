@@ -56,8 +56,9 @@ object SparkEntry {
     // (no cross-type events collide at µs in this data — verified)
     "q_asof_join" -> ((s, dir) => {
       import org.apache.spark.sql.functions._
-      val ev = s.read.parquet(s"$dir/events.parquet")
-        .withColumn("ts_us", expr("ts div 1000"))
+      // unix_micros over the Tables-normalized timestamp == nanos div 1000
+      val ev = graft.Tables(s, dir, "events")
+        .withColumn("ts_us", unix_micros(col("ts")))
       val clicks = ev.filter(col("event_type") === "click")
         .select(col("event_id"), col("user_id"), col("ts_us"))
       val purchases = ev.filter(col("event_type") === "purchase")

@@ -152,7 +152,7 @@ object Ann {
       .select(col("query_id"), col("rank"), col("neighbor_id"),
         round(col("cosine"), 6).as("cosine"))
       .localCheckpoint()
-    cv.unpersist()
+    org.apache.spark.sql.graft.CheckpointUtils.release(cv)
     result
   }
 

@@ -230,7 +230,7 @@ object Dedup {
         .filter(col("label") =!= col("old")).count()
       // the superseded round's blocks are no longer referenced — release
       // them, or long chains pin O(iterations) copies of the label table
-      labels.unpersist()
+      org.apache.spark.sql.graft.CheckpointUtils.release(labels)
       labels = next
       iter += 1
     }
@@ -239,8 +239,8 @@ object Dedup {
     val result = labels
       .select(col("doc").as("doc_id"), col("label").as("cluster_id"))
       .localCheckpoint()
-    labels.unpersist()
-    edges.unpersist()
+    org.apache.spark.sql.graft.CheckpointUtils.release(labels)
+    org.apache.spark.sql.graft.CheckpointUtils.release(edges)
     result
   }
 

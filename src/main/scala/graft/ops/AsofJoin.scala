@@ -41,10 +41,14 @@ object AsofJoin {
           payload.map(c => right.schema(c).copy(name = c)))))
     // ONE struct per right row (never null even if its fields are), so
     // last(ignoreNulls) always takes every payload field from the SAME
-    // right row — per-column carry could mix rows when a field is null
-    val r = right.select((keyCols :+ tsCol).map(col) :+
-      col(tieCol).as("__tie") :+
-      struct(payload.map(col): _*).as("__payload"): _*)
+    // right row — per-column carry could mix rows when a field is null.
+    // NULL-key right rows are dropped: SQL join semantics never match on
+    // NULL = NULL (a null-key left row still emits, with null payload).
+    val r = right
+      .filter(keyCols.map(col(_).isNotNull).reduce(_ && _))
+      .select((keyCols :+ tsCol).map(col) :+
+        col(tieCol).as("__tie") :+
+        struct(payload.map(col): _*).as("__payload"): _*)
       .withColumn("__side", lit(0))
     val unioned = l.unionByName(r, allowMissingColumns = true)
     val w = Window.partitionBy(keyCols.map(col): _*)

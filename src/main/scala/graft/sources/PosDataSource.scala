@@ -97,6 +97,11 @@ private[sources] class PosScanBuilder(runId: String, scenario: String,
     var n: Long, partitions: Int, rowsPerBatch: Long)
     extends ScanBuilder with SupportsPushDownLimit {
 
+  require(n >= 0, s"n must be >= 0, got $n")
+  require(partitions > 0, s"partitions must be > 0, got $partitions")
+  // 0 would stall the stream forever; negative would walk offsets backwards
+  require(rowsPerBatch > 0, s"rowsPerBatch must be > 0, got $rowsPerBatch")
+
   override def pushLimit(limit: Int): Boolean = {
     n = math.min(n, limit.toLong)
     true // fully pushed: the scan generates exactly min(n, limit) rows

@@ -13,3 +13,16 @@ object ColumnBridge {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
 }
+
+/** Release the storage behind a `localCheckpoint()`ed DataFrame.
+  * `Dataset.unpersist` only talks to the CacheManager, but checkpointing
+  * persists the materialized RDD directly — the two never meet, so the
+  * blocks stay pinned until the ContextCleaner happens to collect them.
+  * This walks the plan to the LogicalRDD and unpersists its RDD.
+  */
+object CheckpointUtils {
+  def release(df: org.apache.spark.sql.DataFrame): Unit =
+    df.queryExecution.analyzed.collectFirst {
+      case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd
+    }.foreach(_.unpersist(blocking = false))
+}

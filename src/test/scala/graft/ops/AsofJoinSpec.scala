@@ -34,6 +34,20 @@ class AsofJoinSpec extends AnyFunSuite with SparkSpec {
     assert(out(4L) == (None, None)) // quote is after the trade
   }
 
+  test("NULL keys never match (SQL join semantics), left row still emits") {
+    val t = Seq((1L, Option("A"), 100L), (2L, None: Option[String], 100L))
+      .toDF("trade_id", "sym", "ts")
+    val q = Seq((10L, Option("A"), 50L, 1.0), (11L, None: Option[String], 50L, 9.0))
+      .toDF("quote_id", "sym", "ts", "px")
+    val out = AsofJoin.lastBefore(t, q,
+      keyCols = Seq("sym"), tsCol = "ts",
+      payload = Seq("quote_id"), tieCol = "quote_id")
+      .collect().map(r => r.getAs[Long]("trade_id") ->
+        Option(r.getAs[java.lang.Long]("asof_quote_id"))).toMap
+    assert(out(1L) == Some(10L))
+    assert(out(2L) == None) // NULL = NULL is not a match
+  }
+
   test("payload fields always come from the SAME right row, even with nulls") {
     val quotesWithNull = Seq(
       (10L, "A", 99L, Some(1.0)),

@@ -10,10 +10,10 @@ import graft.testkit.SparkSpec
 class ZOrderSpec extends AnyFunSuite with SparkSpec {
 
   test("interleave: known codes, order preservation incl. negatives") {
-    // (0,0)<(1,0)<(0,1)... low bits: a in even positions, b in odd
-    assert(InterleaveBits.interleave(0, 0) ==
-      InterleaveBits.interleave(0, 0))
+    // (0,0): both sign-flipped inputs are 2^31 → bits 62 (a) and 63 (b),
+    // then the result sign flip clears bit 63 → exactly 2^62
     val base = InterleaveBits.interleave(0, 0)
+    assert(base == 0x4000000000000000L)
     assert(InterleaveBits.interleave(1, 0) == base + 1)
     assert(InterleaveBits.interleave(0, 1) == base + 2)
     assert(InterleaveBits.interleave(1, 1) == base + 3)
@@ -43,8 +43,10 @@ class ZOrderSpec extends AnyFunSuite with SparkSpec {
     assert(avgSpread(linear, "x") < 8)
     assert(avgSpread(linear, "y") > 50)
     // z-order: BOTH dimensions bounded well below the 63 max
-    assert(avgSpread(z, "x") < 32, s"x spread ${avgSpread(z, "x")}")
-    assert(avgSpread(z, "y") < 32, s"y spread ${avgSpread(z, "y")}")
+    val zx = avgSpread(z, "x")
+    val zy = avgSpread(z, "y")
+    assert(zx < 32, s"x spread $zx")
+    assert(zy < 32, s"y spread $zy")
   }
 
   test("clustering preserves the data exactly") {
