@@ -1,0 +1,105 @@
+package graft.etl
+
+import java.sql.{Connection, DriverManager}
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.types._
+
+/** JDBC sink with batched, partition-parallel upsert — the reference's
+  * warehouse boundary (grocery_lib/pg.py:33-60: `INSERT … ON CONFLICT
+  * (run_id, txn_id) DO UPDATE`, executed ONE ROW PER STATEMENT in a
+  * loop) re-expressed the way a 100 TB pipeline must: each partition
+  * opens one connection, stages its rows through a PreparedStatement
+  * batch, and commits once, so throughput scales with executors ×
+  * batchSize instead of being serialized through a single row loop.
+  *
+  * Upsert is delete-then-insert per batch inside one transaction —
+  * portable across dialects without MERGE/ON CONFLICT support (the
+  * spec runs embedded Derby, which has neither). Last-write-wins
+  * within a batch is by source order, matching Upsert.merge semantics
+  * when the batch is pre-deduplicated.
+  */
+object JdbcSink {
+
+  /** Append `df` into `table` with one batched transaction per
+    * partition. Executors must be able to resolve the JDBC driver from
+    * `url` (DriverManager).
+    */
+  def appendBatched(df: DataFrame, url: String, table: String,
+      batchSize: Int = 1000): Unit =
+    writeBatched(df, url, table, keys = Seq.empty, batchSize)
+
+  /** Keyed upsert: per batch, DELETE the incoming keys then INSERT the
+    * rows, all in one transaction per partition.
+    */
+  def upsertBatched(df: DataFrame, url: String, table: String,
+      keys: Seq[String], batchSize: Int = 1000): Unit = {
+    require(keys.nonEmpty, "upsertBatched requires key columns")
+    writeBatched(df, url, table, keys, batchSize)
+  }
+
+  private def writeBatched(df0: DataFrame, url: String, table: String,
+      keys: Seq[String], batchSize: Int): Unit = {
+    // co-locate same-key rows in one partition: upserts of one key never
+    // race across connections, and per-key order is deterministic
+    val df =
+      if (keys.isEmpty) df0
+      else df0.repartition(keys.map(org.apache.spark.sql.functions.col): _*)
+    val schema = df.schema
+    val cols = schema.fieldNames
+    val insertSql =
+      s"INSERT INTO $table (${cols.mkString(", ")}) VALUES (${cols.map(_ => "?").mkString(", ")})"
+    val deleteSql =
+      if (keys.isEmpty) ""
+      else s"DELETE FROM $table WHERE ${keys.map(k => s"$k = ?").mkString(" AND ")}"
+    df.foreachPartition { (rows: Iterator[Row]) =>
+      if (rows.nonEmpty) {
+        val conn = DriverManager.getConnection(url)
+        try {
+          conn.setAutoCommit(false)
+          val del = if (keys.isEmpty) null else conn.prepareStatement(deleteSql)
+          val ins = conn.prepareStatement(insertSql)
+          try {
+            var inBatch = 0
+            rows.foreach { row =>
+              if (del != null) {
+                keys.zipWithIndex.foreach { case (k, i) =>
+                  del.setObject(i + 1, row.getAs[Any](k))
+                }
+                del.addBatch()
+              }
+              cols.zipWithIndex.foreach { case (c, i) =>
+                JdbcSink.bind(ins, i + 1, row.getAs[Any](c))
+              }
+              ins.addBatch()
+              inBatch += 1
+              if (inBatch >= batchSize) {
+                if (del != null) del.executeBatch()
+                ins.executeBatch()
+                inBatch = 0
+              }
+            }
+            if (inBatch > 0) {
+              if (del != null) del.executeBatch()
+              ins.executeBatch()
+            }
+            conn.commit()
+          } catch {
+            case e: Throwable => conn.rollback(); throw e
+          } finally {
+            if (del != null) del.close()
+            ins.close()
+          }
+        } finally conn.close()
+      }
+    }
+  }
+
+  private def bind(ps: java.sql.PreparedStatement, idx: Int, v: Any): Unit =
+    v match {
+      case null => ps.setNull(idx, java.sql.Types.NULL)
+      case x: java.sql.Timestamp => ps.setTimestamp(idx, x)
+      case x: java.math.BigDecimal => ps.setBigDecimal(idx, x)
+      case x => ps.setObject(idx, x)
+    }
+}
