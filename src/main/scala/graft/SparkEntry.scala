@@ -136,6 +136,8 @@ object SparkEntry {
     "q_lang_id" -> TextQ.langId,
     // text analysis — rolling-hash document fingerprints
     "q_fingerprint" -> TextQ.fingerprint,
+    // text analysis — overlapping token-window chunking (training samples)
+    "q_chunk_docs" -> TextQ.chunkDocs,
     // dedup — exact hash-groupBy over a corpus with planted duplicates
     "q_dedup_exact" -> DedupQ.dedupExact,
     // dedup — exact n-gram Jaccard via shingle inverted index
@@ -414,6 +416,15 @@ object SparkEntry {
         |   list_transform(string_split(bag, ''), c -> CAST(ascii(c) AS BIGINT))),
         |   (a, b) -> (a * 31 + b) % 1000000007) AS bag_hash
         |FROM t""".stripMargin,
+    "q_chunk_docs" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |   string_split(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' ') AS ws
+        |  FROM documents
+        |)
+        |SELECT doc_id, CAST(i AS BIGINT) AS chunk_idx,
+        | array_to_string(ws[i * 80 + 1 : i * 80 + 100], ' ') AS chunk
+        |FROM d, UNNEST(generate_series(0, CAST((len(ws) - 1) // 80 AS INTEGER))) AS t(i)""".stripMargin,
     "q_dedup_exact" ->
       """WITH all_docs AS (
         |  SELECT doc_id, text FROM documents

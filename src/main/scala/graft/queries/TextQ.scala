@@ -74,6 +74,18 @@ object TextQ {
         TextOps.predictLang(scores.map { case (l, _) => l -> col(s"score_$l") }))
   }
 
+  /** Long-document chunking: 100-token windows every 80 tokens — the
+    * training-sample splitter. One explode per doc, no shuffle.
+    */
+  def chunkDocs(spark: SparkSession, dir: String): DataFrame = {
+    val toks = TextOps.tokens(col("text"))
+    Tables(spark, dir, "documents")
+      .select(col("doc_id"),
+        explode(TextOps.chunks(toks, size = 100, stride = 80)).as("c"))
+      .select(col("doc_id"), col("c.chunk_idx").as("chunk_idx"),
+        col("c.chunk").as("chunk"))
+  }
+
   /** Document fingerprints: order-sensitive rolling hash of the
     * normalized text + order-independent bag-of-words hash. Exact dedup
     * at 100 TB groups on these 8-byte keys instead of comparing bodies.

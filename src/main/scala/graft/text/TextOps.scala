@@ -85,6 +85,23 @@ object TextOps {
     array_distinct(array_compact(joined))
   }
 
+  /** Overlapping token-window chunks: windows of `size` tokens starting
+    * every `stride` tokens ((n−1) div stride + 1 chunks — every token
+    * covered, trailing chunk may be short). The standard long-document →
+    * training-sample split; emitted as (chunk_idx, chunk_text) structs
+    * for a downstream explode.
+    */
+  def chunks(toks: Column, size: Int, stride: Int): Column = {
+    require(size > 0 && stride > 0 && stride <= size)
+    transform(
+      sequence(lit(0),
+        floor((org.apache.spark.sql.functions.size(toks) - 1) / lit(stride))
+          .cast("int")),
+      i => struct(
+        i.cast("long").as("chunk_idx"),
+        array_join(slice(toks, i * stride + 1, lit(size)), " ").as("chunk")))
+  }
+
   /** Order-independent content fingerprint: rolling hash of the sorted
     * distinct token list (bag-of-words identity; catches reorderings that
     * the order-sensitive fingerprint misses).
