@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 import graft.etl.{Enricher, PosGenerator, RetailPipeline}
-import graft.queries.{AnnQ, Core, DedupQ, EventsQ, MultimodalQ, SketchQ, TextQ}
+import graft.queries.{AnnQ, Core, DedupQ, EventsQ, MultimodalQ, SampleQ, SketchQ, TextQ}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -138,6 +138,8 @@ object SparkEntry {
     "q_fingerprint" -> TextQ.fingerprint,
     // text analysis — overlapping token-window chunking (training samples)
     "q_chunk_docs" -> TextQ.chunkDocs,
+    // deterministic content-hash-ordered stratified sampling per language
+    "q_stratified_sample" -> ((s, dir) => SampleQ.stratifiedSample(s, dir)),
     // dedup — exact hash-groupBy over a corpus with planted duplicates
     "q_dedup_exact" -> DedupQ.dedupExact,
     // dedup — exact n-gram Jaccard via shingle inverted index
@@ -416,6 +418,22 @@ object SparkEntry {
         |   list_transform(string_split(bag, ''), c -> CAST(ascii(c) AS BIGINT))),
         |   (a, b) -> (a * 31 + b) % 1000000007) AS bag_hash
         |FROM t""".stripMargin,
+    "q_stratified_sample" ->
+      """WITH d AS (
+        |  SELECT doc_id, lang,
+        |   list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |     list_transform(string_split(
+        |       trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ''),
+        |       c -> CAST(ascii(c) AS BIGINT))),
+        |     (a, b) -> (a * 31 + b) % 1000000007) AS h
+        |  FROM documents
+        |), r AS (
+        |  SELECT doc_id, lang,
+        |   CAST(row_number() OVER (PARTITION BY lang ORDER BY h, doc_id) AS BIGINT) AS rn,
+        |   count(*) OVER (PARTITION BY lang) AS cnt
+        |  FROM d
+        |)
+        |SELECT doc_id, lang, rn FROM r WHERE rn <= ceil(cnt * 0.1)""".stripMargin,
     "q_chunk_docs" ->
       """WITH d AS (
         |  SELECT doc_id,

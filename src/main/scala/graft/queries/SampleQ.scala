@@ -1,0 +1,33 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.text.TextOps
+
+/** Deterministic stratified sampling: per stratum (language), keep the
+  * first ⌈fraction·n⌉ documents ordered by content hash. Ordering by a
+  * CONTENT hash instead of position/id makes the sample unbiased w.r.t.
+  * ingestion order while staying fully reproducible — rerunning the
+  * pipeline selects the identical sample, and the DuckDB oracle
+  * recomputes it exactly (the hash is the cross-engine Rabin–Karp
+  * fold). One shuffle on the stratum key.
+  */
+object SampleQ {
+
+  def stratifiedSample(spark: SparkSession, dir: String,
+      fraction: Double = 0.1): DataFrame = {
+    val byHash = Window.partitionBy(col("lang"))
+      .orderBy(col("h"), col("doc_id"))
+    val all = Window.partitionBy(col("lang"))
+    Tables(spark, dir, "documents")
+      .select(col("doc_id"), col("lang"),
+        TextOps.rollingHash(TextOps.normalize(col("text"))).as("h"))
+      .withColumn("rn", row_number().over(byHash).cast("long"))
+      .withColumn("cnt", count(lit(1)).over(all))
+      .filter(col("rn") <= ceil(col("cnt") * fraction))
+      .select(col("doc_id"), col("lang"), col("rn"))
+  }
+}
