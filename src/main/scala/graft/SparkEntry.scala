@@ -429,7 +429,7 @@ object SparkEntry {
         |  FROM documents
         |), r AS (
         |  SELECT doc_id, lang,
-        |   CAST(row_number() OVER (PARTITION BY lang ORDER BY h, doc_id) AS BIGINT) AS rn,
+        |   CAST(row_number() OVER (PARTITION BY lang ORDER BY h NULLS FIRST, doc_id) AS BIGINT) AS rn,
         |   count(*) OVER (PARTITION BY lang) AS cnt
         |  FROM d
         |)
@@ -442,7 +442,8 @@ object SparkEntry {
         |)
         |SELECT doc_id, CAST(i AS BIGINT) AS chunk_idx,
         | array_to_string(ws[i * 80 + 1 : i * 80 + 100], ' ') AS chunk
-        |FROM d, UNNEST(generate_series(0, CAST((len(ws) - 1) // 80 AS INTEGER))) AS t(i)""".stripMargin,
+        |FROM d, UNNEST(generate_series(0,
+        |  CAST((greatest(len(ws) - 100, 0) + 79) // 80 AS INTEGER))) AS t(i)""".stripMargin,
     "q_dedup_exact" ->
       """WITH all_docs AS (
         |  SELECT doc_id, text FROM documents

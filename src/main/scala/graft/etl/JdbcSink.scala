@@ -23,19 +23,27 @@ object JdbcSink {
 
   /** Append `df` into `table` with one batched transaction per
     * partition. Executors must be able to resolve the JDBC driver from
-    * `url` (DriverManager).
+    * `url` (DriverManager). For plain appends with auth/isolation
+    * options, Spark's built-in `df.write.jdbc` covers the same ground;
+    * this path exists to share machinery with [[upsertBatched]], which
+    * the built-in writer cannot do.
     */
   def appendBatched(df: DataFrame, url: String, table: String,
       batchSize: Int = 1000): Unit =
     writeBatched(df, url, table, keys = Seq.empty, batchSize)
 
   /** Keyed upsert: per batch, DELETE the incoming keys then INSERT the
-    * rows, all in one transaction per partition.
+    * rows, all in one transaction per partition. The input is
+    * deduplicated on `keys` first (one surviving row per key,
+    * deterministic only if the input has one row per key) — for
+    * versioned last-write-wins semantics merge with [[Upsert.merge]]
+    * upstream; without the dedup, two input rows with one key would
+    * both survive the single DELETE and violate the upsert invariant.
     */
   def upsertBatched(df: DataFrame, url: String, table: String,
       keys: Seq[String], batchSize: Int = 1000): Unit = {
     require(keys.nonEmpty, "upsertBatched requires key columns")
-    writeBatched(df, url, table, keys, batchSize)
+    writeBatched(df.dropDuplicates(keys), url, table, keys, batchSize)
   }
 
   private def writeBatched(df0: DataFrame, url: String, table: String,
@@ -47,6 +55,10 @@ object JdbcSink {
       else df0.repartition(keys.map(org.apache.spark.sql.functions.col): _*)
     val schema = df.schema
     val cols = schema.fieldNames
+    // real JDBC type codes per column: setNull(java.sql.Types.NULL) is
+    // rejected by Derby (and others) even for nullable columns
+    val sqlTypes: Map[String, Int] = schema.fields.map(f =>
+      f.name -> jdbcType(f.dataType)).toMap
     val insertSql =
       s"INSERT INTO $table (${cols.mkString(", ")}) VALUES (${cols.map(_ => "?").mkString(", ")})"
     val deleteSql =
@@ -64,12 +76,12 @@ object JdbcSink {
             rows.foreach { row =>
               if (del != null) {
                 keys.zipWithIndex.foreach { case (k, i) =>
-                  del.setObject(i + 1, row.getAs[Any](k))
+                  JdbcSink.bind(del, i + 1, row.getAs[Any](k), sqlTypes(k))
                 }
                 del.addBatch()
               }
               cols.zipWithIndex.foreach { case (c, i) =>
-                JdbcSink.bind(ins, i + 1, row.getAs[Any](c))
+                JdbcSink.bind(ins, i + 1, row.getAs[Any](c), sqlTypes(c))
               }
               ins.addBatch()
               inBatch += 1
@@ -95,9 +107,25 @@ object JdbcSink {
     }
   }
 
-  private def bind(ps: java.sql.PreparedStatement, idx: Int, v: Any): Unit =
+  private def jdbcType(dt: DataType): Int = dt match {
+    case StringType => java.sql.Types.VARCHAR
+    case LongType => java.sql.Types.BIGINT
+    case IntegerType => java.sql.Types.INTEGER
+    case ShortType => java.sql.Types.SMALLINT
+    case DoubleType => java.sql.Types.DOUBLE
+    case FloatType => java.sql.Types.FLOAT
+    case BooleanType => java.sql.Types.BOOLEAN
+    case TimestampType => java.sql.Types.TIMESTAMP
+    case DateType => java.sql.Types.DATE
+    case _: DecimalType => java.sql.Types.DECIMAL
+    case BinaryType => java.sql.Types.BINARY
+    case _ => java.sql.Types.OTHER
+  }
+
+  private def bind(ps: java.sql.PreparedStatement, idx: Int, v: Any,
+      sqlType: Int): Unit =
     v match {
-      case null => ps.setNull(idx, java.sql.Types.NULL)
+      case null => ps.setNull(idx, sqlType)
       case x: java.sql.Timestamp => ps.setTimestamp(idx, x)
       case x: java.math.BigDecimal => ps.setBigDecimal(idx, x)
       case x => ps.setObject(idx, x)

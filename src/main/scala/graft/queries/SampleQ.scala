@@ -19,8 +19,11 @@ object SampleQ {
 
   def stratifiedSample(spark: SparkSession, dir: String,
       fraction: Double = 0.1): DataFrame = {
+    // NULLS FIRST pinned explicitly: Spark's ASC default is nulls-first
+    // but DuckDB's is nulls-last — a null text would silently shift
+    // sample membership between engines
     val byHash = Window.partitionBy(col("lang"))
-      .orderBy(col("h"), col("doc_id"))
+      .orderBy(col("h").asc_nulls_first, col("doc_id"))
     val all = Window.partitionBy(col("lang"))
     Tables(spark, dir, "documents")
       .select(col("doc_id"), col("lang"),

@@ -86,17 +86,22 @@ object TextOps {
   }
 
   /** Overlapping token-window chunks: windows of `size` tokens starting
-    * every `stride` tokens ((n−1) div stride + 1 chunks — every token
-    * covered, trailing chunk may be short). The standard long-document →
-    * training-sample split; emitted as (chunk_idx, chunk_text) structs
-    * for a downstream explode.
+    * every `stride` tokens, 1 + ⌈max(n−size, 0)/stride⌉ chunks — every
+    * token covered and NO chunk fully contained in its predecessor (a
+    * naive (n−1) div stride bound re-emits a strict suffix of the
+    * previous chunk for ~(size−stride)/stride of documents: duplicated
+    * training samples). The standard long-document → training-sample
+    * split; emitted as (chunk_idx, chunk_text) structs for a downstream
+    * explode.
     */
   def chunks(toks: Column, size: Int, stride: Int): Column = {
     require(size > 0 && stride > 0 && stride <= size)
+    val n = org.apache.spark.sql.functions.size(toks)
+    // ceil(max(n-size,0)/stride) in exact integer arithmetic
+    val lastIdx = floor((greatest(n - size, lit(0)) + (stride - 1)) / lit(stride))
+      .cast("int")
     transform(
-      sequence(lit(0),
-        floor((org.apache.spark.sql.functions.size(toks) - 1) / lit(stride))
-          .cast("int")),
+      sequence(lit(0), lastIdx),
       i => struct(
         i.cast("long").as("chunk_idx"),
         array_join(slice(toks, i * stride + 1, lit(size)), " ").as("chunk")))

@@ -58,6 +58,25 @@ class JdbcSinkSpec extends AnyFunSuite with SparkSpec {
       ("r1", "c") -> 3L, ("r1", "d") -> 4L))
   }
 
+  test("null values bind with real JDBC types (Derby rejects Types.NULL)") {
+    exec("CREATE TABLE null_t (id BIGINT NOT NULL, name VARCHAR(20), v DOUBLE)")
+    val df = Seq((1L, Option("x"), Option(1.5)), (2L, None, None))
+      .toDF("id", "name", "v")
+    JdbcSink.appendBatched(df, url, "null_t")
+    val back = readTable("null_t").collect()
+      .map(r => r.getLong(0) -> (Option(r.getString(1)), Option(r.get(2)))).toMap
+    assert(back(1L) == (Some("x"), Some(1.5)))
+    assert(back(2L) == (None, None))
+  }
+
+  test("upsert with duplicate keys in the input keeps exactly one row per key") {
+    exec("CREATE TABLE dup_t (k VARCHAR(10) NOT NULL, v BIGINT)")
+    val df = Seq(("a", 1L), ("a", 2L), ("b", 3L)).toDF("k", "v")
+    JdbcSink.upsertBatched(df, url, "dup_t", keys = Seq("k"))
+    val rows = readTable("dup_t").collect().map(r => r.getString(0))
+    assert(rows.sorted.toSeq == Seq("a", "b")) // one survivor per key
+  }
+
   test("failed partition write rolls back its whole batch") {
     exec("CREATE TABLE strict_t (id BIGINT NOT NULL PRIMARY KEY)")
     exec("INSERT INTO strict_t VALUES (5)")

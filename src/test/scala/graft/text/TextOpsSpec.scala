@@ -46,11 +46,12 @@ class TextOpsSpec extends AnyFunSuite with SparkSpec {
       .select(explode(TextOps.chunks(TextOps.tokens(col("text")), 100, 80)).as("c"))
       .select(col("c.chunk_idx"), col("c.chunk"))
       .collect().map(r => r.getLong(0) -> r.getString(1).split(" ")).toMap
-    assert(cs.keySet == Set(0L, 1L, 2L, 3L)) // (250-1)/80 + 1 = 4 chunks
+    // 1 + ceil((250-100)/80) = 3 chunks; a 4th starting at w241 would be
+    // a strict suffix of chunk 2 (duplicate training sample)
+    assert(cs.keySet == Set(0L, 1L, 2L))
     assert(cs(0L).head == "w1" && cs(0L).length == 100)
     assert(cs(1L).head == "w81" && cs(1L).length == 100)
     assert(cs(2L).head == "w161" && cs(2L).length == 90) // clamped at end
-    assert(cs(3L).head == "w241" && cs(3L).length == 10)
   }
 
   test("shingles: distinct 3-grams, short docs empty, dups collapsed") {
