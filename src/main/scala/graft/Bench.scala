@@ -1,6 +1,27 @@
 package graft
+
 import org.apache.spark.sql.SparkSession
+
+/** Benchmark main: runs every SparkEntry query against
+  * `SPARK_GRAFT_SF_DIR` and prints one JSON line with per-query wall
+  * times.
+  *
+  * Round-over-round comparability rules:
+  *  - queries run in SORTED NAME ORDER (a Map's hash order would shuffle
+  *    the adjacency between rounds, and adjacency matters — a heavy
+  *    query's garbage taxes whoever runs next);
+  *  - a System.gc() fence runs between queries so one query's heap
+  *    pressure (e.g. the dedup suite's shuffle buffers) is not billed to
+  *    its neighbor;
+  *  - failures are RECORDED, not swallowed: a failed query reports its
+  *    exception class+message under "errors" and its wall time still
+  *    counts, so a broken query can never masquerade as a fast one.
+  */
 object Bench {
+  private def jsonEsc(s: String): String =
+    s.replace("\\", "\\\\").replace("\"", "\\\"")
+      .replace("\n", "\\n").replace("\r", "\\r").replace("\t", "\\t")
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -20,15 +41,25 @@ object Bench {
         col("r_regionkey") === col("n_regionkey")).count()
       spark.range(100).select(hash(col("id"))).count()
     }
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    val names = SparkEntry.queries.keys.toSeq.sorted
+    val times = scala.collection.mutable.LinkedHashMap.empty[String, Double]
+    val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
+    names.foreach { name =>
+      System.gc() // fence: don't bill the previous query's garbage here
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      try SparkEntry.queries(name)(spark, sfDir).count()
+      catch {
+        case e: Throwable =>
+          errors(name) = s"${e.getClass.getName}: " +
+            Option(e.getMessage).getOrElse("").take(300)
+      }
+      times(name) = (System.nanoTime() - t0) / 1e9
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    val qs = times.map { case (k, v) => s"\"$k\":$v" }.mkString("{", ",", "}")
+    val errs = errors.map { case (k, v) => s"\"$k\":\"${jsonEsc(v)}\"" }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val total = times.values.sum
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -123,22 +123,31 @@ object Ann {
     // per-query probe list: nProbe nearest centroids (driver-side math
     // over the broadcastable query batch)
     val cFinal = centroids
-    val qRows = queries.select(col(idCol).as("query_id"),
+    val qPrep = queries.select(col(idCol).as("query_id"),
       asDouble(col(vecCol)).as("vq"))
       .withColumn("nq", l2(col("vq")))
-      .collect()
-    import spark.implicits._
-    val probes = qRows.flatMap { r =>
-      // id column may be int or long — don't assume LongType
-      val qid = r.get(0).asInstanceOf[Number].longValue()
+    val qRows = qPrep.collect()
+    // keep the id's ORIGINAL value and type (string ids must work, and
+    // query_id's output type must match bruteForceTopK/lshNeighbors)
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val probeSchema = StructType(Seq(
+      StructField("query_id", qPrep.schema("query_id").dataType),
+      StructField("cluster", IntegerType, nullable = false),
+      StructField("vq", ArrayType(DoubleType)),
+      StructField("nq", DoubleType, nullable = false)))
+    val probeRows = qRows.toSeq.flatMap { r =>
+      val qid = r.get(0)
       val vq = r.getSeq[Double](1)
       val nq = r.getDouble(2)
       cFinal.zipWithIndex
         .map { case (c, i) => i -> c.zip(vq).map { case (a, b) => a * b }.sum }
         .sortBy { case (i, d) => (-d, i) }
         .take(nProbe)
-        .map { case (i, _) => (qid, i, vq, nq) }
-    }.toSeq.toDF("query_id", "cluster", "vq", "nq")
+        .map { case (i, _) => Row(qid, i, vq, nq) }
+    }
+    val probes = spark.createDataFrame(
+      spark.sparkContext.parallelize(probeRows, 1), probeSchema)
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cosine").desc, col("neighbor_id"))
     // materialize the (tiny, |Q|×k) result so the checkpointed corpus

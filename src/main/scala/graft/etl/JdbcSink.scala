@@ -46,8 +46,22 @@ object JdbcSink {
     writeBatched(df.dropDuplicates(keys), url, table, keys, batchSize)
   }
 
+  private val Ident = "[A-Za-z_][A-Za-z0-9_]*".r
+  /** Identifiers are interpolated into SQL text — refuse anything that
+    * isn't a plain (optionally schema-qualified) identifier, so reserved
+    * words with quoting needs, mixed-case-sensitive names, or untrusted
+    * input can't produce broken/injectable statements.
+    */
+  private def requireIdent(s: String, what: String, allowQualified: Boolean): Unit = {
+    val parts = if (allowQualified) s.split("\\.", -1).toSeq else Seq(s)
+    require(parts.nonEmpty && parts.forall(p => Ident.pattern.matcher(p).matches()),
+      s"$what '$s' is not a plain identifier ([A-Za-z_][A-Za-z0-9_]*)")
+  }
+
   private def writeBatched(df0: DataFrame, url: String, table: String,
       keys: Seq[String], batchSize: Int): Unit = {
+    requireIdent(table, "table", allowQualified = true)
+    df0.schema.fieldNames.foreach(requireIdent(_, "column", allowQualified = false))
     // co-locate same-key rows in one partition: upserts of one key never
     // race across connections, and per-key order is deterministic
     val df =

@@ -20,10 +20,18 @@ object RangeJoin {
       startCol: String, endCol: String, binWidth: Long): DataFrame = {
     require(binWidth > 0)
     val p = points.withColumn("__bin", floor(col(tsCol) / binWidth).cast("long"))
+    // least/greatest the bounds: a dirty interval with end < start would
+    // otherwise make sequence() DESCEND through every bin between the two
+    // values — a swapped large pair explodes into millions of bin rows (or
+    // trips the sequence length limit). Ordered bounds keep the expansion
+    // at |interval|/binWidth; the ts-between-start-and-end post-filter
+    // still drops the dirty interval's rows from the result.
+    val lo = least(col(startCol), col(endCol))
+    val hi = greatest(col(startCol), col(endCol))
     val i = intervals.withColumn("__bin",
       explode(sequence(
-        floor(col(startCol) / binWidth).cast("long"),
-        floor(col(endCol) / binWidth).cast("long"))))
+        floor(lo / binWidth).cast("long"),
+        floor(hi / binWidth).cast("long"))))
     p.join(i, keyCols :+ "__bin")
       .filter(col(tsCol) >= col(startCol) && col(tsCol) <= col(endCol))
       .drop("__bin")

@@ -79,14 +79,20 @@ object Core {
   // -------------------------------------------------------------------
   // J1 — dim enrichment join (reference: implied fct_sales writer,
   // sql/init.sql:33-44 — denormalized region/category + derived revenue).
-  // part/supplier are dims → broadcast-hash join, no shuffle of the fact.
+  // No forced broadcast hint: part/supplier GROW WITH SCALE FACTOR, so a
+  // hard `broadcast()` becomes a driver/executor OOM at 100×. Catalyst's
+  // size statistics (autoBroadcastJoinThreshold) + AQE pick broadcast
+  // while the dims fit and fall back to a shuffle join when they don't —
+  // which is exactly the size guard we want. PlanSpec asserts the
+  // broadcast is chosen at test scale, where the dims are under the
+  // threshold.
   // -------------------------------------------------------------------
   def joinEnrich(spark: SparkSession, dir: String): DataFrame = {
     val li = Tables(spark, dir, "lineitem")
     val part = Tables(spark, dir, "part")
     val supp = Tables(spark, dir, "supplier")
-    li.join(broadcast(part), col("l_partkey") === col("p_partkey"))
-      .join(broadcast(supp), col("l_suppkey") === col("s_suppkey"))
+    li.join(part, col("l_partkey") === col("p_partkey"))
+      .join(supp, col("l_suppkey") === col("s_suppkey"))
       .groupBy(col("p_brand").as("brand"), col("s_name").as("supplier"))
       .agg(
         count(lit(1)).as("n_lines"),

@@ -21,8 +21,16 @@ object ColumnBridge {
   * This walks the plan to the LogicalRDD and unpersists its RDD.
   */
 object CheckpointUtils {
+  /** Unpersist the RDD behind `df` — ONLY if `df` IS the DataFrame a
+    * `localCheckpoint()` returned (plan root is the LogicalRDD). A frame
+    * that merely derives from a checkpoint keeps its upstream pinned:
+    * releasing an ancestor whose lineage was truncated would break every
+    * other frame still referencing it, so derived plans are a no-op here.
+    */
   def release(df: org.apache.spark.sql.DataFrame): Unit =
-    df.queryExecution.analyzed.collectFirst {
-      case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd
-    }.foreach(_.unpersist(blocking = false))
+    df.queryExecution.analyzed match {
+      case lr: org.apache.spark.sql.execution.LogicalRDD =>
+        lr.rdd.unpersist(blocking = false)
+      case _ => () // derived plan: refuse to guess at an upstream RDD
+    }
 }

@@ -71,11 +71,55 @@ class DedupSpec extends AnyFunSuite with SparkSpec {
       2 -> "the quick brown fox jumps over the lazy dog near the river bank tonight",
       6 -> "a quick brown fox jumps over the lazy dog near the river bank tonight",
       4 -> "completely different content about spark query engines and shuffles at scale")
+    // nBands=64 (2 rows/band): at this test's J≈0.6 pairs the default
+    // 32×4 banding would miss with p≈1e-2 — the production t=0.8 default
+    // keeps 32×4 (miss < 5e-8 there)
     val labels = Dedup.duplicateClusters(chain, "doc_id", "text",
-      n = 3, threshold = 0.5)
+      n = 3, threshold = 0.5, nBands = 64)
       .collect().map(r => r.getAs[Int]("doc_id") -> r.getAs[Int]("cluster_id")).toMap
     assert(labels(1) == 1 && labels(2) == 1 && labels(6) == 1)
     assert(labels(4) == 4) // singleton keeps its own id
+  }
+
+  test("connectedComponents: long chain and multi-component graphs collapse to min roots") {
+    import spark.implicits._
+    // a 10-node chain (worst case for naive propagation), a triangle
+    // with a pendant, and an isolated edge — all as (a_id < b_id) pairs
+    val chain = (1 to 9).map(i => (i.toLong, (i + 1).toLong))
+    val tri = Seq((20L, 21L), (21L, 22L), (20L, 22L), (22L, 23L))
+    val iso = Seq((30L, 31L))
+    val pairs = (chain ++ tri ++ iso).toDF("a_id", "b_id")
+    val stars = Dedup.connectedComponents(pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    for (n <- 2 to 10) assert(stars(n.toLong) == 1L, s"chain node $n")
+    for (n <- Seq(21L, 22L, 23L)) assert(stars(n) == 20L, s"triangle node $n")
+    assert(stars(31L) == 30L)
+    assert(!stars.contains(1L) && !stars.contains(20L) && !stars.contains(30L),
+      "roots must not appear on the non-root side of a star edge")
+  }
+
+  test("simhash64 (packed aggregates) is bit-identical to the HOF simhash") {
+    val hof = corpus.select(col("doc_id"),
+      Dedup.simhash(graft.text.TextOps.tokens(col("text"))).as("h"))
+      .collect().map(r => r.getAs[Int]("doc_id") -> r.getAs[Long]("h")).toMap
+    val packed = Dedup.simhash64(corpus, "doc_id", "text")
+      .collect().map(r => r.getAs[Int]("doc") -> r.getAs[Long]("sh64")).toMap
+    assert(packed == hof)
+  }
+
+  test("cosinePairsBucketed and cosinePairsBlocked equal the all-pairs reference on real embeddings") {
+    val emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    val exact = Dedup.cosinePairs(emb, "vec_id", "embedding", threshold = 0.4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val bucketed = Dedup.cosinePairsBucketed(emb, "vec_id", "embedding",
+      threshold = 0.4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val blocked = Dedup.cosinePairsBlocked(emb, "vec_id", "embedding",
+      threshold = 0.4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(exact.nonEmpty)
+    assert(bucketed == exact)
+    assert(blocked == exact)
   }
 
   test("cosinePairs finds identical and near-identical vectors only") {
