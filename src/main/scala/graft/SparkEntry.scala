@@ -327,6 +327,17 @@ object SparkEntry {
         | CAST(SUM(val) OVER (PARTITION BY user_id ORDER BY ts, event_id
         |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_value
         |FROM e""".stripMargin,
+    // engine-seeded generator → oracle computes the same mart from the
+    // pinned VALUES fixture (PosGeneratorSpec proves generator == fixture)
+    "q_grocery_daily_mart" ->
+      s"""WITH fct(event_time, store_id, quantity, unit_price_cents) AS (
+        |  VALUES ${graft.etl.PosFixture.valuesSql}
+        |)
+        |SELECT CAST(date_trunc('day', event_time) AS DATE) AS day, store_id,
+        | count(*) AS txns,
+        | CAST(SUM(quantity * unit_price_cents) AS BIGINT) AS gross_revenue_cents,
+        | CAST(SUM(quantity) AS BIGINT) AS units
+        |FROM fct GROUP BY 1, 2""".stripMargin,
     "q_retail_mart" ->
       """WITH transactions_src(transaction_id, store_id, sku, amount_cents, quantity, transaction_ts) AS (
         |  VALUES ('t1', 101, 'banana', '199', 1, TIMESTAMP '2024-03-05 09:15:00'),

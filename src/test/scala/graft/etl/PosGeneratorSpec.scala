@@ -31,6 +31,19 @@ class PosGeneratorSpec extends AnyFunSuite with SparkSpec {
     assert(nullRate > 0.2 && nullRate < 0.6, s"null rate $nullRate")
   }
 
+  test("generator output still matches the pinned PosFixture (oracle fixture)") {
+    import org.apache.spark.sql.functions._
+    val got = PosGenerator.transactions(spark, "verify-run", "ok", 200)
+      .select(date_format(col("event_time"), "yyyy-MM-dd HH:mm:ss"),
+        col("txn_id"), col("store_id"), col("sku"),
+        col("quantity"), col("unit_price_cents"))
+      .orderBy("txn_id").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2), r.getString(3),
+        r.getInt(4), r.getInt(5))).toSeq
+    assert(got == PosFixture.rows,
+      "PosGenerator drifted from the pinned fixture — q_grocery_daily_mart's oracle would silently diverge")
+  }
+
   test("schema_drift mutates exactly record 0: unit_price_cents → unit_price") {
     val df = PosGenerator.transactions(spark, "run-d", "schema_drift", 40)
     assert(df.columns.contains("unit_price"))
