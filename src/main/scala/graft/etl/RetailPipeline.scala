@@ -61,6 +61,33 @@ object RetailPipeline {
       col("transaction_ts").cast("timestamp").as("transaction_ts"))
   }
 
+  /** The staging model as dbt-compiled SQL TEXT over `transactions_src`
+    * (stg_transactions.sql:12-46 with the scenario Jinja branches
+    * resolved — the reference ships the model as SQL, and so do we for
+    * the pipeline path; [[stgTransactions]] stays as the programmatic
+    * DataFrame form of the same model).
+    *
+    * syntax_bug reproduces the intentionally missing comma at
+    * stg_transactions.sql:33-35: Catalyst's parser raises a
+    * ParseException at compile, the same failure class dbt surfaces.
+    */
+  def stgModelSql(scenario: String): String = {
+    val amount = scenario match {
+      case "model_bug" => "cast(amount_cent as integer) as amount_cents,"  // wrong column (:28-29)
+      case "logic_bug" => "cast(amount_cents as integer) / 0 as amount_cents," // ÷0 (:30-32)
+      case "syntax_bug" => "cast(amount_cents as integer) as amount_cents" // missing comma (:33-35)
+      case _ => "cast(amount_cents as integer) as amount_cents,"
+    }
+    s"""select
+       |  cast(transaction_id as string) as transaction_id,
+       |  cast(store_id as int) as store_id,
+       |  cast(sku as string) as sku,
+       |  $amount
+       |  cast(quantity as int) as quantity,
+       |  cast(transaction_ts as timestamp) as transaction_ts
+       |from transactions_src""".stripMargin
+  }
+
   /** Mart model: day × store aggregation (mart_daily_sales.sql:6-15),
     * materialized as a table (dbt_project.yml:23-25).
     */
@@ -82,18 +109,26 @@ object RetailPipeline {
       Seq("day", "store_id", "txns", "gross_amount_cents", "units")) :+
       Checks.nonEmpty(mart, "mart_daily_sales")
 
-  /** seed → stg view → mart table → tests, with Catalyst in place of the
-    * dbt compiler. Source/table-name scenario bugs surface as analysis
-    * errors, matching the reference's dbt failure classes.
+  /** seed → stg view (compiled from SQL text) → mart table → tests, with
+    * Catalyst in place of the dbt compiler. The failure classes mirror
+    * dbt's: parse errors (syntax_bug) at compile, unresolved references
+    * (source_bug wrong name; dependency_issue dropped dependency;
+    * model_bug wrong column) at analysis, cast/÷0 (bad_data, logic_bug)
+    * at run under ANSI.
     */
   def run(spark: SparkSession, scenario: String): DataFrame = {
     val src = seedSource(spark, scenario)
     src.createOrReplaceTempView("transactions_src")
-    val resolved = scenario match {
-      case "source_bug" => spark.table("transactions_sr") // wrong source name (:15-17)
-      case _ => spark.table("transactions_src")
+    if (scenario == "dependency_issue")
+      // the seed dependency "never ran"/was dropped before the model
+      // (retail_seed_dag.py:39-43): the model's source reference cannot
+      // resolve, by the CORRECT name — unlike source_bug's typo
+      spark.catalog.dropTempView("transactions_src")
+    val stg = scenario match {
+      case "source_bug" =>
+        stgTransactions(spark.table("transactions_sr"), scenario) // wrong source name (:15-17)
+      case _ => spark.sql(stgModelSql(scenario))
     }
-    val stg = stgTransactions(resolved, scenario)
     stg.createOrReplaceTempView("stg_transactions") // view materialization
     val mart = martDailySales(spark.table("stg_transactions"))
     mart.cache() // table materialization stand-in; tests + reads hit this

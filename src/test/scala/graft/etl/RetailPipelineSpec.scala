@@ -39,6 +39,23 @@ class RetailPipelineSpec extends AnyFunSuite with SparkSpec {
     intercept[AnalysisException] { RetailPipeline.run(spark, "source_bug") }
   }
 
+  test("syntax_bug: the broken model SQL fails at parse (dbt compile parity)") {
+    val e = intercept[org.apache.spark.sql.catalyst.parser.ParseException] {
+      RetailPipeline.run(spark, "syntax_bug")
+    }
+    assert(e.getMessage.contains("PARSE_SYNTAX_ERROR"), e.getMessage)
+  }
+
+  test("dependency_issue: dropped seed dependency fails resolution by its CORRECT name") {
+    val e = intercept[AnalysisException] {
+      RetailPipeline.run(spark, "dependency_issue")
+    }
+    // distinct from source_bug: the reference is correct, the dependency
+    // is missing — the error names transactions_src itself
+    assert(e.getMessage.contains("transactions_src"), e.getMessage)
+    assert(e.getMessage.contains("TABLE_OR_VIEW_NOT_FOUND"), e.getMessage)
+  }
+
   test("logic_bug: division by zero raises under ANSI") {
     val e = intercept[Exception] { RetailPipeline.run(spark, "logic_bug") }
     assert(e.getMessage.contains("DIVIDE_BY_ZERO") ||
