@@ -17,6 +17,7 @@ final case class RunPaths(base: String, runId: String) {
   val rawFile: String = s"$raw/transactions.json"
   val stagedDir: String = s"$staged/transactions"
   val enrichedDir: String = s"$out/enriched"
+  val enrichedDocFile: String = s"$out/enriched.json"
   val reconcileFile: String = s"$out/reconcile.json"
   def mkdirs(): Unit =
     Seq(raw, staged, out).foreach(d => Files.createDirectories(Paths.get(d)))
@@ -91,6 +92,29 @@ object GroceryPipeline {
       midWrite: Option[() => Unit] = None): Unit = {
     paths.mkdirs()
     val body = PosGenerator.envelopeJson(spark, paths.runId, scenario, n)
+    writeRaw(paths, scenario, body, partialPauseMs, midWrite)
+  }
+
+  /** Stage 1, HTTP form — the reference's actual boundary: GET
+    * `<apiBase>/transactions?run_id&scenario&n` with a 10 s timeout and
+    * retryable >= 400 responses (grocery_ingest_dag.py:36-47), then the
+    * same raw-artifact write. Whatever body the API returns is written
+    * verbatim (malformed_json arrives as invalid JSON with status 200 —
+    * the VALIDATE stage owns rejecting it, :46-47).
+    */
+  def ingestHttp(spark: SparkSession, paths: RunPaths, apiBase: String,
+      scenario: String, n: Int = 40, timeoutMs: Long = 10000L,
+      retries: Int = 2, retryDelayMs: Long = 100,
+      partialPauseMs: Long = 1500,
+      midWrite: Option[() => Unit] = None): Unit = {
+    paths.mkdirs()
+    val url = s"$apiBase/transactions?run_id=${paths.runId}&scenario=$scenario&n=$n"
+    val body = graft.sources.HttpFetch.getWithRetry(url, retries, retryDelayMs, timeoutMs)
+    writeRaw(paths, scenario, body, partialPauseMs, midWrite)
+  }
+
+  private def writeRaw(paths: RunPaths, scenario: String, body: String,
+      partialPauseMs: Long, midWrite: Option[() => Unit]): Unit = {
     val target = Paths.get(paths.rawFile)
     if (scenario == Scenario.PartialWrite.name) {
       // non-atomic on purpose: a reader between the two writes sees
@@ -144,6 +168,34 @@ object GroceryPipeline {
         nullRevenue)
     enriched.write.mode("overwrite").parquet(paths.enrichedDir)
     enriched.count()
+  }
+
+  /** Stage 3b — K4, the reference's enriched SINGLE-DOC envelope
+    * (`{"run_id", "scenario", "enriched": [...]}` —
+    * grocery_enrich_dag.py:47-52), written with the atomic commit
+    * protocol. `collect_list(struct(*))` folds the run's rows into one
+    * document — correct for the reference's per-run batch shape; the
+    * parquet artifact from [[enrich]] remains the scale path. Returns
+    * the row count inside the envelope.
+    */
+  def writeEnrichedEnvelope(spark: SparkSession, paths: RunPaths,
+      scenario: String): Long = {
+    Checks.requireArtifacts(spark, Seq(paths.enrichedDir), paths.runId)
+    val enriched = spark.read.parquet(paths.enrichedDir)
+    val row = enriched
+      .agg(collect_list(struct(enriched.columns.map(col): _*)).as("enriched"))
+      .select(
+        to_json(struct(
+          lit(paths.runId).as("run_id"),
+          lit(scenario).as("scenario"),
+          col("enriched"))).as("doc"),
+        size(col("enriched")).cast("long").as("n"))
+      .head()
+    val tmp = Paths.get(paths.enrichedDocFile + ".tmp")
+    Files.write(tmp, row.getString(0).getBytes(StandardCharsets.UTF_8))
+    Files.move(tmp, Paths.get(paths.enrichedDocFile),
+      StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+    row.getLong(1)
   }
 
   /** Stage 4 — load: keyed upsert into the warehouse fact directory

@@ -39,6 +39,23 @@ class GroceryPipelineSpec extends AnyFunSuite with SparkSpec {
     assert(spark.read.parquet(wh).count() == 80)
   }
 
+  test("K4: enriched single-doc envelope matches the reference shape") {
+    val base = tmp()
+    val paths = RunPaths(base, "run-env")
+    GroceryPipeline.ingest(spark, paths, "ok")
+    GroceryPipeline.validate(spark, paths)
+    GroceryPipeline.enrich(spark, paths)
+    val n = GroceryPipeline.writeEnrichedEnvelope(spark, paths, "ok")
+    assert(n == 40)
+    val doc = spark.read.option("multiLine", true).json(paths.enrichedDocFile)
+    assert(doc.count() == 1) // ONE document, not NDJSON
+    val row = doc.selectExpr("run_id", "scenario", "size(enriched)").head()
+    assert(row.getString(0) == "run-env" && row.getString(1) == "ok"
+      && row.getInt(2) == 40)
+    // atomic commit: no .tmp left behind
+    assert(!Files.exists(java.nio.file.Paths.get(paths.enrichedDocFile + ".tmp")))
+  }
+
   test("malformed_json fails in validate with DataContractError + failure event") {
     val base = tmp()
     intercept[DataContractError] {
