@@ -152,6 +152,14 @@ object SparkEntry {
     "q_dedup_clusters" -> DedupQ.dedupClusters,
     // dedup — embedding cosine near-dup pairs
     "q_embed_near_dup" -> DedupQ.embedNearDup,
+    // dedup — embedding near-dup clusters (blocked pairs + star contraction)
+    "q_embed_clusters" -> DedupQ.embedClusters,
+    // dedup/hygiene — test-set decontamination via 8-gram benchmark overlap
+    "q_decontaminate" -> DedupQ.decontaminate,
+    // text analysis — Gopher-style duplicate-n-gram repetition scoring
+    "q_repetition" -> TextQ.repetition,
+    // training-sequence packing (distributed two-phase prefix sum)
+    "q_pack_sequences" -> TextQ.packSequences,
     // similarity search — exact cosine top-k baseline
     "q_ann_topk" -> AnnQ.bruteTopK,
     // similarity search — sign-LSH bucketed top-k (rows-only: approximate)
@@ -495,6 +503,78 @@ object SparkEntry {
         |  FROM e a JOIN e b ON a.vec_id < b.vec_id
         |)
         |SELECT a_id, b_id, round(c, 6) AS cosine FROM p WHERE c >= 0.4""".stripMargin,
+    "q_embed_clusters" ->
+      """WITH RECURSIVE e AS (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+        |), p AS (
+        |  SELECT a.vec_id AS a_id, b.vec_id AS b_id FROM e a JOIN e b ON a.vec_id < b.vec_id
+        |  WHERE list_cosine_similarity(a.v, b.v) >= 0.4
+        |), edges AS (
+        |  SELECT a_id AS s, b_id AS d FROM p UNION ALL SELECT b_id, a_id FROM p
+        |), reach(s, d) AS (
+        |  SELECT vec_id, vec_id FROM embeddings
+        |  UNION
+        |  SELECT r.s, e2.d FROM reach r JOIN edges e2 ON r.d = e2.s
+        |)
+        |SELECT s AS vec_id, min(d) AS cluster_id FROM reach GROUP BY s""".stripMargin,
+    "q_decontaminate" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |   string_split(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' ') AS ws
+        |  FROM documents
+        |), g AS (
+        |  SELECT doc_id, list_distinct(
+        |    [array_to_string(ws[i:i+7], ' ') for i in generate_series(1, len(ws) - 7)]) AS gs
+        |  FROM d WHERE len(ws) >= 8
+        |), bench AS (
+        |  SELECT list_distinct(flatten(list(gs))) AS bgs FROM g WHERE doc_id % 10 = 0
+        |), corpus AS (
+        |  SELECT d.doc_id, coalesce(g.gs, []) AS gs
+        |  FROM d LEFT JOIN g ON d.doc_id = g.doc_id
+        |  WHERE d.doc_id % 10 != 0
+        |)
+        |SELECT c.doc_id,
+        | CAST(len(list_intersect(c.gs, b.bgs)) AS BIGINT) AS hits,
+        | len(list_intersect(c.gs, b.bgs)) > 0 AS contaminated
+        |FROM corpus c, bench b""".stripMargin,
+    "q_repetition" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |   string_split(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' ') AS ws
+        |  FROM documents
+        |), r AS (
+        |  SELECT doc_id,
+        |   CAST(greatest(len(ws) - 1, 0) AS BIGINT) AS total_2grams,
+        |   CAST(len(list_distinct([array_to_string(ws[i:i+1], ' ') for i in generate_series(1, len(ws) - 1)])) AS BIGINT) AS distinct_2grams,
+        |   CAST(greatest(len(ws) - 2, 0) AS BIGINT) AS total_3grams,
+        |   CAST(len(list_distinct([array_to_string(ws[i:i+2], ' ') for i in generate_series(1, len(ws) - 2)])) AS BIGINT) AS distinct_3grams
+        |  FROM d
+        |)
+        |SELECT *,
+        | CASE WHEN total_2grams > 0 THEN round(1.0 - CAST(distinct_2grams AS DOUBLE) / CAST(total_2grams AS DOUBLE), 6) ELSE 0.0 END AS dup_ratio_2,
+        | CASE WHEN total_3grams > 0 THEN round(1.0 - CAST(distinct_3grams AS DOUBLE) / CAST(total_3grams AS DOUBLE), 6) ELSE 0.0 END AS dup_ratio_3,
+        | (CASE WHEN total_2grams > 0 THEN round(1.0 - CAST(distinct_2grams AS DOUBLE) / CAST(total_2grams AS DOUBLE), 6) ELSE 0.0 END) > 0.2 AS repetitive
+        |FROM r""".stripMargin,
+    "q_pack_sequences" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |   string_split(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' ') AS ws,
+        |   list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |     list_transform(string_split(
+        |       trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ''),
+        |       c -> CAST(ascii(c) AS BIGINT))),
+        |     (a, b) -> (a * 31 + b) % 1000000007) AS okey
+        |  FROM documents
+        |), c AS (
+        |  SELECT doc_id, CAST(len(ws) AS BIGINT) AS n_tokens,
+        |   coalesce(CAST(SUM(len(ws)) OVER (ORDER BY okey, doc_id
+        |     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT), 0) AS tok_offset
+        |  FROM d
+        |)
+        |SELECT doc_id, n_tokens, tok_offset,
+        | CAST(tok_offset // 512 AS BIGINT) AS seq_id,
+        | CAST(tok_offset % 512 AS BIGINT) AS offset_in_seq
+        |FROM c""".stripMargin,
     "q_ann_topk" ->
       """WITH e AS (
         |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings

@@ -232,15 +232,51 @@ object Dedup {
     // missed with p < 5e-8) and runs ONCE, outside the iteration.
     val pairs = minhashLshPairs(df, idCol, textCol, n, threshold,
       nHashes, nBands)
+    clusterLabels(df, idCol, pairs, maxIters)
+  }
+
+  /** Attach connected-component labels to an id universe given a
+    * near-dup (a_id < b_id) pair relation: every id maps to its
+    * component's minimum id, singletons to themselves. The id table is
+    * joined exactly once, after the (edge-only) star contraction; the
+    * tiny star edge set stays pinned until the result frame is dropped
+    * and the ContextCleaner collects it.
+    */
+  def clusterLabels(ids: DataFrame, idCol: String, pairs: DataFrame,
+      maxIters: Int = 20): DataFrame = {
     val stars = connectedComponents(pairs, maxIters)
-    // the corpus-sized doc table is touched exactly once, here, to attach
-    // singleton self-labels. `stars` (edge-sized, tiny) stays pinned until
-    // the result frame is dropped and the ContextCleaner collects it.
-    df.select(col(idCol).as("doc_id"))
+    ids.select(col(idCol).as("doc_id"))
       .join(stars.select(col("u").as("doc_id"), col("v").as("root")),
         Seq("doc_id"), "left")
       .select(col("doc_id"),
         coalesce(col("root"), col("doc_id")).as("cluster_id"))
+  }
+
+  /** Test-set decontamination: per corpus document, the number of its
+    * distinct word `n`-grams that appear ANYWHERE in the benchmark/eval
+    * corpus, plus the boolean verdict. The standard pre-training hygiene
+    * operator (a training corpus must not contain eval data) — 8- to
+    * 13-gram overlap is the usual industry test.
+    *
+    * Shape: both sides explode to (doc, shingle); the benchmark's
+    * distinct shingle set joins the corpus side on the shingle CONTENT
+    * KEY — a shuffle (or, when the benchmark is small, a statistics-
+    * chosen broadcast) that scales with corpus shingle count, never a
+    * doc×doc comparison. Zero-hit docs are preserved by the final left
+    * join against the id universe.
+    */
+  def contamination(corpus: DataFrame, benchmark: DataFrame, idCol: String,
+      textCol: String, n: Int = 8): DataFrame = {
+    def sh(df: DataFrame) = df.select(col(idCol).as("doc_id"),
+      explode(TextOps.shingles(TextOps.tokens(col(textCol)), n)).as("sh"))
+    val bSh = sh(benchmark).select("sh").distinct()
+    val hits = sh(corpus).join(bSh, "sh")
+      .groupBy("doc_id").agg(count(lit(1)).as("hits"))
+    corpus.select(col(idCol).as("doc_id"))
+      .join(hits, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("hits"), lit(0L)).as("hits"),
+        (coalesce(col("hits"), lit(0L)) > 0).as("contaminated"))
   }
 
   /** Connected components over an (a_id < b_id) pair relation by

@@ -65,4 +65,28 @@ object DedupQ {
   def embedNearDup(spark: SparkSession, dir: String): DataFrame =
     Dedup.cosinePairsBlocked(Tables(spark, dir, "embeddings"), "vec_id",
       "embedding", threshold = 0.4)
+
+  /** Embedding near-dup CLUSTERS: the blocked exact cosine pairs fed
+    * through the same star-contraction as the text clusters — every
+    * vector labeled with its component's min id.
+    */
+  def embedClusters(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables(spark, dir, "embeddings")
+    val pairs = Dedup.cosinePairsBlocked(emb, "vec_id", "embedding",
+      threshold = 0.4).select(col("a_id"), col("b_id"))
+    Dedup.clusterLabels(emb, "vec_id", pairs)
+      .select(col("doc_id").as("vec_id"), col("cluster_id"))
+  }
+
+  /** Test-set decontamination over a planted split of `documents`:
+    * benchmark = doc_id % 10 == 0, corpus = the rest; corpus docs
+    * sharing any 8-gram with the benchmark are flagged.
+    */
+  def decontaminate(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(spark, dir, "documents")
+    Dedup.contamination(
+      corpus = docs.filter(col("doc_id") % 10 =!= 0),
+      benchmark = docs.filter(col("doc_id") % 10 === 0),
+      idCol = "doc_id", textCol = "text", n = 8)
+  }
 }

@@ -86,6 +86,35 @@ object TextQ {
         col("c.chunk").as("chunk"))
   }
 
+  /** Intra-document repetition scoring (Gopher-style quality rule):
+    * duplicate-n-gram fraction for n = 2, 3 — boilerplate and
+    * degenerate-generation text scores high and gets dropped before
+    * training. Narrow pass, no shuffle.
+    */
+  def repetition(spark: SparkSession, dir: String): DataFrame = {
+    val toks = TextOps.tokens(col("text"))
+    def ratio(total: org.apache.spark.sql.Column, dist: org.apache.spark.sql.Column) =
+      when(total > 0,
+        round(lit(1.0) - dist.cast("double") / total.cast("double"), 6))
+        .otherwise(lit(0.0))
+    Tables(spark, dir, "documents")
+      .select(col("doc_id"),
+        greatest(size(toks) - 1, lit(0)).cast("long").as("total_2grams"),
+        size(TextOps.shingles(toks, 2)).cast("long").as("distinct_2grams"),
+        greatest(size(toks) - 2, lit(0)).cast("long").as("total_3grams"),
+        size(TextOps.shingles(toks, 3)).cast("long").as("distinct_3grams"))
+      .withColumn("dup_ratio_2", ratio(col("total_2grams"), col("distinct_2grams")))
+      .withColumn("dup_ratio_3", ratio(col("total_3grams"), col("distinct_3grams")))
+      .withColumn("repetitive", col("dup_ratio_2") > 0.2)
+  }
+
+  /** Training-sequence packing over the corpus: 512-token sequences on
+    * the deterministic concatenated tape (see [[graft.text.Packing]]).
+    */
+  def packSequences(spark: SparkSession, dir: String): DataFrame =
+    graft.text.Packing.packSequences(
+      Tables(spark, dir, "documents"), "doc_id", "text", seqLen = 512L)
+
   /** Document fingerprints: order-sensitive rolling hash of the
     * normalized text + order-independent bag-of-words hash. Exact dedup
     * at 100 TB groups on these 8-byte keys instead of comparing bodies.

@@ -1,0 +1,75 @@
+package graft.text
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{IntegerType, LongType, StructField, StructType}
+
+/** Training-sequence packing: lay every document's tokens out on one
+  * global concatenated tape (GPT-style concat-and-chunk packing) and
+  * report, per document, its starting token offset and which
+  * fixed-length training sequence that offset falls in. Documents are
+  * ordered by (content rolling hash, id) — deterministic, reproducible,
+  * and ingestion-order-unbiased, the same recipe as the stratified
+  * sampler.
+  *
+  * The global exclusive prefix sum is computed the way a 1000-executor
+  * job must: documents hash into `buckets` VALUE-RANGE buckets of the
+  * order key (a pure function of the key, so bucket boundaries respect
+  * the global order), per-bucket token totals — `buckets` longs — come
+  * to the driver, and each bucket's base offset broadcasts back; the
+  * per-row cumulative sum then runs as a window WITHIN each bucket.
+  * No single-partition global window (the naive
+  * `Window.orderBy(...)` collapses the whole corpus into one task);
+  * driver state is O(buckets). Size `buckets` to ~2–4× the executor
+  * slot count.
+  */
+object Packing {
+
+  private val HashMod = 1000000007L // rollingHash's modulus
+
+  /** (doc_id, n_tokens, tok_offset, seq_id, offset_in_seq) per document:
+    * `tok_offset` is the document's first token's position on the global
+    * tape, `seq_id = tok_offset div seqLen`, `offset_in_seq` its offset
+    * inside that sequence. A document may straddle a sequence boundary —
+    * that is the concat-and-chunk contract (the consumer splits at
+    * sequence edges).
+    */
+  def packSequences(df: DataFrame, idCol: String, textCol: String,
+      seqLen: Long, buckets: Int = 64): DataFrame = {
+    require(seqLen > 0 && buckets > 0)
+    val spark = df.sparkSession
+    val width = (HashMod + buckets - 1) / buckets // ceil: bucket < buckets
+    val keyed = df.select(
+      col(idCol).as("doc_id"),
+      size(TextOps.tokens(col(textCol))).cast("long").as("n_tokens"),
+      TextOps.rollingHash(TextOps.normalize(col(textCol))).as("okey"))
+      .withColumn("bucket", (col("okey") / lit(width)).cast("int"))
+    // phase 1: per-bucket totals -> driver (O(buckets) longs), exclusive
+    // running base per bucket
+    val totals = keyed.groupBy("bucket").agg(sum(col("n_tokens")).as("t"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    var acc = 0L
+    val baseRows = (0 until buckets).map { b =>
+      val base = acc
+      acc += totals.getOrElse(b, 0L)
+      Row(b, base)
+    }
+    val bases = spark.createDataFrame(
+      spark.sparkContext.parallelize(baseRows, 1),
+      StructType(Seq(StructField("bucket", IntegerType, nullable = false),
+        StructField("base", LongType, nullable = false))))
+    // phase 2: exclusive cumsum within each bucket + the bucket's base
+    val w = Window.partitionBy(col("bucket"))
+      .orderBy(col("okey"), col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    keyed.join(bases, "bucket")
+      .withColumn("tok_offset",
+        col("base") + coalesce(sum(col("n_tokens")).over(w), lit(0L)))
+      .select(col("doc_id"), col("n_tokens"), col("tok_offset"),
+        // integer div, not double division + truncate: tape offsets at
+        // 100 TB exceed double's exact-integer range
+        expr(s"tok_offset div $seqLen").as("seq_id"),
+        pmod(col("tok_offset"), lit(seqLen)).as("offset_in_seq"))
+  }
+}

@@ -122,6 +122,22 @@ class DedupSpec extends AnyFunSuite with SparkSpec {
     assert(blocked == exact)
   }
 
+  test("contamination flags benchmark n-gram overlap, keeps zero-hit docs") {
+    val benchmark = docs(
+      100 -> "what is the capital of france and when was it founded exactly")
+    val corpus = docs(
+      1 -> "students often ask what is the capital of france and when was it founded exactly in exams", // contains the 8-gram
+      2 -> "completely unrelated content about spark query engines and shuffles at scale today",
+      3 -> "too short to shingle") // < 8 tokens: must still appear with 0 hits
+    val r = Dedup.contamination(corpus, benchmark, "doc_id", "text", n = 8)
+      .collect().map(r => r.getAs[Int]("doc_id") ->
+        ((r.getAs[Long]("hits"), r.getAs[Boolean]("contaminated")))).toMap
+    assert(r(1)._1 > 0 && r(1)._2)
+    assert(r(2) == ((0L, false)))
+    assert(r(3) == ((0L, false)))
+    assert(r.size == 3)
+  }
+
   test("cosinePairs finds identical and near-identical vectors only") {
     import spark.implicits._
     val vecs = Seq(
