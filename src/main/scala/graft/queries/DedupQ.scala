@@ -89,4 +89,34 @@ object DedupQ {
       benchmark = docs.filter(col("doc_id") % 10 === 0),
       idCol = "doc_id", textCol = "text", n = 8)
   }
+
+  /** The end-to-end corpus CURATION verdict — what a training-data
+    * pipeline actually ships: one declarative plan joining, per
+    * candidate document, (a) quality keep, (b) repetition verdict,
+    * (c) benchmark decontamination, (d) near-dup canonicalization (doc
+    * is its cluster's min-id representative). `keep` is the conjunction.
+    * Every stage is a doc_id-keyed join, so at scale the conjunction
+    * co-partitions on one key; each component is independently oracled,
+    * and this query's oracle recomputes the whole composition.
+    */
+  def corpusFilter(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(spark, dir, "documents")
+    val quality = TextQ.qualityScore(spark, dir)
+      .select(col("doc_id"), col("keep").as("quality_ok"))
+    val rep = TextQ.repetition(spark, dir)
+      .select(col("doc_id"), (!col("repetitive")).as("not_repetitive"))
+    val decon = decontaminate(spark, dir)
+      .select(col("doc_id"), (!col("contaminated")).as("not_contaminated"))
+    val canon = Dedup.duplicateClusters(docs, "doc_id", "text",
+      n = 3, threshold = 0.8)
+      .select(col("doc_id"), (col("cluster_id") === col("doc_id")).as("canonical"))
+    docs.filter(col("doc_id") % 10 =!= 0).select(col("doc_id"))
+      .join(quality, "doc_id")
+      .join(rep, "doc_id")
+      .join(decon, "doc_id")
+      .join(canon, "doc_id")
+      .withColumn("keep",
+        col("quality_ok") && col("not_repetitive") &&
+          col("not_contaminated") && col("canonical"))
+  }
 }
