@@ -537,8 +537,8 @@ object SparkEntry {
         |  WHERE d.doc_id % 10 != 0
         |)
         |SELECT c.doc_id,
-        | CAST(len(list_intersect(c.gs, b.bgs)) AS BIGINT) AS hits,
-        | len(list_intersect(c.gs, b.bgs)) > 0 AS contaminated
+        | CAST(len(list_intersect(c.gs, coalesce(b.bgs, []))) AS BIGINT) AS hits,
+        | len(list_intersect(c.gs, coalesce(b.bgs, []))) > 0 AS contaminated
         |FROM corpus c, bench b""".stripMargin,
     "q_repetition" ->
       """WITH d AS (
@@ -610,7 +610,7 @@ object SparkEntry {
         |  FROM d LEFT JOIN g8 USING (doc_id)
         |  WHERE d.doc_id % 10 != 0
         |), dc AS (
-        |  SELECT c.doc_id, len(list_intersect(c.gs, b.bgs)) = 0 AS not_contaminated
+        |  SELECT c.doc_id, len(list_intersect(c.gs, coalesce(b.bgs, []))) = 0 AS not_contaminated
         |  FROM corpus c, bench b
         |), g3 AS (
         |  SELECT doc_id, list_distinct(

@@ -164,12 +164,23 @@ object Dedup {
     * fewer aggregate columns (the 64-agg version spent its 32 s at sf0.1
     * in the aggregation hash map, not the arithmetic).
     *
-    * 16-bit lanes cap documents at 65,535 tokens — enforced with an
-    * explicit raise_error; chunk longer docs upstream (TextOps chunking).
+    * Overflow safety: lane 3 sits at bit 48, so a lane count of c adds
+    * c·2^48 to the packed sum — the aggregate stays inside a signed Long
+    * only while c ≤ 16,383 (16,383·(2^48+2^32+2^16+1) < 2^62). Documents
+    * are therefore capped at 16,383 tokens, enforced BEFORE the explode
+    * (an after-the-fact check would be preempted by ANSI
+    * ARITHMETIC_OVERFLOW inside the aggregation); chunk longer docs
+    * upstream (TextOps chunking).
     */
   def simhash64(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val maxToks = 16383
+    val tokArr = TextOps.tokens(col(textCol))
     val toks = df.select(col(idCol).as("doc"),
-      explode(TextOps.tokens(col(textCol))).as("t"))
+      explode(when(size(tokArr) > maxToks,
+        raise_error(concat(lit("simhash64: document "),
+          col(idCol).cast("string"),
+          lit(s" exceeds $maxToks tokens — chunk upstream"))))
+        .otherwise(tokArr)).as("t"))
       .withColumn("h", xxhash64(col("t")))
     // per-token spread: lane-group L packs bits {L, L+16, L+32, L+48}
     val spreadCols = (0 until 16).map { l =>
@@ -186,12 +197,7 @@ object Dedup {
     val sh = (0 until 64).map(j =>
       when(cnt(j) * 2 >= col("n"), lit(1L << j)).otherwise(lit(0L)))
       .reduce(_ bitwiseOR _)
-    cnts.select(col("doc"),
-      when(col("n") > 0xFFFFL,
-        raise_error(concat(lit("simhash64: document "),
-          col("doc").cast("string"),
-          lit(" exceeds 65535 tokens — chunk upstream"))).cast("long"))
-        .otherwise(sh).as("sh64"))
+    cnts.select(col("doc"), sh.as("sh64"))
   }
 
   def simhashPairs(df: DataFrame, idCol: String, textCol: String,
@@ -444,12 +450,21 @@ object Dedup {
       threshold: Double, tables: Int = 96, bitsPerTable: Int = 4,
       seed: Long = 42L): DataFrame = {
     import graft.functions.ArrayDotProduct.ofColumns
+    val prepped0 = prepVectors(df, idCol, vecCol)
     // infer dim from data: a plane/vector length mismatch nulls the dot
-    // and would silently land everything in bucket 0
-    val dim = df.select(size(col(vecCol))).head().getInt(0)
+    // and would silently land everything in bucket 0. An empty (or
+    // all-null) vector table has no dim — return the empty pair relation
+    // like the sibling paths instead of failing head() on no rows.
+    val dimRow = df.select(size(col(vecCol)).as("d"))
+      .filter(col("d").isNotNull).head(1)
+    if (dimRow.isEmpty)
+      return verifyCosine(
+        prepped0.select(col("doc").as("a_id"), col("doc").as("b_id")).limit(0),
+        prepped0, threshold)
+    val dim = dimRow(0).getInt(0)
     val planeLit = typedlit((0 until tables).map(t =>
       graft.ann.Ann.planes(seed + t, bitsPerTable, dim)))
-    val prepped = prepVectors(df, idCol, vecCol)
+    val prepped = prepped0
     val tablePlanes = element_at(planeLit, col("table") + 1)
     val bucket = aggregate(
       sequence(lit(0), lit(bitsPerTable - 1)), lit(0L),

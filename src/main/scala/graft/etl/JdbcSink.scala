@@ -62,6 +62,7 @@ object JdbcSink {
       keys: Seq[String], batchSize: Int): Unit = {
     requireIdent(table, "table", allowQualified = true)
     df0.schema.fieldNames.foreach(requireIdent(_, "column", allowQualified = false))
+    keys.foreach(requireIdent(_, "key", allowQualified = false))
     // co-locate same-key rows in one partition: upserts of one key never
     // race across connections, and per-key order is deterministic
     val df =

@@ -108,7 +108,12 @@ object GroceryPipeline {
       partialPauseMs: Long = 1500,
       midWrite: Option[() => Unit] = None): Unit = {
     paths.mkdirs()
-    val url = s"$apiBase/transactions?run_id=${paths.runId}&scenario=$scenario&n=$n"
+    // URL-encode the params (the reference's httpx params=... does too):
+    // a runId with a space/&/# must not truncate or corrupt the query
+    def enc(s: String) =
+      java.net.URLEncoder.encode(s, StandardCharsets.UTF_8)
+    val url = s"$apiBase/transactions?run_id=${enc(paths.runId)}" +
+      s"&scenario=${enc(scenario)}&n=$n"
     val body = graft.sources.HttpFetch.getWithRetry(url, retries, retryDelayMs, timeoutMs)
     writeRaw(paths, scenario, body, partialPauseMs, midWrite)
   }

@@ -20,18 +20,19 @@ object RangeJoin {
       startCol: String, endCol: String, binWidth: Long): DataFrame = {
     require(binWidth > 0)
     val p = points.withColumn("__bin", floor(col(tsCol) / binWidth).cast("long"))
-    // least/greatest the bounds: a dirty interval with end < start would
-    // otherwise make sequence() DESCEND through every bin between the two
-    // values — a swapped large pair explodes into millions of bin rows (or
-    // trips the sequence length limit). Ordered bounds keep the expansion
-    // at |interval|/binWidth; the ts-between-start-and-end post-filter
-    // still drops the dirty interval's rows from the result.
-    val lo = least(col(startCol), col(endCol))
-    val hi = greatest(col(startCol), col(endCol))
-    val i = intervals.withColumn("__bin",
-      explode(sequence(
-        floor(lo / binWidth).cast("long"),
-        floor(hi / binWidth).cast("long"))))
+    // drop dirty intervals (end < start) BEFORE the explode: they can
+    // match nothing (the ts-between post-filter is unsatisfiable), but
+    // sequence() would still replicate them into every bin between the
+    // two values — auto-descending when start > stop — so one swapped
+    // large pair explodes into millions of bin rows or trips the
+    // sequence length limit. Filtering is the only real guard; wrapping
+    // the bounds in least/greatest would regenerate the same bin range.
+    val i = intervals
+      .filter(col(startCol) <= col(endCol))
+      .withColumn("__bin",
+        explode(sequence(
+          floor(col(startCol) / binWidth).cast("long"),
+          floor(col(endCol) / binWidth).cast("long"))))
     p.join(i, keyCols :+ "__bin")
       .filter(col(tsCol) >= col(startCol) && col(tsCol) <= col(endCol))
       .drop("__bin")

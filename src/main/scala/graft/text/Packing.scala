@@ -40,11 +40,17 @@ object Packing {
     require(seqLen > 0 && buckets > 0)
     val spark = df.sparkSession
     val width = (HashMod + buckets - 1) / buckets // ceil: bucket < buckets
+    // checkpoint barrier: the tokenize+hash projection feeds BOTH the
+    // phase-1 totals action and the phase-2 output plan — without it the
+    // whole-corpus scan runs twice. The materialized frame is 4 narrow
+    // columns per doc; it stays pinned until the result frame is dropped
+    // and the ContextCleaner collects it.
     val keyed = df.select(
       col(idCol).as("doc_id"),
       size(TextOps.tokens(col(textCol))).cast("long").as("n_tokens"),
       TextOps.rollingHash(TextOps.normalize(col(textCol))).as("okey"))
       .withColumn("bucket", (col("okey") / lit(width)).cast("int"))
+      .localCheckpoint()
     // phase 1: per-bucket totals -> driver (O(buckets) longs), exclusive
     // running base per bucket
     val totals = keyed.groupBy("bucket").agg(sum(col("n_tokens")).as("t"))

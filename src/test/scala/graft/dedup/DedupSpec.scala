@@ -107,6 +107,27 @@ class DedupSpec extends AnyFunSuite with SparkSpec {
     assert(packed == hof)
   }
 
+  test("simhash64: worst-case repeated-token doc aggregates without overflow; oversized doc gets the cap error") {
+    import spark.implicits._
+    // 16,000 identical tokens stress every lane of the packed sums at
+    // once (cnt_j = n for every set bit) — the shape that overflowed a
+    // 16-bit-lane design at bit 48 before the 16,383-token cap
+    val heavy = Seq((1, Seq.fill(16000)("spark").mkString(" "))).toDF("doc_id", "text")
+    assert(Dedup.simhash64(heavy, "doc_id", "text").collect().length == 1)
+    val over = Seq((2, Seq.fill(16384)("x").mkString(" "))).toDF("doc_id", "text")
+    val e = intercept[Exception] {
+      Dedup.simhash64(over, "doc_id", "text").collect()
+    }
+    // the FRIENDLY cap error, not ANSI ARITHMETIC_OVERFLOW mid-aggregate
+    assert(e.getMessage.contains("chunk upstream"), e.getMessage)
+  }
+
+  test("cosinePairsBucketed returns the empty relation on an empty vector table") {
+    import spark.implicits._
+    val empty = Seq.empty[(Long, Array[Float])].toDF("vec_id", "embedding")
+    assert(Dedup.cosinePairsBucketed(empty, "vec_id", "embedding", 0.5).count() == 0)
+  }
+
   test("cosinePairsBucketed and cosinePairsBlocked equal the all-pairs reference on real embeddings") {
     val emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
     val exact = Dedup.cosinePairs(emb, "vec_id", "embedding", threshold = 0.4)

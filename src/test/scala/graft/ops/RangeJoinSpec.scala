@@ -28,6 +28,18 @@ class RangeJoinSpec extends AnyFunSuite with SparkSpec {
     assert(out.toSet == Set((1L, "s1"), (2L, "s1"), (3L, "s1")))
   }
 
+  test("dirty intervals (end < start) are dropped before the explode, not replicated") {
+    val points = Seq((1L, "u", 100L)).toDF("event_id", "k", "ts")
+    // a swapped LARGE pair: naive sequence() would replicate this row
+    // into ~280M bins (auto-descending) and blow the array-length limit
+    val intervals = Seq(("u", 1000000000000L, 0L, "dirty"), ("u", 50L, 150L, "ok"))
+      .toDF("k", "lo", "hi", "name")
+    val out = RangeJoin.pointInInterval(points, intervals,
+      Seq("k"), "ts", "lo", "hi", binWidth = 3600L)
+      .select("name").collect().map(_.getString(0)).toSeq
+    assert(out == Seq("ok")) // dirty interval matches nothing and costs nothing
+  }
+
   test("overlapping intervals each match (point joins all containers)") {
     val points = Seq((1L, "u", 100L)).toDF("event_id", "k", "ts")
     val intervals = Seq(("u", 0L, 200L, "outer"), ("u", 90L, 110L, "inner"))
