@@ -94,6 +94,10 @@ object SparkEntry {
     // engine-specific sketches; SketchQSpec bounds the error)
     "q_approx_distinct" -> SketchQ.approxDistinct,
     "q_approx_percentiles" -> SketchQ.approxPercentiles,
+    // sketches — Misra-Gries heavy hitters (top-20 tokens; deterministic
+    // here because k=64 exceeds the distinct-token count, so the oracle
+    // is the exact top-20 with shed=0)
+    "q_frequent_tokens" -> SketchQ.frequentTokens,
     // §2.10 — tumbling event-time window (batch twin of streaming agg)
     "q_tumbling_window" -> EventsQ.tumblingWindow,
     // §2.10 — gap-based sessionization
@@ -578,6 +582,18 @@ object SparkEntry {
         | CAST(tok_offset // 512 AS BIGINT) AS seq_id,
         | CAST(tok_offset % 512 AS BIGINT) AS offset_in_seq
         |FROM c""".stripMargin,
+    // MG with k=64 over a ≤64-distinct-token stream never sheds, so the
+    // summary is exact and the oracle is the exact top-20 (shed = 0);
+    // MisraGriesSpec pins the approximate invariants at adversarial k
+    "q_frequent_tokens" ->
+      """WITH t AS (
+        |  SELECT unnest(string_split(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' ')) AS token
+        |  FROM documents
+        |), c AS (
+        |  SELECT token, count(*) AS est FROM t GROUP BY token
+        |)
+        |SELECT token, CAST(est AS BIGINT) AS est, CAST(0 AS BIGINT) AS shed
+        |FROM c ORDER BY est DESC, token LIMIT 20""".stripMargin,
     // the composed curation verdict: quality ∧ ¬repetitive ∧
     // ¬contaminated ∧ canonical — each block mirrors its standalone oracle
     "q_corpus_filter" ->

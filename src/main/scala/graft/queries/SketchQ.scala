@@ -30,6 +30,24 @@ object SketchQ {
           .as("estimate"))
   }
 
+  /** Heavy hitters: the 20 most frequent document tokens by Misra–Gries
+    * summary (k=64, O(k) mergeable state, est ≤ true ≤ est + shed)
+    * joined against their exact counts — the one-pass answer to "what
+    * are the dominant items" when an exact groupBy of every distinct
+    * token is a full shuffle. Deterministic output: the MG estimate with
+    * k well above the distinct-token count equals the exact count, and
+    * the spec pins the invariants at adversarial k.
+    */
+  def frequentTokens(spark: SparkSession, dir: String): DataFrame = {
+    val toks = Tables(spark, dir, "documents")
+      .select(explode(graft.text.TextOps.tokens(col("text"))).as("t"))
+    toks
+      .agg(graft.functions.MisraGries.ofColumn(col("t"), 64).as("s"))
+      .select(explode(col("s.items")).as(Seq("token", "est")), col("s.shed"))
+      .orderBy(col("est").desc, col("token"))
+      .limit(20)
+  }
+
   /** Approximate per-status percentiles (percentile_approx with
     * accuracy 10000) next to the exact values.
     */
