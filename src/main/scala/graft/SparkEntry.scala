@@ -162,6 +162,10 @@ object SparkEntry {
     "q_decontaminate" -> DedupQ.decontaminate,
     // text analysis — Gopher-style duplicate-n-gram repetition scoring
     "q_repetition" -> TextQ.repetition,
+    // text analysis — tf×(N/df) rarity-weighted top terms per document
+    "q_top_terms" -> TextQ.topTerms,
+    // content-hash deterministic train/val/test split assignment
+    "q_split_assign" -> TextQ.splitAssign,
     // training-sequence packing (distributed two-phase prefix sum)
     "q_pack_sequences" -> TextQ.packSequences,
     // dedup/text — the composed corpus-curation verdict (flagship of the
@@ -582,6 +586,39 @@ object SparkEntry {
         | CAST(tok_offset // 512 AS BIGINT) AS seq_id,
         | CAST(tok_offset % 512 AS BIGINT) AS offset_in_seq
         |FROM c""".stripMargin,
+    "q_top_terms" ->
+      """WITH tok AS (
+        |  SELECT doc_id, unnest(string_split(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' ')) AS token
+        |  FROM documents
+        |), tf AS (
+        |  SELECT doc_id, token, count(*) AS tf FROM tok GROUP BY 1, 2
+        |), df AS (
+        |  SELECT token, count(DISTINCT doc_id) AS df FROM tok GROUP BY 1
+        |), n AS (SELECT count(*) AS n FROM documents
+        |), scored AS (
+        |  SELECT tf.doc_id, tf.token, tf.tf, df.df,
+        |   round(CAST(tf.tf * n.n AS DOUBLE) / CAST(df.df AS DOUBLE), 6) AS score
+        |  FROM tf JOIN df USING (token), n
+        |), ranked AS (
+        |  SELECT *, CAST(row_number() OVER (
+        |    PARTITION BY doc_id ORDER BY score DESC, token) AS BIGINT) AS "rank"
+        |  FROM scored
+        |)
+        |SELECT doc_id, "rank", token, tf, df, score
+        |FROM ranked WHERE "rank" <= 5""".stripMargin,
+    "q_split_assign" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |   list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |     list_transform(string_split(
+        |       trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ''),
+        |       c -> CAST(ascii(c) AS BIGINT))),
+        |     (a, b) -> (a * 31 + b) % 1000000007) % 100 AS h_mod
+        |  FROM documents
+        |)
+        |SELECT doc_id, CAST(h_mod AS BIGINT) AS h_mod,
+        | CASE WHEN h_mod < 90 THEN 'train' WHEN h_mod < 95 THEN 'val' ELSE 'test' END AS split
+        |FROM d""".stripMargin,
     // MG with k=64 over a ≤64-distinct-token stream never sheds, so the
     // summary is exact and the oracle is the exact top-20 (shed = 0);
     // MisraGriesSpec pins the approximate invariants at adversarial k

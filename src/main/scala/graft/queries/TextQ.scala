@@ -115,6 +115,55 @@ object TextQ {
     graft.text.Packing.packSequences(
       Tables(spark, dir, "documents"), "doc_id", "text", seqLen = 512L)
 
+  /** TF-IDF-family top terms: per document, the 5 tokens with the
+    * highest tf × (N/df) rarity weight — term frequency times RAW
+    * inverse document frequency. Raw (not log) IDF is a deliberate
+    * cross-engine-exactness choice: tf·N/df is one correctly-rounded
+    * double division of integers (both engines produce the identical
+    * bit pattern; two distinct rationals at these magnitudes are never
+    * within a ulp), whereas ln() may differ in the last ulp across
+    * libm implementations and silently flip ranks. Ranking is identical
+    * to log-idf ranking per document up to idf monotonicity.
+    *
+    * Shape: one groupBy(token) for document frequencies (the only
+    * shuffle over token space), broadcast-or-shuffle join back, then a
+    * per-doc top-k window — df table size is vocabulary-sized, tiny
+    * relative to the corpus.
+    */
+  def topTerms(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(spark, dir, "documents")
+    val n = docs.count()
+    val toks = docs.select(col("doc_id"),
+      explode(TextOps.tokens(col("text"))).as("token"))
+    val tf = toks.groupBy(col("doc_id"), col("token"))
+      .agg(count(lit(1)).as("tf"))
+    val df_ = toks.select(col("doc_id"), col("token")).distinct()
+      .groupBy(col("token")).agg(count(lit(1)).as("df"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id"))
+      .orderBy(col("score").desc, col("token"))
+    tf.join(df_, "token")
+      .withColumn("score",
+        round((col("tf") * lit(n)).cast("double") / col("df").cast("double"), 6))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= 5)
+      .select(col("doc_id"), col("rank"), col("token"), col("tf"), col("df"),
+        col("score"))
+  }
+
+  /** Deterministic train/val/test split: assignment is a pure function
+    * of document CONTENT (rolling hash mod 100 → 90/5/5), so the split
+    * is reproducible across runs, clusters, and ingestion orders, and a
+    * re-crawled duplicate lands in the same split (no train/test leak
+    * through re-ingestion). Narrow pass, no shuffle.
+    */
+  def splitAssign(spark: SparkSession, dir: String): DataFrame = {
+    val h = pmod(TextOps.rollingHash(TextOps.normalize(col("text"))), lit(100))
+    Tables(spark, dir, "documents")
+      .select(col("doc_id"), h.cast("long").as("h_mod"),
+        when(h < 90, "train").when(h < 95, "val").otherwise("test").as("split"))
+  }
+
   /** Document fingerprints: order-sensitive rolling hash of the
     * normalized text + order-independent bag-of-words hash. Exact dedup
     * at 100 TB groups on these 8-byte keys instead of comparing bodies.

@@ -56,6 +56,13 @@ class PlanSpec extends AnyFunSuite with SparkSpec {
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"))
   }
 
+  test("pack_sequences: the prefix sum never collapses to a single partition") {
+    // the naive global-order window would plan Exchange SinglePartition —
+    // the exact thing the two-phase bucket design exists to avoid
+    val p = plan("q_pack_sequences")
+    assert(!p.contains("SinglePartition"), p)
+  }
+
   test("no query plan uses a cartesian product without broadcast") {
     for ((name, _) <- SparkEntry.queries) {
       val p = plan(name)
