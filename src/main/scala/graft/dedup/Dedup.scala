@@ -174,13 +174,19 @@ object Dedup {
     */
   def simhash64(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     val maxToks = 16383
-    val tokArr = TextOps.tokens(col(textCol))
+    // posexplode so the (expensive) tokenize expression appears exactly
+    // once, as the generator input; the cap guard is a per-row position
+    // compare on the exploded side. The error fires while the doc's rows
+    // are being produced — overflow needs ~2× more same-bit rows than
+    // the cap, so it is unreachable.
     val toks = df.select(col(idCol).as("doc"),
-      explode(when(size(tokArr) > maxToks,
-        raise_error(concat(lit("simhash64: document "),
-          col(idCol).cast("string"),
-          lit(s" exceeds $maxToks tokens — chunk upstream"))))
-        .otherwise(tokArr)).as("t"))
+      posexplode(TextOps.tokens(col(textCol))).as(Seq("pos", "t0")))
+      .select(col("doc"),
+        when(col("pos") >= maxToks,
+          raise_error(concat(lit("simhash64: document "),
+            col("doc").cast("string"),
+            lit(s" exceeds $maxToks tokens — chunk upstream"))).cast("string"))
+          .otherwise(col("t0")).as("t"))
       .withColumn("h", xxhash64(col("t")))
     // per-token spread: lane-group L packs bits {L, L+16, L+32, L+48}
     val spreadCols = (0 until 16).map { l =>

@@ -34,10 +34,12 @@ object MisraGries {
 
     override def zero: Buf = Buf(Map.empty, 0L)
 
-    private def trim(b: Buf): Buf =
-      if (b.counts.size <= 2 * k) b
+    /** Keep at most `cap` entries: subtract the (k+1)-th largest count
+      * from everything, drop non-positives, book the shed weight.
+      */
+    private def trim(b: Buf, cap: Int): Buf =
+      if (b.counts.size <= cap) b
       else {
-        // subtract the (k+1)-th largest count from everything
         val kth = b.counts.values.toIndexedSeq.sorted(Ordering[Long].reverse)(k)
         Buf(b.counts.collect {
           case (t, c) if c > kth => t -> (c - kth)
@@ -45,20 +47,16 @@ object MisraGries {
       }
 
     override def reduce(b: Buf, item: String): Buf =
-      trim(Buf(b.counts.updated(item, b.counts.getOrElse(item, 0L) + 1L), b.shed))
+      if (item == null) b // SQL aggregate convention: nulls don't count
+      else trim(Buf(b.counts.updated(item, b.counts.getOrElse(item, 0L) + 1L),
+        b.shed), 2 * k)
 
     override def merge(a: Buf, b: Buf): Buf = {
       val merged = b.counts.foldLeft(a.counts) { case (m, (t, c)) =>
         m.updated(t, m.getOrElse(t, 0L) + c)
       }
       // trim to k entries (not 2k) on merge so the final summary is k-sized
-      val buf = Buf(merged, a.shed + b.shed)
-      if (merged.size <= k) buf
-      else {
-        val kth = merged.values.toIndexedSeq.sorted(Ordering[Long].reverse)(k)
-        Buf(merged.collect { case (t, c) if c > kth => t -> (c - kth) },
-          buf.shed + kth)
-      }
+      trim(Buf(merged, a.shed + b.shed), k)
     }
 
     override def finish(b: Buf): Summary = Summary(b.counts, b.shed)

@@ -31,12 +31,14 @@ object SketchQ {
   }
 
   /** Heavy hitters: the 20 most frequent document tokens by Misra–Gries
-    * summary (k=64, O(k) mergeable state, est ≤ true ≤ est + shed)
-    * joined against their exact counts — the one-pass answer to "what
-    * are the dominant items" when an exact groupBy of every distinct
-    * token is a full shuffle. Deterministic output: the MG estimate with
-    * k well above the distinct-token count equals the exact count, and
-    * the spec pins the invariants at adversarial k.
+    * summary (k=64, O(k) mergeable state, est ≤ true ≤ est + shed) with
+    * the summary's shed weight alongside each estimate — the one-pass
+    * answer to "what are the dominant items" when an exact groupBy of
+    * every distinct token is a full shuffle. On THIS corpus the output
+    * is provably exact (k exceeds the distinct-token count, so no trim
+    * ever sheds and the oracle compares against true counts with
+    * shed = 0); MisraGriesSpec pins the approximate invariants at
+    * adversarial k.
     */
   def frequentTokens(spark: SparkSession, dir: String): DataFrame = {
     val toks = Tables(spark, dir, "documents")

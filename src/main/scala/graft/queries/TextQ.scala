@@ -132,9 +132,15 @@ object TextQ {
     */
   def topTerms(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables(spark, dir, "documents")
+    // metadata-only count (parquet row-group stats; no tokenize)
     val n = docs.count()
+    // checkpoint barrier: the exploded (doc_id, token) relation feeds
+    // BOTH the tf and df aggregations — without it the corpus tokenizes
+    // twice (same tradeoff as Packing; the checkpoint is two narrow
+    // columns per token and is collected once the result frame drops)
     val toks = docs.select(col("doc_id"),
       explode(TextOps.tokens(col("text"))).as("token"))
+      .localCheckpoint()
     val tf = toks.groupBy(col("doc_id"), col("token"))
       .agg(count(lit(1)).as("tf"))
     val df_ = toks.select(col("doc_id"), col("token")).distinct()
