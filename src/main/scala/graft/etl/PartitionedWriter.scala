@@ -13,15 +13,18 @@ object PartitionedWriter {
 
   /** Overwrite exactly the partitions present in `df`, leaving all other
     * partitions of the target intact (dynamic partitionOverwriteMode —
-    * static mode would truncate the whole table).
+    * static mode would truncate the whole table). `maxRecordsPerFile`
+    * (when > 0) caps output file size — the knob compaction uses.
     */
   def overwritePartitions(df: DataFrame, path: String,
-      partitionCols: Seq[String]): Unit = {
-    // per-write option, NOT a session-conf flip: two concurrent writes in
+      partitionCols: Seq[String], maxRecordsPerFile: Long = 0L): Unit = {
+    // per-write options, NOT a session-conf flip: two concurrent writes in
     // one SparkSession must not race on a shared mutable setting
-    df.write
+    val w = df.write
       .mode(SaveMode.Overwrite)
       .option("partitionOverwriteMode", "dynamic")
+    (if (maxRecordsPerFile > 0) w.option("maxRecordsPerFile", maxRecordsPerFile)
+     else w)
       .partitionBy(partitionCols: _*)
       .parquet(path)
   }
