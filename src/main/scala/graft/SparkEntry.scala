@@ -160,6 +160,9 @@ object SparkEntry {
     "q_embed_clusters" -> DedupQ.embedClusters,
     // dedup/hygiene — test-set decontamination via 8-gram benchmark overlap
     "q_decontaminate" -> DedupQ.decontaminate,
+    // dedup — incremental batch-vs-corpus near-dup via the persistable
+    // band index (daily-ingest shape)
+    "q_incremental_dedup" -> DedupQ.incrementalDedup,
     // text analysis — Gopher-style duplicate-n-gram repetition scoring
     "q_repetition" -> TextQ.repetition,
     // text analysis — tf×(N/df) rarity-weighted top terms per document
@@ -493,6 +496,10 @@ object SparkEntry {
         |FROM k GROUP BY 1""".stripMargin,
     "q_jaccard_pairs" -> jaccardPairsSql,
     "q_minhash_lsh" -> jaccardPairsSql,
+    // the exact pair relation restricted to pairs touching the batch
+    "q_incremental_dedup" ->
+      s"""WITH p AS ($jaccardPairsSql)
+        |SELECT * FROM p WHERE a_id % 7 = 0 OR b_id % 7 = 0""".stripMargin,
     "q_dedup_clusters" ->
       s"""WITH RECURSIVE p AS ($jaccardPairsSql),
         |edges AS (

@@ -106,30 +106,88 @@ object Dedup {
   def minhashLshPairs(df: DataFrame, idCol: String, textCol: String,
       n: Int = 3, threshold: Double = 0.8,
       nHashes: Int = 128, nBands: Int = 32): DataFrame = {
+    // banding comes from the ONE definition ([[minhashIndex]]) the
+    // incremental path also uses — a batch indexed today must collide
+    // with a corpus indexed last month, so the band function is a
+    // persistence contract, not an implementation detail
+    val bands = minhashIndex(df, idCol, textCol, n, nHashes, nBands)
+    val candidates = bands.as("x").join(bands.as("y"), Seq("band", "bucket"))
+      .filter(col("x.doc") < col("y.doc"))
+      .select(col("x.doc").as("a_id"), col("y.doc").as("b_id"))
+      .distinct()
+    val sh = df.select(col(idCol).as("doc"),
+      explode(TextOps.shingles(TextOps.tokens(col(textCol)), n)).as("sh"))
+    verifyExactJaccard(candidates, sh, threshold)
+  }
+
+  /** The persistable MinHash LSH INDEX of a corpus: one (doc, band,
+    * bucket) row per band. Build once, write to a table partitioned by
+    * band, and incremental batches join against it — the index is the
+    * artifact that makes dedup-at-100 TB incremental instead of
+    * quadratic-in-reprocessing.
+    */
+  def minhashIndex(df: DataFrame, idCol: String, textCol: String,
+      n: Int = 3, nHashes: Int = 128, nBands: Int = 32): DataFrame = {
     require(nHashes % nBands == 0, "nBands must divide nHashes")
     val rowsPerBand = nHashes / nBands
     // (doc, shingle) inverted rows. The Generate (explode) node is a real
     // plan barrier: the tokenize+shingle expression runs ONCE per doc.
     // Computing signatures as nested HOFs instead would let Catalyst's
     // CollapseProject inline that expression into every one of the 128
-    // hash lambdas — measured 50x slower at sf0.1.
+    // hash lambdas — measured 50x slower at sf0.1. The 128 min-aggregates
+    // are one map-side-combinable shuffle on doc, codegen'd throughout.
     val sh = df.select(col(idCol).as("doc"),
       explode(TextOps.shingles(TextOps.tokens(col(textCol)), n)).as("sh"))
-    // 128 min-aggregates over xxhash64(seed_i, shingle): one map-side-
-    // combinable shuffle on doc, whole-stage codegen throughout.
     val sigCols = (0 until nHashes).map(i => min(xxhash64(lit(i), col("sh"))).as(s"h$i"))
-    val sig = sh.groupBy(col("doc"))
+    sh.groupBy(col("doc"))
       .agg(sigCols.head, sigCols.tail: _*)
       .select(col("doc"),
         array((0 until nHashes).map(i => col(s"h$i")): _*).as("sig"))
-    val bands = sig.select(col("doc"),
-      posexplode(transform(sequence(lit(0), lit(nBands - 1)),
-        b => xxhash64(b, slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand))))))
+      .select(col("doc"),
+        posexplode(transform(sequence(lit(0), lit(nBands - 1)),
+          b => xxhash64(b, slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand))))))
       .toDF("doc", "band", "bucket")
-    val candidates = bands.as("x").join(bands.as("y"), Seq("band", "bucket"))
+  }
+
+  /** INCREMENTAL near-dup pairs: every pair at Jaccard ≥ `threshold`
+    * that TOUCHES the new batch — new-vs-existing and new-vs-new —
+    * without re-scanning the existing corpus. The daily-ingest shape:
+    * the existing corpus participates only through (a) its precomputed
+    * band `index` (an equi-join on (band, bucket)) and (b) re-shingling
+    * of the FEW existing docs that actually collide (a semi-join prunes
+    * the corpus scan to candidate ids before tokenization).
+    *
+    * Equals [[minhashLshPairs]] over (corpus ∪ batch) restricted to
+    * pairs with at least one batch doc (same banding, same exact
+    * verification — the differential spec and the DuckDB oracle both
+    * check this).
+    */
+  def incrementalNearDup(batch: DataFrame, corpus: DataFrame,
+      index: DataFrame, idCol: String, textCol: String,
+      n: Int = 3, threshold: Double = 0.8,
+      nHashes: Int = 128, nBands: Int = 32): DataFrame = {
+    val newBands = minhashIndex(batch, idCol, textCol, n, nHashes, nBands)
+      .localCheckpoint() // joined twice (vs index, vs itself): band once
+    // new-vs-existing and new-vs-new candidates; a<b canonicalization
+    // dedups the within-batch self-join
+    val vsOld = newBands.as("x").join(index.as("y"), Seq("band", "bucket"))
+      .filter(col("x.doc") =!= col("y.doc"))
+      .select(least(col("x.doc"), col("y.doc")).as("a_id"),
+        greatest(col("x.doc"), col("y.doc")).as("b_id"))
+    val vsNew = newBands.as("x").join(newBands.as("y"), Seq("band", "bucket"))
       .filter(col("x.doc") < col("y.doc"))
       .select(col("x.doc").as("a_id"), col("y.doc").as("b_id"))
+    val candidates = vsOld.unionByName(vsNew)
       .distinct()
+      .localCheckpoint() // prunes the corpus scan below AND feeds verify
+    // re-shingle ONLY the existing docs that collided
+    val touchedIds = candidates.select(col("a_id").as("doc"))
+      .unionByName(candidates.select(col("b_id").as("doc"))).distinct()
+    val touchedOld = corpus.join(touchedIds,
+      corpus(idCol) === touchedIds("doc"), "left_semi")
+    val sh = touchedOld.unionByName(batch)
+      .select(col(idCol).as("doc"),
+        explode(TextOps.shingles(TextOps.tokens(col(textCol)), n)).as("sh"))
     verifyExactJaccard(candidates, sh, threshold)
   }
 

@@ -90,6 +90,21 @@ object DedupQ {
       idCol = "doc_id", textCol = "text", n = 8)
   }
 
+  /** Incremental dedup — the daily-ingest shape: new batch =
+    * doc_id % 7 == 0, existing corpus = the rest with a precomputed
+    * MinHash band index; emits every Jaccard ≥ 0.8 pair touching the
+    * batch without re-scanning the corpus (only colliding corpus docs
+    * are re-shingled for exact verification).
+    */
+  def incrementalDedup(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(spark, dir, "documents")
+    val batch = docs.filter(col("doc_id") % 7 === 0)
+    val corpus = docs.filter(col("doc_id") % 7 =!= 0)
+    val index = Dedup.minhashIndex(corpus, "doc_id", "text")
+    Dedup.incrementalNearDup(batch, corpus, index, "doc_id", "text",
+      n = 3, threshold = 0.8)
+  }
+
   /** The end-to-end corpus CURATION verdict — what a training-data
     * pipeline actually ships: one declarative plan joining, per
     * candidate document, (a) quality keep, (b) repetition verdict,

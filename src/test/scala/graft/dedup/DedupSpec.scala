@@ -143,6 +143,21 @@ class DedupSpec extends AnyFunSuite with SparkSpec {
     assert(blocked == exact)
   }
 
+  test("incrementalNearDup equals the full-corpus pairs restricted to the batch") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val batch = docs.filter(col("doc_id") % 7 === 0)
+    val rest = docs.filter(col("doc_id") % 7 =!= 0)
+    val batchIds = batch.select("doc_id").collect().map(_.getLong(0)).toSet
+    val full = Dedup.minhashLshPairs(docs, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .filter { case (a, b, _) => batchIds(a) || batchIds(b) }.toSet
+    val inc = Dedup.incrementalNearDup(batch, rest,
+      Dedup.minhashIndex(rest, "doc_id", "text"), "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(full.nonEmpty) // the differential is vacuous otherwise
+    assert(inc == full)
+  }
+
   test("contamination flags benchmark n-gram overlap, keeps zero-hit docs") {
     val benchmark = docs(
       100 -> "what is the capital of france and when was it founded exactly")
