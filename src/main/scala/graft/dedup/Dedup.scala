@@ -179,13 +179,18 @@ object Dedup {
       .select(col("x.doc").as("a_id"), col("y.doc").as("b_id"))
     val candidates = vsOld.unionByName(vsNew)
       .distinct()
-      .localCheckpoint() // prunes the corpus scan below AND feeds verify
-    // re-shingle ONLY the existing docs that collided
+      .localCheckpoint() // prunes the scans below AND feeds verify
+    // newBands is dead once candidates materialized — release it, or a
+    // daily-ingest loop pins batch×nBands rows per call
+    org.apache.spark.sql.graft.CheckpointUtils.release(newBands)
+    // re-shingle ONLY the docs that collided — BOTH sides: verify cost
+    // must scale with collision count, not batch size (the dominant
+    // majority of a daily batch collides with nothing)
     val touchedIds = candidates.select(col("a_id").as("doc"))
       .unionByName(candidates.select(col("b_id").as("doc"))).distinct()
-    val touchedOld = corpus.join(touchedIds,
-      corpus(idCol) === touchedIds("doc"), "left_semi")
-    val sh = touchedOld.unionByName(batch)
+    def touched(df: DataFrame) =
+      df.join(touchedIds, df(idCol) === touchedIds("doc"), "left_semi")
+    val sh = touched(corpus).unionByName(touched(batch))
       .select(col(idCol).as("doc"),
         explode(TextOps.shingles(TextOps.tokens(col(textCol)), n)).as("sh"))
     verifyExactJaccard(candidates, sh, threshold)

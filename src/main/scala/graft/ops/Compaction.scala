@@ -2,6 +2,7 @@ package graft.ops
 
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.types.{StringType, StructType}
 
 import graft.etl.PartitionedWriter
 
@@ -14,8 +15,12 @@ import graft.etl.PartitionedWriter
   * `compact` rewrites only the selected partitions (dynamic partition
   * overwrite — untouched partitions keep their files byte-for-byte):
   * rows are shuffled so each partition key co-locates in one task, and
-  * `maxRecordsPerFile` splits the output at the target size. Data is
-  * preserved exactly; only the file layout changes.
+  * `maxRecordsPerFile` splits the output at the target size. Row data
+  * is preserved exactly. Intra-partition CLUSTERING is part of the
+  * layout too: pass `sortCols` to re-establish a sort (e.g. the Z-order
+  * column from [[ZOrder]]) — the default hash shuffle does NOT preserve
+  * an existing row order, and min/max skip-scan pruning would degrade
+  * silently without it.
   *
   * The write targets the same path the plan reads, so the selected
   * rows are materialized (localCheckpoint) before the overwrite —
@@ -33,21 +38,57 @@ object Compaction {
     */
   def compact(spark: SparkSession, path: String, partitionCols: Seq[String],
       targetRowsPerFile: Long,
-      partitions: Map[String, Any] = Map.empty): Long = {
+      partitions: Map[String, Any] = Map.empty,
+      sortCols: Seq[String] = Nil): Long = {
     require(partitionCols.nonEmpty, "compaction targets a partitioned table")
     require(targetRowsPerFile > 0)
+    // a filter key that is NOT a partition column would silently rewrite
+    // the touched partitions with only the matching rows — data loss
+    require(partitions.keySet.subsetOf(partitionCols.toSet),
+      s"partition filter keys ${partitions.keySet} must be partition columns $partitionCols")
     val full = spark.read.parquet(path)
+    requireCanonicalPartitionDirs(spark, path, full.schema, partitionCols)
     val selected = partitions.foldLeft(full) { case (df, (k, v)) =>
       df.filter(col(k) === v)
     }
-    val materialized = selected
-      .repartition(partitionCols.map(col): _*)
-      .localCheckpoint()
-    val rows = materialized.count()
-    if (rows > 0)
-      PartitionedWriter.overwritePartitions(materialized, path, partitionCols,
-        maxRecordsPerFile = targetRowsPerFile)
-    org.apache.spark.sql.graft.CheckpointUtils.release(materialized)
-    rows
+    val shuffled = selected.repartition(partitionCols.map(col): _*)
+    val materialized =
+      (if (sortCols.nonEmpty)
+        shuffled.sortWithinPartitions((partitionCols ++ sortCols).map(col): _*)
+      else shuffled).localCheckpoint()
+    try {
+      val rows = materialized.count()
+      if (rows > 0)
+        PartitionedWriter.overwritePartitions(materialized, path, partitionCols,
+          maxRecordsPerFile = targetRowsPerFile)
+      rows
+    } finally
+      // even on a failed write: don't pin the partition-sized working set
+      org.apache.spark.sql.graft.CheckpointUtils.release(materialized)
+  }
+
+  /** Refuse tables whose partition DIRECTORY names don't round-trip
+    * through partition-type inference: e.g. an externally-written
+    * `hour=00` infers as int 0 and would rewrite under `hour=0`,
+    * leaving the old directory in place — every row of that partition
+    * would then be returned twice. Reading the partition columns as
+    * plain strings exposes the raw directory values for the check.
+    */
+  private def requireCanonicalPartitionDirs(spark: SparkSession, path: String,
+      inferredSchema: StructType, partitionCols: Seq[String]): Unit = {
+    val stringSchema = StructType(inferredSchema.map(f =>
+      if (partitionCols.contains(f.name)) f.copy(dataType = StringType) else f))
+    val asString = spark.read.schema(stringSchema).parquet(path)
+    val full = spark.read.parquet(path)
+    for (c <- partitionCols) {
+      val raw = asString.select(col(c)).distinct()
+        .collect().map(r => Option(r.getString(0)).orNull).toSet
+      val canonical = full.select(col(c).cast("string")).distinct()
+        .collect().map(r => if (r.isNullAt(0)) null else r.getString(0)).toSet
+      require(raw == canonical,
+        s"partition column '$c' has directory values ${raw -- canonical} that " +
+          s"do not round-trip through type inference — compacting would " +
+          s"duplicate those partitions; rewrite them canonically first")
+    }
   }
 }

@@ -44,6 +44,30 @@ class CompactionSpec extends AnyFunSuite with SparkSpec {
     assert(got == (0L until 2000L).map(i => (i, i % 2)).toSet)
   }
 
+  test("filter keys must be partition columns — a data-column filter would silently lose rows") {
+    val path = Files.createTempDirectory("compact3").toString + "/t"
+    spark.range(100).select(col("id"), (col("id") % 2).as("day"))
+      .write.partitionBy("day").parquet(path)
+    val e = intercept[IllegalArgumentException] {
+      Compaction.compact(spark, path, Seq("day"), 100, partitions = Map("id" -> 3))
+    }
+    assert(e.getMessage.contains("must be partition columns"))
+  }
+
+  test("non-canonical partition directory names are refused, not duplicated") {
+    val path = Files.createTempDirectory("compact4").toString + "/t"
+    // externally-written zero-padded partitions: day=00 / day=01 infer as
+    // int 0/1 and would rewrite under day=0, duplicating the partition
+    spark.range(100)
+      .select(col("id"), format_string("%02d", col("id") % 2).as("day"))
+      .write.partitionBy("day").parquet(path)
+    assert(new java.io.File(s"$path/day=00").exists())
+    val e = intercept[IllegalArgumentException] {
+      Compaction.compact(spark, path, Seq("day"), 100)
+    }
+    assert(e.getMessage.contains("round-trip"), e.getMessage)
+  }
+
   test("targetRowsPerFile splits an oversized partition into multiple files") {
     val path = Files.createTempDirectory("compact2").toString + "/t"
     spark.range(1000)
