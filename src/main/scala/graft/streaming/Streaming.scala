@@ -146,4 +146,36 @@ object Streaming {
     withKey
       .withWatermark("ts", watermark)
       .dropDuplicatesWithinWatermark(keyCol)
+
+  /** Stream–STATIC dim enrichment: the streaming twin of
+    * Enricher.enrich — each micro-batch joins the (small, slowly
+    * changing) dimension tables, which broadcast per batch; no
+    * streaming state at all. This is the most common production
+    * streaming join: facts stream, dims don't.
+    */
+  def enrichStream(txns: DataFrame, dimStore: DataFrame,
+      dimProduct: DataFrame): DataFrame =
+    txns
+      .join(dimStore, Seq("store_id"))
+      .join(dimProduct, Seq("sku"))
+      .withColumn("revenue_cents",
+        col("quantity").cast("long") * col("unit_price_cents").cast("long"))
+
+  /** Micro-batch keyed upsert sink via foreachBatch: each batch merges
+    * into the parquet warehouse with the SAME last-write-wins semantics
+    * as the batch path ([[graft.etl.Upsert.upsertParquet]]) — the
+    * pattern for sinks Structured Streaming cannot express natively
+    * (upsert, MERGE, JDBC). foreachBatch gives at-least-once delivery;
+    * the keyed upsert makes redelivery idempotent, which is exactly the
+    * reference's run_id/txn_id re-run contract.
+    */
+  def upsertSink(enriched: DataFrame, warehouseDir: String,
+      keys: Seq[String], versionCol: String)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    enriched.writeStream
+      .outputMode(OutputMode.Append())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        graft.etl.Upsert.upsertParquet(batch.sparkSession, warehouseDir,
+          batch, keys, versionCol)
+      }
 }
