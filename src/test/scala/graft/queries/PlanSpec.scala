@@ -38,7 +38,8 @@ class PlanSpec extends AnyFunSuite with SparkSpec {
   }
 
   test("document scans are pruned to (doc_id, text)") {
-    for (q <- Seq("q_fingerprint", "q_token_stats", "q_quality_score")) {
+    for (q <- Seq("q_fingerprint", "q_token_stats", "q_quality_score",
+        "q_repetition", "q_split_assign")) {
       val p = plan(q)
       assert(p.contains("ReadSchema: struct<doc_id:bigint,text:string>"),
         s"$q reads more than doc_id+text")
