@@ -13,9 +13,14 @@ import org.apache.spark.sql.SparkSession
   *  - a System.gc() fence runs between queries so one query's heap
   *    pressure (e.g. the dedup suite's shuffle buffers) is not billed to
   *    its neighbor;
+  *  - each query runs SPARK_GRAFT_RUNS times (default 3) back-to-back
+  *    and reports the MEDIAN, with per-query max−min under "spread" —
+  *    single-run numbers carry ±10–15 % JVM noise (BENCH_NOTES.md r2/r3
+  *    post-mortems) and round-over-round deltas should not chase it;
   *  - failures are RECORDED, not swallowed: a failed query reports its
   *    exception class+message under "errors" and its wall time still
-  *    counts, so a broken query can never masquerade as a fast one.
+  *    counts, so a broken query can never masquerade as a fast one;
+  *  - SPARK_GRAFT_ONLY=q_a,q_b restricts the run (local iteration aid).
   */
 object Bench {
   private def jsonEsc(s: String): String =
@@ -49,25 +54,35 @@ object Bench {
         col("r_regionkey") === col("n_regionkey")).count()
       spark.range(100).select(hash(col("id"))).count()
     }
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(",").map(_.trim).toSet)
+    val runs = sys.env.getOrElse("SPARK_GRAFT_RUNS", "3").toInt.max(1)
     val names = SparkEntry.queries.keys.toSeq.sorted
+      .filter(n => only.forall(_.contains(n)))
     val times = scala.collection.mutable.LinkedHashMap.empty[String, Double]
+    val spreads = scala.collection.mutable.LinkedHashMap.empty[String, Double]
     val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
     names.foreach { name =>
-      System.gc() // fence: don't bill the previous query's garbage here
-      val t0 = System.nanoTime()
-      try SparkEntry.queries(name)(spark, sfDir).count()
-      catch {
-        case e: Throwable =>
-          errors(name) = s"${e.getClass.getName}: " +
-            Option(e.getMessage).getOrElse("").take(300)
-      }
-      times(name) = (System.nanoTime() - t0) / 1e9
+      val samples = (1 to runs).map { _ =>
+        System.gc() // fence: don't bill the previous query's garbage here
+        val t0 = System.nanoTime()
+        try SparkEntry.queries(name)(spark, sfDir).count()
+        catch {
+          case e: Throwable =>
+            errors(name) = s"${e.getClass.getName}: " +
+              Option(e.getMessage).getOrElse("").take(300)
+        }
+        (System.nanoTime() - t0) / 1e9
+      }.sorted
+      times(name) = samples(samples.size / 2) // median (upper on even n)
+      spreads(name) = samples.last - samples.head
     }
-    val qs = times.map { case (k, v) => s"\"$k\":$v" }.mkString("{", ",", "}")
+    def obj(m: scala.collection.Map[String, Double]) =
+      m.map { case (k, v) => s"\"$k\":$v" }.mkString("{", ",", "}")
     val errs = errors.map { case (k, v) => s"\"$k\":\"${jsonEsc(v)}\"" }
       .mkString("{", ",", "}")
     val total = times.values.sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":${obj(times)},"spread":${obj(spreads)},"runs":$runs,"errors":$errs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -75,13 +75,23 @@ object TextQ {
   }
 
   /** Long-document chunking: 100-token windows every 80 tokens — the
-    * training-sample splitter. One explode per doc, no shuffle.
+    * training-sample splitter. Two explodes per doc, no shuffle.
+    *
+    * The first explode(array(tokens)) is a Generate plan barrier: the
+    * regexp+split tokenize chain runs ONCE per document and `chunks`'
+    * three references (count, last index, the per-window slice lambda)
+    * read the materialized array attribute. Without it CollapseProject
+    * inlines the tokenize expression into every reference — the same
+    * re-evaluation hazard [[graft.dedup.Dedup.minhashIndex]] documents,
+    * measured 3.2× slower here at sf0.1 (r3 bench). PlanSpec pins the
+    * single-tokenize shape.
     */
   def chunkDocs(spark: SparkSession, dir: String): DataFrame = {
-    val toks = TextOps.tokens(col("text"))
     Tables(spark, dir, "documents")
       .select(col("doc_id"),
-        explode(TextOps.chunks(toks, size = 100, stride = 80)).as("c"))
+        explode(array(TextOps.tokens(col("text")))).as("toks"))
+      .select(col("doc_id"),
+        explode(TextOps.chunks(col("toks"), size = 100, stride = 80)).as("c"))
       .select(col("doc_id"), col("c.chunk_idx").as("chunk_idx"),
         col("c.chunk").as("chunk"))
   }

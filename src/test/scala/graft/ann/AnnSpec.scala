@@ -53,6 +53,27 @@ class AnnSpec extends AnyFunSuite with SparkSpec {
       nCentroids = 16, nProbe = 4)))
   }
 
+  test("IVF saved-index probes == fresh-build probes (parquet round-trip)") {
+    val e = Tables(spark, dir, "embeddings")
+    val q = e.filter(col("vec_id") < 20)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3))).toSet
+    val fresh = rows(Ann.ivfNeighbors(e, q, "vec_id", "embedding", 5,
+      nCentroids = 16, nProbe = 4))
+    // build/persist/load the index, then probe without any k-means pass
+    val tmp = java.nio.file.Files.createTempDirectory("graft-ivf").toString
+    Ann.ivfCentroids(e, "vec_id", "embedding", nCentroids = 16)
+      .write.mode("overwrite").parquet(s"$tmp/centroids")
+    val centroids = spark.read.parquet(s"$tmp/centroids")
+    Ann.ivfAssignments(e, "vec_id", "embedding", centroids)
+      .write.mode("overwrite").partitionBy("cluster").parquet(s"$tmp/assignments")
+    val assignments = spark.read.parquet(s"$tmp/assignments")
+    val indexed = rows(Ann.ivfProbeIndexed(e, assignments, centroids, q,
+      "vec_id", "embedding", 5, nProbe = 4))
+    assert(indexed == fresh)
+  }
+
   test("lshNeighbors is deterministic (seeded planes)") {
     val e = Tables(spark, dir, "embeddings")
     val q = e.filter(col("vec_id") < 3)

@@ -64,6 +64,16 @@ class PlanSpec extends AnyFunSuite with SparkSpec {
     assert(!p.contains("SinglePartition"), p)
   }
 
+  test("chunk_docs: tokenize runs once, below a Generate barrier") {
+    // the tokenize chain (one regexp_replace) must appear exactly once —
+    // its result materializes at the explode(array(...)) Generate and the
+    // chunk windowing reads the attribute. A collapsed plan re-evaluates
+    // the regexp per chunk expression (measured 3.2x slower at sf0.1).
+    val p = plan("q_chunk_docs")
+    assert("regexp_replace".r.findAllIn(p).size == 1, p)
+    assert("Generate".r.findAllIn(p).size == 2, p)
+  }
+
   test("no query plan uses a cartesian product without broadcast") {
     for ((name, _) <- SparkEntry.queries) {
       val p = plan(name)
