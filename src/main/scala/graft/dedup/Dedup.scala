@@ -48,10 +48,18 @@ object Dedup {
     * the prefix index cuts that by ~t/(1−t)² while returning the
     * identical relation (the DuckDB oracle checks this).
     */
+  /** The ONE (doc, shingle) exploded-relation definition every
+    * shingle-based path shares — index construction, candidate
+    * generation and exact verification must shingle identically.
+    */
+  private def shingleRows(df: DataFrame, idCol: String, textCol: String,
+      n: Int): DataFrame =
+    df.select(col(idCol).as("doc"),
+      explode(TextOps.shingles(TextOps.tokens(col(textCol)), n)).as("sh"))
+
   def jaccardPairs(df: DataFrame, idCol: String, textCol: String,
       n: Int = 3, threshold: Double = 0.8): DataFrame = {
-    val sh = df.select(col(idCol).as("doc"),
-      explode(TextOps.shingles(TextOps.tokens(col(textCol)), n)).as("sh"))
+    val sh = shingleRows(df, idCol, textCol, n)
     val sizes = sh.groupBy(col("doc")).agg(count(lit(1)).as("n_sh"))
     // global rarity order: document-frequency per shingle
     val dfreq = sh.groupBy(col("sh")).agg(count(lit(1)).as("dfr"))
@@ -110,14 +118,23 @@ object Dedup {
     // incremental path also uses — a batch indexed today must collide
     // with a corpus indexed last month, so the band function is a
     // persistence contract, not an implementation detail
-    val bands = minhashIndex(df, idCol, textCol, n, nHashes, nBands)
+    val sh = shingleRows(df, idCol, textCol, n)
+    val bands = minhashIndexOf(sh, nHashes, nBands)
+    // candidates materialize so the verify side can PRUNE its shingle
+    // pass to colliding docs (the semi-join below) instead of
+    // re-tokenizing the whole corpus a second time — same shape as
+    // [[incrementalNearDup]]; verify cost scales with collision count
     val candidates = bands.as("x").join(bands.as("y"), Seq("band", "bucket"))
       .filter(col("x.doc") < col("y.doc"))
       .select(col("x.doc").as("a_id"), col("y.doc").as("b_id"))
       .distinct()
-    val sh = df.select(col(idCol).as("doc"),
-      explode(TextOps.shingles(TextOps.tokens(col(textCol)), n)).as("sh"))
-    verifyExactJaccard(candidates, sh, threshold)
+      .localCheckpoint()
+    val touchedIds = candidates.select(col("a_id").as("doc"))
+      .unionByName(candidates.select(col("b_id").as("doc"))).distinct()
+    val shVerify = shingleRows(
+      df.join(touchedIds, df(idCol) === touchedIds("doc"), "left_semi"),
+      idCol, textCol, n)
+    verifyExactJaccard(candidates, shVerify, threshold)
   }
 
   /** The persistable MinHash LSH INDEX of a corpus: one (doc, band,
@@ -127,7 +144,15 @@ object Dedup {
     * quadratic-in-reprocessing.
     */
   def minhashIndex(df: DataFrame, idCol: String, textCol: String,
-      n: Int = 3, nHashes: Int = 128, nBands: Int = 32): DataFrame = {
+      n: Int = 3, nHashes: Int = 128, nBands: Int = 32): DataFrame =
+    minhashIndexOf(shingleRows(df, idCol, textCol, n), nHashes, nBands)
+
+  /** [[minhashIndex]] over an already-exploded (doc, shingle) relation —
+    * the internal overload [[minhashLshPairs]] uses so the corpus
+    * shingle pass is defined once per call, not re-derived per stage.
+    */
+  private def minhashIndexOf(sh: DataFrame,
+      nHashes: Int, nBands: Int): DataFrame = {
     require(nHashes % nBands == 0, "nBands must divide nHashes")
     val rowsPerBand = nHashes / nBands
     // (doc, shingle) inverted rows. The Generate (explode) node is a real
@@ -136,8 +161,6 @@ object Dedup {
     // CollapseProject inline that expression into every one of the 128
     // hash lambdas — measured 50x slower at sf0.1. The 128 min-aggregates
     // are one map-side-combinable shuffle on doc, codegen'd throughout.
-    val sh = df.select(col(idCol).as("doc"),
-      explode(TextOps.shingles(TextOps.tokens(col(textCol)), n)).as("sh"))
     val sigCols = (0 until nHashes).map(i => min(xxhash64(lit(i), col("sh"))).as(s"h$i"))
     sh.groupBy(col("doc"))
       .agg(sigCols.head, sigCols.tail: _*)
@@ -190,9 +213,8 @@ object Dedup {
       .unionByName(candidates.select(col("b_id").as("doc"))).distinct()
     def touched(df: DataFrame) =
       df.join(touchedIds, df(idCol) === touchedIds("doc"), "left_semi")
-    val sh = touched(corpus).unionByName(touched(batch))
-      .select(col(idCol).as("doc"),
-        explode(TextOps.shingles(TextOps.tokens(col(textCol)), n)).as("sh"))
+    val sh = shingleRows(touched(corpus).unionByName(touched(batch)),
+      idCol, textCol, n)
     verifyExactJaccard(candidates, sh, threshold)
   }
 

@@ -28,6 +28,18 @@ case class BloomMightContain(child: Expression, bloomBytes: Array[Byte])
   @transient private lazy val bloom: BloomFilter =
     BloomFilter.readFrom(new java.io.ByteArrayInputStream(bloomBytes))
 
+  // Array[Byte] equals/hashCode are reference-based, which would make two
+  // semantically identical probes never compare equal — defeating
+  // Catalyst semanticEquals / common-subexpression elimination. Compare
+  // the filter by VALUE.
+  override def equals(other: Any): Boolean = other match {
+    case b: BloomMightContain =>
+      child == b.child && java.util.Arrays.equals(bloomBytes, b.bloomBytes)
+    case _ => false
+  }
+  override def hashCode(): Int =
+    31 * child.hashCode() + java.util.Arrays.hashCode(bloomBytes)
+
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
     case LongType | IntegerType | ShortType | ByteType | StringType | BinaryType =>
       TypeCheckResult.TypeCheckSuccess

@@ -71,24 +71,64 @@ object Compaction {
     * through partition-type inference: e.g. an externally-written
     * `hour=00` infers as int 0 and would rewrite under `hour=0`,
     * leaving the old directory in place — every row of that partition
-    * would then be returned twice. Reading the partition columns as
-    * plain strings exposes the raw directory values for the check.
+    * would then be returned twice.
+    *
+    * The precondition only needs DIRECTORY NAMES, so it walks the file
+    * listing (driver-side, O(partition count)) instead of scanning the
+    * table — a 100 TB table's precondition must not cost two full
+    * distinct scans per partition column. Each raw directory value is
+    * cast through the inferred partition type and back; a mismatch is
+    * exactly a value that would rewrite under a different directory.
     */
   private def requireCanonicalPartitionDirs(spark: SparkSession, path: String,
       inferredSchema: StructType, partitionCols: Seq[String]): Unit = {
-    val stringSchema = StructType(inferredSchema.map(f =>
-      if (partitionCols.contains(f.name)) f.copy(dataType = StringType) else f))
-    val asString = spark.read.schema(stringSchema).parquet(path)
-    val full = spark.read.parquet(path)
-    for (c <- partitionCols) {
-      val raw = asString.select(col(c)).distinct()
-        .collect().map(r => Option(r.getString(0)).orNull).toSet
-      val canonical = full.select(col(c).cast("string")).distinct()
-        .collect().map(r => if (r.isNullAt(0)) null else r.getString(0)).toSet
-      require(raw == canonical,
-        s"partition column '$c' has directory values ${raw -- canonical} that " +
+    import org.apache.hadoop.fs.Path
+    val root = new Path(path)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val rawByCol = partitionCols.map(_ =>
+      scala.collection.mutable.Set.empty[String])
+    def walk(p: Path, level: Int): Unit =
+      if (level < partitionCols.size)
+        for (st <- fs.listStatus(p) if st.isDirectory) {
+          st.getPath.getName.split("=", 2) match {
+            case Array(k, v) if k == partitionCols(level) =>
+              rawByCol(level) += unescapePathValue(v)
+              walk(st.getPath, level + 1)
+            case _ => // non-partition dir (e.g. _temporary) — skip
+          }
+        }
+    walk(root, 0)
+    for ((c, i) <- partitionCols.zipWithIndex) {
+      val dt = inferredSchema(c).dataType
+      // null partitions land in the hive default dir on both read and
+      // write — they round-trip by construction
+      val raws = rawByCol(i).toSeq.filterNot(_ == "__HIVE_DEFAULT_PARTITION__")
+      import spark.implicits._
+      val bad = raws.toDF("raw")
+        .select(col("raw"), col("raw").cast(dt).cast(StringType).as("canon"))
+        .collect()
+        .filter(r => r.isNullAt(1) || r.getString(0) != r.getString(1))
+        .map(_.getString(0))
+      require(bad.isEmpty,
+        s"partition column '$c' has directory values ${bad.toSet} that " +
           s"do not round-trip through type inference — compacting would " +
           s"duplicate those partitions; rewrite them canonically first")
     }
   }
+
+  /** Undo hive-style %XX escaping in a partition directory value. */
+  private def unescapePathValue(s: String): String =
+    if (!s.contains('%')) s
+    else {
+      val sb = new StringBuilder
+      var i = 0
+      while (i < s.length) {
+        val c = s.charAt(i)
+        if (c == '%' && i + 3 <= s.length) {
+          sb.append(Integer.parseInt(s.substring(i + 1, i + 3), 16).toChar)
+          i += 3
+        } else { sb.append(c); i += 1 }
+      }
+      sb.toString
+    }
 }

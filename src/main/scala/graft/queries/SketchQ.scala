@@ -39,13 +39,24 @@ object SketchQ {
     * ever sheds and the oracle compares against true counts with
     * shed = 0); MisraGriesSpec pins the approximate invariants at
     * adversarial k.
+    *
+    * That exactness contract is GUARDED, not assumed: if regenerated
+    * testdata (or a larger SF) ever widens the vocabulary past k, the
+    * summary sheds and the query raises instead of letting the oracle
+    * compare drift into a near-miss with no pointer at the cause.
     */
   def frequentTokens(spark: SparkSession, dir: String): DataFrame = {
     val toks = Tables(spark, dir, "documents")
       .select(explode(graft.text.TextOps.tokens(col("text"))).as("t"))
     toks
       .agg(graft.functions.MisraGries.ofColumn(col("t"), 64).as("s"))
-      .select(explode(col("s.items")).as(Seq("token", "est")), col("s.shed"))
+      .select(explode(col("s.items")).as(Seq("token", "est")),
+        when(col("s.shed") > 0, raise_error(concat(
+          lit("frequent_tokens: Misra-Gries shed "),
+          col("s.shed").cast("string"),
+          lit(" — vocabulary exceeds k=64, the exact-top-20 oracle no " +
+            "longer holds; raise k or switch the oracle to bound-checks"))))
+          .otherwise(col("s.shed")).as("shed"))
       .orderBy(col("est").desc, col("token"))
       .limit(20)
   }

@@ -16,13 +16,26 @@ object HttpFetch {
     extends RuntimeException(
       s"mock_pos_api_error status=$status body=${body.take(200)}")
 
+  /** Connection-establishment bound, separate from the per-request
+    * deadline so the worst case is connectTimeout + request timeout by
+    * DESIGN, not an accident of reusing one knob for both.
+    */
+  private val ConnectTimeoutMs = 5000L
+
+  /** One shared client (and connection pool) per JVM — rebuilding the
+    * client per call (worse: per retry attempt) discards pooled
+    * connections exactly when a retry wants to reuse them.
+    */
+  private lazy val client: HttpClient = HttpClient.newBuilder()
+    .connectTimeout(Duration.ofMillis(ConnectTimeoutMs))
+    .build()
+
   /** GET `url`, returning the body; >= 400 raises [[HttpStatusError]]
     * (retryable), timeouts raise `java.net.http.HttpTimeoutException`.
+    * `timeoutMs` is the REQUEST deadline (connect is bounded separately
+    * by [[ConnectTimeoutMs]]).
     */
   def get(url: String, timeoutMs: Long = 10000L): String = {
-    val client = HttpClient.newBuilder()
-      .connectTimeout(Duration.ofMillis(timeoutMs))
-      .build()
     val req = HttpRequest.newBuilder(URI.create(url))
       .timeout(Duration.ofMillis(timeoutMs))
       .GET().build()
