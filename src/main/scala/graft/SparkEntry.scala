@@ -152,6 +152,10 @@ object SparkEntry {
     "q_minhash_lsh" -> DedupQ.minhashLsh,
     // dedup — SimHash hamming<=3 pairs (rows-only: engine-specific bits)
     "q_simhash_pairs" -> DedupQ.simhashPairs,
+    // dedup — SimHash over the pinned fixture corpus (hash-match oracle:
+    // DuckDB recomputes the pair/hamming relation from the pinned
+    // fingerprints; DedupSpec guards engine/fixture drift)
+    "q_simhash_fixture" -> DedupQ.simhashFixturePairs,
     // dedup — connected-component duplicate clusters (label propagation)
     "q_dedup_clusters" -> DedupQ.dedupClusters,
     // dedup — embedding cosine near-dup pairs
@@ -174,6 +178,10 @@ object SparkEntry {
     // dedup/text — the composed corpus-curation verdict (flagship of the
     // training-data extension layer)
     "q_corpus_filter" -> DedupQ.corpusFilter,
+    // the same verdict composed from the PERSISTED cluster-label stage
+    // artifact (parquet write + read-back) — the artifact-per-stage
+    // shape a 100 TB curation run uses; shares the inline twin's oracle
+    "q_corpus_filter_staged" -> DedupQ.corpusFilterStaged,
     // similarity search — exact cosine top-k baseline
     "q_ann_topk" -> AnnQ.bruteTopK,
     // similarity search — sign-LSH bucketed top-k (rows-only: approximate)
@@ -496,6 +504,16 @@ object SparkEntry {
         |FROM k GROUP BY 1""".stripMargin,
     "q_jaccard_pairs" -> jaccardPairsSql,
     "q_minhash_lsh" -> jaccardPairsSql,
+    // pair/hamming relation over the pinned fixture fingerprints — pure
+    // 64-bit integer arithmetic both engines share (xor + popcount)
+    "q_simhash_fixture" ->
+      s"""WITH h(doc_id, sh64) AS (VALUES
+        |  ${graft.dedup.SimhashFixture.valuesSql}
+        |)
+        |SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+        | CAST(bit_count(xor(a.sh64, b.sh64)) AS BIGINT) AS hamming
+        |FROM h a JOIN h b ON a.doc_id < b.doc_id
+        |WHERE bit_count(xor(a.sh64, b.sh64)) <= 3""".stripMargin,
     // the exact pair relation restricted to pairs touching the batch
     "q_incremental_dedup" ->
       s"""WITH p AS ($jaccardPairsSql)
@@ -639,61 +657,11 @@ object SparkEntry {
         |SELECT token, CAST(est AS BIGINT) AS est, CAST(0 AS BIGINT) AS shed
         |FROM c ORDER BY est DESC, token LIMIT 20""".stripMargin,
     // the composed curation verdict: quality ∧ ¬repetitive ∧
-    // ¬contaminated ∧ canonical — each block mirrors its standalone oracle
-    "q_corpus_filter" ->
-      """WITH RECURSIVE d AS (
-        |  SELECT doc_id,
-        |   string_split(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' ') AS toks
-        |  FROM documents
-        |), q AS (
-        |  SELECT doc_id, (CAST(
-        |    CAST(0.4 AS DECIMAL(2,1)) * CAST(round(least(CAST(len(toks) AS DOUBLE) / 50.0, 1.0), 6) AS DECIMAL(9,6))
-        |    + CAST(0.3 AS DECIMAL(2,1)) * CAST(round(CAST(len(list_distinct(toks)) AS DOUBLE) / CAST(len(toks) AS DOUBLE), 6) AS DECIMAL(9,6))
-        |    + CAST(0.3 AS DECIMAL(2,1)) * (CAST(1.0 AS DECIMAL(2,1)) - CAST(round(CAST(len(list_filter(toks, t -> list_contains(
-        |        ['the','a','an','and','of','to','in','is','it','for'], t))) AS DOUBLE) / CAST(len(toks) AS DOUBLE), 6) AS DECIMAL(9,6)))
-        |   AS DOUBLE) >= 0.5 AND len(toks) >= 10) AS quality_ok
-        |  FROM d
-        |), r AS (
-        |  SELECT doc_id, NOT ((CASE WHEN len(toks) - 1 > 0
-        |    THEN round(1.0 - CAST(len(list_distinct([array_to_string(toks[i:i+1], ' ') for i in generate_series(1, len(toks) - 1)])) AS DOUBLE)
-        |      / CAST(len(toks) - 1 AS DOUBLE), 6)
-        |    ELSE 0.0 END) > 0.2) AS not_repetitive
-        |  FROM d
-        |), g8 AS (
-        |  SELECT doc_id, list_distinct(
-        |    [array_to_string(toks[i:i+7], ' ') for i in generate_series(1, len(toks) - 7)]) AS gs
-        |  FROM d WHERE len(toks) >= 8
-        |), bench AS (
-        |  SELECT list_distinct(flatten(list(gs))) AS bgs FROM g8 WHERE doc_id % 10 = 0
-        |), corpus AS (
-        |  SELECT d.doc_id, coalesce(g8.gs, []) AS gs
-        |  FROM d LEFT JOIN g8 USING (doc_id)
-        |  WHERE d.doc_id % 10 != 0
-        |), dc AS (
-        |  SELECT c.doc_id, len(list_intersect(c.gs, coalesce(b.bgs, []))) = 0 AS not_contaminated
-        |  FROM corpus c, bench b
-        |), g3 AS (
-        |  SELECT doc_id, list_distinct(
-        |    [toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
-        |     for i in generate_series(1, len(toks) - 2)]) AS gs
-        |  FROM d WHERE len(toks) >= 3
-        |), p AS (
-        |  SELECT a.doc_id AS a_id, b.doc_id AS b_id
-        |  FROM g3 a JOIN g3 b ON a.doc_id < b.doc_id
-        |  WHERE CAST(len(list_intersect(a.gs, b.gs)) AS DOUBLE)
-        |    / CAST(len(a.gs) + len(b.gs) - len(list_intersect(a.gs, b.gs)) AS DOUBLE) >= 0.8
-        |), edges AS (
-        |  SELECT a_id AS s, b_id AS dd FROM p UNION ALL SELECT b_id, a_id FROM p
-        |), reach(s, dd) AS (
-        |  SELECT doc_id, doc_id FROM documents
-        |  UNION
-        |  SELECT rr.s, e.dd FROM reach rr JOIN edges e ON rr.dd = e.s
-        |), canon AS (
-        |  SELECT s AS doc_id, min(dd) = s AS canonical FROM reach GROUP BY s
-        |)
-        |SELECT dc.doc_id, q.quality_ok, r.not_repetitive, dc.not_contaminated, canon.canonical,
-        | (q.quality_ok AND r.not_repetitive AND dc.not_contaminated AND canon.canonical) AS keep
-        |FROM dc JOIN q USING (doc_id) JOIN r USING (doc_id) JOIN canon USING (doc_id)""".stripMargin,
+    // ¬contaminated ∧ canonical — each block mirrors its standalone
+    // oracle; the staged form materializes the cluster stage as parquet
+    // but MUST produce the identical relation
+    "q_corpus_filter" -> corpusFilterSql,
+    "q_corpus_filter_staged" -> corpusFilterSql,
     "q_ann_topk" ->
       """WITH e AS (
         |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
@@ -782,4 +750,63 @@ object SparkEntry {
       | round(CAST(inter AS DOUBLE) / CAST(na + nb - inter AS DOUBLE), 6) AS jaccard
       |FROM p
       |WHERE CAST(inter AS DOUBLE) / CAST(na + nb - inter AS DOUBLE) >= 0.8""".stripMargin
+
+  /** The composed curation-verdict SQL — the ONE oracle both the
+    * inline (q_corpus_filter) and stage-artifact
+    * (q_corpus_filter_staged) forms must reproduce.
+    */
+  private val corpusFilterSql: String =
+    """WITH RECURSIVE d AS (
+      |  SELECT doc_id,
+      |   string_split(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' ') AS toks
+      |  FROM documents
+      |), q AS (
+      |  SELECT doc_id, (CAST(
+      |    CAST(0.4 AS DECIMAL(2,1)) * CAST(round(least(CAST(len(toks) AS DOUBLE) / 50.0, 1.0), 6) AS DECIMAL(9,6))
+      |    + CAST(0.3 AS DECIMAL(2,1)) * CAST(round(CAST(len(list_distinct(toks)) AS DOUBLE) / CAST(len(toks) AS DOUBLE), 6) AS DECIMAL(9,6))
+      |    + CAST(0.3 AS DECIMAL(2,1)) * (CAST(1.0 AS DECIMAL(2,1)) - CAST(round(CAST(len(list_filter(toks, t -> list_contains(
+      |        ['the','a','an','and','of','to','in','is','it','for'], t))) AS DOUBLE) / CAST(len(toks) AS DOUBLE), 6) AS DECIMAL(9,6)))
+      |   AS DOUBLE) >= 0.5 AND len(toks) >= 10) AS quality_ok
+      |  FROM d
+      |), r AS (
+      |  SELECT doc_id, NOT ((CASE WHEN len(toks) - 1 > 0
+      |    THEN round(1.0 - CAST(len(list_distinct([array_to_string(toks[i:i+1], ' ') for i in generate_series(1, len(toks) - 1)])) AS DOUBLE)
+      |      / CAST(len(toks) - 1 AS DOUBLE), 6)
+      |    ELSE 0.0 END) > 0.2) AS not_repetitive
+      |  FROM d
+      |), g8 AS (
+      |  SELECT doc_id, list_distinct(
+      |    [array_to_string(toks[i:i+7], ' ') for i in generate_series(1, len(toks) - 7)]) AS gs
+      |  FROM d WHERE len(toks) >= 8
+      |), bench AS (
+      |  SELECT list_distinct(flatten(list(gs))) AS bgs FROM g8 WHERE doc_id % 10 = 0
+      |), corpus AS (
+      |  SELECT d.doc_id, coalesce(g8.gs, []) AS gs
+      |  FROM d LEFT JOIN g8 USING (doc_id)
+      |  WHERE d.doc_id % 10 != 0
+      |), dc AS (
+      |  SELECT c.doc_id, len(list_intersect(c.gs, coalesce(b.bgs, []))) = 0 AS not_contaminated
+      |  FROM corpus c, bench b
+      |), g3 AS (
+      |  SELECT doc_id, list_distinct(
+      |    [toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+      |     for i in generate_series(1, len(toks) - 2)]) AS gs
+      |  FROM d WHERE len(toks) >= 3
+      |), p AS (
+      |  SELECT a.doc_id AS a_id, b.doc_id AS b_id
+      |  FROM g3 a JOIN g3 b ON a.doc_id < b.doc_id
+      |  WHERE CAST(len(list_intersect(a.gs, b.gs)) AS DOUBLE)
+      |    / CAST(len(a.gs) + len(b.gs) - len(list_intersect(a.gs, b.gs)) AS DOUBLE) >= 0.8
+      |), edges AS (
+      |  SELECT a_id AS s, b_id AS dd FROM p UNION ALL SELECT b_id, a_id FROM p
+      |), reach(s, dd) AS (
+      |  SELECT doc_id, doc_id FROM documents
+      |  UNION
+      |  SELECT rr.s, e.dd FROM reach rr JOIN edges e ON rr.dd = e.s
+      |), canon AS (
+      |  SELECT s AS doc_id, min(dd) = s AS canonical FROM reach GROUP BY s
+      |)
+      |SELECT dc.doc_id, q.quality_ok, r.not_repetitive, dc.not_contaminated, canon.canonical,
+      | (q.quality_ok AND r.not_repetitive AND dc.not_contaminated AND canon.canonical) AS keep
+      |FROM dc JOIN q USING (doc_id) JOIN r USING (doc_id) JOIN canon USING (doc_id)""".stripMargin
 }

@@ -46,6 +46,19 @@ object DedupQ {
     Dedup.simhashPairs(Tables(spark, dir, "documents"), "doc_id", "text",
       maxHamming = 3)
 
+  /** SimHash pairs over the PINNED fixture corpus — the oracled twin of
+    * [[simhashPairs]]: the engine computes fingerprints + pairs from the
+    * raw text; DuckDB reproduces the pair/hamming relation from the
+    * pinned fingerprints ([[graft.dedup.SimhashFixture.sh64]], drift-
+    * guarded by DedupSpec). The chunk-pigeonhole candidate generation is
+    * exact at hamming <= 3, so both sides produce the full relation.
+    */
+  def simhashFixturePairs(spark: SparkSession, dir: String): DataFrame =
+    Dedup.simhashPairs(graft.dedup.SimhashFixture.df(spark), "doc_id", "text",
+      maxHamming = 3)
+      .select(col("a_id"), col("b_id"),
+        col("hamming").cast("long").as("hamming"))
+
   /** Connected-component duplicate clusters over the 3-gram Jaccard
     * pair graph — every doc labeled with its component's min id.
     */
@@ -114,7 +127,57 @@ object DedupQ {
     * co-partitions on one key; each component is independently oracled,
     * and this query's oracle recomputes the whole composition.
     */
-  def corpusFilter(spark: SparkSession, dir: String): DataFrame = {
+  def corpusFilter(spark: SparkSession, dir: String): DataFrame =
+    corpusVerdict(spark, dir,
+      clusterLabelsInline(spark, dir))
+
+  /** The cluster-label STAGE ARTIFACT: the expensive curation stage
+    * (MinHash banding + star contraction) materialized once as parquet.
+    * At 100 TB curation runs stage-wise — each expensive stage writes an
+    * artifact and downstream composition reads it, so a failed or
+    * re-tuned downstream never re-pays the clustering pass (the same
+    * persistence contract as [[Dedup.minhashIndex]], and the reference's
+    * own artifact-per-stage shape).
+    */
+  def writeClusterArtifact(spark: SparkSession, dir: String,
+      outPath: String): Unit =
+    Dedup.duplicateClusters(Tables(spark, dir, "documents"), "doc_id", "text",
+      n = 3, threshold = 0.8)
+      .write.mode("overwrite").parquet(outPath)
+
+  /** [[corpusFilter]] composed from the PERSISTED cluster artifact
+    * instead of recomputing the near-dup machinery inline — write the
+    * stage artifact, read it back, join. Provably identical to the
+    * inline twin (shared verdict composition + DedupQSpec differential
+    * + the same DuckDB oracle), which is the point: the staged shape is
+    * how a 100 TB curation run actually executes.
+    */
+  def corpusFilterStaged(spark: SparkSession, dir: String): DataFrame = {
+    val stage = java.nio.file.Files.createTempDirectory("graft-curation")
+      .toString
+    val clustersPath = s"$stage/dedup_clusters"
+    writeClusterArtifact(spark, dir, clustersPath)
+    corpusVerdict(spark, dir,
+      canonicalFrom(spark.read.parquet(clustersPath)))
+  }
+
+  private def clusterLabelsInline(spark: SparkSession, dir: String): DataFrame =
+    canonicalFrom(Dedup.duplicateClusters(Tables(spark, dir, "documents"),
+      "doc_id", "text", n = 3, threshold = 0.8))
+
+  /** (doc_id, canonical) from a cluster-label relation: a doc is kept
+    * iff it is its cluster's min-id representative.
+    */
+  private def canonicalFrom(clusters: DataFrame): DataFrame =
+    clusters.select(col("doc_id"),
+      (col("cluster_id") === col("doc_id")).as("canonical"))
+
+  /** The verdict composition shared by the inline and staged forms:
+    * every stage is a doc_id-keyed join, so at scale the conjunction
+    * co-partitions on one key.
+    */
+  private def corpusVerdict(spark: SparkSession, dir: String,
+      canon: DataFrame): DataFrame = {
     val docs = Tables(spark, dir, "documents")
     val quality = TextQ.qualityScore(spark, dir)
       .select(col("doc_id"), col("keep").as("quality_ok"))
@@ -122,9 +185,6 @@ object DedupQ {
       .select(col("doc_id"), (!col("repetitive")).as("not_repetitive"))
     val decon = decontaminate(spark, dir)
       .select(col("doc_id"), (!col("contaminated")).as("not_contaminated"))
-    val canon = Dedup.duplicateClusters(docs, "doc_id", "text",
-      n = 3, threshold = 0.8)
-      .select(col("doc_id"), (col("cluster_id") === col("doc_id")).as("canonical"))
     docs.filter(col("doc_id") % 10 =!= 0).select(col("doc_id"))
       .join(quality, "doc_id")
       .join(rep, "doc_id")

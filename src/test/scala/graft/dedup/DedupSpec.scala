@@ -107,6 +107,15 @@ class DedupSpec extends AnyFunSuite with SparkSpec {
     assert(packed == hof)
   }
 
+  test("SimhashFixture pins: engine simhash64 matches the pinned sh64 values") {
+    // the q_simhash_fixture DuckDB oracle recomputes the pair relation
+    // from SimhashFixture.sh64 — if the engine's simhash ever drifts
+    // from the pinned values, THIS fails (not the oracle, silently)
+    val computed = Dedup.simhash64(SimhashFixture.df(spark), "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(computed == SimhashFixture.sh64.toMap)
+  }
+
   test("simhash64: worst-case repeated-token doc aggregates without overflow; oversized doc gets the cap error") {
     import spark.implicits._
     // 16,000 identical tokens stress every lane of the packed sums at

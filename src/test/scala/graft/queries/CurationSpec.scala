@@ -1,0 +1,25 @@
+package graft.queries
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.testkit.SparkSpec
+
+/** The stage-artifact curation contract: composing the corpus verdict
+  * from the PERSISTED cluster-label artifact must reproduce the inline
+  * composition exactly — otherwise a staged 100 TB run and the oracled
+  * single-plan form could silently diverge.
+  */
+class CurationSpec extends AnyFunSuite with SparkSpec {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  test("corpusFilterStaged (parquet artifact) == corpusFilter (inline)") {
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getBoolean(1), r.getBoolean(2),
+        r.getBoolean(3), r.getBoolean(4), r.getBoolean(5))).toSet
+    val inline = rows(DedupQ.corpusFilter(spark, dir))
+    val staged = rows(DedupQ.corpusFilterStaged(spark, dir))
+    assert(inline.nonEmpty)
+    assert(staged == inline)
+  }
+}
