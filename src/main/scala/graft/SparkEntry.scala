@@ -124,6 +124,46 @@ object SparkEntry {
     "q_pos_source" -> ((s, _) => s.read.format("graft-pos")
       .option("run_id", "verify-run").option("scenario", "ok")
       .option("n", 200).option("partitions", 4).load()),
+    // S5/K5 — the DSv2 warehouse boundary end-to-end: keyed upsert of an
+    // orders slice through df.write.format("graft-warehouse") into
+    // embedded Derby (update batch REDELIVERED twice — the connector's
+    // idempotence contract), read back through the same connector. The
+    // oracle recomputes the converged table state relationally.
+    "q_warehouse_roundtrip" -> ((s, dir) => {
+      import org.apache.spark.sql.functions._
+      import org.apache.spark.sql.types.DecimalType
+      val url = "jdbc:derby:memory:graftwhq;create=true"
+      val c = java.sql.DriverManager.getConnection(url)
+      try {
+        try c.createStatement().execute(
+          "CREATE TABLE wh_orders (orderkey BIGINT NOT NULL, " +
+            "status VARCHAR(4), totalprice DOUBLE)")
+        catch { // X0Y32 = already exists (re-runs in one session)
+          case e: java.sql.SQLException if e.getSQLState == "X0Y32" => ()
+        }
+      } finally c.close()
+      val base = graft.Tables(s, dir, "orders")
+        .filter(col("o_orderkey") % 100 === 0)
+        .select(col("o_orderkey").as("orderkey"),
+          col("o_orderstatus").as("status"),
+          col("o_totalprice").cast(DecimalType(18, 2)).cast("double")
+            .as("totalprice"))
+      def save(df: DataFrame): Unit = df.write.format("graft-warehouse")
+        .option("url", url).option("dbtable", "wh_orders")
+        .option("keys", "orderkey").mode("append").save()
+      save(base)
+      val upd = base.filter(col("orderkey") % 700 === 0)
+        .withColumn("status", lit("U"))
+        .withColumn("totalprice",
+          (col("totalprice").cast(DecimalType(18, 2)) * 2).cast("double"))
+      save(upd)
+      save(upd) // redelivery: same batch again — state must not change
+      s.read.format("graft-warehouse")
+        .option("url", url).option("dbtable", "wh_orders").load()
+        .select(col("orderkey").cast("long").as("orderkey"),
+          col("status").as("status"),
+          col("totalprice").cast("double").as("totalprice"))
+    }),
     // J1+A1 — grocery fct enrichment + daily mart over the generated source
     // (rows-only for the same reason)
     "q_grocery_daily_mart" -> ((s, _) => Enricher.dailySalesMart(
@@ -249,6 +289,20 @@ object SparkEntry {
     "q_count_canary" ->
       """SELECT 'orders_1995_plus' AS canary, count(*) AS n, count(*) >= 10 AS pass
         |FROM orders WHERE CAST(o_orderdate AS DATE) >= DATE '1995-01-01'""".stripMargin,
+    // the converged warehouse state after base upsert + (redelivered)
+    // update batch: rows with orderkey % 700 = 0 carry the doubled price
+    "q_warehouse_roundtrip" ->
+      """WITH base AS (
+        |  SELECT o_orderkey AS orderkey, o_orderstatus AS status,
+        |   CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE) AS totalprice
+        |  FROM orders WHERE o_orderkey % 100 = 0
+        |)
+        |SELECT orderkey,
+        | CASE WHEN orderkey % 700 = 0 THEN 'U' ELSE status END AS status,
+        | CAST(CASE WHEN orderkey % 700 = 0
+        |   THEN CAST(totalprice AS DECIMAL(18,2)) * 2
+        |   ELSE CAST(totalprice AS DECIMAL(18,2)) END AS DOUBLE) AS totalprice
+        |FROM base""".stripMargin,
     "q_asof_join" ->
       """SELECT c.event_id, c.user_id, epoch_us(c.ts) AS ts_us,
         | p.event_id AS p_event_id, p.value AS p_value

@@ -52,7 +52,7 @@ object JdbcSink {
     * words with quoting needs, mixed-case-sensitive names, or untrusted
     * input can't produce broken/injectable statements.
     */
-  private def requireIdent(s: String, what: String, allowQualified: Boolean): Unit = {
+  private[graft] def requireIdent(s: String, what: String, allowQualified: Boolean): Unit = {
     val parts = if (allowQualified) s.split("\\.", -1).toSeq else Seq(s)
     require(parts.nonEmpty && parts.forall(p => Ident.pattern.matcher(p).matches()),
       s"$what '$s' is not a plain identifier ([A-Za-z_][A-Za-z0-9_]*)")
@@ -122,7 +122,10 @@ object JdbcSink {
     }
   }
 
-  private def jdbcType(dt: DataType): Int = dt match {
+  /** Spark→JDBC type code for binding (shared with the DSv2 warehouse
+    * connector, [[graft.sources.WarehouseDataSource]]).
+    */
+  private[graft] def jdbcType(dt: DataType): Int = dt match {
     case StringType => java.sql.Types.VARCHAR
     case LongType => java.sql.Types.BIGINT
     case IntegerType => java.sql.Types.INTEGER
@@ -137,7 +140,7 @@ object JdbcSink {
     case _ => java.sql.Types.OTHER
   }
 
-  private def bind(ps: java.sql.PreparedStatement, idx: Int, v: Any,
+  private[graft] def bind(ps: java.sql.PreparedStatement, idx: Int, v: Any,
       sqlType: Int): Unit =
     v match {
       case null => ps.setNull(idx, sqlType)

@@ -1,0 +1,349 @@
+package graft.sources
+
+import java.sql.{DriverManager, ResultSet}
+import java.util.{Map => JMap}
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsWrite, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.distributions.{Distribution, Distributions}
+import org.apache.spark.sql.connector.expressions.{Expressions, SortOrder, Transform}
+import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownRequiredColumns}
+import org.apache.spark.sql.connector.write.{BatchWrite, DataWriter, DataWriterFactory, LogicalWriteInfo, PhysicalWriteInfo, RequiresDistributionAndOrdering, Write, WriteBuilder, WriterCommitMessage}
+import org.apache.spark.sql.sources.DataSourceRegister
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+
+import graft.etl.JdbcSink
+
+/** DataSource V2 connector for the warehouse LOAD boundary — the
+  * reference's `INSERT … ON CONFLICT (run_id, txn_id) DO UPDATE` loader
+  * (grocery_lib/pg.py:33-60) surfaced as a catalog-visible Spark table
+  * instead of a side-effecting helper call:
+  *
+  * {{{
+  *   df.write.format("graft-warehouse")
+  *     .option("url", jdbcUrl).option("dbtable", "fct_sales")
+  *     .option("keys", "run_id,txn_id")   // omit for plain append
+  *     .mode("append").save()
+  *   spark.read.format("graft-warehouse")
+  *     .option("url", jdbcUrl).option("dbtable", "fct_sales").load()
+  * }}}
+  *
+  * Write semantics mirror [[graft.etl.JdbcSink.upsertBatched]]: each
+  * task opens one connection and stages delete+insert batches inside a
+  * single transaction (portable across dialects without MERGE support),
+  * so a key's final value is the LAST source row — which makes a
+  * REDELIVERED batch converge to the same table state (the idempotence
+  * a retrying orchestrator needs; WarehouseDataSourceSpec proves it).
+  * The connector asks Spark to CLUSTER input by the key columns
+  * ([[RequiresDistributionAndOrdering]]), so one key's rows never race
+  * across connections — the DSv2-native form of JdbcSink's explicit
+  * repartition. Atomicity is per task transaction, not per job (a
+  * failed job leaves committed partitions — rerunning the idempotent
+  * upsert converges), exactly JdbcSink's contract.
+  *
+  * The read path serves catalog visibility and round-trip testing: one
+  * partition, column pruning pushed into the SELECT. Partitioned scale
+  * reads of a JDBC warehouse go through Spark's built-in jdbc relation
+  * with partitionColumn bounds; re-implementing that here would
+  * duplicate a built-in (the write path is what the built-in cannot
+  * do).
+  */
+class WarehouseDataSource extends TableProvider with DataSourceRegister {
+
+  override def shortName(): String = "graft-warehouse"
+
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    WarehouseDataSource.tableSchema(
+      WarehouseConf(options.asCaseSensitiveMap()))
+
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+      properties: JMap[String, String]): Table =
+    new WarehouseTable(schema, WarehouseConf(properties))
+}
+
+private[sources] final case class WarehouseConf(url: String, table: String,
+    keys: Seq[String], batchSize: Int)
+
+private[sources] object WarehouseConf {
+  def apply(props: JMap[String, String]): WarehouseConf = {
+    val get = (k: String) => Option(props.get(k))
+    val url = get("url").getOrElse(
+      throw new IllegalArgumentException("graft-warehouse requires option 'url'"))
+    val table = get("dbtable").getOrElse(
+      throw new IllegalArgumentException("graft-warehouse requires option 'dbtable'"))
+    val keys = get("keys").map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+      .getOrElse(Seq.empty)
+    JdbcSink.requireIdent(table, "dbtable", allowQualified = true)
+    keys.foreach(JdbcSink.requireIdent(_, "key", allowQualified = false))
+    WarehouseConf(url, table, keys, get("batchSize").map(_.toInt).getOrElse(1000))
+  }
+}
+
+private[sources] object WarehouseDataSource {
+
+  /** Table schema from JDBC metadata (a WHERE 1=0 probe — no data read). */
+  def tableSchema(conf: WarehouseConf): StructType = {
+    val conn = DriverManager.getConnection(conf.url)
+    try {
+      val rs = conn.createStatement()
+        .executeQuery(s"SELECT * FROM ${conf.table} WHERE 1=0")
+      val md = rs.getMetaData
+      StructType((1 to md.getColumnCount).map { i =>
+        StructField(md.getColumnName(i), sparkType(md.getColumnType(i),
+          md.getPrecision(i), md.getScale(i)),
+          md.isNullable(i) != java.sql.ResultSetMetaData.columnNoNulls)
+      })
+    } finally conn.close()
+  }
+
+  private def sparkType(jdbc: Int, precision: Int, scale: Int): DataType = {
+    import java.sql.Types._
+    jdbc match {
+      case VARCHAR | CHAR | LONGVARCHAR | CLOB => StringType
+      case BIGINT => LongType
+      case INTEGER => IntegerType
+      case SMALLINT | TINYINT => ShortType
+      case DOUBLE | FLOAT => DoubleType
+      case REAL => FloatType
+      case BOOLEAN | BIT => BooleanType
+      case TIMESTAMP => TimestampType
+      case DATE => DateType
+      case DECIMAL | NUMERIC => DecimalType(precision.max(1), scale.max(0))
+      case BINARY | VARBINARY | LONGVARBINARY | BLOB => BinaryType
+      case t => throw new IllegalArgumentException(
+        s"graft-warehouse: unsupported JDBC type code $t")
+    }
+  }
+
+  /** JDBC value → Catalyst internal value for `dt`. */
+  def toInternal(rs: ResultSet, i: Int, dt: DataType): Any = {
+    val v = dt match {
+      case StringType => Option(rs.getString(i)).map(UTF8String.fromString).orNull
+      case LongType => rs.getLong(i)
+      case IntegerType => rs.getInt(i)
+      case ShortType => rs.getShort(i)
+      case DoubleType => rs.getDouble(i)
+      case FloatType => rs.getFloat(i)
+      case BooleanType => rs.getBoolean(i)
+      case TimestampType =>
+        Option(rs.getTimestamp(i))
+          .map(t => t.getTime * 1000L + (t.getNanos / 1000L) % 1000L)
+          .map(Long.box).orNull
+      case DateType =>
+        Option(rs.getDate(i))
+          .map(d => d.toLocalDate.toEpochDay.toInt).map(Int.box).orNull
+      case d: DecimalType =>
+        Option(rs.getBigDecimal(i))
+          .map(b => org.apache.spark.sql.types.Decimal(b, d.precision, d.scale))
+          .orNull
+      case BinaryType => rs.getBytes(i)
+      case t => throw new IllegalArgumentException(s"unsupported read type $t")
+    }
+    if (rs.wasNull()) null else v
+  }
+
+  /** Catalyst internal value → plain JDBC value for binding. */
+  def fromInternal(row: InternalRow, i: Int, dt: DataType): Any =
+    if (row.isNullAt(i)) null
+    else dt match {
+      case StringType => row.getUTF8String(i).toString
+      case LongType => Long.box(row.getLong(i))
+      case IntegerType => Int.box(row.getInt(i))
+      case ShortType => Short.box(row.getShort(i))
+      case DoubleType => Double.box(row.getDouble(i))
+      case FloatType => Float.box(row.getFloat(i))
+      case BooleanType => Boolean.box(row.getBoolean(i))
+      case TimestampType =>
+        val us = row.getLong(i)
+        val t = new java.sql.Timestamp(Math.floorDiv(us, 1000000L) * 1000L)
+        t.setNanos((Math.floorMod(us, 1000000L) * 1000L).toInt)
+        t
+      case DateType => java.sql.Date.valueOf(
+        java.time.LocalDate.ofEpochDay(row.getInt(i).toLong))
+      case d: DecimalType => row.getDecimal(i, d.precision, d.scale).toJavaBigDecimal
+      case BinaryType => row.getBinary(i)
+      case t => throw new IllegalArgumentException(s"unsupported write type $t")
+    }
+}
+
+private[sources] class WarehouseTable(schema0: StructType, conf: WarehouseConf)
+    extends Table with SupportsRead with SupportsWrite {
+
+  override def name(): String = s"graft-warehouse(${conf.table})"
+  override def schema(): StructType = schema0
+  override def capabilities(): java.util.Set[TableCapability] =
+    java.util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE)
+
+  override def newScanBuilder(o: CaseInsensitiveStringMap): ScanBuilder =
+    new WarehouseScanBuilder(schema0, conf)
+
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
+    new WriteBuilder {
+      override def build(): Write = new WarehouseWrite(info.schema(), conf)
+    }
+}
+
+private[sources] class WarehouseScanBuilder(full: StructType,
+    conf: WarehouseConf)
+    extends ScanBuilder with SupportsPushDownRequiredColumns {
+
+  private var required: StructType = full
+
+  override def pruneColumns(requiredSchema: StructType): Unit =
+    // preserve TABLE column order/metadata; an empty projection (count-only
+    // scan) still reads one column so the row cursor has a SELECT list
+    required = {
+      val names = requiredSchema.fieldNames.toSet
+      val kept = full.fields.filter(f => names.contains(f.name))
+      StructType(if (kept.isEmpty) full.fields.take(1) else kept)
+    }
+
+  override def build(): Scan = new Scan with Batch {
+    override def readSchema(): StructType = required
+    override def description(): String =
+      s"graft-warehouse ${conf.table} (${required.fieldNames.mkString(",")})"
+    override def toBatch: Batch = this
+    override def planInputPartitions(): Array[InputPartition] =
+      Array(WarehousePartition(0))
+    override def createReaderFactory(): PartitionReaderFactory =
+      WarehouseReaderFactory(conf, required)
+  }
+}
+
+/** Top-level (serializable) factory — an anonymous factory would capture
+  * the non-serializable enclosing Scan.
+  */
+private[sources] final case class WarehouseReaderFactory(conf: WarehouseConf,
+    schema: StructType) extends PartitionReaderFactory {
+  override def createReader(p: InputPartition): PartitionReader[InternalRow] =
+    new WarehouseReader(conf, schema)
+}
+
+private[sources] final case class WarehousePartition(id: Int) extends InputPartition
+
+private[sources] class WarehouseReader(conf: WarehouseConf, schema: StructType)
+    extends PartitionReader[InternalRow] {
+
+  private val conn = DriverManager.getConnection(conf.url)
+  private val rs = conn.createStatement().executeQuery(
+    s"SELECT ${schema.fieldNames.mkString(", ")} FROM ${conf.table}")
+
+  override def next(): Boolean = rs.next()
+  override def get(): InternalRow =
+    InternalRow.fromSeq(schema.fields.zipWithIndex.map { case (f, i) =>
+      WarehouseDataSource.toInternal(rs, i + 1, f.dataType)
+    }.toIndexedSeq)
+  override def close(): Unit = { rs.close(); conn.close() }
+}
+
+private[sources] class WarehouseWrite(schema: StructType, conf: WarehouseConf)
+    extends Write with RequiresDistributionAndOrdering {
+
+  schema.fieldNames.foreach(
+    JdbcSink.requireIdent(_, "column", allowQualified = false))
+  // V2 write resolution renames the frame to the TABLE's column names
+  // (Derby metadata upcases them) — resolve the user's key spelling to
+  // the schema's case-insensitively, as Spark resolved the columns
+  private val resolved = conf.copy(keys = conf.keys.map { k =>
+    schema.fieldNames.find(_.equalsIgnoreCase(k)).getOrElse(
+      throw new IllegalArgumentException(
+        s"key '$k' is not a column of the written frame " +
+          s"(${schema.fieldNames.mkString(", ")})"))
+  })
+
+  /** Cluster same-key rows into one task so upserts of a key never race
+    * across connections (append requests no distribution).
+    */
+  override def requiredDistribution(): Distribution =
+    if (resolved.keys.isEmpty) Distributions.unspecified()
+    else Distributions.clustered(
+      resolved.keys.map(k => Expressions.identity(k): org.apache.spark.sql.connector.expressions.Expression).toArray)
+  override def requiredOrdering(): Array[SortOrder] = Array.empty
+
+  override def toBatch: BatchWrite = new BatchWrite {
+    override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
+      new WarehouseWriterFactory(schema, resolved)
+    // per-task transactions already committed; job-level commit is the
+    // no-op JdbcSink documents (idempotent upsert makes retries converge)
+    override def commit(messages: Array[WriterCommitMessage]): Unit = ()
+    override def abort(messages: Array[WriterCommitMessage]): Unit = ()
+  }
+}
+
+private[sources] class WarehouseWriterFactory(schema: StructType,
+    conf: WarehouseConf) extends DataWriterFactory {
+  override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
+    new WarehouseWriter(schema, conf)
+}
+
+/** One connection + one transaction per task: delete(keys)+insert
+  * batches staged through PreparedStatements, committed at task commit.
+  * Two same-key rows in one staged batch would both survive the single
+  * delete — the writer flushes the pending batch when a key repeats, so
+  * the later row's delete lands AFTER the earlier insert (last-write-
+  * wins in source order, matching JdbcSink/Upsert.merge).
+  */
+private[sources] class WarehouseWriter(schema: StructType, conf: WarehouseConf)
+    extends DataWriter[InternalRow] {
+
+  private val cols = schema.fieldNames
+  private val keyIdx = conf.keys.map(schema.fieldIndex)
+  private val sqlTypes = schema.fields.map(f => JdbcSink.jdbcType(f.dataType))
+
+  private val conn = DriverManager.getConnection(conf.url)
+  conn.setAutoCommit(false)
+  private val del =
+    if (conf.keys.isEmpty) null
+    else conn.prepareStatement(s"DELETE FROM ${conf.table} WHERE " +
+      conf.keys.map(k => s"$k = ?").mkString(" AND "))
+  private val ins = conn.prepareStatement(
+    s"INSERT INTO ${conf.table} (${cols.mkString(", ")}) " +
+      s"VALUES (${cols.map(_ => "?").mkString(", ")})")
+
+  private var inBatch = 0
+  private val batchKeys = scala.collection.mutable.HashSet.empty[Seq[Any]]
+
+  private def flush(): Unit = {
+    if (inBatch > 0) {
+      if (del != null) del.executeBatch()
+      ins.executeBatch()
+      inBatch = 0
+      batchKeys.clear()
+    }
+  }
+
+  override def write(row: InternalRow): Unit = {
+    val vals = schema.fields.zipWithIndex.map { case (f, i) =>
+      WarehouseDataSource.fromInternal(row, i, f.dataType)
+    }
+    if (del != null) {
+      val key = keyIdx.map(vals(_)).toSeq
+      if (batchKeys.contains(key)) flush() // repeat key: order the batches
+      batchKeys += key
+      keyIdx.zipWithIndex.foreach { case (ki, i) =>
+        JdbcSink.bind(del, i + 1, vals(ki), sqlTypes(ki))
+      }
+      del.addBatch()
+    }
+    vals.indices.foreach(i => JdbcSink.bind(ins, i + 1, vals(i), sqlTypes(i)))
+    ins.addBatch()
+    inBatch += 1
+    if (inBatch >= conf.batchSize) flush()
+  }
+
+  override def commit(): WriterCommitMessage = {
+    flush()
+    conn.commit()
+    new WriterCommitMessage {}
+  }
+
+  override def abort(): Unit = conn.rollback()
+
+  override def close(): Unit = {
+    if (del != null) del.close()
+    ins.close()
+    conn.close()
+  }
+}
