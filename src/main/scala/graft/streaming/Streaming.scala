@@ -178,4 +178,79 @@ object Streaming {
         graft.etl.Upsert.upsertParquet(batch.sparkSession, warehouseDir,
           batch, keys, versionCol)
       }
+
+  /** Streaming NEAR-dup dedup — the S8 foreachBatch sink composed with
+    * the D10 incremental band index: each micro-batch of documents is
+    * deduplicated against the persisted corpus (MinHash/LSH + exact
+    * Jaccard verify, [[graft.dedup.Dedup.incrementalNearDup]]) and only
+    * novel documents are appended to the corpus parquet AND the band
+    * index parquet — the index is the same persistence contract batch
+    * dedup uses, so a corpus built by the stream is directly queryable
+    * by the batch operators.
+    *
+    * Per batch: (1) exact-id anti-join against the corpus drops
+    * REDELIVERED rows (foreachBatch is at-least-once; this converges it
+    * — the id check shuffles only the pruned doc-id column; at larger
+    * scale a doc-id bloom/index consults cheaper than the scan, see
+    * [[graft.ops.BloomPrune]]); (2) incremental near-dup pairs touch
+    * only colliding docs through the index; (3) a batch doc is dropped
+    * if it near-matches any corpus doc, or a smaller-id doc of its own
+    * batch (greedy canonical-representative rule); (4) survivors and
+    * their band rows append atomically enough for the idempotence
+    * contract — a redelivered batch finds its survivors already in the
+    * corpus and appends nothing.
+    */
+  def nearDupDedupSink(docs: DataFrame, corpusDir: String, indexDir: String,
+      idCol: String = "doc_id", textCol: String = "text",
+      n: Int = 3, threshold: Double = 0.8,
+      nHashes: Int = 128, nBands: Int = 32)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    docs.writeStream
+      .outputMode(OutputMode.Append())
+      .foreachBatch { (batch0: DataFrame, _: Long) =>
+        import graft.dedup.Dedup
+        val spark = batch0.sparkSession
+        val fs = new org.apache.hadoop.fs.Path(corpusDir)
+          .getFileSystem(spark.sparkContext.hadoopConfiguration)
+        val bootstrapped = fs.exists(new org.apache.hadoop.fs.Path(corpusDir))
+        val empty = batch0.limit(0)
+        val corpus =
+          if (bootstrapped) spark.read.parquet(corpusDir) else empty
+        val index =
+          if (bootstrapped) spark.read.parquet(indexDir)
+          else Dedup.minhashIndex(empty, idCol, textCol, n, nHashes, nBands)
+        // (1) redelivery convergence: ids already ingested drop out here
+        val corpusIds = corpus.select(col(idCol).as("cid"))
+        val batch = batch0.dropDuplicates(idCol)
+          .join(corpusIds, batch0(idCol) === col("cid"), "left_anti")
+        val pairs = Dedup.incrementalNearDup(batch, corpus, index,
+          idCol, textCol, n, threshold, nHashes, nBands)
+          .localCheckpoint() // read three ways below; pair work runs once
+        // (3) greedy representative rule: every pair touches the batch,
+        // so the partner of a corpus doc is always a batch doc; a
+        // batch-batch pair drops the larger id (a_id < b_id by
+        // construction)
+        val dropIds = pairs
+          .join(corpusIds, col("a_id") === col("cid"), "left_semi")
+          .select(col("b_id").as("doc"))
+          .unionByName(pairs
+            .join(corpusIds, col("b_id") === col("cid"), "left_semi")
+            .select(col("a_id").as("doc")))
+          .unionByName(pairs
+            .join(corpusIds, col("a_id") === col("cid"), "left_anti")
+            .join(corpusIds, col("b_id") === col("cid"), "left_anti")
+            .select(col("b_id").as("doc")))
+          .distinct()
+        val kept = batch
+          .join(dropIds, batch(idCol) === dropIds("doc"), "left_anti")
+          .localCheckpoint() // the two appends below must see ONE answer
+        try {
+          kept.write.mode("append").parquet(corpusDir)
+          Dedup.minhashIndex(kept, idCol, textCol, n, nHashes, nBands)
+            .write.mode("append").parquet(indexDir)
+        } finally {
+          org.apache.spark.sql.graft.CheckpointUtils.release(kept)
+          org.apache.spark.sql.graft.CheckpointUtils.release(pairs)
+        }
+      }
 }

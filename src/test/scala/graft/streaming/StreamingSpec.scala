@@ -17,6 +17,8 @@ final case class Txn(txn_id: String, store_id: String, sku: String,
 final case class Fact(run_id: String, txn_id: String, v: Double,
     inserted_at: Timestamp)
 
+final case class Doc(doc_id: Long, text: String)
+
 class StreamingSpec extends AnyFunSuite with SparkSpec {
 
   private def t(min: Int, sec: Int = 0): Timestamp =
@@ -198,5 +200,47 @@ class StreamingSpec extends AnyFunSuite with SparkSpec {
     val rows = spark.read.parquet(wh)
       .collect().map(r => (r.getAs[String]("txn_id"), r.getAs[Double]("v"))).toSet
     assert(rows == Set(("a", 9.0), ("b", 2.0)))
+  }
+
+  test("nearDupDedupSink: streaming near-dup dedup vs the persisted index, idempotent under redelivery") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val root = java.nio.file.Files.createTempDirectory("stream_dedup").toString
+    val (corpusDir, indexDir) = (s"$root/corpus", s"$root/index")
+    // 30-token base texts: a 1-word tail edit changes 1 of 28 distinct
+    // 3-gram shingles => jaccard 27/29 = 0.931 >= 0.8 (a near-dup);
+    // textB shares nothing with textA
+    val textA = (1 to 29).map(i => s"alpha$i").mkString(" ") + " end"
+    val textA2 = (1 to 29).map(i => s"alpha$i").mkString(" ") + " tail"
+    val textB = (1 to 30).map(i => s"beta$i").mkString(" ")
+    val textC = (1 to 30).map(i => s"gamma$i").mkString(" ")
+    val in = MemoryStream[Doc]
+    val q = Streaming.nearDupDedupSink(in.toDF(), corpusDir, indexDir).start()
+    // batch 1: doc 2 is a within-batch near-dup of doc 1 -> dropped
+    in.addData(Doc(1, textA), Doc(2, textA2), Doc(5, textB))
+    q.processAllAvailable()
+    assert(spark.read.parquet(corpusDir).select("doc_id").collect()
+      .map(_.getLong(0)).toSet == Set(1L, 5L))
+    // batch 2: doc 7 near-matches corpus doc 1 via the PERSISTED index
+    // -> dropped; doc 9 is novel -> kept
+    in.addData(Doc(7, textA2), Doc(9, textC))
+    q.processAllAvailable()
+    assert(spark.read.parquet(corpusDir).select("doc_id").collect()
+      .map(_.getLong(0)).toSet == Set(1L, 5L, 9L))
+    // REDELIVERY: the same rows arrive again (foreachBatch is
+    // at-least-once) — corpus and index must not change
+    in.addData(Doc(7, textA2), Doc(9, textC))
+    q.processAllAvailable()
+    q.stop()
+    val corpus = spark.read.parquet(corpusDir)
+    assert(corpus.select("doc_id").collect().map(_.getLong(0)).toSet ==
+      Set(1L, 5L, 9L))
+    assert(corpus.count() == 3) // no duplicate rows for redelivered keys
+    // the stream-built index obeys the batch persistence contract: one
+    // row per (kept doc, band), usable by batch incremental dedup as-is
+    val idx = spark.read.parquet(indexDir)
+    assert(idx.select("doc").distinct().collect().map(_.getLong(0)).toSet ==
+      Set(1L, 5L, 9L))
+    assert(idx.count() == 3 * 32)
   }
 }
