@@ -228,6 +228,9 @@ object SparkEntry {
     "q_ann_lsh" -> AnnQ.lshTopK,
     // similarity search — IVF coarse-quantized top-k (rows-only)
     "q_ann_ivf" -> AnnQ.ivfTopK,
+    // similarity search — IVF via the PERSISTED index (build + parquet
+    // round-trip + cell-pruned probe; rows-only, AnnSpec pins ≡ fresh)
+    "q_ann_ivf_indexed" -> AnnQ.ivfTopKIndexed,
     // multimodal — binary media columns + partition-batched decode stub
     "q_multimodal_features" -> MultimodalQ.features,
     // multimodal — metadata-only video frame sampling

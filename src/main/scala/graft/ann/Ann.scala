@@ -171,27 +171,44 @@ object Ann {
   /** Probe a prebuilt IVF index: corpus rows joined to their persisted
     * cluster assignment, queries routed to their `nProbe` nearest cells.
     * No k-means pass — the serving shape for repeated query batches.
+    *
+    * The probed cell set is computed on the driver FIRST and pushed as
+    * an `isin` filter on the assignment table, so when assignments are
+    * written `partitionBy("cluster")` the scan prunes to the probed
+    * cells' files — the query batch touches nProbe/nCentroids of the
+    * index and, through the semi-join, of the corpus. That filter-first
+    * shape is the entire point of an IVF layout at 100 TB.
     */
   def ivfProbeIndexed(corpus: DataFrame, assignments: DataFrame,
       centroids: DataFrame, queries: DataFrame,
       idCol: String, vecCol: String, k: Int, nProbe: Int = 4): DataFrame = {
+    val routes = probeRoutes(queries, idCol, vecCol,
+      centroidSeq(centroids), nProbe)
+    // cells from the SAME routes the rank join uses — a second,
+    // hand-rolled cell computation could drift from the routing and
+    // silently prune cells queries are still routed to
+    val probedCells = routes.rows.map(_.getInt(1)).distinct
+    val probedAssignments = assignments
+      .select(col(idCol).as("neighbor_id"), col("cluster"))
+      .filter(col("cluster").isin(probedCells: _*))
     val assigned = corpus
       .select(col(idCol).as("neighbor_id"), asDouble(col(vecCol)).as("v"))
       .withColumn("nc", l2(col("v")))
-      .join(assignments.select(col(idCol).as("neighbor_id"), col("cluster")),
-        "neighbor_id")
-    probeCells(assigned, centroidSeq(centroids), queries, idCol, vecCol,
-      k, nProbe)
+      .join(probedAssignments, "neighbor_id")
+    probeCells(assigned, routes, k)
   }
 
-  /** Rank queries against their probe cells. `assigned` must carry
-    * (neighbor_id, v, nc, cluster); the probe list is driver-side math
-    * over the broadcastable query batch.
+  /** The driver-side probe routing: per query, one row per probed cell
+    * — (query_id, cluster, vq, nq) for the `nProbe` nearest centroids.
+    * The ONE definition both the assignment-scan pruning and the rank
+    * join consume.
     */
-  private def probeCells(assigned: DataFrame, centroids: Seq[Seq[Double]],
-      queries: DataFrame, idCol: String, vecCol: String,
-      k: Int, nProbe: Int): DataFrame = {
-    val spark = assigned.sparkSession
+  private final case class ProbeRoutes(
+      schema: org.apache.spark.sql.types.StructType,
+      rows: Seq[org.apache.spark.sql.Row])
+
+  private def probeRoutes(queries: DataFrame, idCol: String, vecCol: String,
+      centroids: Seq[Seq[Double]], nProbe: Int): ProbeRoutes = {
     val qPrep = queries.select(col(idCol).as("query_id"),
       asDouble(col(vecCol)).as("vq"))
       .withColumn("nq", l2(col("vq")))
@@ -199,15 +216,12 @@ object Ann {
     // query_id's output type must match bruteForceTopK/lshNeighbors)
     import org.apache.spark.sql.Row
     import org.apache.spark.sql.types._
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("cosine").desc, col("neighbor_id"))
-    val probeSchema = StructType(Seq(
+    val schema = StructType(Seq(
       StructField("query_id", qPrep.schema("query_id").dataType),
       StructField("cluster", IntegerType, nullable = false),
       StructField("vq", ArrayType(DoubleType)),
       StructField("nq", DoubleType, nullable = false)))
-    val qRows = qPrep.collect()
-    val probeRows = qRows.toSeq.flatMap { r =>
+    val rows = qPrep.collect().toSeq.flatMap { r =>
       val qid = r.get(0)
       val vq = r.getSeq[Double](1)
       val nq = r.getDouble(2)
@@ -217,8 +231,19 @@ object Ann {
         .take(nProbe)
         .map { case (i, _) => Row(qid, i, vq, nq) }
     }
+    ProbeRoutes(schema, rows)
+  }
+
+  /** Rank queries against their probe cells. `assigned` must carry
+    * (neighbor_id, v, nc, cluster).
+    */
+  private def probeCells(assigned: DataFrame, routes: ProbeRoutes,
+      k: Int): DataFrame = {
+    val spark = assigned.sparkSession
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id"))
     val probes = spark.createDataFrame(
-      spark.sparkContext.parallelize(probeRows, 1), probeSchema)
+      spark.sparkContext.parallelize(routes.rows, 1), routes.schema)
     assigned.join(broadcast(probes), Seq("cluster"))
       .filter(col("neighbor_id") =!= col("query_id"))
       .withColumn("cosine", dot(col("v"), col("vq")) / (col("nc") * col("nq")))
@@ -247,8 +272,8 @@ object Ann {
     // materialize the (tiny, |Q|×k) result so the checkpointed corpus
     // working set can be released instead of staying pinned for the
     // session lifetime
-    val result = probeCells(assigned, centroids, queries, idCol, vecCol,
-      k, nProbe)
+    val result = probeCells(assigned,
+      probeRoutes(queries, idCol, vecCol, centroids, nProbe), k)
       .localCheckpoint()
     org.apache.spark.sql.graft.CheckpointUtils.release(cv)
     result

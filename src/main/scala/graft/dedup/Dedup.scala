@@ -123,7 +123,10 @@ object Dedup {
     // candidates materialize so the verify side can PRUNE its shingle
     // pass to colliding docs (the semi-join below) instead of
     // re-tokenizing the whole corpus a second time — same shape as
-    // [[incrementalNearDup]]; verify cost scales with collision count
+    // [[incrementalNearDup]]; verify cost scales with collision count.
+    // Lifecycle also matches incrementalNearDup: the checkpoint backs
+    // the returned plan, so it cannot be released here — the
+    // ContextCleaner frees it when the caller drops the result frame
     val candidates = bands.as("x").join(bands.as("y"), Seq("band", "bucket"))
       .filter(col("x.doc") < col("y.doc"))
       .select(col("x.doc").as("a_id"), col("y.doc").as("b_id"))

@@ -6,15 +6,16 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * are engine-specific, so the corpus-wide q_simhash_pairs stays
   * rows-only — but the PAIR/HAMMING relation over a fixed fingerprint
   * column is pure integer arithmetic both engines share. The engine's
-  * fingerprints for these 12 docs are precomputed once and pinned in
+  * fingerprints for these 10 docs are precomputed once and pinned in
   * [[sh64]] (DedupSpec's drift guard recomputes them from [[docs]]
   * every run), and DuckDB reproduces the pair relation from the same
   * pinned values — the PosFixture pattern applied to simhash.
   *
-  * Corpus shape: three near-dup pairs (one identical, one 1-word edit,
-  * one 2-word edit of a ~40-token doc) plus six unrelated docs, so the
-  * hamming<=3 relation is non-trivial in both directions (hits and
-  * misses).
+  * Corpus shape: a 4-doc near-dup cluster (1 ≡ 2 identical, 3 and 4
+  * are 1-/2-word edits of 1) plus six unrelated docs. The hamming<=3
+  * relation over it is the 5 pairs (1,2) (1,3) (1,4) (2,3) (2,4) —
+  * (3,4) sits just past the cutoff, so the oracle exercises hits,
+  * near-misses and misses.
   */
 object SimhashFixture {
 

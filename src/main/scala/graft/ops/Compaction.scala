@@ -90,11 +90,23 @@ object Compaction {
     def walk(p: Path, level: Int): Unit =
       if (level < partitionCols.size)
         for (st <- fs.listStatus(p) if st.isDirectory) {
-          st.getPath.getName.split("=", 2) match {
+          val name = st.getPath.getName
+          name.split("=", 2) match {
             case Array(k, v) if k == partitionCols(level) =>
               rawByCol(level) += unescapePathValue(v)
               walk(st.getPath, level + 1)
-            case _ => // non-partition dir (e.g. _temporary) — skip
+            case _ if name.startsWith("_") || name.startsWith(".") =>
+              // spark/hadoop metadata (_temporary, _SUCCESS dirs) — skip
+            case _ =>
+              // a k=v dir with the WRONG key (partitionCols misordered or
+              // misspelled) or a non-partition dir: silently skipping
+              // would make this guard pass vacuously and let compact()
+              // rewrite under an inverted layout — refuse instead
+              throw new IllegalArgumentException(
+                s"unexpected directory '$name' at partition level " +
+                  s"'${partitionCols(level)}' under $p — partitionCols " +
+                  s"${partitionCols.mkString("[", ",", "]")} do not match " +
+                  s"the table layout")
           }
         }
     walk(root, 0)
@@ -116,18 +128,31 @@ object Compaction {
     }
   }
 
-  /** Undo hive-style %XX escaping in a partition directory value. */
+  /** Undo hive-style %XX escaping in a partition directory value:
+    * consecutive %XX groups decode as one UTF-8 byte sequence (a
+    * multi-byte char is several %XX escapes); a '%' not followed by two
+    * hex digits stays literal — this guard must produce its own
+    * actionable error on weird external layouts, never a parse crash.
+    */
   private def unescapePathValue(s: String): String =
     if (!s.contains('%')) s
     else {
+      def hex(i: Int): Int =
+        if (i + 3 <= s.length)
+          try Integer.parseInt(s.substring(i + 1, i + 3), 16)
+          catch { case _: NumberFormatException => -1 }
+        else -1
       val sb = new StringBuilder
       var i = 0
       while (i < s.length) {
-        val c = s.charAt(i)
-        if (c == '%' && i + 3 <= s.length) {
-          sb.append(Integer.parseInt(s.substring(i + 1, i + 3), 16).toChar)
-          i += 3
-        } else { sb.append(c); i += 1 }
+        if (s.charAt(i) == '%' && hex(i) >= 0) {
+          val bytes = new java.io.ByteArrayOutputStream
+          while (i < s.length && s.charAt(i) == '%' && hex(i) >= 0) {
+            bytes.write(hex(i)); i += 3
+          }
+          sb.append(new String(bytes.toByteArray,
+            java.nio.charset.StandardCharsets.UTF_8))
+        } else { sb.append(s.charAt(i)); i += 1 }
       }
       sb.toString
     }

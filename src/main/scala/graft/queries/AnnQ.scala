@@ -44,4 +44,23 @@ object AnnQ {
     Ann.ivfNeighbors(corpus, queries, "vec_id", "embedding", k = 5,
       nCentroids = 16, nProbe = 4)
   }
+
+  /** The IVF SERVING path: build the index, persist centroids +
+    * cluster-partitioned assignments as parquet, load, probe. Same
+    * result as [[ivfTopK]] (AnnSpec pins saved ≡ fresh); the probe scan
+    * prunes to the probed cells' partitions — at scale the index is
+    * built once and this is the only shape repeated query batches pay.
+    */
+  def ivfTopKIndexed(spark: SparkSession, dir: String): DataFrame = {
+    val (corpus, queries) = corpusAndQueries(spark, dir)
+    val tmp = java.nio.file.Files.createTempDirectory("graft-ivf-q").toString
+    Ann.ivfCentroids(corpus, "vec_id", "embedding", nCentroids = 16)
+      .write.mode("overwrite").parquet(s"$tmp/centroids")
+    val centroids = spark.read.parquet(s"$tmp/centroids")
+    Ann.ivfAssignments(corpus, "vec_id", "embedding", centroids)
+      .write.mode("overwrite").partitionBy("cluster")
+      .parquet(s"$tmp/assignments")
+    Ann.ivfProbeIndexed(corpus, spark.read.parquet(s"$tmp/assignments"),
+      centroids, queries, "vec_id", "embedding", k = 5, nProbe = 4)
+  }
 }

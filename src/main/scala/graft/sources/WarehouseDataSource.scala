@@ -55,19 +55,22 @@ class WarehouseDataSource extends TableProvider with DataSourceRegister {
   override def shortName(): String = "graft-warehouse"
 
   override def inferSchema(options: CaseInsensitiveStringMap): StructType =
-    WarehouseDataSource.tableSchema(
-      WarehouseConf(options.asCaseSensitiveMap()))
+    WarehouseDataSource.tableSchema(WarehouseConf(options))
 
   override def getTable(schema: StructType, partitioning: Array[Transform],
       properties: JMap[String, String]): Table =
-    new WarehouseTable(schema, WarehouseConf(properties))
+    new WarehouseTable(schema,
+      WarehouseConf(new CaseInsensitiveStringMap(properties)))
 }
 
 private[sources] final case class WarehouseConf(url: String, table: String,
     keys: Seq[String], batchSize: Int)
 
 private[sources] object WarehouseConf {
-  def apply(props: JMap[String, String]): WarehouseConf = {
+  /** Options resolve CASE-INSENSITIVELY (`dbTable` == `dbtable`), the
+    * DSv2 convention every built-in source follows.
+    */
+  def apply(props: CaseInsensitiveStringMap): WarehouseConf = {
     val get = (k: String) => Option(props.get(k))
     val url = get("url").getOrElse(
       throw new IllegalArgumentException("graft-warehouse requires option 'url'"))
@@ -319,7 +322,13 @@ private[sources] class WarehouseWriter(schema: StructType, conf: WarehouseConf)
       WarehouseDataSource.fromInternal(row, i, f.dataType)
     }
     if (del != null) {
-      val key = keyIdx.map(vals(_)).toSeq
+      // value-comparable key: Array[Byte] (BinaryType) has identity
+      // equals/hashCode, which would never detect a repeated binary key
+      // and let both inserts survive one delete
+      val key = keyIdx.map(vals(_) match {
+        case b: Array[Byte] => b.toSeq
+        case v => v
+      }).toSeq
       if (batchKeys.contains(key)) flush() // repeat key: order the batches
       batchKeys += key
       keyIdx.zipWithIndex.foreach { case (ki, i) =>

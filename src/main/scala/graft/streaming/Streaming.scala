@@ -212,12 +212,16 @@ object Streaming {
         val spark = batch0.sparkSession
         val fs = new org.apache.hadoop.fs.Path(corpusDir)
           .getFileSystem(spark.sparkContext.hadoopConfiguration)
-        val bootstrapped = fs.exists(new org.apache.hadoop.fs.Path(corpusDir))
+        // the two artifacts are checked INDEPENDENTLY: a crash between
+        // the index append and the corpus append leaves them one batch
+        // apart, and a combined flag would either wedge the stream
+        // (index read fails forever) or silently skip index rows
+        def exists(d: String) = fs.exists(new org.apache.hadoop.fs.Path(d))
         val empty = batch0.limit(0)
         val corpus =
-          if (bootstrapped) spark.read.parquet(corpusDir) else empty
+          if (exists(corpusDir)) spark.read.parquet(corpusDir) else empty
         val index =
-          if (bootstrapped) spark.read.parquet(indexDir)
+          if (exists(indexDir)) spark.read.parquet(indexDir)
           else Dedup.minhashIndex(empty, idCol, textCol, n, nHashes, nBands)
         // (1) redelivery convergence: ids already ingested drop out here
         val corpusIds = corpus.select(col(idCol).as("cid"))
@@ -245,9 +249,19 @@ object Streaming {
           .join(dropIds, batch(idCol) === dropIds("doc"), "left_anti")
           .localCheckpoint() // the two appends below must see ONE answer
         try {
-          kept.write.mode("append").parquet(corpusDir)
+          // INDEX FIRST: the two appends are not atomic together, so the
+          // crash window must leave a state redelivery repairs. Index
+          // rows for a doc NOT yet in the corpus are harmless — self
+          // pairs are filtered, a candidate pair verifies against the
+          // corpus text (absent → dropped), and the redelivered batch
+          // re-processes the doc (it fails the corpus id check), merely
+          // re-appending band rows that candidates' distinct dedups.
+          // Corpus-first would be the silent opposite: survivors present
+          // in the corpus anti-join out on redelivery and their band
+          // rows would NEVER be written — future near-dups undetected.
           Dedup.minhashIndex(kept, idCol, textCol, n, nHashes, nBands)
             .write.mode("append").parquet(indexDir)
+          kept.write.mode("append").parquet(corpusDir)
         } finally {
           org.apache.spark.sql.graft.CheckpointUtils.release(kept)
           org.apache.spark.sql.graft.CheckpointUtils.release(pairs)
