@@ -184,6 +184,16 @@ object SparkEntry {
     "q_chunk_docs" -> TextQ.chunkDocs,
     // deterministic content-hash-ordered stratified sampling per language
     "q_stratified_sample" -> ((s, dir) => SampleQ.stratifiedSample(s, dir)),
+    // mixture rebalancing — equal absolute per-source caps (uniformizing
+    // the training mix), content-hash-ordered selection
+    "q_mixture_sample" -> ((s, dir) => SampleQ.mixtureRebalance(s, dir)),
+    // corpus hygiene — PII redaction (emails/IPs/phones -> typed tokens,
+    // per-category counts; PII planted deterministically, see TextQ)
+    "q_pii_redact" -> TextQ.piiRedact,
+    // embedding storage — symmetric int8 quantization with saturation
+    // counts (floor-arithmetic rounding for cross-engine determinism)
+    "q_embed_quantize" -> ((s, dir) => graft.ann.Quantize.quantizeInt8(
+      graft.Tables(s, dir, "embeddings"), "vec_id", "embedding")),
     // dedup — exact hash-groupBy over a corpus with planted duplicates
     "q_dedup_exact" -> DedupQ.dedupExact,
     // dedup — exact n-gram Jaccard via shingle inverted index
@@ -532,6 +542,63 @@ object SparkEntry {
         |  FROM d
         |)
         |SELECT doc_id, lang, rn FROM r WHERE rn <= ceil(cnt * 0.1)""".stripMargin,
+    "q_mixture_sample" ->
+      """WITH d AS (
+        |  SELECT doc_id, source,
+        |   list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |     list_transform(string_split(
+        |       trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ''),
+        |       c -> CAST(ascii(c) AS BIGINT))),
+        |     (a, b) -> (a * 31 + b) % 1000000007) AS h
+        |  FROM documents
+        |), t AS (
+        |  SELECT count(*) AS total, count(DISTINCT source) AS ns FROM documents
+        |), r AS (
+        |  SELECT doc_id, source,
+        |   CAST(row_number() OVER (PARTITION BY source ORDER BY h NULLS FIRST, doc_id) AS BIGINT) AS rn
+        |  FROM d
+        |)
+        |SELECT doc_id, source, rn FROM r, t WHERE rn <= ceil(0.5 * total / ns)""".stripMargin,
+    "q_pii_redact" ->
+      """WITH p AS (
+        |  SELECT doc_id, text
+        |   || CASE WHEN doc_id % 3 = 0 THEN ' contact alice.smith@example.com or bob@mail.org now' ELSE '' END
+        |   || CASE WHEN doc_id % 4 = 0 THEN ' call +1 415 555-0133 today' ELSE '' END
+        |   || CASE WHEN doc_id % 5 = 0 THEN ' server at 192.168.10.25 port 8080' ELSE '' END AS t0
+        |  FROM documents
+        |), e AS (
+        |  SELECT doc_id,
+        |   CAST(len(regexp_extract_all(t0, '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}')) AS BIGINT) AS n_email,
+        |   regexp_replace(t0, '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}', '<email>', 'g') AS t1
+        |  FROM p
+        |), i AS (
+        |  SELECT doc_id, n_email,
+        |   CAST(len(regexp_extract_all(t1, '[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}')) AS BIGINT) AS n_ip,
+        |   regexp_replace(t1, '[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}', '<ip>', 'g') AS t2
+        |  FROM e
+        |)
+        |SELECT doc_id, n_email, n_ip,
+        | CAST(len(regexp_extract_all(t2, '\+?[0-9][0-9 ()-]{6,}[0-9]')) AS BIGINT) AS n_phone,
+        | regexp_replace(t2, '\+?[0-9][0-9 ()-]{6,}[0-9]', '<phone>', 'g') AS redacted
+        |FROM i""".stripMargin,
+    "q_embed_quantize" ->
+      """WITH e AS (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+        |), s AS (
+        |  SELECT vec_id, v,
+        |   list_max(list_transform(v, x -> abs(x))) / 127.0 AS scale
+        |  FROM e
+        |), q AS (
+        |  SELECT vec_id, round(scale, 6) AS scale,
+        |   CASE WHEN scale = 0 THEN list_transform(v, x -> 0)
+        |        ELSE list_transform(v, x -> CAST(greatest(-127.0,
+        |          least(127.0, floor(x / scale + 0.5))) AS INTEGER)) END AS qv
+        |  FROM s
+        |)
+        |SELECT vec_id, scale,
+        | array_to_string(qv, ',') AS q_csv,
+        | CAST(len(list_filter(qv, c -> abs(c) = 127)) AS BIGINT) AS n_sat
+        |FROM q""".stripMargin,
     "q_chunk_docs" ->
       """WITH d AS (
         |  SELECT doc_id,

@@ -17,6 +17,35 @@ import graft.text.TextOps
   */
 object SampleQ {
 
+  /** Mixture REBALANCING — the training-mix op stratified sampling is
+    * not: instead of taking a fraction of every stratum (which preserves
+    * the mixture), cap every source at the same absolute budget
+    * ⌈budget·N/nSources⌉ so over-represented sources downsample toward a
+    * uniform mix while small sources keep everything. Selection within a
+    * source is content-hash ordered (reproducible, ingestion-order
+    * unbiased, and a re-crawled duplicate keeps its selection verdict).
+    *
+    * N and nSources are metadata-sized driver lookups (parquet row-group
+    * stats + a distinct over the tiny source dimension), so the plan
+    * stays ONE window shuffle on the source key — no global
+    * single-partition count-over-all window.
+    */
+  def mixtureRebalance(spark: SparkSession, dir: String,
+      budget: Double = 0.5): DataFrame = {
+    val docs = Tables(spark, dir, "documents")
+    val total = docs.count()
+    val nSources = docs.select(col("source")).distinct().count()
+    val cap = math.ceil(budget * total / nSources).toLong
+    val byHash = Window.partitionBy(col("source"))
+      .orderBy(col("h").asc_nulls_first, col("doc_id"))
+    docs
+      .select(col("doc_id"), col("source"),
+        TextOps.rollingHash(TextOps.normalize(col("text"))).as("h"))
+      .withColumn("rn", row_number().over(byHash).cast("long"))
+      .filter(col("rn") <= cap)
+      .select(col("doc_id"), col("source"), col("rn"))
+  }
+
   def stratifiedSample(spark: SparkSession, dir: String,
       fraction: Double = 0.1): DataFrame = {
     // NULLS FIRST pinned explicitly: Spark's ASC default is nulls-first

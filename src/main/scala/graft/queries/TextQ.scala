@@ -180,6 +180,39 @@ object TextQ {
         when(h < 90, "train").when(h < 95, "val").otherwise("test").as("split"))
   }
 
+  /** PII scrubbing — the corpus hygiene pass every shipped training set
+    * runs: emails, IPv4s and phone numbers are redacted to typed tokens
+    * with per-category counts. The synthetic corpus contains no PII, so
+    * the query PLANTS deterministic PII first (pure doc_id arithmetic —
+    * both engines construct the identical input) and the oracle checks
+    * the full redaction pipeline, not a no-op. Categories redact in
+    * [[TextOps.piiPatterns]] order (emails before IPs before phones —
+    * see the ordering note there), each category counted on the text
+    * the previous one already redacted. Narrow scan-stage pass.
+    */
+  def piiRedact(spark: SparkSession, dir: String): DataFrame = {
+    val planted = concat(col("text"),
+      when(col("doc_id") % 3 === 0,
+        lit(" contact alice.smith@example.com or bob@mail.org now"))
+        .otherwise(lit("")),
+      when(col("doc_id") % 4 === 0,
+        lit(" call +1 415 555-0133 today")).otherwise(lit("")),
+      when(col("doc_id") % 5 === 0,
+        lit(" server at 192.168.10.25 port 8080")).otherwise(lit("")))
+    val base = Tables(spark, dir, "documents")
+      .select(col("doc_id"), planted.as("t0"))
+    val (redacted, counts) = TextOps.piiPatterns
+      .foldLeft((col("t0"), Seq.empty[(String, org.apache.spark.sql.Column)])) {
+        case ((text, acc), (name, pattern, token)) =>
+          val (n, out) = TextOps.redact(text, pattern, token)
+          (out, acc :+ (s"n_$name" -> n))
+      }
+    base.select(
+      col("doc_id") +:
+        counts.map { case (n, c) => c.as(n) } :+
+        redacted.as("redacted"): _*)
+  }
+
   /** Document fingerprints: order-sensitive rolling hash of the
     * normalized text + order-independent bag-of-words hash. Exact dedup
     * at 100 TB groups on these 8-byte keys instead of comparing bodies.

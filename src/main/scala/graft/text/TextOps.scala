@@ -114,6 +114,24 @@ object TextOps {
   def bagHash(toks: Column): Column =
     rollingHash(array_join(array_sort(array_distinct(toks)), " "))
 
+  /** PII patterns for corpus scrubbing — deliberately restricted to
+    * regex constructs Java (Spark) and RE2 (DuckDB/Go scanners) compile
+    * IDENTICALLY (character classes, bounded repeats; no backrefs or
+    * lookaround), so the redaction is reproducible across engines. Order
+    * matters: emails first (their local part may contain digits), then
+    * IPs (dots would otherwise be split by the phone pattern), then
+    * phones.
+    */
+  val piiPatterns: Seq[(String, String, String)] = Seq(
+    ("email", "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}", "<email>"),
+    ("ip", "[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}", "<ip>"),
+    ("phone", "\\+?[0-9][0-9 ()-]{6,}[0-9]", "<phone>"))
+
+  /** Redact one PII category, returning (count, redacted). */
+  def redact(text: Column, pattern: String, token: String): (Column, Column) =
+    (size(regexp_extract_all(text, lit(pattern), lit(0))).cast("long"),
+      regexp_replace(text, pattern, token))
+
   /** Marker tokens per language for the n-gram-heuristic language ID.
     * Priority order (ties resolve to the earlier entry) is part of the
     * operator contract.

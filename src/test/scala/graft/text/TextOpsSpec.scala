@@ -100,4 +100,25 @@ class TextOpsSpec extends AnyFunSuite with SparkSpec {
     assert(r.getDouble(0) == 0.75)
     assert(r.getDouble(1) == 0.5)
   }
+
+  test("PII redaction: categories in order, counts per category, clean text untouched") {
+    val df = docs(
+      1 -> "mail alice.smith@example.com and bob@mail.org or ping 10.0.0.1 then call +1 415 555-0133 ok",
+      2 -> "no pii here at all")
+    val redacted = TextOps.piiPatterns.foldLeft(col("text")) {
+      case (t, (_, pattern, token)) => TextOps.redact(t, pattern, token)._2
+    }
+    val out = df.select(col("doc_id"), redacted.as("r")).collect()
+      .map(r => r.getInt(0) -> r.getString(1)).toMap
+    assert(out(1) ==
+      "mail <email> and <email> or ping <ip> then call <phone> ok")
+    assert(out(2) == "no pii here at all")
+    // counts: emails counted BEFORE redaction of later categories
+    val (nEmail, afterEmail) =
+      TextOps.redact(col("text"), TextOps.piiPatterns(0)._2, "<email>")
+    val (nIp, _) = TextOps.redact(afterEmail, TextOps.piiPatterns(1)._2, "<ip>")
+    val counts = df.filter(col("doc_id") === 1)
+      .select(nEmail.as("e"), nIp.as("i")).head()
+    assert(counts.getLong(0) == 2 && counts.getLong(1) == 1)
+  }
 }
