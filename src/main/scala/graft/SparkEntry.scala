@@ -234,6 +234,9 @@ object SparkEntry {
     "q_corpus_filter_staged" -> DedupQ.corpusFilterStaged,
     // similarity search — exact cosine top-k baseline
     "q_ann_topk" -> AnnQ.bruteTopK,
+    // similarity search — cosine top-k over int8 codes (exact integer
+    // dots => deterministic, fully oracled quantized serving path)
+    "q_ann_topk_quant" -> AnnQ.bruteTopKQuantized,
     // similarity search — sign-LSH bucketed top-k (rows-only: approximate)
     "q_ann_lsh" -> AnnQ.lshTopK,
     // similarity search — IVF coarse-quantized top-k (rows-only)
@@ -801,6 +804,34 @@ object SparkEntry {
         |  FROM p
         |)
         |SELECT query_id, rank, neighbor_id, round(c, 6) AS cosine
+        |FROM r WHERE rank <= 5""".stripMargin,
+    // quantized ANN: the same ranking over int8 code vectors — codes
+    // recomputed in SQL with the identical floor-arithmetic rounding
+    "q_ann_topk_quant" ->
+      """WITH e AS (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+        |), s AS (
+        |  SELECT vec_id, v,
+        |   list_max(list_transform(v, x -> abs(x))) / 127.0 AS scale
+        |  FROM e
+        |), c AS (
+        |  SELECT vec_id,
+        |   CASE WHEN scale = 0 THEN list_transform(v, x -> CAST(0 AS DOUBLE))
+        |        ELSE list_transform(v, x -> CAST(greatest(-127.0,
+        |          least(127.0, floor(x / scale + 0.5))) AS DOUBLE)) END AS qv
+        |  FROM s
+        |), q AS (
+        |  SELECT vec_id, qv FROM c WHERE vec_id < 20
+        |), p AS (
+        |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+        |   list_cosine_similarity(c.qv, q.qv) AS cos
+        |  FROM c JOIN q ON c.vec_id != q.vec_id
+        |), r AS (
+        |  SELECT *, CAST(row_number() OVER (
+        |    PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS BIGINT) AS rank
+        |  FROM p
+        |)
+        |SELECT query_id, rank, neighbor_id, round(cos, 6) AS cosine
         |FROM r WHERE rank <= 5""".stripMargin,
     "q_multimodal_features" ->
       """WITH a AS (

@@ -32,6 +32,14 @@ object Quantize {
     (scale, q)
   }
 
+  /** (id, qv) code vectors — the serving projection ANN search runs on
+    * ([[graft.queries.AnnQ]] wires it into the brute-force ranker: code
+    * dots are small-integer sums, exact in doubles, so quantized search
+    * is fully deterministic and cross-engine oracle-able).
+    */
+  def codes(df: DataFrame, idCol: String, vecCol: String): DataFrame =
+    df.select(col(idCol), int8(col(vecCol))._2.as("qv"))
+
   /** Quantize `vecCol` of `df`: (id, scale, q_csv, n_sat) where q_csv is
     * the comma-joined code vector (portable for cross-engine compare)
     * and n_sat counts saturated codes (|q| = 127) — the overflow-health

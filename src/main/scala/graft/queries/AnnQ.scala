@@ -45,6 +45,21 @@ object AnnQ {
       nCentroids = 16, nProbe = 4)
   }
 
+  /** Quantized brute-force top-5: exact cosine RANKING over the int8
+    * code vectors — the shape a memory-bound 100 TB serving tier runs
+    * (4× less to scan than float32; cosine is scale-invariant so the
+    * per-vector scale cancels). Code dots are bounded integer sums,
+    * exact in doubles, so unlike float ANN this is deterministic enough
+    * to hash-match a DuckDB oracle; QuantizeSpec pins its recall vs the
+    * float ranking.
+    */
+  def bruteTopKQuantized(spark: SparkSession, dir: String): DataFrame = {
+    val coded = graft.ann.Quantize.codes(
+      Tables(spark, dir, "embeddings"), "vec_id", "embedding")
+    Ann.bruteForceTopK(coded, coded.filter(col("vec_id") < 20),
+      "vec_id", "qv", k = 5)
+  }
+
   /** The IVF SERVING path: build the index, persist centroids +
     * cluster-partitioned assignments as parquet, load, probe. Same
     * result as [[ivfTopK]] (AnnSpec pins saved ≡ fresh); the probe scan

@@ -23,6 +23,21 @@ class QuantizeSpec extends AnyFunSuite with SparkSpec {
     assert(out(2L) == ((0.0, "0,0,0,0", 0L)))
   }
 
+  test("quantized brute-force ranking keeps recall@5 >= 0.7 vs float") {
+    val dir = "/root/testdata/sf0.001"
+    val e = graft.Tables(spark, dir, "embeddings")
+    val q = e.filter(col("vec_id") < 20)
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.select("query_id", "neighbor_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val float = pairs(Ann.bruteForceTopK(e, q, "vec_id", "embedding", 5))
+    val coded = Quantize.codes(e, "vec_id", "embedding")
+    val quant = pairs(Ann.bruteForceTopK(coded,
+      coded.filter(col("vec_id") < 20), "vec_id", "qv", 5))
+    val recall = (float & quant).size.toDouble / float.size
+    assert(recall >= 0.7, s"recall=$recall")
+  }
+
   test("int8 round-trip error is bounded by scale/2 per component") {
     val e = graft.Tables(spark, "/root/testdata/sf0.001", "embeddings")
     val (scale, q) = Quantize.int8(col("embedding"))
