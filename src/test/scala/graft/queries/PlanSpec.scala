@@ -39,10 +39,20 @@ class PlanSpec extends AnyFunSuite with SparkSpec {
 
   test("document scans are pruned to (doc_id, text)") {
     for (q <- Seq("q_fingerprint", "q_token_stats", "q_quality_score",
-        "q_repetition", "q_split_assign")) {
+        "q_repetition", "q_split_assign", "q_pii_redact")) {
       val p = plan(q)
       assert(p.contains("ReadSchema: struct<doc_id:bigint,text:string>"),
         s"$q reads more than doc_id+text")
+    }
+  }
+
+  test("embedding scans are pruned to (vec_id, embedding)") {
+    // the embeddings table also carries `label` — none of the
+    // ANN/quantization queries may read it
+    for (q <- Seq("q_embed_quantize", "q_ann_topk_quant", "q_ann_topk")) {
+      val p = plan(q)
+      assert(p.contains("ReadSchema: struct<vec_id:bigint,embedding:array<float>>"),
+        s"$q reads more than vec_id+embedding:\n$p")
     }
   }
 
