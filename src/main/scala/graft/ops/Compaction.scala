@@ -137,18 +137,26 @@ object Compaction {
   private def unescapePathValue(s: String): String =
     if (!s.contains('%')) s
     else {
-      def hex(i: Int): Int =
-        if (i + 3 <= s.length)
-          try Integer.parseInt(s.substring(i + 1, i + 3), 16)
-          catch { case _: NumberFormatException => -1 }
-        else -1
+      // strict two-HEX-DIGIT check per char (Character.digit rejects the
+      // '+'/'-' signs Integer.parseInt would accept), computed once per
+      // position; -1 = not an escape
+      def esc(i: Int): Int =
+        if (s.charAt(i) == '%' && i + 2 < s.length) {
+          val h1 = Character.digit(s.charAt(i + 1), 16)
+          val h2 = Character.digit(s.charAt(i + 2), 16)
+          if (h1 >= 0 && h2 >= 0) h1 * 16 + h2 else -1
+        } else -1
       val sb = new StringBuilder
       var i = 0
       while (i < s.length) {
-        if (s.charAt(i) == '%' && hex(i) >= 0) {
+        var b = esc(i)
+        if (b >= 0) {
+          // consecutive escapes are ONE UTF-8 byte sequence (a
+          // multi-byte char is several %XX groups)
           val bytes = new java.io.ByteArrayOutputStream
-          while (i < s.length && s.charAt(i) == '%' && hex(i) >= 0) {
-            bytes.write(hex(i)); i += 3
+          while (b >= 0) {
+            bytes.write(b); i += 3
+            b = if (i < s.length) esc(i) else -1
           }
           sb.append(new String(bytes.toByteArray,
             java.nio.charset.StandardCharsets.UTF_8))

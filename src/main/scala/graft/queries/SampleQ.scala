@@ -34,7 +34,11 @@ object SampleQ {
       budget: Double = 0.5): DataFrame = {
     val docs = Tables(spark, dir, "documents")
     val total = docs.count()
-    val nSources = docs.select(col("source")).distinct().count()
+    // non-null filter pins SQL COUNT(DISTINCT) semantics (the oracle's):
+    // DataFrame.distinct would count a NULL source as one more source
+    // and silently shift the cap
+    val nSources = docs.select(col("source"))
+      .filter(col("source").isNotNull).distinct().count()
     val cap = math.ceil(budget * total / nSources).toLong
     val byHash = Window.partitionBy(col("source"))
       .orderBy(col("h").asc_nulls_first, col("doc_id"))

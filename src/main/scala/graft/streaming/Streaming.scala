@@ -210,13 +210,16 @@ object Streaming {
       .foreachBatch { (batch0: DataFrame, _: Long) =>
         import graft.dedup.Dedup
         val spark = batch0.sparkSession
-        val fs = new org.apache.hadoop.fs.Path(corpusDir)
-          .getFileSystem(spark.sparkContext.hadoopConfiguration)
         // the two artifacts are checked INDEPENDENTLY: a crash between
         // the index append and the corpus append leaves them one batch
         // apart, and a combined flag would either wedge the stream
-        // (index read fails forever) or silently skip index rows
-        def exists(d: String) = fs.exists(new org.apache.hadoop.fs.Path(d))
+        // (index read fails forever) or silently skip index rows.
+        // Each path resolves its OWN FileSystem — corpus and index may
+        // legitimately live on different stores
+        def exists(d: String) = {
+          val p = new org.apache.hadoop.fs.Path(d)
+          p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
+        }
         val empty = batch0.limit(0)
         val corpus =
           if (exists(corpusDir)) spark.read.parquet(corpusDir) else empty

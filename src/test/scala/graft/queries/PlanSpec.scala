@@ -48,11 +48,14 @@ class PlanSpec extends AnyFunSuite with SparkSpec {
 
   test("embedding scans are pruned to (vec_id, embedding)") {
     // the embeddings table also carries `label` — none of the
-    // ANN/quantization queries may read it
+    // ANN/quantization queries may read it. These queries scan the
+    // table more than once (corpus + query sides), so a single pruned
+    // ReadSchema match is not enough: NO scan may mention label
     for (q <- Seq("q_embed_quantize", "q_ann_topk_quant", "q_ann_topk")) {
       val p = plan(q)
       assert(p.contains("ReadSchema: struct<vec_id:bigint,embedding:array<float>>"),
         s"$q reads more than vec_id+embedding:\n$p")
+      assert(!p.contains("label"), s"$q has a scan reading label:\n$p")
     }
   }
 
