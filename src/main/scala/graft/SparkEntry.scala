@@ -187,6 +187,9 @@ object SparkEntry {
     // mixture rebalancing — equal absolute per-source caps (uniformizing
     // the training mix), content-hash-ordered selection
     "q_mixture_sample" -> ((s, dir) => SampleQ.mixtureRebalance(s, dir)),
+    // quality-weighted sampling — keep probability = quality score,
+    // decided by a content-hash draw (deterministic Bernoulli)
+    "q_weighted_sample" -> SampleQ.weightedSample,
     // corpus hygiene — PII redaction (emails/IPs/phones -> typed tokens,
     // per-category counts; PII planted deterministically, see TextQ)
     "q_pii_redact" -> TextQ.piiRedact,
@@ -562,6 +565,29 @@ object SparkEntry {
         |  FROM d
         |)
         |SELECT doc_id, source, rn FROM r, t WHERE rn <= ceil(0.5 * total / ns)""".stripMargin,
+    "q_weighted_sample" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |   string_split(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' ') AS toks,
+        |   list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |     list_transform(string_split(
+        |       trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ''),
+        |       c -> CAST(ascii(c) AS BIGINT))),
+        |     (a, b) -> (a * 31 + b) % 1000000007) % 1000000 AS draw
+        |  FROM documents
+        |), s AS (
+        |  SELECT doc_id, draw, CAST(
+        |    CAST(0.4 AS DECIMAL(2,1)) * CAST(round(least(CAST(len(toks) AS DOUBLE) / 50.0, 1.0), 6) AS DECIMAL(9,6))
+        |    + CAST(0.3 AS DECIMAL(2,1)) * CAST(round(CAST(len(list_distinct(toks)) AS DOUBLE) / CAST(len(toks) AS DOUBLE), 6) AS DECIMAL(9,6))
+        |    + CAST(0.3 AS DECIMAL(2,1)) * (CAST(1.0 AS DECIMAL(2,1)) - CAST(round(CAST(len(list_filter(toks, t -> list_contains(
+        |        ['the','a','an','and','of','to','in','is','it','for'], t))) AS DOUBLE) / CAST(len(toks) AS DOUBLE), 6) AS DECIMAL(9,6)))
+        |   AS DOUBLE) AS quality
+        |  FROM d
+        |)
+        |SELECT doc_id, CAST(draw AS BIGINT) AS draw,
+        | round(quality, 6) AS quality,
+        | CAST(draw AS DOUBLE) < quality * 1e6 AS keep
+        |FROM s""".stripMargin,
     "q_pii_redact" ->
       """WITH p AS (
         |  SELECT doc_id, text

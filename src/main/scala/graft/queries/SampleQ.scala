@@ -50,6 +50,28 @@ object SampleQ {
       .select(col("doc_id"), col("source"), col("rn"))
   }
 
+  /** Quality-WEIGHTED sampling — upsample good text, downsample bad:
+    * each doc is kept with probability = its quality score, decided by
+    * comparing a content-hash draw against the score (hash mod 10^6 <
+    * quality·10^6). Pure arithmetic over the DECIMAL-exact quality
+    * composite, so the kept set is deterministic, reproducible across
+    * engines, and independent of ingestion order — "random" enough for
+    * mixing (the Rabin–Karp hash is uniform over content) with none of
+    * an RNG's irreproducibility. Narrow pass, no shuffle.
+    */
+  def weightedSample(spark: SparkSession, dir: String): DataFrame = {
+    val q = TextQ.qualityScore(spark, dir)
+      .select(col("doc_id"), col("quality"))
+    val draw = pmod(TextOps.rollingHash(TextOps.normalize(col("text"))),
+      lit(1000000L))
+    Tables(spark, dir, "documents")
+      .select(col("doc_id"), draw.as("draw"))
+      .join(q, "doc_id")
+      .withColumn("keep", col("draw").cast("double") < col("quality") * 1e6)
+      .select(col("doc_id"), col("draw"), round(col("quality"), 6).as("quality"),
+        col("keep"))
+  }
+
   def stratifiedSample(spark: SparkSession, dir: String,
       fraction: Double = 0.1): DataFrame = {
     // NULLS FIRST pinned explicitly: Spark's ASC default is nulls-first
