@@ -100,6 +100,9 @@ object SparkEntry {
     "q_frequent_tokens" -> SketchQ.frequentTokens,
     // §2.10 — tumbling event-time window (batch twin of streaming agg)
     "q_tumbling_window" -> EventsQ.tumblingWindow,
+    // §2.10 — hopping/sliding event-time windows (batch twin of
+    // streaming sliding aggregation; 2 windows per event)
+    "q_hopping_window" -> EventsQ.hoppingWindow,
     // §2.10 — gap-based sessionization
     "q_sessionize" -> EventsQ.sessionize,
     // binned range join — events matched into their session's interval
@@ -411,6 +414,15 @@ object SparkEntry {
         | event_type, count(*) AS n,
         | CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
         |FROM events GROUP BY 1, 2""".stripMargin,
+    // each event belongs to starts floor(ts/300)*300 and that minus 300
+    // (size 600 / slide 300 => k in {0,1}); both always cover ts
+    "q_hopping_window" ->
+      """SELECT TIMESTAMP '1970-01-01 00:00:00'
+        |   + to_seconds(CAST(floor(epoch(ts)/300)*300 - k*300 AS BIGINT)) AS window_start,
+        | event_type, count(*) AS n,
+        | CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+        |FROM events, UNNEST([0, 1]) AS t(k)
+        |GROUP BY 1, 2""".stripMargin,
     "q_sessionize" -> sessionizeSql,
     "q_range_join" ->
       s"""WITH sess AS ($sessionizeSql),

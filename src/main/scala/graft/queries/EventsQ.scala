@@ -30,6 +30,24 @@ object EventsQ {
         col("n"), col("total_value"))
   }
 
+  /** HOPPING (sliding) event-time windows: 10-minute windows every 5
+    * minutes — each event lands in size/slide = 2 overlapping windows
+    * (Spark's `window(ts, size, slide)` plans the 2× Generate + one
+    * hash aggregation). The batch twin of streaming sliding aggregation;
+    * the oracle replays the window membership with an UNNEST over the
+    * two per-event window starts.
+    */
+  def hoppingWindow(spark: SparkSession, dir: String): DataFrame = {
+    Tables(spark, dir, "events")
+      .groupBy(window(col("ts"), "600 seconds", "300 seconds"),
+        col("event_type"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("value").cast(DecimalType(18, 2))).cast("double").as("total_value"))
+      .select(col("window.start").as("window_start"), col("event_type"),
+        col("n"), col("total_value"))
+  }
+
   /** Session windows via gap > 30 min: lag + cumulative-sum-of-new-session
     * flags. This is the classic sessionization shape; one shuffle on
     * user_id, then two window passes over the same partitioning (Spark
