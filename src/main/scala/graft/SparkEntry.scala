@@ -120,6 +120,8 @@ object SparkEntry {
     }),
     // windowed cumulative aggregation
     "q_running_totals" -> EventsQ.runningTotals,
+    // cohort retention matrix (first-seen-day cohorts × day offset)
+    "q_cohort_retention" -> EventsQ.cohortRetention,
     // S2 — deterministic seeded POS source (no oracle: engine-specific
     // murmur3 seeding; driver records rows-only)
     "q_pos_generate" -> ((s, _) => PosGenerator.transactions(s, "verify-run", "ok", 200)),
@@ -433,6 +435,18 @@ object SparkEntry {
         |SELECT p.event_id, p.user_id, s.session_id
         |FROM pts p JOIN sess s
         |  ON p.user_id = s.user_id AND p.ts_s BETWEEN s.start_s AND s.end_s""".stripMargin,
+    "q_cohort_retention" ->
+      """WITH e AS (
+        |  SELECT user_id, CAST(floor(epoch(ts) / 86400) AS BIGINT) AS day
+        |  FROM events
+        |), f AS (
+        |  SELECT user_id, min(day) AS cohort_day FROM e GROUP BY 1
+        |)
+        |SELECT f.cohort_day, e.day - f.cohort_day AS k,
+        | count(DISTINCT e.user_id) AS users
+        |FROM e JOIN f USING (user_id)
+        |WHERE e.day - f.cohort_day <= 7
+        |GROUP BY 1, 2""".stripMargin,
     "q_running_totals" ->
       """WITH e AS (
         |  SELECT event_id, user_id, ts, CAST(value AS DECIMAL(18,2)) AS val FROM events

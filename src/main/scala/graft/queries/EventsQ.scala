@@ -83,4 +83,23 @@ object EventsQ {
       .withColumn("seq", row_number().over(byUser).cast("long"))
       .select(col("event_id"), col("user_id"), col("seq"), col("running_value"))
   }
+
+  /** Cohort retention: users grouped by their FIRST-seen day (epoch-day
+    * cohort), counted as retained k days after it (k = activity day −
+    * cohort day). The classic product-analytics matrix; shape is one
+    * min-aggregation per user (map-side combinable) + one distinct
+    * count per (cohort, k) — both shuffles on small keys, corpus never
+    * re-scanned per cohort.
+    */
+  def cohortRetention(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables(spark, dir, "events")
+      .select(col("user_id"),
+        floor(unix_timestamp(col("ts")) / 86400L).cast("long").as("day"))
+    val firstSeen = ev.groupBy(col("user_id"))
+      .agg(min(col("day")).as("cohort_day"))
+    ev.join(firstSeen, "user_id")
+      .groupBy(col("cohort_day"), (col("day") - col("cohort_day")).as("k"))
+      .agg(countDistinct(col("user_id")).as("users"))
+      .filter(col("k") <= 7)
+  }
 }
