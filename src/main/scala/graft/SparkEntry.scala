@@ -122,6 +122,11 @@ object SparkEntry {
     "q_running_totals" -> EventsQ.runningTotals,
     // cohort retention matrix (first-seen-day cohorts × day offset)
     "q_cohort_retention" -> EventsQ.cohortRetention,
+    // ordered-step funnel: view -> click -> purchase, sequential in
+    // event time per user
+    "q_funnel" -> EventsQ.funnel,
+    // SCD type-2 dimension build from the click change stream
+    "q_scd2" -> EventsQ.scd2,
     // S2 — deterministic seeded POS source (no oracle: engine-specific
     // murmur3 seeding; driver records rows-only)
     "q_pos_generate" -> ((s, _) => PosGenerator.transactions(s, "verify-run", "ok", 200)),
@@ -447,6 +452,47 @@ object SparkEntry {
         |FROM e JOIN f USING (user_id)
         |WHERE e.day - f.cohort_day <= 7
         |GROUP BY 1, 2""".stripMargin,
+    "q_funnel" ->
+      """WITH e AS (
+        |  SELECT user_id, event_type, CAST(floor(epoch(ts)) AS BIGINT) AS ts_s
+        |  FROM events
+        |), u1 AS (
+        |  SELECT user_id,
+        |   min(CASE WHEN event_type = 'view' THEN ts_s END) AS s1
+        |  FROM e GROUP BY 1
+        |), u2 AS (
+        |  SELECT e.user_id,
+        |   min(CASE WHEN event_type = 'click' AND ts_s >= s1 THEN ts_s END) AS s2
+        |  FROM e JOIN u1 USING (user_id) GROUP BY 1
+        |), u3 AS (
+        |  SELECT e.user_id,
+        |   min(CASE WHEN event_type = 'purchase' AND ts_s >= s2 THEN ts_s END) AS s3
+        |  FROM e JOIN u2 USING (user_id) GROUP BY 1
+        |)
+        |SELECT CAST(1 AS INTEGER) AS stage, 'view' AS step, count(s1) AS users FROM u1
+        |UNION ALL
+        |SELECT CAST(2 AS INTEGER), 'click', count(s2) FROM u2
+        |UNION ALL
+        |SELECT CAST(3 AS INTEGER), 'purchase', count(s3) FROM u3""".stripMargin,
+    "q_scd2" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, CAST(floor(epoch(ts)) AS BIGINT) AS ts_s, value
+        |  FROM events WHERE event_type = 'click'
+        |), chg AS (
+        |  SELECT user_id, event_id, ts_s, value,
+        |   lag(value) OVER (PARTITION BY user_id ORDER BY ts_s, event_id) AS prev
+        |  FROM e
+        |), v AS (
+        |  SELECT user_id, event_id, ts_s, value FROM chg
+        |  WHERE prev IS NULL OR prev <> value
+        |)
+        |SELECT user_id,
+        | row_number() OVER (PARTITION BY user_id ORDER BY ts_s, event_id) AS version,
+        | value, ts_s AS valid_from_s,
+        | lead(ts_s) OVER (PARTITION BY user_id ORDER BY ts_s, event_id) AS valid_to_s,
+        | CASE WHEN lead(ts_s) OVER (PARTITION BY user_id ORDER BY ts_s, event_id) IS NULL
+        |   THEN 1 ELSE 0 END AS is_current
+        |FROM v""".stripMargin,
     "q_running_totals" ->
       """WITH e AS (
         |  SELECT event_id, user_id, ts, CAST(value AS DECIMAL(18,2)) AS val FROM events

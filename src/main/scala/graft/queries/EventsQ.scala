@@ -84,6 +84,64 @@ object EventsQ {
       .select(col("event_id"), col("user_id"), col("seq"), col("running_value"))
   }
 
+  /** Ordered-step funnel (view → click → purchase): a user reaches stage
+    * k only via events AT OR AFTER their stage-(k−1) entry time, so the
+    * steps are genuinely sequential (a purchase before the first view
+    * does not count). Shape: one min-aggregation per stage, every
+    * groupBy/join keyed on user_id — the per-user frames are
+    * aggregate-sized and co-partitioned, so the three stages cost one
+    * user_id shuffle plus exchange-reused joins; the corpus is scanned
+    * once per stage predicate, never per user. The final 3-row unpivot
+    * is metadata-sized.
+    */
+  def funnel(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables(spark, dir, "events")
+      .select(col("user_id"), col("event_type"),
+        unix_timestamp(col("ts")).as("ts_s"))
+    val s1 = ev.groupBy(col("user_id"))
+      .agg(min(when(col("event_type") === "view", col("ts_s"))).as("s1"))
+    val s2 = ev.join(s1, "user_id")
+      .groupBy(col("user_id"), col("s1"))
+      .agg(min(when(col("event_type") === "click" && col("ts_s") >= col("s1"),
+        col("ts_s"))).as("s2"))
+    val s3 = ev.join(s2.select("user_id", "s2"), "user_id")
+      .groupBy(col("user_id"), col("s2"))
+      .agg(min(when(col("event_type") === "purchase" && col("ts_s") >= col("s2"),
+        col("ts_s"))).as("s3"))
+    def stageRow(df: DataFrame, c: String, stage: Int, step: String) =
+      df.agg(count(col(c)).as("users"))
+        .select(lit(stage).as("stage"), lit(step).as("step"), col("users"))
+    stageRow(s1, "s1", 1, "view")
+      .unionByName(stageRow(s2, "s2", 2, "click"))
+      .unionByName(stageRow(s3, "s3", 3, "purchase"))
+  }
+
+  /** SCD Type-2 dimension build from a change stream: per user, each
+    * CHANGE of the tracked attribute (consecutive-duplicate records
+    * collapse, real type-2 semantics) opens a version row with a
+    * half-open validity interval [valid_from_s, valid_to_s); the open
+    * version has NULL valid_to_s and is_current = 1. Change detection
+    * (lag) and versioning (row_number/lead over the filtered changes)
+    * are two window passes over the SAME (user_id, ts, event_id)
+    * partitioning+ordering, so the sort-shuffle pays once.
+    */
+  def scd2(spark: SparkSession, dir: String): DataFrame = {
+    val byUser = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts_s"), col("event_id"))
+    val changes = Tables(spark, dir, "events")
+      .filter(col("event_type") === "click")
+      .select(col("user_id"), col("event_id"),
+        unix_timestamp(col("ts")).as("ts_s"), col("value"))
+      .withColumn("prev", lag(col("value"), 1).over(byUser))
+      .filter(col("prev").isNull || col("prev") =!= col("value"))
+    changes
+      .withColumn("version", row_number().over(byUser).cast("long"))
+      .withColumn("valid_to_s", lead(col("ts_s"), 1).over(byUser))
+      .select(col("user_id"), col("version"), col("value"),
+        col("ts_s").as("valid_from_s"), col("valid_to_s"),
+        when(col("valid_to_s").isNull, 1).otherwise(0).as("is_current"))
+  }
+
   /** Cohort retention: users grouped by their FIRST-seen day (epoch-day
     * cohort), counted as retained k days after it (k = activity day −
     * cohort day). The classic product-analytics matrix; shape is one
