@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 import graft.etl.{Enricher, PosGenerator, RetailPipeline}
-import graft.queries.{AnnQ, Core, DedupQ, EventsQ, MultimodalQ, SampleQ, SketchQ, TextQ}
+import graft.queries.{AnnQ, CatalogQ, Core, DedupQ, EventsQ, MultimodalQ, SampleQ, SketchQ, TextQ}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -257,6 +257,10 @@ object SparkEntry {
     // similarity search — IVF via the PERSISTED index (build + parquet
     // round-trip + cell-pruned probe; rows-only, AnnSpec pins ≡ fresh)
     "q_ann_ivf_indexed" -> AnnQ.ivfTopKIndexed,
+    // DSv2 catalog — the same engine addressed purely through SQL names
+    // (graft_<root>.`sfX`.orders); scan plan is byte-for-byte the path
+    // read's (loadTable delegates to ParquetTable)
+    "q_catalog_sql" -> CatalogQ.catalogSql,
     // multimodal — binary media columns + partition-batched decode stub
     "q_multimodal_features" -> MultimodalQ.features,
     // multimodal — metadata-only video frame sampling
@@ -931,6 +935,13 @@ object SparkEntry {
         |)
         |SELECT query_id, rank, neighbor_id, round(cos, 6) AS cosine
         |FROM r WHERE rank <= 5""".stripMargin,
+    "q_catalog_sql" ->
+      """SELECT CAST(o_orderdate AS DATE) AS day, o_orderstatus AS status,
+        | count(*) AS txns,
+        | CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS gross
+        |FROM orders
+        |WHERE o_orderdate >= TIMESTAMP '1995-01-01 00:00:00'
+        |GROUP BY 1, 2""".stripMargin,
     "q_multimodal_features" ->
       """WITH a AS (
         |  SELECT doc_id AS asset_id,

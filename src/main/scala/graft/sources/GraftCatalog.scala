@@ -89,6 +89,25 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
   private def tablePath(ident: Identifier): Path =
     new Path(nsDir(ident.namespace()), s"${ident.name()}.parquet")
 
+  /** Declared-schema sidecar written by plain CREATE TABLE. The leading
+    * underscore keeps it invisible to Spark's file index (the parquet
+    * scan skips `_`-prefixed files), so a created-but-still-empty table
+    * reads back as an empty relation with its declared schema instead of
+    * failing parquet schema inference over zero files.
+    */
+  private def schemaFile(tableDir: Path): Path = new Path(tableDir, "_schema.json")
+
+  private def readDeclaredSchema(tableDir: Path): Option[StructType] = {
+    val f = schemaFile(tableDir)
+    if (!fs.exists(f)) None
+    else {
+      val in = fs.open(f)
+      val json = try new String(in.readAllBytes(),
+        java.nio.charset.StandardCharsets.UTF_8) finally in.close()
+      Some(org.apache.spark.sql.types.DataType.fromJson(json).asInstanceOf[StructType])
+    }
+  }
+
   private def warehouseConf(table: String): WarehouseConf = {
     val keys = warehouseKeys.getOrElse(table.toLowerCase(java.util.Locale.ROOT), Seq.empty)
     WarehouseConf(warehouseUrl.get, table, keys, warehouseBatch)
@@ -118,7 +137,9 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
     } else {
       val path = tablePath(ident)
       if (!fs.exists(path)) throw new NoSuchTableException(ident)
-      parquetTable(ident, path, userSchema = None)
+      // prefer the declared schema when present: skips footer inference
+      // and keeps a still-empty created table readable
+      parquetTable(ident, path, userSchema = readDeclaredSchema(path))
     }
 
   private def parquetTable(ident: Identifier, path: Path,
@@ -144,6 +165,9 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
     val path = tablePath(ident)
     if (fs.exists(path)) throw new TableAlreadyExistsException(ident)
     fs.mkdirs(path) // empty dir = empty table; CTAS appends files into it
+    val out = fs.create(schemaFile(path), true)
+    try out.write(schema.json.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
     parquetTable(ident, path, userSchema = Some(schema))
   }
 
@@ -162,9 +186,17 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
   // ------------------------------------------------------------ namespaces
 
   override def listNamespaces(): Array[Array[String]] = {
-    val lake = fs.listStatus(root).collect {
-      case st if st.isDirectory => Array(st.getPath.getName)
-    }
+    // a missing root is an empty catalog, not a FileNotFoundException;
+    // a lake dir literally named 'warehouse' is shadowed by the reserved
+    // namespace when warehouse.url is set — list it once, not twice
+    val lake =
+      if (!fs.exists(root)) Array.empty[Array[String]]
+      else fs.listStatus(root).collect {
+        case st if st.isDirectory &&
+            !(warehouseUrl.isDefined &&
+              st.getPath.getName.equalsIgnoreCase(WarehouseNs)) =>
+          Array(st.getPath.getName)
+      }
     if (warehouseUrl.isDefined) lake :+ Array(WarehouseNs) else lake
   }
 

@@ -192,6 +192,12 @@ private[sources] class WarehouseScanBuilder(full: StructType,
     conf: WarehouseConf)
     extends ScanBuilder with SupportsPushDownRequiredColumns {
 
+  // a user-supplied spark.read.schema(...) reaches the interpolated
+  // SELECT below — hold it to the same no-injectable-SQL contract as
+  // the write path
+  full.fieldNames.foreach(
+    JdbcSink.requireIdent(_, "column", allowQualified = false))
+
   private var required: StructType = full
 
   override def pruneColumns(requiredSchema: StructType): Unit =
