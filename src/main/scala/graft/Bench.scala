@@ -62,27 +62,45 @@ object Bench {
     val times = scala.collection.mutable.LinkedHashMap.empty[String, Double]
     val spreads = scala.collection.mutable.LinkedHashMap.empty[String, Double]
     val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
+    val failedRuns = scala.collection.mutable.LinkedHashMap.empty[String, Double]
     names.foreach { name =>
       val samples = (1 to runs).map { _ =>
         System.gc() // fence: don't bill the previous query's garbage here
         val t0 = System.nanoTime()
-        try SparkEntry.queries(name)(spark, sfDir).count()
-        catch {
-          case e: Throwable =>
-            errors(name) = s"${e.getClass.getName}: " +
-              Option(e.getMessage).getOrElse("").take(300)
-        }
-        (System.nanoTime() - t0) / 1e9
-      }.sorted
-      times(name) = samples(samples.size / 2) // median (upper on even n)
-      spreads(name) = samples.last - samples.head
+        val ok =
+          try { SparkEntry.queries(name)(spark, sfDir).count(); true }
+          catch {
+            case e: Throwable =>
+              errors(name) = s"${e.getClass.getName}: " +
+                Option(e.getMessage).getOrElse("").take(300)
+              false
+          }
+        ((System.nanoTime() - t0) / 1e9, ok)
+      }
+      // median over SUCCESSFUL samples only: an intermittent failure's
+      // fast-fail wall time must not report a misleadingly low median
+      // (the errors + failed_runs maps still flag it). A query that
+      // failed EVERY run keeps its fail-time median so a broken query
+      // can never masquerade as absent.
+      val good = samples.collect { case (t, true) => t }.sorted
+      val use = if (good.nonEmpty) good else samples.map(_._1).sorted
+      times(name) = use(use.size / 2) // median (upper on even n)
+      spreads(name) = use.last - use.head
+      if (good.size < samples.size)
+        failedRuns(name) = (samples.size - good.size).toDouble
     }
     def obj(m: scala.collection.Map[String, Double]) =
       m.map { case (k, v) => s"\"$k\":$v" }.mkString("{", ",", "}")
     val errs = errors.map { case (k, v) => s"\"$k\":\"${jsonEsc(v)}\"" }
       .mkString("{", ",", "}")
     val total = times.values.sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":${obj(times)},"spread":${obj(spreads)},"runs":$runs,"errors":$errs,"sf":"$sfDir"}""")
+    // Summary line FIRST: the driver's output capture has truncated the
+    // TAIL of the full line before (BENCH_r04) — the headline total and
+    // the expensive-query ranking must survive that.
+    val top5 = times.toSeq.sortBy(-_._2).take(5)
+      .map { case (k, v) => s"\"$k\":$v" }.mkString("{", ",", "}")
+    println(s"""{"metric":"summary","value":$total,"unit":"sec","n_queries":${times.size},"n_errors":${errors.size},"top5":$top5,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":${obj(times)},"spread":${obj(spreads)},"runs":$runs,"errors":$errs,"failed_runs":${obj(failedRuns)},"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -245,6 +245,10 @@ object SparkEntry {
     // artifact (parquet write + read-back) — the artifact-per-stage
     // shape a 100 TB curation run uses; shares the inline twin's oracle
     "q_corpus_filter_staged" -> DedupQ.corpusFilterStaged,
+    // compose-only: the verdict joined from the PREBUILT cluster
+    // artifact — what a re-tuned downstream pays when the expensive
+    // stage is already materialized (same oracle as inline/staged)
+    "q_corpus_filter_compose" -> DedupQ.corpusFilterCompose,
     // similarity search — exact cosine top-k baseline
     "q_ann_topk" -> AnnQ.bruteTopK,
     // similarity search — cosine top-k over int8 codes (exact integer
@@ -257,6 +261,9 @@ object SparkEntry {
     // similarity search — IVF via the PERSISTED index (build + parquet
     // round-trip + cell-pruned probe; rows-only, AnnSpec pins ≡ fresh)
     "q_ann_ivf_indexed" -> AnnQ.ivfTopKIndexed,
+    // similarity search — probe-only against the prebuilt IVF index
+    // (rows-only; AnnSpec pins probe ≡ fresh IVF)
+    "q_ann_ivf_probe" -> AnnQ.ivfTopKProbe,
     // DSv2 catalog — the same engine addressed purely through SQL names
     // (graft_<root>.`sfX`.orders); scan plan is byte-for-byte the path
     // read's (loadTable delegates to ParquetTable)
@@ -891,6 +898,7 @@ object SparkEntry {
     // but MUST produce the identical relation
     "q_corpus_filter" -> corpusFilterSql,
     "q_corpus_filter_staged" -> corpusFilterSql,
+    "q_corpus_filter_compose" -> corpusFilterSql,
     "q_ann_topk" ->
       """WITH e AS (
         |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings

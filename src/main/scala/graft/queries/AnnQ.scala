@@ -60,22 +60,44 @@ object AnnQ {
       "vec_id", "qv", k = 5)
   }
 
-  /** The IVF SERVING path: build the index, persist centroids +
-    * cluster-partitioned assignments as parquet, load, probe. Same
-    * result as [[ivfTopK]] (AnnSpec pins saved ≡ fresh); the probe scan
-    * prunes to the probed cells' partitions — at scale the index is
-    * built once and this is the only shape repeated query batches pay.
+  /** Build + persist the IVF index artifact: centroids and
+    * cluster-partitioned assignments, the layout [[graft.ann.Ann.ivfProbeIndexed]]
+    * prunes against.
     */
-  def ivfTopKIndexed(spark: SparkSession, dir: String): DataFrame = {
-    val (corpus, queries) = corpusAndQueries(spark, dir)
-    val tmp = java.nio.file.Files.createTempDirectory("graft-ivf-q").toString
+  private def buildIvfIndex(spark: SparkSession, dir: String)(out: String): Unit = {
+    val corpus = Tables(spark, dir, "embeddings")
     Ann.ivfCentroids(corpus, "vec_id", "embedding", nCentroids = 16)
-      .write.mode("overwrite").parquet(s"$tmp/centroids")
-    val centroids = spark.read.parquet(s"$tmp/centroids")
-    Ann.ivfAssignments(corpus, "vec_id", "embedding", centroids)
+      .write.mode("overwrite").parquet(s"$out/centroids")
+    Ann.ivfAssignments(corpus, "vec_id", "embedding",
+      spark.read.parquet(s"$out/centroids"))
       .write.mode("overwrite").partitionBy("cluster")
-      .parquet(s"$tmp/assignments")
-    Ann.ivfProbeIndexed(corpus, spark.read.parquet(s"$tmp/assignments"),
-      centroids, queries, "vec_id", "embedding", k = 5, nProbe = 4)
+      .parquet(s"$out/assignments")
   }
+
+  private def probeIvfIndex(spark: SparkSession, dir: String,
+      idx: String): DataFrame = {
+    val (corpus, queries) = corpusAndQueries(spark, dir)
+    Ann.ivfProbeIndexed(corpus, spark.read.parquet(s"$idx/assignments"),
+      spark.read.parquet(s"$idx/centroids"), queries,
+      "vec_id", "embedding", k = 5, nProbe = 4)
+  }
+
+  /** The IVF INDEXING path: build the index, persist centroids +
+    * cluster-partitioned assignments as parquet, load, probe — times the
+    * full build+persist+probe pipeline (rebuilds every call). Same
+    * result as [[ivfTopK]] (AnnSpec pins saved ≡ fresh). The artifact
+    * dir is managed per JVM (removed at exit), not leaked.
+    */
+  def ivfTopKIndexed(spark: SparkSession, dir: String): DataFrame =
+    probeIvfIndex(spark, dir,
+      graft.ops.StageArtifacts.refresh(dir, "ivf")(buildIvfIndex(spark, dir)))
+
+  /** The IVF SERVING path: probe-only against the PREBUILT index (built
+    * at most once per JVM) — the cost repeated query batches actually
+    * pay once the index exists, measured separately from the build.
+    * AnnSpec pins probe ≡ fresh [[ivfTopK]].
+    */
+  def ivfTopKProbe(spark: SparkSession, dir: String): DataFrame =
+    probeIvfIndex(spark, dir,
+      graft.ops.StageArtifacts.ensure(dir, "ivf")(buildIvfIndex(spark, dir)))
 }

@@ -150,15 +150,32 @@ object DedupQ {
     * stage artifact, read it back, join. Provably identical to the
     * inline twin (shared verdict composition + DedupQSpec differential
     * + the same DuckDB oracle), which is the point: the staged shape is
-    * how a 100 TB curation run actually executes.
+    * how a 100 TB curation run actually executes. This form REBUILDS the
+    * artifact every call — it times the stage write + compose together;
+    * [[corpusFilterCompose]] times the compose alone. The artifact dir
+    * is managed (one per JVM per corpus, removed at exit), not a leaked
+    * fresh temp dir per invocation.
     */
   def corpusFilterStaged(spark: SparkSession, dir: String): DataFrame = {
-    val stage = java.nio.file.Files.createTempDirectory("graft-curation")
-      .toString
-    val clustersPath = s"$stage/dedup_clusters"
-    writeClusterArtifact(spark, dir, clustersPath)
+    val stage = graft.ops.StageArtifacts.refresh(dir, "curation") { out =>
+      writeClusterArtifact(spark, dir, s"$out/dedup_clusters")
+    }
     corpusVerdict(spark, dir,
-      canonicalFrom(spark.read.parquet(clustersPath)))
+      canonicalFrom(spark.read.parquet(s"$stage/dedup_clusters")))
+  }
+
+  /** The COMPOSE-ONLY half of the staged shape: read the prebuilt
+    * cluster artifact (built at most once per JVM) and compose the
+    * verdict. This is the number the artifact-per-stage design argues
+    * for — what a re-tuned downstream pays when the clustering stage is
+    * already materialized. Same oracle as the inline/staged twins.
+    */
+  def corpusFilterCompose(spark: SparkSession, dir: String): DataFrame = {
+    val stage = graft.ops.StageArtifacts.ensure(dir, "curation") { out =>
+      writeClusterArtifact(spark, dir, s"$out/dedup_clusters")
+    }
+    corpusVerdict(spark, dir,
+      canonicalFrom(spark.read.parquet(s"$stage/dedup_clusters")))
   }
 
   private def clusterLabelsInline(spark: SparkSession, dir: String): DataFrame =

@@ -72,6 +72,10 @@ class AnnSpec extends AnyFunSuite with SparkSpec {
     val indexed = rows(Ann.ivfProbeIndexed(e, assignments, centroids, q,
       "vec_id", "embedding", 5, nProbe = 4))
     assert(indexed == fresh)
+    // the SparkEntry probe-only serving query (managed prebuilt
+    // artifact) must reproduce the fresh build too
+    val probeOnly = rows(graft.queries.AnnQ.ivfTopKProbe(spark, dir))
+    assert(probeOnly == fresh)
   }
 
   test("lshNeighbors is deterministic (seeded planes)") {

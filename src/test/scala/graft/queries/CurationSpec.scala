@@ -21,5 +21,9 @@ class CurationSpec extends AnyFunSuite with SparkSpec {
     val staged = rows(DedupQ.corpusFilterStaged(spark, dir))
     assert(inline.nonEmpty)
     assert(staged == inline)
+    // compose-only (prebuilt artifact) must be the same relation too —
+    // the separately-benched serving half of the staged shape
+    val composed = rows(DedupQ.corpusFilterCompose(spark, dir))
+    assert(composed == inline)
   }
 }

@@ -87,6 +87,26 @@ class PlanSpec extends AnyFunSuite with SparkSpec {
     assert("Generate".r.findAllIn(p).size == 2, p)
   }
 
+  test("jaccard_pairs keeps the SSJoin prefix-filter shape") {
+    // pinned after the r4 driver number doubled with NO code change
+    // (BENCH_NOTES r4→r5: environment, like r2's 26.8 s episode): if a
+    // future refactor actually changes this plan, this pin fails and the
+    // bench delta gets a code-side suspect; while it holds, an
+    // unexplained driver number is harness/environment by elimination.
+    val p = plan("q_jaccard_pairs")
+    // rarity-ordered prefix selection: exactly one ranking window, never
+    // a global (single-partition) sort
+    assert("row_number".r.findAllIn(p).size >= 1, p)
+    assert(!p.contains("SinglePartition"), p)
+    // exact verification present (array_intersect recurs textually when
+    // the threshold filter is pushed into the verify join's condition)
+    assert(p.contains("array_intersect"), p)
+    // shingle document-frequency aggregates map-side before the shuffle
+    assert(p.contains("partial_count"), p)
+    // the scan stays pruned to the two columns the operator needs
+    assert(p.contains("ReadSchema: struct<doc_id:bigint,text:string>"), p)
+  }
+
   test("no query plan uses a cartesian product without broadcast") {
     for ((name, _) <- SparkEntry.queries) {
       val p = plan(name)
