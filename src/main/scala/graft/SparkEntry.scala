@@ -272,6 +272,10 @@ object SparkEntry {
     "q_multimodal_features" -> MultimodalQ.features,
     // multimodal — metadata-only video frame sampling
     "q_frame_sample" -> MultimodalQ.frameSample,
+    // multimodal — REAL container-header decode: PNG/JPEG bytes parsed
+    // back to (fmt, width, height, channels); oracle recomputes the
+    // expected dims, so hash-match == parse round-trip proof
+    "q_image_dims" -> MultimodalQ.imageDims,
   )
 
   /** DuckDB oracle SQL per query. Money math goes through DECIMAL(18,2) in
@@ -965,6 +969,15 @@ object SparkEntry {
         | CAST(byte_sum * 100 // byte_len AS BIGINT) AS mean_byte_x100,
         | width, height
         |FROM a""".stripMargin,
+    "q_image_dims" ->
+      """SELECT doc_id AS asset_id,
+        | CASE WHEN doc_id % 2 = 0 THEN 'png' ELSE 'jpeg' END AS fmt,
+        | CAST(16 + n_chars % 64 AS BIGINT) AS width,
+        | CAST(16 + (n_chars * 7) % 64 AS BIGINT) AS height,
+        | CAST(CASE WHEN doc_id % 2 = 0
+        |   THEN CASE WHEN doc_id % 4 = 0 THEN 4 ELSE 3 END
+        |   ELSE CASE WHEN doc_id % 5 = 0 THEN 1 ELSE 3 END END AS BIGINT) AS channels
+        |FROM documents""".stripMargin,
     "q_frame_sample" ->
       """WITH a AS (
         |  SELECT doc_id AS asset_id,

@@ -17,6 +17,15 @@ final case class MediaAsset(
     n_frames: Long,
     media: Array[Byte])
 
+/** An image asset: opaque container bytes only — every derived field
+  * must come out of the HEADER PARSE, not carried-along metadata.
+  */
+final case class ImageAsset(asset_id: Long, media: Array[Byte])
+
+/** Header-decoded image metadata ([[MediaCodec.decodeHeader]]). */
+final case class ImageDims(asset_id: Long, fmt: String, width: Long,
+    height: Long, channels: Long)
+
 /** Decoded per-asset features (the output of the decode stub). */
 final case class MediaFeatures(
     asset_id: Long,
@@ -82,6 +91,49 @@ object Multimodal {
     assets.mapPartitions { batch =>
       // real pipeline: initialize the codec/session here, once per batch
       batch.map(decodeStub)
+    }
+  }
+
+  /** Image assets with REAL container bytes: each document becomes a
+    * structurally-valid PNG or JPEG whose header encodes dimensions
+    * derived from (doc_id, n_chars) and whose payload is the text
+    * bytes. Downstream ([[decodeImageDims]]) sees ONLY the binary
+    * column — the dims must be recovered by parsing, which is exactly
+    * the decode-stage contract a real corpus imposes.
+    */
+  def imageAssets(spark: SparkSession, docs: DataFrame): Dataset[ImageAsset] = {
+    import spark.implicits._
+    docs.select(col("doc_id"), col("n_chars"),
+      encode(col("text"), "UTF-8").as("payload"))
+      .as[(Long, Long, Array[Byte])]
+      .map { case (id, nChars, payload) =>
+        val w = (16 + nChars % 64).toInt
+        val h = (16 + (nChars * 7) % 64).toInt
+        val bytes =
+          if (id % 2 == 0)
+            MediaCodec.pngHeader(w, h,
+              colorType = if (id % 4 == 0) 6 else 2, payload)
+          else
+            MediaCodec.jpegHeader(w, h,
+              nComp = if (id % 5 == 0) 1 else 3, payload)
+        ImageAsset(id, bytes)
+      }
+  }
+
+  /** Partition-batched header decode: sniff + parse each asset's magic
+    * bytes into (fmt, width, height, channels). Assets whose container
+    * fails to parse are DROPPED here (a curation pipeline quarantines
+    * them); the oracle's row count therefore checks parse success for
+    * every row.
+    */
+  def decodeImageDims(assets: Dataset[ImageAsset]): Dataset[ImageDims] = {
+    import assets.sparkSession.implicits._
+    assets.mapPartitions { batch =>
+      batch.flatMap { a =>
+        MediaCodec.decodeHeader(a.media).map(hdr =>
+          ImageDims(a.asset_id, hdr.fmt, hdr.width.toLong,
+            hdr.height.toLong, hdr.channels.toLong))
+      }
     }
   }
 

@@ -16,6 +16,17 @@ object MultimodalQ {
       Multimodal.assetsFromDocuments(spark, Tables(spark, dir, "documents")))
       .toDF()
 
+  /** Real header decode: synthesize PNG/JPEG container bytes per
+    * document, then recover (fmt, width, height, channels) by PARSING
+    * the binary column ([[graft.multimodal.MediaCodec]]) — the oracle
+    * recomputes the expected dims from the document metadata, so every
+    * row hash-matching proves the parse round-trip.
+    */
+  def imageDims(spark: SparkSession, dir: String): DataFrame =
+    Multimodal.decodeImageDims(
+      Multimodal.imageAssets(spark, Tables(spark, dir, "documents")))
+      .toDF()
+
   def frameSample(spark: SparkSession, dir: String): DataFrame =
     Multimodal.sampleFrames(
       Multimodal.assetsFromDocuments(spark, Tables(spark, dir, "documents")),
