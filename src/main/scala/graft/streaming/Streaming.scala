@@ -179,6 +179,41 @@ object Streaming {
           batch, keys, versionCol)
       }
 
+  /** Streaming quantized-ANN SERVING — the foreachBatch pattern composed
+    * with the int8 serving path ([[graft.ann.Quantize]]): each
+    * micro-batch of float query vectors is quantized
+    * (`Quantize.codes`, the same floor-arithmetic codes the persisted
+    * table was built with) and ranked brute-force against the PERSISTED
+    * int8 code table — the memory-bound serving tier shape (4× less
+    * corpus to scan than float32; code dots are exact integer sums, so
+    * stream-served results are deterministic and must equal the batch
+    * ranking on the same corpus, which StreamingSpec pins against
+    * q_ann_topk_quant's operator).
+    *
+    * Results land in a (query_id, rank)-keyed parquet upsert
+    * ([[graft.etl.Upsert.upsertParquet]]): foreachBatch is
+    * at-least-once, and the keyed last-write-wins merge (versioned by
+    * the serving batch id) makes a REDELIVERED batch converge instead
+    * of duplicating result rows — and a re-served query simply
+    * overwrites its previous top-k.
+    */
+  def annServeSink(queries: DataFrame, codeTableDir: String, outDir: String,
+      idCol: String = "vec_id", vecCol: String = "embedding", k: Int = 5)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    queries.writeStream
+      .outputMode(OutputMode.Append())
+      .foreachBatch { (batch0: DataFrame, batchId: Long) =>
+        val spark = batch0.sparkSession
+        val qCodes = graft.ann.Quantize.codes(
+          batch0.dropDuplicates(idCol), idCol, vecCol)
+        // the persisted code table: (idCol, qv), written by Quantize.codes
+        val corpus = spark.read.parquet(codeTableDir)
+        val topk = graft.ann.Ann.bruteForceTopK(corpus, qCodes, idCol, "qv", k)
+          .withColumn("served_batch", lit(batchId))
+        graft.etl.Upsert.upsertParquet(spark, outDir, topk,
+          keys = Seq("query_id", "rank"), versionCol = "served_batch")
+      }
+
   /** Streaming NEAR-dup dedup — the S8 foreachBatch sink composed with
     * the D10 incremental band index: each micro-batch of documents is
     * deduplicated against the persisted corpus (MinHash/LSH + exact

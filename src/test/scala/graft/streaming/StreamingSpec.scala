@@ -19,6 +19,8 @@ final case class Fact(run_id: String, txn_id: String, v: Double,
 
 final case class Doc(doc_id: Long, text: String)
 
+final case class QVec(vec_id: Long, embedding: Array[Float])
+
 class StreamingSpec extends AnyFunSuite with SparkSpec {
 
   private def t(min: Int, sec: Int = 0): Timestamp =
@@ -242,5 +244,41 @@ class StreamingSpec extends AnyFunSuite with SparkSpec {
     assert(idx.select("doc").distinct().collect().map(_.getLong(0)).toSet ==
       Set(1L, 5L, 9L))
     assert(idx.count() == 3 * 32)
+  }
+
+  test("annServeSink: stream-served quantized top-k == batch ranking, idempotent under redelivery") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dir = "/root/testdata/sf0.001"
+    val root = java.nio.file.Files.createTempDirectory("stream_ann").toString
+    val (codeDir, outDir) = (s"$root/codes", s"$root/served")
+    // the persisted serving artifact: the whole corpus as int8 codes
+    graft.ann.Quantize.codes(
+      graft.Tables(spark, dir, "embeddings"), "vec_id", "embedding")
+      .write.parquet(codeDir)
+    // the SAME query set the batch quantized ranker uses (vec_id < 20),
+    // arriving as FLOAT vectors — the sink must quantize them itself
+    val queryVecs = graft.Tables(spark, dir, "embeddings")
+      .filter(org.apache.spark.sql.functions.col("vec_id") < 20)
+      .collect().map(r => QVec(r.getLong(0),
+        r.getSeq[Float](r.fieldIndex("embedding")).toArray))
+    val in = MemoryStream[QVec]
+    val q = Streaming.annServeSink(in.toDF(), codeDir, outDir, k = 5).start()
+    in.addData(queryVecs.take(8).toIndexedSeq)
+    q.processAllAvailable()
+    in.addData(queryVecs.drop(8).toIndexedSeq)
+    q.processAllAvailable()
+    // REDELIVERY: a query batch arrives again — results must converge
+    // (keyed upsert), not duplicate
+    in.addData(queryVecs.take(8).toIndexedSeq)
+    q.processAllAvailable()
+    q.stop()
+    def key(r: org.apache.spark.sql.Row) = (r.getAs[Long]("query_id"),
+      r.getAs[Long]("rank"), r.getAs[Long]("neighbor_id"),
+      r.getAs[Double]("cosine"))
+    val served = spark.read.parquet(outDir)
+    val batch = graft.queries.AnnQ.bruteTopKQuantized(spark, dir)
+    assert(served.count() == batch.count()) // no duplicated redelivery rows
+    assert(served.collect().map(key).toSet == batch.collect().map(key).toSet)
   }
 }
