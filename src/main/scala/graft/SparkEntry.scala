@@ -264,6 +264,11 @@ object SparkEntry {
     // similarity search — probe-only against the prebuilt IVF index
     // (rows-only; AnnSpec pins probe ≡ fresh IVF)
     "q_ann_ivf_probe" -> AnnQ.ivfTopKProbe,
+    // governance — column-level lineage of the daily mart, read off the
+    // analyzed plan (oracle = the pinned expected relation; LineageSpec
+    // covers joins/rollup/curation shapes)
+    "q_lineage" -> ((s, dir) =>
+      graft.plans.Lineage.describeLineage(Core.martDailySales(s, dir))),
     // DSv2 catalog — the same engine addressed purely through SQL names
     // (graft_<root>.`sfX`.orders); scan plan is byte-for-byte the path
     // read's (loadTable delegates to ParquetTable)
@@ -947,6 +952,13 @@ object SparkEntry {
         |)
         |SELECT query_id, rank, neighbor_id, round(cos, 6) AS cosine
         |FROM r WHERE rank <= 5""".stripMargin,
+    "q_lineage" ->
+      """SELECT * FROM (VALUES
+        |  ('day', 'orders', 'o_orderdate'),
+        |  ('status', 'orders', 'o_orderstatus'),
+        |  ('gross', 'orders', 'o_totalprice'),
+        |  ('customers', 'orders', 'o_custkey')
+        |) AS t(out_col, src_table, src_col)""".stripMargin,
     "q_catalog_sql" ->
       """SELECT CAST(o_orderdate AS DATE) AS day, o_orderstatus AS status,
         | count(*) AS txns,
