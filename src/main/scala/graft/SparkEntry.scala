@@ -247,8 +247,11 @@ object SparkEntry {
     "q_corpus_filter_staged" -> DedupQ.corpusFilterStaged,
     // compose-only: the verdict joined from the PREBUILT cluster
     // artifact — what a re-tuned downstream pays when the expensive
-    // stage is already materialized (same oracle as inline/staged)
-    "q_corpus_filter_compose" -> DedupQ.corpusFilterCompose,
+    // stage is already materialized (same oracle as inline/staged).
+    // Named to sort AFTER q_corpus_filter_staged so the bench's sorted
+    // order builds the artifact in the staged query, keeping every
+    // compose sample build-free
+    "q_corpus_filter_staged_compose" -> DedupQ.corpusFilterCompose,
     // similarity search — exact cosine top-k baseline
     "q_ann_topk" -> AnnQ.bruteTopK,
     // similarity search — cosine top-k over int8 codes (exact integer
@@ -907,7 +910,7 @@ object SparkEntry {
     // but MUST produce the identical relation
     "q_corpus_filter" -> corpusFilterSql,
     "q_corpus_filter_staged" -> corpusFilterSql,
-    "q_corpus_filter_compose" -> corpusFilterSql,
+    "q_corpus_filter_staged_compose" -> corpusFilterSql,
     "q_ann_topk" ->
       """WITH e AS (
         |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings

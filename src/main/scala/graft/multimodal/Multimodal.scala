@@ -51,6 +51,14 @@ final case class MediaFeatures(
   */
 object Multimodal {
 
+  /** The ONE definition of the deterministic fake-media dimensions —
+    * shared by every asset builder here and MIRRORED by the
+    * q_multimodal_features / q_frame_sample / q_image_dims oracles in
+    * SparkEntry (change one side and the hash-match gate fails).
+    */
+  private def widthExpr = lit(16L) + col("n_chars") % 64
+  private def heightExpr = lit(16L) + (col("n_chars") * 7) % 64
+
   /** Build assets from the documents table: the text bytes stand in as
     * deterministic fake media so every derived feature has a SQL oracle.
     * Metadata is a pure function of (doc_id, n_chars).
@@ -63,8 +71,8 @@ object Multimodal {
         (col("doc_id") % 3 + 1).cast("int")).as("modality"),
       element_at(lit(Array("png", "h264", "pcm16")),
         (col("doc_id") % 3 + 1).cast("int")).as("fmt"),
-      (lit(16L) + col("n_chars") % 64).as("width"),
-      (lit(16L) + (col("n_chars") * 7) % 64).as("height"),
+      widthExpr.as("width"),
+      heightExpr.as("height"),
       when(col("doc_id") % 3 === 1, lit(1L) + col("doc_id") % 24)
         .otherwise(lit(1L)).as("n_frames"),
       encode(col("text"), "UTF-8").as("media"))
@@ -103,12 +111,11 @@ object Multimodal {
     */
   def imageAssets(spark: SparkSession, docs: DataFrame): Dataset[ImageAsset] = {
     import spark.implicits._
-    docs.select(col("doc_id"), col("n_chars"),
+    docs.select(col("doc_id"), widthExpr.as("w"), heightExpr.as("h"),
       encode(col("text"), "UTF-8").as("payload"))
-      .as[(Long, Long, Array[Byte])]
-      .map { case (id, nChars, payload) =>
-        val w = (16 + nChars % 64).toInt
-        val h = (16 + (nChars * 7) % 64).toInt
+      .as[(Long, Long, Long, Array[Byte])]
+      .map { case (id, wL, hL, payload) =>
+        val (w, h) = (wL.toInt, hL.toInt)
         val bytes =
           if (id % 2 == 0)
             MediaCodec.pngHeader(w, h,

@@ -36,7 +36,12 @@ object StageArtifacts {
 
   private def keyFor(dataDir: String, name: String): String = {
     val abs = new File(dataDir).getAbsolutePath
-    name + "-" + java.lang.Integer.toHexString(abs.hashCode & 0x7fffffff)
+    // 128-bit content digest, not String.hashCode: a key collision
+    // between two corpora would silently serve one corpus' artifact
+    // (e.g. an IVF index) for the other
+    name + "-" + java.security.MessageDigest.getInstance("MD5")
+      .digest(abs.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      .map("%02x".format(_)).mkString.take(16)
   }
 
   /** The artifact dir for (dataDir, name), building it with `build` on

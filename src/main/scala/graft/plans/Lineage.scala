@@ -92,8 +92,21 @@ object Lineage {
           a.updated(k, a.getOrElse(k, Set.empty) ++ v)
         }
     }
-    def refs(e: Expression): Set[(String, String)] =
-      e.references.toSeq.flatMap(a => merged.get(a.exprId)).flatten.toSet
+    // subquery expressions (scalar / EXISTS / IN) carry whole plans
+    // inside an expression tree: their outputs' sources count as value
+    // inputs of the referencing expression, and their internal
+    // row-selection closure joins this node's indirect context
+    def subqueryPlans(e: Expression): Seq[LogicalPlan] =
+      e.collect { case s: org.apache.spark.sql.catalyst.expressions.SubqueryExpression => s.plan }
+
+    def refs(e: Expression): Set[(String, String)] = {
+      val attrs = e.references.toSeq.flatMap(a => merged.get(a.exprId)).flatten.toSet
+      val sub = subqueryPlans(e).flatMap { sp =>
+        val (sm, _) = walk(sp)
+        sp.output.flatMap(a => sm.getOrElse(a.exprId, Set.empty[(String, String)]))
+      }.toSet
+      attrs ++ sub
+    }
 
     val direct: Sources = plan match {
       case l: LogicalRelation =>
@@ -142,6 +155,10 @@ object Lineage {
       case j: Join => j.condition.map(refs).getOrElse(Set.empty)
       case _ => Set.empty
     }
-    (direct, childResults.flatMap(_._2).toSet ++ ownConditions)
+    // every subquery anywhere in this node's expressions contributes its
+    // own indirect closure (its internal filters/joins select rows too)
+    val subCtx = plan.expressions.flatMap(subqueryPlans)
+      .flatMap(sp => walk(sp)._2).toSet
+    (direct, childResults.flatMap(_._2).toSet ++ ownConditions ++ subCtx)
   }
 }

@@ -25,7 +25,12 @@ object CatalogQ {
     val p = new java.io.File(dir).getCanonicalFile
     val root = p.getParent
     val ns = p.getName
-    val name = "graft_" + java.lang.Integer.toHexString(root.hashCode & 0x7fffffff)
+    // 128-bit content digest, not String.hashCode: catalog instances are
+    // cached per NAME for the session's lifetime and a name collision
+    // between two roots would silently read the wrong lake
+    val name = "graft_" + java.security.MessageDigest.getInstance("MD5")
+      .digest(root.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      .map("%02x".format(_)).mkString.take(16)
     spark.conf.set(s"spark.sql.catalog.$name", classOf[GraftCatalog].getName)
     spark.conf.set(s"spark.sql.catalog.$name.root", root)
     (name, ns)

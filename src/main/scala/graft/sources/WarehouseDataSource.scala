@@ -192,12 +192,6 @@ private[sources] class WarehouseScanBuilder(full: StructType,
     conf: WarehouseConf)
     extends ScanBuilder with SupportsPushDownRequiredColumns {
 
-  // a user-supplied spark.read.schema(...) reaches the interpolated
-  // SELECT below — hold it to the same no-injectable-SQL contract as
-  // the write path
-  full.fieldNames.foreach(
-    JdbcSink.requireIdent(_, "column", allowQualified = false))
-
   private var required: StructType = full
 
   override def pruneColumns(requiredSchema: StructType): Unit =
@@ -209,7 +203,19 @@ private[sources] class WarehouseScanBuilder(full: StructType,
       StructType(if (kept.isEmpty) full.fields.take(1) else kept)
     }
 
-  override def build(): Scan = new Scan with Batch {
+  override def build(): Scan = {
+    // a user-supplied spark.read.schema(...) reaches the interpolated
+    // SELECT in WarehouseReader — hold it to the same no-injectable-SQL
+    // contract as the write path. Validated on the PRUNED set at scan
+    // build (not the full schema at construction), so a table with one
+    // exotic column name stays readable as long as queries don't
+    // select it
+    required.fieldNames.foreach(
+      JdbcSink.requireIdent(_, "column", allowQualified = false))
+    buildScan()
+  }
+
+  private def buildScan(): Scan = new Scan with Batch {
     override def readSchema(): StructType = required
     override def description(): String =
       s"graft-warehouse ${conf.table} (${required.fieldNames.mkString(",")})"

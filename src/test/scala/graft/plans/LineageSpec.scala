@@ -67,6 +67,23 @@ class LineageSpec extends AnyFunSuite with SparkSpec {
       ("customers", "orders", "o_custkey")))
   }
 
+  test("subquery expressions contribute value and indirect lineage") {
+    graft.Tables(spark, dir, "orders").createOrReplaceTempView("orders_v")
+    graft.Tables(spark, dir, "customer").createOrReplaceTempView("customer_v")
+    val df = spark.sql(
+      """SELECT c_custkey,
+        | (SELECT max(o_totalprice) FROM orders_v) AS mx
+        |FROM customer_v c
+        |WHERE EXISTS (SELECT 1 FROM orders_v o
+        |              WHERE o.o_custkey = c.c_custkey)""".stripMargin)
+    // scalar subquery: the output VALUE comes from the inner plan
+    assert(Lineage.sourcesOf(df, "mx") == Set("orders" -> "o_totalprice"))
+    // EXISTS filter: row selection — indirect closure carries both sides
+    val ind = Lineage.sourcesOf(df, "c_custkey", includeIndirect = true)
+    assert(ind.contains("orders" -> "o_custkey"), ind)
+    assert(ind.contains("customer" -> "c_custkey"), ind)
+  }
+
   test("unknown output column is rejected with the available names") {
     val e = intercept[IllegalArgumentException] {
       Lineage.sourcesOf(Core.martDailySales(spark, dir), "nope")

@@ -94,9 +94,12 @@ class PlanSpec extends AnyFunSuite with SparkSpec {
     // bench delta gets a code-side suspect; while it holds, an
     // unexplained driver number is harness/environment by elimination.
     val p = plan("q_jaccard_pairs")
-    // rarity-ordered prefix selection: exactly one ranking window, never
-    // a global (single-partition) sort
-    assert("row_number".r.findAllIn(p).size >= 1, p)
+    // rarity-ordered prefix selection: EXACTLY two ranking windows (the
+    // prefix relation is self-joined — one per side, deduped at runtime
+    // by exchange reuse); a third would mean a duplicated prefix stage,
+    // the classic 2x regression this pin exists to catch. Never a
+    // global (single-partition) sort
+    assert("row_number".r.findAllIn(p).size == 2, p)
     assert(!p.contains("SinglePartition"), p)
     // exact verification present (array_intersect recurs textually when
     // the threshold filter is pushed into the verify join's condition)
