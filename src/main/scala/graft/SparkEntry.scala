@@ -238,6 +238,9 @@ object SparkEntry {
     "q_split_assign" -> TextQ.splitAssign,
     // training-sequence packing (distributed two-phase prefix sum)
     "q_pack_sequences" -> TextQ.packSequences,
+    // NO-SPLIT bin packing (bucket-local next-fit with sequential bin
+    // state — each doc whole in one fixed-capacity bin)
+    "q_pack_bins" -> TextQ.packBins,
     // dedup/text — the composed corpus-curation verdict (flagship of the
     // training-data extension layer)
     "q_corpus_filter" -> DedupQ.corpusFilter,
@@ -859,6 +862,44 @@ object SparkEntry {
         | CAST(tok_offset // 512 AS BIGINT) AS seq_id,
         | CAST(tok_offset % 512 AS BIGINT) AS offset_in_seq
         |FROM c""".stripMargin,
+    // bucket-local next-fit replayed SEQUENTIALLY by a recursive CTE:
+    // okey/bucket/order are the engine's exact formulas (width 15625001
+    // = ceil(1000000007/64)); bin advances when the fill would exceed
+    // 512, an oversized doc keeps a bin alone
+    "q_pack_bins" ->
+      """WITH RECURSIVE d AS (
+        |  SELECT doc_id,
+        |   CAST(len(string_split(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' ')) AS BIGINT) AS n_tokens,
+        |   list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |     list_transform(string_split(
+        |       trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ''),
+        |       c -> CAST(ascii(c) AS BIGINT))),
+        |     (a, b) -> (a * 31 + b) % 1000000007) AS okey
+        |  FROM documents
+        |), o AS (
+        |  SELECT doc_id, n_tokens, okey,
+        |   CAST(okey // 15625001 AS INTEGER) AS bucket,
+        |   CAST(row_number() OVER (
+        |     PARTITION BY okey // 15625001 ORDER BY okey, doc_id) AS BIGINT) AS rn
+        |  FROM d
+        |), p(bucket, rn, doc_id, n_tokens, bin, off, fill) AS (
+        |  SELECT bucket, rn, doc_id, n_tokens,
+        |   CAST(0 AS BIGINT), CAST(0 AS BIGINT), n_tokens
+        |  FROM o WHERE rn = 1
+        |  UNION ALL
+        |  SELECT x.bucket, x.rn, x.doc_id, x.n_tokens,
+        |   CASE WHEN p.fill > 0 AND p.fill + x.n_tokens > 512
+        |     THEN p.bin + 1 ELSE p.bin END,
+        |   CASE WHEN p.fill > 0 AND p.fill + x.n_tokens > 512
+        |     THEN CAST(0 AS BIGINT) ELSE p.fill END,
+        |   CASE WHEN p.fill > 0 AND p.fill + x.n_tokens > 512
+        |     THEN x.n_tokens ELSE p.fill + x.n_tokens END
+        |  FROM o x JOIN p ON x.bucket = p.bucket AND x.rn = p.rn + 1
+        |)
+        |SELECT doc_id, n_tokens, bucket, bin AS bin_in_bucket,
+        | off AS offset_in_bin,
+        | CAST(bucket AS BIGINT) * 1099511627776 + bin AS bin_id
+        |FROM p""".stripMargin,
     "q_top_terms" ->
       """WITH tok AS (
         |  SELECT doc_id, unnest(string_split(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' ')) AS token

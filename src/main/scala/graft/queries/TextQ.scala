@@ -125,6 +125,15 @@ object TextQ {
     graft.text.Packing.packSequences(
       Tables(spark, dir, "documents"), "doc_id", "text", seqLen = 512L)
 
+  /** No-split bin packing over the corpus: 512-token-capacity bins,
+    * each document whole in one bin (see
+    * [[graft.text.Packing.packBinsNoSplit]]).
+    */
+  def packBins(spark: SparkSession, dir: String): DataFrame =
+    graft.text.Packing.packBinsNoSplit(
+      Tables(spark, dir, "documents"), "doc_id", "text",
+      capacity = 512L, buckets = 64)
+
   /** TF-IDF-family top terms: per document, the 5 tokens with the
     * highest tf × (N/df) rarity weight — term frequency times RAW
     * inverse document frequency. Raw (not log) IDF is a deliberate

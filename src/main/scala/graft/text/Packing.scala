@@ -24,6 +24,10 @@ import org.apache.spark.sql.types.{IntegerType, LongType, StructField, StructTyp
   * driver state is O(buckets). Size `buckets` to ~2–4× the executor
   * slot count.
   */
+/** One document's no-split bin assignment ([[Packing.packBinsNoSplit]]). */
+final case class PackedBin(doc_id: Long, n_tokens: Long, bucket: Int,
+    bin_in_bucket: Long, offset_in_bin: Long)
+
 object Packing {
 
   private val HashMod = 1000000007L // rollingHash's modulus
@@ -77,5 +81,61 @@ object Packing {
         // 100 TB exceed double's exact-integer range
         expr(s"tok_offset div $seqLen").as("seq_id"),
         pmod(col("tok_offset"), lit(seqLen)).as("offset_in_seq"))
+  }
+
+  /** NO-SPLIT sequence packing: every document lands whole in exactly
+    * one fixed-capacity bin (next-fit: a doc that would overflow the
+    * current bin closes it and opens the next) — the packing used when
+    * training samples must respect document boundaries, where the
+    * concat-and-chunk tape ([[packSequences]]) may straddle them.
+    *
+    * Next-fit is inherently SEQUENTIAL (each assignment depends on the
+    * running fill), which does not distribute as one global scan. The
+    * scalable shape: documents hash into `buckets` value-range buckets
+    * of the deterministic (content-hash) order key, and next-fit runs
+    * independently PER BUCKET — each bucket is a streaming O(1)-state
+    * scan inside `mapPartitions`, buckets pack in parallel, and bins
+    * are bucket-local (globally unique via `bin_id = bucket·2⁴⁰ +
+    * bin_in_bucket`). Waste vs a single global scan is at most one
+    * partially-filled trailing bin per bucket — bounded by `buckets`,
+    * chosen ~2–4× the executor slot count, regardless of corpus size.
+    *
+    * A document larger than `capacity` occupies a bin alone (it can
+    * never be split); every other bin's fill is ≤ `capacity`. The
+    * assignment is a pure function of (content, id) — reproducible
+    * across runs, partitionings and ingestion orders.
+    */
+  def packBinsNoSplit(df: DataFrame, idCol: String, textCol: String,
+      capacity: Long, buckets: Int = 64): DataFrame = {
+    require(capacity > 0 && buckets > 0)
+    val spark = df.sparkSession
+    import spark.implicits._
+    val width = (HashMod + buckets - 1) / buckets // ceil: bucket < buckets
+    df.select(
+      col(idCol).as("doc_id"),
+      size(TextOps.tokens(col(textCol))).cast("long").as("n_tokens"),
+      TextOps.rollingHash(TextOps.normalize(col(textCol))).as("okey"))
+      .withColumn("bucket", (col("okey") / lit(width)).cast("int"))
+      // co-locate each bucket, order it, then stream: one partition may
+      // carry several buckets (hash partitioning), so the fold resets
+      // its state at every bucket boundary
+      .repartition(col("bucket"))
+      .sortWithinPartitions(col("bucket"), col("okey"), col("doc_id"))
+      .as[(Long, Long, Long, Int)]
+      .mapPartitions { it =>
+        var curBucket = Int.MinValue
+        var bin = 0L
+        var fill = 0L
+        it.map { case (id, n, _, b) =>
+          if (b != curBucket) { curBucket = b; bin = 0L; fill = 0L }
+          if (fill > 0 && fill + n > capacity) { bin += 1; fill = 0L }
+          val off = fill
+          fill += n
+          PackedBin(id, n, b, bin, off)
+        }
+      }
+      .toDF()
+      .withColumn("bin_id",
+        col("bucket").cast("long") * lit(1L << 40) + col("bin_in_bucket"))
   }
 }

@@ -51,4 +51,67 @@ class PackingSpec extends AnyFunSuite with SparkSpec {
       acc += r.getAs[Long]("n_tokens")
     }
   }
+
+  private def packed(df: org.apache.spark.sql.DataFrame, capacity: Long,
+      buckets: Int = 8) =
+    Packing.packBinsNoSplit(df, "doc_id", "text", capacity, buckets)
+      .collect().map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("n_tokens"),
+        r.getAs[Int]("bucket"), r.getAs[Long]("bin_in_bucket"),
+        r.getAs[Long]("offset_in_bin"), r.getAs[Long]("bin_id")))
+
+  test("no-split packing: every doc whole in one bin, fills respect capacity") {
+    // corpus docs are 2..14 tokens; capacity 16 > max, so NO doc is
+    // oversized and every bin's fill must respect the cap
+    val rows = packed(corpus(60), capacity = 16)
+    assert(rows.map(_._1).distinct.length == 60) // each doc exactly once
+    // per bin: offsets are the gapless running sum of sizes in pack order
+    rows.groupBy(_._6).foreach { case (bin, ds) =>
+      val inOrder = ds.sortBy(_._5)
+      var acc = 0L
+      inOrder.foreach { d =>
+        assert(d._5 == acc, s"gap in bin $bin")
+        acc += d._2
+      }
+      assert(acc <= 16, s"bin $bin overfilled: $acc")
+    }
+  }
+
+  test("no-split packing: an oversized doc occupies a bin alone") {
+    import spark.implicits._
+    val df = Seq(
+      (1, "a b c"), // 3 tokens
+      (2, (1 to 20).map(i => s"w$i").mkString(" ")), // 20 > capacity 8
+      (3, "d e f g"), (4, "h i"), (5, "j k l m n")).toDF("doc_id", "text")
+    val rows = packed(df, capacity = 8)
+    val oversized = rows.find(_._1 == 2L).get
+    assert(oversized._5 == 0L) // starts its bin
+    assert(rows.count(_._6 == oversized._6) == 1) // and shares it with no one
+    rows.filterNot(_._1 == 2L).groupBy(_._6).foreach { case (bin, ds) =>
+      assert(ds.map(_._2).sum <= 8, s"bin $bin overfilled")
+    }
+  }
+
+  test("no-split packing is a pure function of content — partitioning-invariant") {
+    val df = corpus(50)
+    val a = packed(df, capacity = 10).toSet
+    val b = packed(df.repartition(13).sortWithinPartitions(desc("text")),
+      capacity = 10).toSet
+    val c = packed(df.coalesce(1), capacity = 10).toSet
+    assert(a == b && a == c)
+    // and bucket-local waste is bounded: every NON-TRAILING bin of a
+    // bucket would overflow if it took the next doc — i.e. next-fit ran,
+    // not something sparser
+    val byBucketBin = packed(df, capacity = 10)
+      .groupBy(t => (t._3, t._4)).view.mapValues(_.map(_._2).sum).toMap
+    byBucketBin.foreach { case ((bucket, bin), fill) =>
+      val isTrailing = !byBucketBin.contains((bucket, bin + 1))
+      if (!isTrailing) {
+        // the first doc of the NEXT bin could not have fit here
+        val nextBinDocs = packed(df, capacity = 10)
+          .filter(t => t._3 == bucket && t._4 == bin + 1).sortBy(_._5)
+        assert(fill + nextBinDocs.head._2 > 10,
+          s"bin ($bucket,$bin) closed early")
+      }
+    }
+  }
 }
