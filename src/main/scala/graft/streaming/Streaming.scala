@@ -238,7 +238,9 @@ object Streaming {
   def nearDupDedupSink(docs: DataFrame, corpusDir: String, indexDir: String,
       idCol: String = "doc_id", textCol: String = "text",
       n: Int = 3, threshold: Double = 0.8,
-      nHashes: Int = 128, nBands: Int = 32)
+      nHashes: Int = 128, nBands: Int = 32,
+      idBloomPath: Option[String] = None,
+      bloomExpectedIds: Long = 1L << 20, bloomFpp: Double = 0.03)
       : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
     docs.writeStream
       .outputMode(OutputMode.Append())
@@ -261,10 +263,42 @@ object Streaming {
         val index =
           if (exists(indexDir)) spark.read.parquet(indexDir)
           else Dedup.minhashIndex(empty, idCol, textCol, n, nHashes, nBands)
-        // (1) redelivery convergence: ids already ingested drop out here
+        // (1) redelivery convergence: ids already ingested drop out here.
+        // With `idBloomPath`, a persisted bloom over every corpus id
+        // routes DEFINITELY-novel rows (the overwhelming majority of a
+        // healthy stream) past the corpus-id scan entirely; only
+        // bloom-positive rows (redeliveries + ~fpp false positives) pay
+        // the exact anti-join. Correctness invariant: the bloom is a
+        // SUPERSET of the corpus ids at all times (extra ids merely
+        // route rows to the exact check; a missing id would let a
+        // redelivered doc duplicate) — which the write ordering below
+        // maintains across crashes.
         val corpusIds = corpus.select(col(idCol).as("cid"))
-        val batch = batch0.dropDuplicates(idCol)
-          .join(corpusIds, batch0(idCol) === col("cid"), "left_anti")
+        val deduped = batch0.dropDuplicates(idCol)
+        val priorBloom: Option[org.apache.spark.util.sketch.BloomFilter] =
+          idBloomPath.flatMap { bp =>
+            val p = new org.apache.hadoop.fs.Path(bp)
+            val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+            if (fs.exists(p)) {
+              val in = fs.open(p)
+              try Some(org.apache.spark.util.sketch.BloomFilter.readFrom(in))
+              finally in.close()
+            } else if (exists(corpusDir))
+              // legacy corpus without a bloom: one-time full build
+              Some(corpus.stat.bloomFilter(idCol, bloomExpectedIds, bloomFpp))
+            else None
+          }
+        val batch = priorBloom match {
+          case Some(bf) =>
+            val hit = graft.functions.BloomMightContain.ofColumn(col(idCol), bf)
+            deduped.filter(!hit).unionByName(
+              deduped.filter(hit)
+                .join(corpusIds, deduped(idCol) === col("cid"), "left_anti"))
+          case None if idBloomPath.isDefined && !exists(corpusDir) =>
+            deduped // nothing ingested yet: everything is novel
+          case None =>
+            deduped.join(corpusIds, deduped(idCol) === col("cid"), "left_anti")
+        }
         val pairs = Dedup.incrementalNearDup(batch, corpus, index,
           idCol, textCol, n, threshold, nHashes, nBands)
           .localCheckpoint() // read three ways below; pair work runs once
@@ -287,6 +321,32 @@ object Streaming {
           .join(dropIds, batch(idCol) === dropIds("doc"), "left_anti")
           .localCheckpoint() // the two appends below must see ONE answer
         try {
+          // BLOOM FIRST (before index and corpus): the superset
+          // invariant must survive any crash window. Crash after the
+          // bloom swap but before the corpus append leaves extra ids in
+          // the bloom — the redelivered batch routes them to the exact
+          // anti-join, finds them absent, and re-processes correctly.
+          // The opposite order could mark a doc "definitely ingested"
+          // that never reached the corpus: silent duplication. The swap
+          // itself is write-tmp-then-rename, so a crash mid-write keeps
+          // the previous (still-valid) filter.
+          // an all-duplicate (e.g. fully redelivered) batch adds no ids;
+          // stat.bloomFilter also cannot aggregate zero rows
+          idBloomPath.filter(_ => !kept.isEmpty).foreach { bp =>
+            val keptBloom = kept.stat.bloomFilter(idCol, bloomExpectedIds, bloomFpp)
+            val merged = priorBloom match {
+              case Some(old) => old.mergeInPlace(keptBloom); old
+              case None => keptBloom
+            }
+            val p = new org.apache.hadoop.fs.Path(bp)
+            val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+            val tmp = new org.apache.hadoop.fs.Path(bp + "__tmp")
+            val out = fs.create(tmp, true)
+            try merged.writeTo(out) finally out.close()
+            if (fs.exists(p)) fs.delete(p, false)
+            if (!fs.rename(tmp, p))
+              throw new RuntimeException(s"bloom swap failed: $tmp -> $p")
+          }
           // INDEX FIRST: the two appends are not atomic together, so the
           // crash window must leave a state redelivery repairs. Index
           // rows for a doc NOT yet in the corpus are harmless — self

@@ -246,6 +246,44 @@ class StreamingSpec extends AnyFunSuite with SparkSpec {
     assert(idx.count() == 3 * 32)
   }
 
+  test("nearDupDedupSink with id bloom: same state as the exact path, idempotent under redelivery") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val root = java.nio.file.Files.createTempDirectory("stream_dedup_bloom").toString
+    val (corpusDir, indexDir) = (s"$root/corpus", s"$root/index")
+    val bloomPath = s"$root/ids.bloom"
+    val textA = (1 to 29).map(i => s"alpha$i").mkString(" ") + " end"
+    val textA2 = (1 to 29).map(i => s"alpha$i").mkString(" ") + " tail"
+    val textB = (1 to 30).map(i => s"beta$i").mkString(" ")
+    val textC = (1 to 30).map(i => s"gamma$i").mkString(" ")
+    val in = MemoryStream[Doc]
+    val q = Streaming.nearDupDedupSink(in.toDF(), corpusDir, indexDir,
+      idBloomPath = Some(bloomPath)).start()
+    in.addData(Doc(1, textA), Doc(2, textA2), Doc(5, textB))
+    q.processAllAvailable()
+    assert(spark.read.parquet(corpusDir).select("doc_id").collect()
+      .map(_.getLong(0)).toSet == Set(1L, 5L))
+    assert(new java.io.File(bloomPath).exists()) // the persisted filter
+    // batch 2: near-match via index (doc 7 drops), novel doc 9 kept
+    in.addData(Doc(7, textA2), Doc(9, textC))
+    q.processAllAvailable()
+    // REDELIVERY: ids 7/9 again — 9 is bloom-positive and must be caught
+    // by the exact check, not re-appended
+    in.addData(Doc(7, textA2), Doc(9, textC))
+    q.processAllAvailable()
+    q.stop()
+    val corpus = spark.read.parquet(corpusDir)
+    assert(corpus.select("doc_id").collect().map(_.getLong(0)).toSet ==
+      Set(1L, 5L, 9L))
+    assert(corpus.count() == 3)
+    // the persisted bloom holds the superset invariant: every corpus id
+    // is (by definition of bloom filters) reported present
+    val bfIn = new java.io.FileInputStream(bloomPath)
+    val bf = try org.apache.spark.util.sketch.BloomFilter.readFrom(bfIn)
+      finally bfIn.close()
+    assert(Seq(1L, 5L, 9L).forall(bf.mightContainLong))
+  }
+
   test("annServeSink: stream-served quantized top-k == batch ranking, idempotent under redelivery") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
