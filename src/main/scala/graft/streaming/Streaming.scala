@@ -291,11 +291,13 @@ object Streaming {
         val batch = priorBloom match {
           case Some(bf) =>
             val hit = graft.functions.BloomMightContain.ofColumn(col(idCol), bf)
-            deduped.filter(!hit).unionByName(
-              deduped.filter(hit)
+            // null ids make `hit` null — route them to the EXACT branch
+            // (where the anti-join keeps them, as the bloom-less path
+            // does); only a definite bloom miss skips the exact check
+            val maybeSeen = coalesce(hit, lit(true))
+            deduped.filter(!maybeSeen).unionByName(
+              deduped.filter(maybeSeen)
                 .join(corpusIds, deduped(idCol) === col("cid"), "left_anti"))
-          case None if idBloomPath.isDefined && !exists(corpusDir) =>
-            deduped // nothing ingested yet: everything is novel
           case None =>
             deduped.join(corpusIds, deduped(idCol) === col("cid"), "left_anti")
         }
@@ -334,8 +336,27 @@ object Streaming {
           // stat.bloomFilter also cannot aggregate zero rows
           idBloomPath.filter(_ => !kept.isEmpty).foreach { bp =>
             val keptBloom = kept.stat.bloomFilter(idCol, bloomExpectedIds, bloomFpp)
+            // rebuild (rather than merge) when the persisted filter is
+            // saturated past its design fpp (the corpus outgrew
+            // bloomExpectedIds — a merged-forever filter degrades toward
+            // answering true for everything, silently re-paying the
+            // exact check per row) or was written under different sizing
+            // params (mergeInPlace would throw and crash-loop the
+            // stream). The rebuild sizes to the ACTUAL corpus — whose
+            // scan is the rebuild cost anyway
+            def rebuilt(): org.apache.spark.util.sketch.BloomFilter = {
+              val ids = corpusIds.unionByName(kept.select(col(idCol).as("cid")))
+              val n = math.max(bloomExpectedIds, 2L * ids.count())
+              ids.stat.bloomFilter("cid", n, bloomFpp)
+            }
             val merged = priorBloom match {
-              case Some(old) => old.mergeInPlace(keptBloom); old
+              case Some(old) if old.expectedFpp() <= bloomFpp * 4 =>
+                try { old.mergeInPlace(keptBloom); old }
+                catch {
+                  case _: org.apache.spark.util.sketch.IncompatibleMergeException =>
+                    rebuilt()
+                }
+              case Some(_) => rebuilt() // saturated: resize to the corpus
               case None => keptBloom
             }
             val p = new org.apache.hadoop.fs.Path(bp)
@@ -343,9 +364,12 @@ object Streaming {
             val tmp = new org.apache.hadoop.fs.Path(bp + "__tmp")
             val out = fs.create(tmp, true)
             try merged.writeTo(out) finally out.close()
-            if (fs.exists(p)) fs.delete(p, false)
-            if (!fs.rename(tmp, p))
-              throw new RuntimeException(s"bloom swap failed: $tmp -> $p")
+            // rename OVER the destination (FileContext supports
+            // overwrite): the previous filter stays valid until the new
+            // one lands — no delete-then-rename window with no filter
+            org.apache.hadoop.fs.FileContext
+              .getFileContext(p.toUri, spark.sparkContext.hadoopConfiguration)
+              .rename(tmp, p, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
           }
           // INDEX FIRST: the two appends are not atomic together, so the
           // crash window must leave a state redelivery repairs. Index

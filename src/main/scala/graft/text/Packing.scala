@@ -24,13 +24,24 @@ import org.apache.spark.sql.types.{IntegerType, LongType, StructField, StructTyp
   * driver state is O(buckets). Size `buckets` to ~2–4× the executor
   * slot count.
   */
-/** One document's no-split bin assignment ([[Packing.packBinsNoSplit]]). */
-final case class PackedBin(doc_id: Long, n_tokens: Long, bucket: Int,
-    bin_in_bucket: Long, offset_in_bin: Long)
-
 object Packing {
 
   private val HashMod = 1000000007L // rollingHash's modulus
+
+  /** (doc_id, n_tokens, okey, bucket) — the ONE keyed projection both
+    * packers share: deterministic content-hash order key and its
+    * value-range bucket (ceil-width, so bucket < buckets and bucket
+    * boundaries respect the global okey order).
+    */
+  private def keyedByBucket(df: DataFrame, idCol: String, textCol: String,
+      buckets: Int): DataFrame = {
+    val width = (HashMod + buckets - 1) / buckets
+    df.select(
+      col(idCol).as("doc_id"),
+      size(TextOps.tokens(col(textCol))).cast("long").as("n_tokens"),
+      TextOps.rollingHash(TextOps.normalize(col(textCol))).as("okey"))
+      .withColumn("bucket", (col("okey") / lit(width)).cast("int"))
+  }
 
   /** (doc_id, n_tokens, tok_offset, seq_id, offset_in_seq) per document:
     * `tok_offset` is the document's first token's position on the global
@@ -43,18 +54,12 @@ object Packing {
       seqLen: Long, buckets: Int = 64): DataFrame = {
     require(seqLen > 0 && buckets > 0)
     val spark = df.sparkSession
-    val width = (HashMod + buckets - 1) / buckets // ceil: bucket < buckets
     // checkpoint barrier: the tokenize+hash projection feeds BOTH the
     // phase-1 totals action and the phase-2 output plan — without it the
     // whole-corpus scan runs twice. The materialized frame is 4 narrow
     // columns per doc; it stays pinned until the result frame is dropped
     // and the ContextCleaner collects it.
-    val keyed = df.select(
-      col(idCol).as("doc_id"),
-      size(TextOps.tokens(col(textCol))).cast("long").as("n_tokens"),
-      TextOps.rollingHash(TextOps.normalize(col(textCol))).as("okey"))
-      .withColumn("bucket", (col("okey") / lit(width)).cast("int"))
-      .localCheckpoint()
+    val keyed = keyedByBucket(df, idCol, textCol, buckets).localCheckpoint()
     // phase 1: per-bucket totals -> driver (O(buckets) longs), exclusive
     // running base per bucket
     val totals = keyed.groupBy("bucket").agg(sum(col("n_tokens")).as("t"))
@@ -110,12 +115,7 @@ object Packing {
     require(capacity > 0 && buckets > 0)
     val spark = df.sparkSession
     import spark.implicits._
-    val width = (HashMod + buckets - 1) / buckets // ceil: bucket < buckets
-    df.select(
-      col(idCol).as("doc_id"),
-      size(TextOps.tokens(col(textCol))).cast("long").as("n_tokens"),
-      TextOps.rollingHash(TextOps.normalize(col(textCol))).as("okey"))
-      .withColumn("bucket", (col("okey") / lit(width)).cast("int"))
+    keyedByBucket(df, idCol, textCol, buckets)
       // co-locate each bucket, order it, then stream: one partition may
       // carry several buckets (hash partitioning), so the fold resets
       // its state at every bucket boundary
@@ -139,3 +139,7 @@ object Packing {
         col("bucket").cast("long") * lit(1L << 40) + col("bin_in_bucket"))
   }
 }
+
+/** One document's no-split bin assignment ([[Packing.packBinsNoSplit]]). */
+final case class PackedBin(doc_id: Long, n_tokens: Long, bucket: Int,
+    bin_in_bucket: Long, offset_in_bin: Long)

@@ -100,16 +100,13 @@ class PackingSpec extends AnyFunSuite with SparkSpec {
     assert(a == b && a == c)
     // and bucket-local waste is bounded: every NON-TRAILING bin of a
     // bucket would overflow if it took the next doc — i.e. next-fit ran,
-    // not something sparser
-    val byBucketBin = packed(df, capacity = 10)
-      .groupBy(t => (t._3, t._4)).view.mapValues(_.map(_._2).sum).toMap
-    byBucketBin.foreach { case ((bucket, bin), fill) =>
-      val isTrailing = !byBucketBin.contains((bucket, bin + 1))
-      if (!isTrailing) {
+    // not something sparser (one collected run reused throughout)
+    val byBucketBin = a.toSeq.groupBy(t => (t._3, t._4))
+    byBucketBin.foreach { case ((bucket, bin), ds) =>
+      byBucketBin.get((bucket, bin + 1)).foreach { nextBinDocs =>
         // the first doc of the NEXT bin could not have fit here
-        val nextBinDocs = packed(df, capacity = 10)
-          .filter(t => t._3 == bucket && t._4 == bin + 1).sortBy(_._5)
-        assert(fill + nextBinDocs.head._2 > 10,
+        val fill = ds.map(_._2).sum
+        assert(fill + nextBinDocs.minBy(_._5)._2 > 10,
           s"bin ($bucket,$bin) closed early")
       }
     }
