@@ -46,6 +46,24 @@ object Streaming {
       .select(col("window.start").as("bucket_start"), col("event_type"),
         col("n"), col("total_value"))
 
+  /** Hopping (sliding) windowed aggregation — each event lands in
+    * size/slide overlapping windows (the streaming twin of the batch
+    * q_hopping_window: 10-minute windows every 5 minutes → 2 windows
+    * per event). Same bounded-state contract as [[windowedMart]]: the
+    * watermark finalizes and retires windows.
+    */
+  def slidingMart(events: DataFrame,
+      size: String = "10 minutes", slide: String = "5 minutes",
+      watermark: String = "30 minutes"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), size, slide), col("event_type"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("value").cast(DecimalType(18, 2))).cast("double").as("total_value"))
+      .select(col("window.start").as("window_start"), col("event_type"),
+        col("n"), col("total_value"))
+
   /** Gap-based session windows (30-minute inactivity gap) per user —
     * the streaming twin of EventsQ.sessionize, via the native
     * session_window operator (state merges adjacent windows within the

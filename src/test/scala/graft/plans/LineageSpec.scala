@@ -84,6 +84,14 @@ class LineageSpec extends AnyFunSuite with SparkSpec {
     assert(ind.contains("customer" -> "c_custkey"), ind)
   }
 
+  test("catalog (DSv2) reads attribute to the catalog table name") {
+    val (cat, ns) = graft.queries.CatalogQ.register(spark, dir)
+    val df = spark.sql(
+      s"SELECT o_orderkey AS k, o_totalprice AS p FROM $cat.`$ns`.orders")
+    assert(Lineage.sourcesOf(df, "k") == Set("orders" -> "o_orderkey"))
+    assert(Lineage.sourcesOf(df, "p") == Set("orders" -> "o_totalprice"))
+  }
+
   test("unknown output column is rejected with the available names") {
     val e = intercept[IllegalArgumentException] {
       Lineage.sourcesOf(Core.martDailySales(spark, dir), "nope")

@@ -55,6 +55,22 @@ class StreamingSpec extends AnyFunSuite with SparkSpec {
     assert(out.contains(("2024-01-01 10:05:00.0", "click", 1L, 4.0)))
   }
 
+  test("slidingMart: each event lands in size/slide overlapping windows") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[Ev]
+    in.addData(
+      Ev(1, 1, "click", t(7, 0), 3.0), // windows [10:00,10:10) and [10:05,10:15)
+      Ev(99, 9, "tick", Timestamp.valueOf("2024-01-01 12:00:00"), 0.0))
+    val out = runToCompletion(Streaming.slidingMart(in.toDF()),
+      "sliding_sink", OutputMode.Append())
+      .collect().map(r => (r.getTimestamp(0).toString, r.getString(1),
+        r.getLong(2), r.getDouble(3))).toSet
+    assert(out.contains(("2024-01-01 10:00:00.0", "click", 1L, 3.0)))
+    assert(out.contains(("2024-01-01 10:05:00.0", "click", 1L, 3.0)))
+    assert(out.count(_._2 == "click") == 2) // exactly size/slide windows
+  }
+
   test("sessionize merges events within the gap and splits across it") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
