@@ -110,6 +110,22 @@ class PlanSpec extends AnyFunSuite with SparkSpec {
     assert(p.contains("ReadSchema: struct<doc_id:bigint,text:string>"), p)
   }
 
+  test("catalog_sql: the catalog scan prunes columns and receives the filter") {
+    // GraftCatalog.loadTable delegates to Spark's ParquetTable — the
+    // catalog must add naming, not an execution layer. The date filter
+    // reaches the scan as a DataFilter but cannot become a parquet-level
+    // PushedFilter on EITHER the catalog or the path read: the testdata
+    // stamps TIMESTAMP(isAdjustedToUTC=false) columns, which Spark's
+    // ParquetFilters does not row-group-prune (the V1 display that
+    // suggests otherwise is source-level, not parquet-level).
+    // GraftCatalogSpec proves long-key filters DO push through the
+    // catalog with pushdown parity to path reads.
+    val p = plan("q_catalog_sql")
+    assert(p.contains("DataFilters: [isnotnull(o_orderdate"), p)
+    assert(p.contains("ReadSchema: struct<o_orderstatus:string,o_totalprice:double,o_orderdate:timestamp"), p)
+    assert(p.contains("partial_count"), p) // map-side combine survives too
+  }
+
   test("no query plan uses a cartesian product without broadcast") {
     for ((name, _) <- SparkEntry.queries) {
       val p = plan(name)
