@@ -270,6 +270,10 @@ object SparkEntry {
     // similarity search — probe-only against the prebuilt IVF index
     // (rows-only; AnnSpec pins probe ≡ fresh IVF)
     "q_ann_ivf_probe" -> AnnQ.ivfTopKProbe,
+    // similarity search — IVF-ADC: cell-pruned probe over int8 corpus
+    // codes with float queries (rows-only; AnnSpec pins determinism +
+    // recall vs the float probe)
+    "q_ann_ivf_quant" -> AnnQ.ivfTopKQuantized,
     // governance — column-level lineage of the daily mart, read off the
     // analyzed plan (oracle = the pinned expected relation; LineageSpec
     // covers joins/rollup/curation shapes)

@@ -198,6 +198,33 @@ object Ann {
     probeCells(assigned, routes, k)
   }
 
+  /** IVF-ADC: the cell-pruned probe over int8 CORPUS codes with FLOAT
+    * queries — asymmetric distance computation, the standard
+    * memory-bound vector-serving composition (coarse quantizer prunes
+    * cells, scalar-quantized codes cut the in-cell scan 4×, the query
+    * stays full-precision so only corpus-side rounding costs recall).
+    * Routing uses the float centroids (exactly [[ivfProbeIndexed]]'s
+    * routes), ranking divides by each side's own norm, so cosine is
+    * scale-free on the code side. The serving tier stores ONLY codes +
+    * assignments + centroids — float corpus vectors never load.
+    */
+  def ivfProbeQuantized(corpusCodes: DataFrame, assignments: DataFrame,
+      centroids: DataFrame, queries: DataFrame,
+      idCol: String, vecCol: String, codeCol: String,
+      k: Int, nProbe: Int = 4): DataFrame = {
+    val routes = probeRoutes(queries, idCol, vecCol,
+      centroidSeq(centroids), nProbe)
+    val probedCells = routes.rows.map(_.getInt(1)).distinct
+    val probedAssignments = assignments
+      .select(col(idCol).as("neighbor_id"), col("cluster"))
+      .filter(col("cluster").isin(probedCells: _*))
+    val assigned = corpusCodes
+      .select(col(idCol).as("neighbor_id"), asDouble(col(codeCol)).as("v"))
+      .withColumn("nc", l2(col("v")))
+      .join(probedAssignments, "neighbor_id")
+    probeCells(assigned, routes, k)
+  }
+
   /** The driver-side probe routing: per query, one row per probed cell
     * — (query_id, cluster, vq, nq) for the `nProbe` nearest centroids.
     * The ONE definition both the assignment-scan pruning and the rank

@@ -100,4 +100,23 @@ object AnnQ {
   def ivfTopKProbe(spark: SparkSession, dir: String): DataFrame =
     probeIvfIndex(spark, dir,
       graft.ops.StageArtifacts.ensure(dir, "ivf")(buildIvfIndex(spark, dir)))
+
+  /** IVF-ADC serving: cell-pruned probe ranking int8 corpus CODES
+    * against float queries — both artifacts (index + code table)
+    * prebuilt; probe-only timed. AnnSpec pins determinism, cell-routing
+    * identity with the float probe, and recall against it.
+    */
+  def ivfTopKQuantized(spark: SparkSession, dir: String): DataFrame = {
+    val (_, queries) = corpusAndQueries(spark, dir)
+    val idx = graft.ops.StageArtifacts.ensure(dir, "ivf")(buildIvfIndex(spark, dir))
+    val codes = graft.ops.StageArtifacts.ensure(dir, "ivfcodes") { out =>
+      graft.ann.Quantize.codes(
+        Tables(spark, dir, "embeddings"), "vec_id", "embedding")
+        .write.mode("overwrite").parquet(s"$out/codes")
+    }
+    Ann.ivfProbeQuantized(spark.read.parquet(s"$codes/codes"),
+      spark.read.parquet(s"$idx/assignments"),
+      spark.read.parquet(s"$idx/centroids"),
+      queries, "vec_id", "embedding", "qv", k = 5, nProbe = 4)
+  }
 }

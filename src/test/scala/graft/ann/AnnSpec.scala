@@ -78,6 +78,21 @@ class AnnSpec extends AnyFunSuite with SparkSpec {
     assert(probeOnly == fresh)
   }
 
+  test("IVF-ADC quantized probe: deterministic, high recall vs the float probe") {
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val quant = rows(graft.queries.AnnQ.ivfTopKQuantized(spark, dir))
+    // deterministic: integer code dots, stable tie-break
+    assert(quant == rows(graft.queries.AnnQ.ivfTopKQuantized(spark, dir)))
+    // same cells, quantized in-cell ranking: only corpus-side rounding
+    // can move neighbors, so recall vs the float probe stays high
+    val float = rows(graft.queries.AnnQ.ivfTopKProbe(spark, dir))
+    val pairsQ = quant.map(t => (t._1, t._3))
+    val pairsF = float.map(t => (t._1, t._3))
+    val recall = (pairsQ & pairsF).size.toDouble / pairsF.size
+    assert(recall >= 0.7, s"recall=$recall")
+  }
+
   test("lshNeighbors is deterministic (seeded planes)") {
     val e = Tables(spark, dir, "embeddings")
     val q = e.filter(col("vec_id") < 3)
