@@ -232,6 +232,49 @@ object Streaming {
           keys = Seq("query_id", "rank"), versionCol = "served_batch")
       }
 
+  /** Streaming VECTOR INGEST — the growing-corpus half of the quantized
+    * serving tier: each micro-batch of float vectors is assigned to its
+    * IVF cell against the FIXED centroid table and quantized to int8
+    * codes, and ONE combined row (id, cluster, qv) appends to a
+    * cluster-partitioned index. [[graft.ann.Ann.ivfProbeQuantized]]
+    * serves straight from it (`assignments = select(id, cluster)`,
+    * `codes = select(id, qv)`), so a corpus ingested by the stream is
+    * immediately probe-able with cell-pruned int8 ranking.
+    *
+    * One artifact on purpose: separate code/assignment tables would
+    * open a two-append crash window where a vector is half-visible and
+    * the redelivery check can't tell; a single append is repaired
+    * wholesale by the id anti-join (at-least-once → idempotent, the
+    * same convergence contract as the other foreachBatch sinks).
+    * Centroids are fixed at ingest time — IVF's standard operating
+    * mode; retraining is a batch rebuild with
+    * [[graft.ann.Ann.ivfCentroids]] when cell balance drifts.
+    */
+  def vectorIngestSink(vecs: DataFrame, centroids: DataFrame,
+      indexDir: String, idCol: String = "vec_id",
+      vecCol: String = "embedding")
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    vecs.writeStream
+      .outputMode(OutputMode.Append())
+      .foreachBatch { (batch0: DataFrame, _: Long) =>
+        val spark = batch0.sparkSession
+        val p = new org.apache.hadoop.fs.Path(indexDir)
+        val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        val deduped = batch0.dropDuplicates(idCol)
+        val novel =
+          if (!fs.exists(p)) deduped
+          else {
+            val seen = spark.read.parquet(indexDir).select(col(idCol).as("sid"))
+            deduped.join(seen, deduped(idCol) === col("sid"), "left_anti")
+          }
+        val assigned = graft.ann.Ann.ivfAssignments(
+          novel, idCol, vecCol, centroids)
+        val coded = graft.ann.Quantize.codes(novel, idCol, vecCol)
+        assigned.join(coded, idCol)
+          .select(col(idCol), col("cluster"), col("qv"))
+          .write.mode("append").partitionBy("cluster").parquet(indexDir)
+      }
+
   /** Streaming NEAR-dup dedup — the S8 foreachBatch sink composed with
     * the D10 incremental band index: each micro-batch of documents is
     * deduplicated against the persisted corpus (MinHash/LSH + exact

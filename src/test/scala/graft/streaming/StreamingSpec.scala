@@ -300,6 +300,48 @@ class StreamingSpec extends AnyFunSuite with SparkSpec {
     assert(Seq(1L, 5L, 9L).forall(bf.mightContainLong))
   }
 
+  test("vectorIngestSink: stream-built index serves IVF-ADC identical to batch artifacts") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.functions.col
+    val dir = "/root/testdata/sf0.001"
+    val root = java.nio.file.Files.createTempDirectory("stream_vec").toString
+    val indexDir = s"$root/index"
+    val emb = graft.Tables(spark, dir, "embeddings")
+    val centroids = graft.ann.Ann.ivfCentroids(emb, "vec_id", "embedding",
+      nCentroids = 16)
+    // stream the whole corpus in two batches, redeliver the second
+    val all = emb.collect().map(r => QVec(r.getLong(0),
+      r.getSeq[Float](r.fieldIndex("embedding")).toArray))
+    val in = MemoryStream[QVec]
+    val q = Streaming.vectorIngestSink(in.toDF(), centroids, indexDir).start()
+    in.addData(all.take(all.length / 2).toIndexedSeq)
+    q.processAllAvailable()
+    in.addData(all.drop(all.length / 2).toIndexedSeq)
+    q.processAllAvailable()
+    in.addData(all.drop(all.length / 2).toIndexedSeq) // REDELIVERY
+    q.processAllAvailable()
+    q.stop()
+    val index = spark.read.parquet(indexDir)
+    assert(index.count() == all.length) // converged, no duplicate rows
+    // probing the STREAM-built index must equal probing batch-built
+    // artifacts over the same corpus and centroids
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3))).toSet
+    val queries = emb.filter(col("vec_id") < 20)
+    val streamed = rows(graft.ann.Ann.ivfProbeQuantized(
+      index.select(col("vec_id"), col("qv")),
+      index.select(col("vec_id"), col("cluster")),
+      centroids, queries, "vec_id", "embedding", "qv", k = 5, nProbe = 4))
+    val batchBuilt = rows(graft.ann.Ann.ivfProbeQuantized(
+      graft.ann.Quantize.codes(emb, "vec_id", "embedding"),
+      graft.ann.Ann.ivfAssignments(emb, "vec_id", "embedding", centroids),
+      centroids, queries, "vec_id", "embedding", "qv", k = 5, nProbe = 4))
+    assert(streamed == batchBuilt)
+    assert(streamed.nonEmpty)
+  }
+
   test("annServeSink: stream-served quantized top-k == batch ranking, idempotent under redelivery") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
