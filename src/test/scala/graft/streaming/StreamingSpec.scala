@@ -342,6 +342,51 @@ class StreamingSpec extends AnyFunSuite with SparkSpec {
     assert(streamed.nonEmpty)
   }
 
+  test("stream-built IVF index compacts without changing probe results") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.functions.col
+    val dir = "/root/testdata/sf0.001"
+    val root = java.nio.file.Files.createTempDirectory("stream_vec_compact").toString
+    val indexDir = s"$root/index"
+    val emb = graft.Tables(spark, dir, "embeddings")
+    val centroids = graft.ann.Ann.ivfCentroids(emb, "vec_id", "embedding",
+      nCentroids = 16)
+    val all = emb.collect().map(r => QVec(r.getLong(0),
+      r.getSeq[Float](r.fieldIndex("embedding")).toArray))
+    val in = MemoryStream[QVec]
+    val q = Streaming.vectorIngestSink(in.toDF(), centroids, indexDir).start()
+    // five small batches: each append leaves task-sized files in every
+    // touched cluster partition — the small-file problem compaction owns
+    all.grouped(math.max(1, all.length / 5)).foreach { g =>
+      in.addData(g.toIndexedSeq); q.processAllAvailable()
+    }
+    q.stop()
+    def parquetFiles() = {
+      def walk(f: java.io.File): Seq[java.io.File] =
+        if (f.isDirectory) f.listFiles().toSeq.flatMap(walk) else Seq(f)
+      walk(new java.io.File(indexDir)).filter(_.getName.endsWith(".parquet"))
+    }
+    val queries = emb.filter(col("vec_id") < 20)
+    def probe() = {
+      val index = spark.read.parquet(indexDir)
+      graft.ann.Ann.ivfProbeQuantized(
+        index.select(col("vec_id"), col("qv")),
+        index.select(col("vec_id"), col("cluster")),
+        centroids, queries, "vec_id", "embedding", "qv", k = 5, nProbe = 4)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getDouble(3))).toSet
+    }
+    val before = probe()
+    val filesBefore = parquetFiles().size
+    val rows = graft.ops.Compaction.compact(spark, indexDir,
+      partitionCols = Seq("cluster"), targetRowsPerFile = 100000L)
+    assert(rows == all.length.toLong)
+    assert(parquetFiles().size < filesBefore,
+      s"expected fewer files than $filesBefore")
+    assert(probe() == before) // serving results byte-identical
+  }
+
   test("annServeSink: stream-served quantized top-k == batch ranking, idempotent under redelivery") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
