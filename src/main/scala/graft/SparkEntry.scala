@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 import graft.etl.{Enricher, PosGenerator, RetailPipeline}
-import graft.queries.{AnnQ, CatalogQ, Core, DedupQ, EventsQ, MultimodalQ, SampleQ, SketchQ, TextQ}
+import graft.queries.{AnnQ, CatalogQ, Core, DedupQ, EventsQ, MultimodalQ, SampleQ, SearchQ, SketchQ, TextQ}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -234,6 +234,10 @@ object SparkEntry {
     "q_repetition" -> TextQ.repetition,
     // text analysis — tf×(N/df) rarity-weighted top terms per document
     "q_top_terms" -> TextQ.topTerms,
+    // text analysis — bigram-LM mean log-prob scoring (perplexity filter)
+    "q_lm_score" -> TextQ.lmScore,
+    // retrieval — BM25-ranked keyword search (inverted-index workload)
+    "q_bm25_search" -> SearchQ.bm25Search,
     // content-hash deterministic train/val/test split assignment
     "q_split_assign" -> TextQ.splitAssign,
     // training-sequence packing (distributed two-phase prefix sum)
@@ -924,6 +928,72 @@ object SparkEntry {
         |)
         |SELECT doc_id, "rank", token, tf, df, score
         |FROM ranked WHERE "rank" <= 5""".stripMargin,
+    "q_lm_score" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |   string_split(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' ') AS toks
+        |  FROM documents
+        |), g AS (
+        |  SELECT doc_id,
+        |   unnest(list_transform(range(1, len(toks)), i -> toks[i] || ' ' || toks[i+1])) AS bigram
+        |  FROM d
+        |), g2 AS (
+        |  SELECT doc_id, bigram, string_split(bigram, ' ')[1] AS prev FROM g
+        |), cb AS (
+        |  SELECT bigram, count(*) AS cb FROM g2 GROUP BY 1
+        |), cp AS (
+        |  SELECT prev, count(*) AS cp FROM g2 GROUP BY 1
+        |), v AS (
+        |  SELECT count(DISTINCT t) AS v FROM (SELECT unnest(toks) AS t FROM d)
+        |), s AS (
+        |  SELECT g2.doc_id,
+        |   CAST(round(ln(CAST(cb.cb + 1 AS DOUBLE) / CAST(cp.cp + v.v AS DOUBLE)), 6)
+        |     AS DECIMAL(18,6)) AS lp
+        |  FROM g2 JOIN cb USING (bigram) JOIN cp USING (prev), v
+        |), a AS (
+        |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+        |   CAST(sum(lp) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avg_logp
+        |  FROM s GROUP BY 1
+        |)
+        |SELECT doc_id, n_bigrams, avg_logp, round(exp(-avg_logp), 6) AS ppl,
+        | avg_logp >= -3.45 AS keep
+        |FROM a""".stripMargin,
+    "q_bm25_search" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |   string_split(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' ') AS toks
+        |  FROM documents
+        |), dl AS (
+        |  SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl, toks FROM d
+        |), stats AS (
+        |  SELECT count(*) AS n, sum(dl) AS tl FROM dl
+        |), tf AS (
+        |  SELECT doc_id, dl, term, count(*) AS tf FROM (
+        |    SELECT doc_id, dl, unnest(toks) AS term FROM dl
+        |  ) WHERE term IN ('spark', 'join', 'vector', 'window')
+        |  GROUP BY 1, 2, 3
+        |), df AS (
+        |  SELECT term, count(DISTINCT doc_id) AS df FROM tf GROUP BY 1
+        |), scored AS (
+        |  SELECT tf.doc_id, CAST(round(
+        |    ln(1.0 + (CAST(stats.n - df.df AS DOUBLE) + 0.5)
+        |             / (CAST(df.df AS DOUBLE) + 0.5))
+        |    * (CAST(tf.tf AS DOUBLE) * 2.2)
+        |    / (CAST(tf.tf AS DOUBLE)
+        |       + 1.2 * (0.25 + 0.75 * (CAST(tf.dl AS DOUBLE)
+        |                / (CAST(stats.tl AS DOUBLE) / CAST(stats.n AS DOUBLE))))),
+        |   6) AS DECIMAL(18,6)) AS w
+        |  FROM tf JOIN df USING (term), stats
+        |), agg AS (
+        |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_terms,
+        |   CAST(sum(w) AS DOUBLE) AS score
+        |  FROM scored GROUP BY 1
+        |), ranked AS (
+        |  SELECT CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS BIGINT)
+        |     AS "rank", doc_id, n_terms, score
+        |  FROM agg
+        |)
+        |SELECT "rank", doc_id, n_terms, score FROM ranked WHERE "rank" <= 10""".stripMargin,
     "q_split_assign" ->
       """WITH d AS (
         |  SELECT doc_id,

@@ -1,0 +1,84 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+import graft.Tables
+import graft.text.TextOps
+
+/** Full-text retrieval over the `documents` table: BM25-ranked keyword
+  * search — the relevance scorer a corpus-curation pipeline uses to pull
+  * topic-targeted training slices ("give me the top documents about X")
+  * and the classic inverted-index workload.
+  *
+  * Shape at 100 TB: the only corpus-wide work is one explode + filter to
+  * the query terms (the "inverted index probe" — with a real index this
+  * is a term-key lookup; as a scan it is a narrow pass whose output is
+  * |matching postings|, not |corpus|), a term-key groupBy for per-doc
+  * tf, a terms-sized document-frequency aggregate (broadcast back), and
+  * a distributed partial top-k (`orderBy().limit()` →
+  * TakeOrderedAndProject — NO global sort, NO single-partition window).
+  */
+object SearchQ {
+
+  /** The benched query: fixed term set, classic BM25 parameters. */
+  val terms: Seq[String] = Seq("spark", "join", "vector", "window")
+  val k1 = 1.2
+  val b = 0.75
+
+  /** BM25 top-`k` documents for `queryTerms`.
+    *
+    * score(d) = Σ_t idf(t) · tf·(k1+1) / (tf + k1·(1−b+b·|d|/avgdl)),
+    * idf(t) = ln(1 + (N−df+0.5)/(df+0.5)).
+    *
+    * Cross-engine exactness: every float input is an integer cast or a
+    * shared literal, the expression tree is mirrored verbatim in the
+    * oracle SQL, and per-term weights are rounded to 6dp then summed as
+    * exact DECIMALs (order-independent; see [[TextQ.lmScore]] for the
+    * ln-ulp analysis). Ranking uses the rounded sum with a doc_id
+    * tiebreak, so order is deterministic in both engines.
+    */
+  def bm25(spark: SparkSession, dir: String, queryTerms: Seq[String],
+      k: Int): DataFrame = {
+    val docs = Tables(spark, dir, "documents")
+      .select(col("doc_id"), TextOps.tokens(col("text")).as("toks"))
+      .withColumn("dl", size(col("toks")).cast("long"))
+    // corpus stats: two integers, broadcast to every posting
+    val stats = docs.agg(count(lit(1)).as("n"), sum(col("dl")).as("tl"))
+    val tf = docs
+      .select(col("doc_id"), col("dl"), explode(col("toks")).as("term"))
+      .filter(col("term").isin(queryTerms: _*))
+      .groupBy(col("doc_id"), col("dl"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val df_ = tf.groupBy(col("term"))
+      .agg(count_distinct(col("doc_id")).as("df"))
+    val scored = tf
+      .join(broadcast(df_), "term")
+      .crossJoin(broadcast(stats))
+      .withColumn("avgdl", col("tl").cast("double") / col("n").cast("double"))
+      .withColumn("idf", log(lit(1.0) +
+        ((col("n") - col("df")).cast("double") + lit(0.5)) /
+          (col("df").cast("double") + lit(0.5))))
+      .withColumn("w", round(
+        col("idf") * (col("tf").cast("double") * lit(k1 + 1)) /
+          (col("tf").cast("double") +
+            lit(k1) * (lit(1.0 - b) + lit(b) *
+              (col("dl").cast("double") / col("avgdl")))),
+        6).cast(DecimalType(18, 6)))
+    val perDoc = scored.groupBy("doc_id")
+      .agg(count(lit(1)).cast("long").as("n_terms"), sum(col("w")).as("sw"))
+      .withColumn("score", col("sw").cast("double"))
+      .select("doc_id", "n_terms", "score")
+      // distributed partial top-k; the window below ranks only k rows
+      .orderBy(col("score").desc, col("doc_id")).limit(k)
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("score").desc, col("doc_id"))
+    perDoc.withColumn("rank", row_number().over(w).cast("long"))
+      .select("rank", "doc_id", "n_terms", "score")
+  }
+
+  /** SparkEntry registration: top-10 for the fixed query. */
+  def bm25Search(spark: SparkSession, dir: String): DataFrame =
+    bm25(spark, dir, terms, k = 10)
+}

@@ -176,6 +176,56 @@ object TextQ {
         col("score"))
   }
 
+  /** Bigram language-model scoring — the CCNet/KenLM-style "perplexity
+    * filter": train bigram counts ON the corpus itself, score every
+    * document by its add-one-smoothed mean log-probability, keep the
+    * fluent ones. The LM is two corpus-level count tables —
+    * C(prev, w) and the prefix totals C(prev·) — built by map-side-
+    * combinable groupBys on the gram keys, plus one distinct-vocab
+    * scalar; scoring joins each document's bigrams to the counts ON
+    * THOSE SAME KEYS (sort-merge at scale, nothing corpus-sized is ever
+    * broadcast or collected).
+    *
+    * Cross-engine exactness: each per-bigram ln() is rounded to 6dp
+    * FIRST and summed as an exact DECIMAL — a raw double sum would
+    * depend on shuffle arrival order and could never hash-match the
+    * DuckDB oracle (ln itself may differ in the last ulp across libms,
+    * but a 1-ulp difference lands on a 0.5e-6 rounding boundary with
+    * probability ~1e-9 per value; the suite accepts that, cf.
+    * [[topTerms]] which avoids ln because it RANKS on the raw value).
+    */
+  def lmScore(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(spark, dir, "documents")
+      .select(col("doc_id"), TextOps.tokens(col("text")).as("toks"))
+      // feeds the gram relation AND the vocab scalar: tokenize once
+      .localCheckpoint()
+    val grams = docs
+      .select(col("doc_id"), explode(TextOps.bigrams(col("toks"))).as("bigram"))
+      .withColumn("prev", split(col("bigram"), " ").getItem(0))
+    val cb = grams.groupBy("bigram").agg(count(lit(1)).as("cb"))
+    val cp = grams.groupBy("prev").agg(count(lit(1)).as("cp"))
+    val vocab = docs.select(explode(col("toks")).as("t"))
+      .agg(count_distinct(col("t")).as("v"))
+    grams
+      .join(cb, "bigram")
+      .join(cp, "prev")
+      .crossJoin(broadcast(vocab))
+      .withColumn("lp", round(
+        log((col("cb") + 1).cast("double") / (col("cp") + col("v")).cast("double")),
+        6).cast(DecimalType(18, 6)))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).cast("long").as("n_bigrams"), sum(col("lp")).as("slp"))
+      // deliberately NOT rounded: slp/n is a decimal-over-integer rational
+      // that lands EXACTLY on 0.5e-6 midpoints, where Spark's string-based
+      // HALF_UP and an exact-binary rounder disagree — the full-precision
+      // IEEE quotient is identical in every engine, a re-round is not
+      .withColumn("avg_logp",
+        col("slp").cast("double") / col("n_bigrams").cast("double"))
+      .withColumn("ppl", round(exp(-col("avg_logp")), 6))
+      .withColumn("keep", col("avg_logp") >= lit(-3.45))
+      .select("doc_id", "n_bigrams", "avg_logp", "ppl", "keep")
+  }
+
   /** Deterministic train/val/test split: assignment is a pure function
     * of document CONTENT (rolling hash mod 100 → 90/5/5), so the split
     * is reproducible across runs, clusters, and ingestion orders, and a

@@ -85,6 +85,21 @@ object TextOps {
     array_distinct(array_compact(joined))
   }
 
+  /** Ordered, NON-distinct word bigrams of a token array, space-joined —
+    * the n-gram language-model unit. Unlike [[shingles]] (a distinct SET
+    * for dedup identity), an LM counts the bigram MULTISET in document
+    * order. Built by zipping the array against its own 1-shifted slice
+    * (one linear pass, no per-position slicing); a doc with fewer than 2
+    * tokens has no bigrams.
+    */
+  def bigrams(toks: Column): Column = {
+    val n = org.apache.spark.sql.functions.size(toks)
+    zip_with(
+      slice(toks, lit(1), greatest(n - 1, lit(0))),
+      slice(toks, lit(2), greatest(n - 1, lit(0))),
+      (a, b) => concat(a, lit(" "), b))
+  }
+
   /** Overlapping token-window chunks: windows of `size` tokens starting
     * every `stride` tokens, 1 + ⌈max(n−size, 0)/stride⌉ chunks — every
     * token covered and NO chunk fully contained in its predecessor (a

@@ -1,0 +1,91 @@
+package graft.queries
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.testkit.SparkSpec
+
+/** Differential tests for the bigram-LM scorer and BM25 search: both are
+  * recomputed from first principles in plain Scala (BigDecimal mirroring
+  * the round-to-6dp-then-exact-sum contract) over the sf0.001 corpus and
+  * must match the distributed result EXACTLY — the same bar the DuckDB
+  * oracle holds them to, but with an independent third implementation.
+  */
+class LmSearchSpec extends AnyFunSuite with SparkSpec {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  /** The suite's normalization/tokenization, scalar form. */
+  private def toks(text: String): Seq[String] =
+    text.toLowerCase.replaceAll("[^a-z0-9]+", " ").trim.split(" ").toSeq
+
+  private def round6(x: Double): BigDecimal =
+    BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+
+  private lazy val docs: Seq[(Long, Seq[String])] = {
+    import org.apache.spark.sql.functions.col
+    graft.Tables(spark, dir, "documents")
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => (r.getLong(0), toks(r.getString(1)))).toSeq
+  }
+
+  test("lmScore matches a from-scratch Scala bigram LM exactly") {
+    val grams = docs.flatMap { case (id, ts) =>
+      ts.sliding(2).filter(_.size == 2).map(p => (id, p.mkString(" "), p.head))
+    }
+    val cb = grams.groupBy(_._2).view.mapValues(_.size).toMap
+    val cp = grams.groupBy(_._3).view.mapValues(_.size).toMap
+    val v = docs.flatMap(_._2).distinct.size
+    val expected = grams.groupBy(_._1).map { case (id, gs) =>
+      val slp = gs.map { case (_, big, prev) =>
+        round6(math.log((cb(big) + 1).toDouble / (cp(prev) + v).toDouble))
+      }.sum
+      val avg = slp.toDouble / gs.size.toDouble
+      id -> (gs.size.toLong, avg, round6(math.exp(-avg)).toDouble, avg >= -3.45)
+    }
+    val got = TextQ.lmScore(spark, dir).collect().map { r =>
+      r.getLong(0) -> (r.getLong(1), r.getDouble(2), r.getDouble(3),
+        r.getBoolean(4))
+    }.toMap
+    assert(got.size == expected.size && got.nonEmpty)
+    for ((id, e) <- expected) assert(got(id) == e, s"doc $id")
+  }
+
+  test("bm25 matches a from-scratch Scala BM25 exactly (top-10)") {
+    val terms = SearchQ.terms.toSet
+    val n = docs.size
+    val avgdl = docs.map(_._2.size.toLong).sum.toDouble / n.toDouble
+    val perDoc = docs.flatMap { case (id, ts) =>
+      val tfs = ts.filter(terms).groupBy(identity).view.mapValues(_.size)
+      if (tfs.isEmpty) None
+      else Some(id -> tfs.toSeq)
+    }
+    val dfm = perDoc.flatMap(_._2.map(_._1)).groupBy(identity)
+      .view.mapValues(_.size).toMap
+    val scored = perDoc.map { case (id, tfs) =>
+      val dl = docs.find(_._1 == id).get._2.size
+      val sw = tfs.map { case (t, tf) =>
+        val idf = math.log(1.0 + ((n - dfm(t)).toDouble + 0.5) /
+          (dfm(t).toDouble + 0.5))
+        round6(idf * (tf.toDouble * 2.2) /
+          (tf.toDouble + 1.2 * (0.25 + 0.75 * (dl.toDouble / avgdl))))
+      }.sum
+      (id, tfs.size.toLong, sw.toDouble)
+    }
+    val expected = scored.sortBy { case (id, _, s) => (-s, id) }.take(10)
+      .zipWithIndex.map { case ((id, nt, s), i) => (i + 1L, id, nt, s) }
+    val got = SearchQ.bm25Search(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .toSeq.sortBy(_._1)
+    assert(got == expected)
+  }
+
+  test("bigrams column op: ordered multiset, short docs empty") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val df = Seq("a b a b", "solo", "").toDF("t")
+      .select(graft.text.TextOps.bigrams(
+        org.apache.spark.sql.functions.split(col("t"), " ")).as("g"))
+    val got = df.collect().map(_.getSeq[String](0).toList).toList
+    assert(got == List(List("a b", "b a", "a b"), Nil, Nil))
+  }
+}
