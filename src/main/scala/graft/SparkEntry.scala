@@ -278,6 +278,13 @@ object SparkEntry {
     // codes with float queries (rows-only; AnnSpec pins determinism +
     // recall vs the float probe)
     "q_ann_ivf_quant" -> AnnQ.ivfTopKQuantized,
+    // similarity search — product quantization: train m×k codebooks,
+    // encode (~16× compression), persist, ADC probe (rows-only; PqSpec
+    // pins ADC ≡ reconstructed-dot, recall, determinism)
+    "q_ann_pq" -> AnnQ.pqTopK,
+    // similarity search — PQ ADC probe-only against the prebuilt
+    // codebooks + code table (the serving-path cost)
+    "q_ann_pq_probe" -> AnnQ.pqTopKProbe,
     // governance — column-level lineage of the daily mart, read off the
     // analyzed plan (oracle = the pinned expected relation; LineageSpec
     // covers joins/rollup/curation shapes)

@@ -1,0 +1,233 @@
+package graft.ann
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Product quantization (PQ) with asymmetric-distance (ADC) serving —
+  * the other classic vector-compression family next to
+  * [[Quantize]]'s scalar int8: split each d-dim vector into `m`
+  * subvectors, k-means each subspace to `k` centroids, store only the
+  * m code bytes per vector (d=64, m=8, k=16 → 8 codes ≈ 32× smaller
+  * than float32, vs int8's fixed 4×). A query stays full-precision:
+  * per query one m×k lookup table of subspace dots is computed on the
+  * driver and shipped as a literal, so scoring a corpus vector is m
+  * table lookups — no float vector ever loads at serve time.
+  *
+  * Scale shape: codebook training is driver-coordinated Lloyd like
+  * [[Ann.ivfCentroids]], but ALL m subspaces train in the SAME fused
+  * job per iteration (one pass over the corpus, one map-side-combinable
+  * groupBy((subspace, code)) shuffling only m×k×(d/m+1) doubles);
+  * encoding is one narrow pass; serving is a broadcast of |Q| LUT rows
+  * against the code table. Nothing corpus-sized is collected,
+  * broadcast, or shuffled anywhere.
+  *
+  * Everything is seeded/orderless-deterministic: init centroids are the
+  * k corpus vectors with the smallest xxhash64(id), iteration means are
+  * exact-integer counts over double sums whose groupBy order cannot
+  * affect the argmin (PqSpec pins two independent runs identical).
+  */
+object Pq {
+
+  private def asDouble(v: Column): Column = transform(v, _.cast("double"))
+
+  private def dot(a: Column, b: Column): Column =
+    graft.functions.ArrayDotProduct.ofColumns(a, b)
+
+  /** The exploded (pq_id, sub, sv) relation: one row per (vector,
+    * subspace), subvector length d/m. `size(v) div m` is evaluated
+    * per row, so mixed-dim corpora fail loudly in the slice rather
+    * than silently mis-slicing.
+    */
+  private def subvectors(df: DataFrame, idCol: String, vecCol: String,
+      m: Int): DataFrame = {
+    val v = asDouble(col(vecCol))
+    val sub = (size(v) / m).cast("int")
+    df.select(col(idCol).as("pq_id"),
+      posexplode(transform(sequence(lit(0), lit(m - 1)),
+        s => slice(v, s * sub + 1, sub))))
+      .withColumnRenamed("pos", "sub")
+      .withColumnRenamed("col", "sv")
+  }
+
+  /** Argmin-code expression for one subvector against one subspace's
+    * centroid list: fold over codes minimizing ||c||² − 2·sv·c (the
+    * ||sv||² term is constant across codes). `cs` and `cn2` are the
+    * subspace's centroids and their squared norms, shipped as literals.
+    */
+  private def argminCode(sv: Column, cs: Seq[Seq[Double]],
+      cn2: Seq[Double]): Column = {
+    val clit = typedlit(cs)
+    val nlit = typedlit(cn2)
+    aggregate(
+      sequence(lit(0), lit(cs.size - 1)),
+      struct(lit(-1).as("c"), lit(Double.MaxValue).as("best")),
+      (acc, c) => {
+        val d = element_at(nlit, c + 1) - lit(2.0) * dot(sv, element_at(clit, c + 1))
+        when(d < acc.getField("best"), struct(c.as("c"), d.as("best")))
+          .otherwise(acc)
+      }).getField("c")
+  }
+
+  /** Train the codebooks: (subspace INT, code INT, centroid
+    * ARRAY<DOUBLE>) — m×k rows, the persistable metadata-sized artifact.
+    * One fused job per Lloyd iteration trains every subspace at once.
+    */
+  def fitCodebooks(corpus: DataFrame, idCol: String, vecCol: String,
+      m: Int = 8, k: Int = 16, iterations: Int = 3): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val sv = subvectors(corpus, idCol, vecCol, m).localCheckpoint()
+    try {
+      // init: the k corpus vectors with the smallest xxhash64(id); code j
+      // = j-th smallest hash, identically in every subspace
+      val w = Window.partitionBy(col("sub"))
+        .orderBy(xxhash64(col("pq_id")), col("pq_id"))
+      var books: IndexedSeq[IndexedSeq[Seq[Double]]] = {
+        val init = sv.withColumn("code", row_number().over(w) - 1)
+          .filter(col("code") < k)
+          .select(col("sub"), col("code"), col("sv")).collect()
+        val bySub = init.groupBy(_.getInt(0))
+        (0 until m).map(s => bySub(s).sortBy(_.getInt(1))
+          .map(_.getSeq[Double](2).toIndexedSeq).toIndexedSeq)
+      }
+      val subDim = books.head.head.size
+      for (_ <- 1 to iterations) {
+        val assigned = sv.withColumn("code", assignAll(books))
+        val sumCols = (0 until subDim).map(j =>
+          sum(element_at(col("sv"), j + 1)).as(s"s$j"))
+        val rows = assigned.groupBy(col("sub"), col("code"))
+          .agg(count(lit(1)).as("n"), sumCols: _*)
+          .collect()
+        val byCell = rows.map(r => (r.getInt(0), r.getInt(1)) -> r).toMap
+        books = books.zipWithIndex.map { case (cb, s) =>
+          cb.zipWithIndex.map { case (old, c) =>
+            byCell.get((s, c)) match {
+              case None => old // empty cell keeps its centroid
+              case Some(r) =>
+                val n = r.getLong(2).toDouble
+                (0 until subDim).map(j => r.getDouble(3 + j) / n)
+            }
+          }
+        }
+      }
+      books.zipWithIndex.flatMap { case (cb, s) =>
+        cb.zipWithIndex.map { case (c, j) => (s, j, c) }
+      }.toDF("subspace", "code", "centroid")
+    } finally org.apache.spark.sql.graft.CheckpointUtils.release(sv)
+  }
+
+  /** Per-(sub) assignment over the exploded frame: dispatch on the `sub`
+    * column to that subspace's argmin fold. m is small (8–16), so the
+    * when-chain stays codegen-friendly.
+    */
+  private def assignAll(books: IndexedSeq[IndexedSeq[Seq[Double]]]): Column = {
+    val norms = books.map(_.map(c => c.map(x => x * x).sum))
+    books.indices.foldLeft(lit(-1)) { (acc, s) =>
+      when(col("sub") === s,
+        argminCode(col("sv"), books(s), norms(s))).otherwise(acc)
+    }
+  }
+
+  /** Load a codebook table into driver matrices: books(s)(c) = centroid. */
+  private def collectBooks(codebooks: DataFrame)
+      : IndexedSeq[IndexedSeq[Seq[Double]]] = {
+    val rows = codebooks.select(col("subspace"), col("code"), col("centroid"))
+      .collect()
+    val bySub = rows.groupBy(_.getInt(0))
+    (0 until bySub.size).map(s => {
+      val cb = bySub(s).sortBy(_.getInt(1))
+      cb.indices.foreach(c => require(cb(c).getInt(1) == c,
+        s"codebook subspace $s has a code gap at $c"))
+      cb.map(_.getSeq[Double](2).toIndexedSeq).toIndexedSeq
+    })
+  }
+
+  /** Encode the corpus: (id, codes ARRAY<INT>, rnorm DOUBLE) — the
+    * persistable code table. rnorm = ‖reconstruction‖ assuming
+    * subspace-orthogonal decomposition (exact: subvectors are disjoint
+    * coordinate blocks). One narrow pass, no shuffle: each subspace's
+    * slice is let-bound via a single-element transform() so the fold
+    * over codes binds `sv` once instead of re-slicing per code
+    * (the HOF-inlining hazard [[Quantize.int8]] documents).
+    */
+  def encode(corpus: DataFrame, idCol: String, vecCol: String,
+      codebooks: DataFrame): DataFrame = {
+    val books = collectBooks(codebooks)
+    val m = books.size
+    val norms = books.map(_.map(c => c.map(x => x * x).sum))
+    val v = asDouble(col(vecCol))
+    val sub = (size(v) / m).cast("int")
+    // the subspace index is static, so each element of the code array is
+    // its own expression over only ITS codebook literal; the slice is
+    // let-bound via a single-element transform() so the fold over codes
+    // binds `sv` once instead of re-slicing per code (the HOF-inlining
+    // hazard [[Quantize.int8]] documents)
+    val codes = array((0 until m).map { s =>
+      val sliced = slice(v, lit(s) * sub + 1, sub)
+      element_at(
+        transform(array(sliced), sv => argminCode(sv, books(s), norms(s))), 1)
+    }: _*)
+    val nlit = typedlit(norms.map(_.toIndexedSeq))
+    corpus.select(col(idCol), codes.as("codes"))
+      .withColumn("rnorm", sqrt(aggregate(
+        sequence(lit(0), lit(m - 1)), lit(0.0),
+        (acc, s) => acc + element_at(element_at(nlit, s + 1),
+          element_at(col("codes"), s + 1) + 1))))
+  }
+
+  /** ADC top-`kNeighbors` per query over a PQ code table: per query the
+    * driver computes the m×k table of subspace dots lut[s·k+c] =
+    * q_s·cb_s_c (m×k doubles — metadata-sized) and ships it as one
+    * literal row; scoring a corpus vector is m lookups summed, i.e.
+    * dot(q, reconstruction) EXACTLY, so approximation comes only from
+    * quantization, never from the distance computation (PqSpec pins ADC
+    * ≡ reconstructed-dot). Ranking divides by rnorm·‖q‖ — cosine
+    * against the reconstruction.
+    */
+  def adcTopK(codeTable: DataFrame, codebooks: DataFrame,
+      queries: DataFrame, idCol: String, vecCol: String,
+      kNeighbors: Int): DataFrame = {
+    val spark = codeTable.sparkSession
+    val books = collectBooks(codebooks)
+    val m = books.size
+    val k = books.head.size
+    val qRows = queries
+      .select(col(idCol).as("query_id"), asDouble(col(vecCol)).as("vq"))
+      .collect()
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("query_id", queries.schema(idCol).dataType),
+      StructField("lut", ArrayType(DoubleType), nullable = false),
+      StructField("nq", DoubleType, nullable = false)))
+    val lutRows = qRows.map { r =>
+      val vq = r.getSeq[Double](1)
+      val subDim = vq.size / m
+      val lut = (0 until m).flatMap { s =>
+        val qs = vq.slice(s * subDim, (s + 1) * subDim)
+        books(s).map(c => c.zip(qs).map { case (a, b) => a * b }.sum)
+      }
+      Row(r.get(0), lut, math.sqrt(vq.map(x => x * x).sum))
+    }
+    val luts = spark.createDataFrame(
+      spark.sparkContext.parallelize(lutRows.toIndexedSeq, 1), schema)
+    val scored = codeTable
+      .select(col(idCol).as("neighbor_id"), col("codes"), col("rnorm"))
+      .crossJoin(broadcast(luts))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .withColumn("adc_dot", aggregate(
+        sequence(lit(0), lit(m - 1)), lit(0.0),
+        (acc, s) => acc + element_at(col("lut"),
+          s * k + element_at(col("codes"), s + 1) + 1)))
+      .withColumn("cosine",
+        col("adc_dot") / (col("rnorm") * col("nq")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id"))
+    scored
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= kNeighbors)
+      .select(col("query_id"), col("rank"), col("neighbor_id"),
+        round(col("cosine"), 6).as("cosine"))
+  }
+}

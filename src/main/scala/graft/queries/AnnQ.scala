@@ -119,4 +119,49 @@ object AnnQ {
       spark.read.parquet(s"$idx/centroids"),
       queries, "vec_id", "embedding", "qv", k = 5, nProbe = 4)
   }
+
+  /** Build + persist the PQ artifacts: codebooks (m×k rows) and the
+    * encoded corpus code table (m 5-bit codes + one norm per vector —
+    * ~13× smaller than the float corpus; (m=16, k=32) rather than the
+    * classic (8, 16) because this corpus ranks neighbors on razor-thin
+    * cosine margins, see BENCH_NOTES: recall@5 measured 0.16 at m=8,
+    * 0.38 at (16, 16), 0.50 at (16, 32) — IVF-probe-4 territory at a
+    * fraction of its scan) — the serving tier's entire storage
+    * footprint.
+    */
+  private def buildPqIndex(spark: SparkSession, dir: String)(out: String): Unit = {
+    val corpus = Tables(spark, dir, "embeddings")
+    graft.ann.Pq.fitCodebooks(corpus, "vec_id", "embedding",
+      m = 16, k = 32, iterations = 3)
+      .write.mode("overwrite").parquet(s"$out/codebooks")
+    graft.ann.Pq.encode(corpus, "vec_id", "embedding",
+      spark.read.parquet(s"$out/codebooks"))
+      .write.mode("overwrite").parquet(s"$out/codes")
+  }
+
+  private def adcOverIndex(spark: SparkSession, dir: String,
+      idx: String): DataFrame = {
+    val (_, queries) = corpusAndQueries(spark, dir)
+    graft.ann.Pq.adcTopK(spark.read.parquet(s"$idx/codes"),
+      spark.read.parquet(s"$idx/codebooks"), queries,
+      "vec_id", "embedding", kNeighbors = 5)
+  }
+
+  /** The PQ INDEXING path: train codebooks, encode, persist both, then
+    * ADC-probe — times the full build+persist+probe pipeline (rebuilds
+    * every call). Rows-only for the driver (k-means quantization is
+    * engine-seeded); PqSpec pins ADC ≡ reconstructed-dot, recall vs the
+    * float ranking, and run-to-run determinism.
+    */
+  def pqTopK(spark: SparkSession, dir: String): DataFrame =
+    adcOverIndex(spark, dir,
+      graft.ops.StageArtifacts.refresh(dir, "pq")(buildPqIndex(spark, dir)))
+
+  /** The PQ SERVING path: ADC probe-only against the PREBUILT code
+    * table + codebooks — the per-query-batch cost once the artifacts
+    * exist (m LUT lookups per corpus vector; float vectors never load).
+    */
+  def pqTopKProbe(spark: SparkSession, dir: String): DataFrame =
+    adcOverIndex(spark, dir,
+      graft.ops.StageArtifacts.ensure(dir, "pq")(buildPqIndex(spark, dir)))
 }
