@@ -213,6 +213,9 @@ object SparkEntry {
     "q_jaccard_pairs" -> DedupQ.jaccardPairs,
     // dedup — MinHash+LSH candidates + exact verify (same oracle as exact)
     "q_minhash_lsh" -> DedupQ.minhashLsh,
+    // dedup — exact-substring pairs (verbatim 16-token runs, boilerplate
+    // windows shed at df>64 by contract)
+    "q_substring_dups" -> DedupQ.substringDups,
     // dedup — SimHash hamming<=3 pairs (rows-only: engine-specific bits)
     "q_simhash_pairs" -> DedupQ.simhashPairs,
     // dedup — SimHash over the pinned fixture corpus (hash-match oracle:
@@ -770,6 +773,26 @@ object SparkEntry {
         |FROM k GROUP BY 1""".stripMargin,
     "q_jaccard_pairs" -> jaccardPairsSql,
     "q_minhash_lsh" -> jaccardPairsSql,
+    "q_substring_dups" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |   string_split(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' ') AS toks
+        |  FROM documents
+        |), w AS (
+        |  SELECT DISTINCT doc_id, unnest(list_transform(range(1, len(toks) - 14),
+        |    i -> array_to_string(toks[i:i+15], ' '))) AS win
+        |  FROM d
+        |), dfq AS (
+        |  SELECT win, count(*) AS wdf FROM w GROUP BY 1
+        |), keep AS (
+        |  SELECT win FROM dfq WHERE wdf BETWEEN 2 AND 64
+        |), p AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |  FROM w a JOIN keep USING (win) JOIN w b USING (win)
+        |  WHERE a.doc_id < b.doc_id
+        |)
+        |SELECT doc_a, doc_b, CAST(count(*) AS BIGINT) AS n_shared
+        |FROM p GROUP BY 1, 2""".stripMargin,
     // pair/hamming relation over the pinned fixture fingerprints — pure
     // 64-bit integer arithmetic both engines share (xor + popcount)
     "q_simhash_fixture" ->

@@ -80,6 +80,49 @@ object Dedup {
     verifyExactJaccard(candidates, sh, threshold)
   }
 
+  /** Exact-substring duplicate detection (the Lee et al. 2022
+    * "Deduplicating Training Data" notion, re-expressed relationally):
+    * two documents are substring dups if they share a VERBATIM run of
+    * at least `w` tokens, detected by emitting every length-`w` token
+    * window (stride 1, de-duplicated within the document) and pairing
+    * through a window-key inverted index — the same
+    * equi-join-on-content-key shape as [[jaccardPairs]], so the shuffle
+    * distributes by window and no document ever meets more than its own
+    * collision set. n_shared counts the pair's distinct shared windows
+    * (a shared run of L tokens contributes L−w+1).
+    *
+    * Boilerplate shedding: windows occurring in more than `maxDf`
+    * documents (licenses, headers — the skew that would quadratically
+    * blow up the self-join at 100 TB) are dropped from pairing. The cap
+    * is part of the operator contract, mirrored in the oracle; shed
+    * windows are the ones a curator reviews via frequency reports
+    * instead. Windows join as raw strings so the DuckDB oracle replays
+    * them — at scale the join key would be xxhash64(win) to shrink the
+    * shuffle, which changes no semantics beyond re-verifying collisions.
+    */
+  def substringPairs(df: DataFrame, idCol: String, textCol: String,
+      w: Int = 16, maxDf: Int = 64): DataFrame = {
+    val toks = TextOps.tokens(col(textCol))
+    val wins = df
+      // sequence() auto-descends when start > stop: docs shorter than w
+      // tokens must be filtered out, not clamped
+      .filter(size(toks) >= w)
+      .select(col(idCol).as("doc"),
+        explode(array_distinct(transform(
+          sequence(lit(1), size(toks) - (w - 1)),
+          i => array_join(slice(toks, i, lit(w)), " ")))).as("win"))
+    val dfreq = wins.groupBy(col("win")).agg(count(lit(1)).as("wdf"))
+    // wdf >= 2 is pure pruning (singleton windows cannot pair);
+    // wdf <= maxDf is the shedding contract
+    val keep = dfreq.filter(col("wdf") >= 2 && col("wdf") <= maxDf)
+      .select("win")
+    val pruned = wins.join(keep, "win")
+    pruned.as("x").join(pruned.as("y"), "win")
+      .filter(col("x.doc") < col("y.doc"))
+      .groupBy(col("x.doc").as("doc_a"), col("y.doc").as("doc_b"))
+      .agg(count(lit(1)).cast("long").as("n_shared"))
+  }
+
   /** Exact-Jaccard verification of candidate pairs against the exploded
     * (doc, shingle) relation — the single definition both candidate
     * generators ([[jaccardPairs]], [[minhashLshPairs]]) must share so

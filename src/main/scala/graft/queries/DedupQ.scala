@@ -31,6 +31,13 @@ object DedupQ {
     Dedup.jaccardPairs(Tables(spark, dir, "documents"), "doc_id", "text",
       n = 3, threshold = 0.8)
 
+  /** Exact-substring dup pairs: verbatim 16-token runs, boilerplate
+    * windows (df > 64) shed by contract.
+    */
+  def substringDups(spark: SparkSession, dir: String): DataFrame =
+    Dedup.substringPairs(Tables(spark, dir, "documents"), "doc_id", "text",
+      w = 16, maxDf = 64)
+
   /** MinHash(128) + LSH(32 bands × 4) with exact verification — must
     * reproduce [[jaccardPairs]] exactly (shared oracle).
     */

@@ -183,6 +183,35 @@ class DedupSpec extends AnyFunSuite with SparkSpec {
     assert(r.size == 3)
   }
 
+  test("substringPairs: w-token verbatim runs pair, shorter overlaps don't") {
+    def words(prefix: String, n: Int) =
+      (1 to n).map(i => s"$prefix$i").mkString(" ")
+    val run16 = words("shared", 16)   // exactly one 16-window
+    val run17 = words("longer", 17)   // a 17-run = two 16-windows
+    val run15 = words("short", 15)    // below w: must NOT pair
+    val d = docs(
+      1 -> s"${words("a", 10)} $run16 ${words("b", 10)}",
+      2 -> s"${words("c", 10)} $run16 ${words("d", 10)}",
+      3 -> s"${words("e", 10)} $run17 ${words("f", 10)}",
+      4 -> s"${words("g", 10)} $run17 ${words("h", 10)}",
+      5 -> s"${words("i", 10)} $run15 ${words("j", 10)}",
+      6 -> s"${words("k", 10)} $run15 ${words("l", 10)}")
+    val got = Dedup.substringPairs(d, "doc_id", "text", w = 16, maxDf = 64)
+      .collect().map(r => (r.getInt(0), r.getInt(1)) -> r.getLong(2)).toMap
+    assert(got == Map((1, 2) -> 1L, (3, 4) -> 2L))
+  }
+
+  test("substringPairs: boilerplate windows above maxDf are shed") {
+    val boiler = (1 to 16).map(i => s"license$i").mkString(" ")
+    // 4 docs all share the boilerplate run; maxDf=3 sheds it entirely
+    val d = docs((1 to 4).map(i => i -> s"unique${i}a unique${i}b $boiler"): _*)
+    assert(Dedup.substringPairs(d, "doc_id", "text", w = 16, maxDf = 3)
+      .count() == 0)
+    // at maxDf=4 the same corpus yields all 6 pairs
+    assert(Dedup.substringPairs(d, "doc_id", "text", w = 16, maxDf = 4)
+      .count() == 6)
+  }
+
   test("cosinePairs finds identical and near-identical vectors only") {
     import spark.implicits._
     val vecs = Seq(
