@@ -239,6 +239,9 @@ object SparkEntry {
     "q_top_terms" -> TextQ.topTerms,
     // text analysis — bigram-LM mean log-prob scoring (perplexity filter)
     "q_lm_score" -> TextQ.lmScore,
+    // corpus statistics — windowed PMI co-occurrence pairs (word2vec/
+    // PPMI preprocessing)
+    "q_pmi_pairs" -> TextQ.pmiPairs,
     // retrieval — BM25-ranked keyword search (inverted-index workload)
     "q_bm25_search" -> SearchQ.bm25Search,
     // content-hash deterministic train/val/test split assignment
@@ -988,6 +991,34 @@ object SparkEntry {
         |SELECT doc_id, n_bigrams, avg_logp, round(exp(-avg_logp), 6) AS ppl,
         | avg_logp >= -3.45 AS keep
         |FROM a""".stripMargin,
+    "q_pmi_pairs" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |   string_split(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' ') AS toks
+        |  FROM documents
+        |), pr AS (
+        |  SELECT unnest(flatten(list_transform(range(1, 4), j ->
+        |    list_transform(range(1, len(toks) - j + 1), i ->
+        |      least(toks[i], toks[i+j]) || ' ' || greatest(toks[i], toks[i+j]))))) AS pair
+        |  FROM d
+        |), pc AS (
+        |  SELECT pair, count(*) AS c_ab FROM pr GROUP BY 1
+        |), u AS (
+        |  SELECT t, count(*) AS c FROM (SELECT unnest(toks) AS t FROM d) GROUP BY 1
+        |), tp AS (
+        |  SELECT sum(c_ab) AS t_pairs FROM pc
+        |), tu AS (
+        |  SELECT sum(c) AS t_uni FROM u
+        |), s AS (
+        |  SELECT string_split(pair, ' ')[1] AS tok_a,
+        |   string_split(pair, ' ')[2] AS tok_b, c_ab
+        |  FROM pc WHERE c_ab >= 5
+        |)
+        |SELECT tok_a, tok_b, CAST(c_ab AS BIGINT) AS c_ab,
+        | round(ln((CAST(c_ab AS DOUBLE) / CAST(t_pairs AS DOUBLE))
+        |   / ((CAST(ca.c AS DOUBLE) / CAST(t_uni AS DOUBLE))
+        |      * (CAST(cb.c AS DOUBLE) / CAST(t_uni AS DOUBLE)))), 6) AS pmi
+        |FROM s JOIN u ca ON ca.t = s.tok_a JOIN u cb ON cb.t = s.tok_b, tp, tu""".stripMargin,
     "q_bm25_search" ->
       """WITH d AS (
         |  SELECT doc_id,

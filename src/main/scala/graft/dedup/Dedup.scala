@@ -111,6 +111,9 @@ object Dedup {
         explode(array_distinct(transform(
           sequence(lit(1), size(toks) - (w - 1)),
           i => array_join(slice(toks, i, lit(w)), " ")))).as("win"))
+      // feeds the df count AND both self-join sides: window-building is
+      // the dominant cost (w string builds per token), do it once
+      .localCheckpoint()
     val dfreq = wins.groupBy(col("win")).agg(count(lit(1)).as("wdf"))
     // wdf >= 2 is pure pruning (singleton windows cannot pair);
     // wdf <= maxDf is the shedding contract

@@ -226,6 +226,45 @@ object TextQ {
       .select("doc_id", "n_bigrams", "avg_logp", "ppl", "keep")
   }
 
+  /** Windowed PMI co-occurrence statistics — the word2vec/PPMI
+    * preprocessing pass: unordered token pairs within a 3-token sliding
+    * window, scored ln(p(a,b) / (p(a)·p(b))) with p(a,b) from the pair
+    * multiset and p(·) from unigram counts. Corpus-level: one
+    * map-side-combinable groupBy over pair space (the only big
+    * shuffle), two vocabulary-sized joins for the marginals, two scalar
+    * totals. Pairs below 5 occurrences are dropped (the standard noise
+    * floor — at 100 TB it also bounds output to the frequent-pair
+    * set). ln is rounded to 6dp (ulp analysis at [[lmScore]]).
+    */
+  def pmiPairs(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(spark, dir, "documents")
+      .select(col("doc_id"), TextOps.tokens(col("text")).as("toks"))
+      // feeds pair counts AND unigram counts: tokenize once
+      .localCheckpoint()
+    val pairs = docs
+      .select(explode(TextOps.cooccurrences(col("toks"), 3)).as("pair"))
+      .groupBy("pair").agg(count(lit(1)).as("c_ab"))
+      .filter(col("c_ab") >= 5)
+      .withColumn("tok_a", split(col("pair"), " ").getItem(0))
+      .withColumn("tok_b", split(col("pair"), " ").getItem(1))
+    val uni = docs.select(explode(col("toks")).as("t"))
+      .groupBy("t").agg(count(lit(1)).as("c"))
+    val tPairs = docs
+      .select(explode(TextOps.cooccurrences(col("toks"), 3)).as("pair"))
+      .agg(count(lit(1)).as("t_pairs"))
+    val tUni = uni.agg(sum(col("c")).as("t_uni"))
+    pairs
+      .join(uni.select(col("t").as("tok_a"), col("c").as("c_a")), "tok_a")
+      .join(uni.select(col("t").as("tok_b"), col("c").as("c_b")), "tok_b")
+      .crossJoin(broadcast(tPairs))
+      .crossJoin(broadcast(tUni))
+      .withColumn("pmi", round(log(
+        (col("c_ab").cast("double") / col("t_pairs").cast("double")) /
+          ((col("c_a").cast("double") / col("t_uni").cast("double")) *
+            (col("c_b").cast("double") / col("t_uni").cast("double")))), 6))
+      .select(col("tok_a"), col("tok_b"), col("c_ab"), col("pmi"))
+  }
+
   /** Deterministic train/val/test split: assignment is a pure function
     * of document CONTENT (rolling hash mod 100 → 90/5/5), so the split
     * is reproducible across runs, clusters, and ingestion orders, and a

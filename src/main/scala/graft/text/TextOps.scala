@@ -100,6 +100,22 @@ object TextOps {
       (a, b) => concat(a, lit(" "), b))
   }
 
+  /** Unordered co-occurring token pairs within a `win`-token sliding
+    * window: for each position i and gap j ∈ [1, win], the pair
+    * (toks[i], toks[i+j]) with the two tokens alphabetically ordered
+    * (the symmetric-window convention PMI/word2vec statistics use).
+    * One zip against a j-shifted slice per gap — `win` linear passes,
+    * multiset semantics (every co-occurrence counts once).
+    */
+  def cooccurrences(toks: Column, win: Int): Column = {
+    val n = org.apache.spark.sql.functions.size(toks)
+    flatten(transform(sequence(lit(1), lit(win)), j =>
+      zip_with(
+        slice(toks, lit(1), greatest(n - j, lit(0))),
+        slice(toks, j + 1, greatest(n - j, lit(0))),
+        (a, b) => concat(least(a, b), lit(" "), greatest(a, b)))))
+  }
+
   /** Overlapping token-window chunks: windows of `size` tokens starting
     * every `stride` tokens, 1 + ⌈max(n−size, 0)/stride⌉ chunks — every
     * token covered and NO chunk fully contained in its predecessor (a

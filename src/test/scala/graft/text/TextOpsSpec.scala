@@ -121,4 +121,18 @@ class TextOpsSpec extends AnyFunSuite with SparkSpec {
       .select(nEmail.as("e"), nIp.as("i")).head()
     assert(counts.getLong(0) == 2 && counts.getLong(1) == 1)
   }
+
+  test("cooccurrences: windowed unordered pairs, multiset semantics") {
+    import spark.implicits._
+    val got = Seq("b a c a").toDF("t")
+      .select(TextOps.cooccurrences(split(col("t"), " "), 2).as("p"))
+      .collect().head.getSeq[String](0).sorted
+    // gap 1: (b,a)(a,c)(c,a); gap 2: (b,c)(a,a) — all token-sorted
+    assert(got == Seq("a a", "a b", "a c", "a c", "b c").sorted)
+    // window larger than the doc: no out-of-range pairs, no descent
+    val short = Seq("x y").toDF("t")
+      .select(TextOps.cooccurrences(split(col("t"), " "), 5).as("p"))
+      .collect().head.getSeq[String](0)
+    assert(short == Seq("x y"))
+  }
 }
