@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 import graft.etl.{Enricher, PosGenerator, RetailPipeline}
-import graft.queries.{AnnQ, CatalogQ, Core, DedupQ, EventsQ, MultimodalQ, SampleQ, SearchQ, SketchQ, TextQ}
+import graft.queries.{AnnQ, CatalogQ, Core, DedupQ, EventsQ, MultimodalQ, ProfileQ, SampleQ, SearchQ, SketchQ, TextQ}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -242,6 +242,12 @@ object SparkEntry {
     // corpus statistics — windowed PMI co-occurrence pairs (word2vec/
     // PPMI preprocessing)
     "q_pmi_pairs" -> TextQ.pmiPairs,
+    // profiling — ANALYZE-style exact column stats (count/nulls/ndv/
+    // min/max), one column-pruned pass per column
+    "q_column_stats" -> ProfileQ.columnStats,
+    // profiling — exact equi-width 10-bucket histogram of
+    // l_extendedprice (CBO/data-quality input)
+    "q_histogram" -> ProfileQ.histogram,
     // retrieval — BM25-ranked keyword search (inverted-index workload)
     "q_bm25_search" -> SearchQ.bm25Search,
     // content-hash deterministic train/val/test split assignment
@@ -991,6 +997,33 @@ object SparkEntry {
         |SELECT doc_id, n_bigrams, avg_logp, round(exp(-avg_logp), 6) AS ppl,
         | avg_logp >= -3.45 AS keep
         |FROM a""".stripMargin,
+    "q_column_stats" -> Seq(
+      "l_orderkey", "l_partkey", "l_suppkey", "l_linenumber",
+      "l_quantity", "l_extendedprice", "l_discount", "l_tax").map(c =>
+      s"""SELECT '$c' AS "column", CAST(count(*) AS BIGINT) AS n,
+         | CAST(count(*) - count($c) AS BIGINT) AS nulls,
+         | CAST(count(DISTINCT $c) AS BIGINT) AS ndv,
+         | CAST(min($c) AS DOUBLE) AS min_val,
+         | CAST(max($c) AS DOUBLE) AS max_val
+         |FROM lineitem""".stripMargin).mkString("\nUNION ALL\n"),
+    "q_histogram" ->
+      """WITH s AS (
+        |  SELECT CAST(min(l_extendedprice) AS DOUBLE) AS mn,
+        |   CAST(max(l_extendedprice) AS DOUBLE) AS mx
+        |  FROM lineitem
+        |), b AS (
+        |  SELECT least(CAST(floor((l_extendedprice - s.mn)
+        |    / ((s.mx - s.mn) / 10.0)) AS BIGINT), 9) AS bucket,
+        |   s.mn, (s.mx - s.mn) / 10.0 AS w
+        |  FROM lineitem, s
+        |), g AS (
+        |  SELECT bucket, CAST(count(*) AS BIGINT) AS n,
+        |   min(mn) AS mn, min(w) AS w
+        |  FROM b GROUP BY 1
+        |)
+        |SELECT bucket, n, mn + CAST(bucket AS DOUBLE) * w AS lo,
+        | mn + (CAST(bucket AS DOUBLE) + 1.0) * w AS hi
+        |FROM g""".stripMargin,
     "q_pmi_pairs" ->
       """WITH d AS (
         |  SELECT doc_id,

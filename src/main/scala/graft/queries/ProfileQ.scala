@@ -1,0 +1,65 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Table-profiling queries — the ANALYZE-style statistics a cost-based
+  * planner (and a data-quality gate) feeds on: per-column
+  * count/nulls/NDV/min/max, and an equi-width value histogram.
+  *
+  * Shape at 100 TB: one aggregate per column, each scanning ONLY its
+  * column (parquet column pruning makes 8 single-column passes read the
+  * same bytes as one full-width pass, and each parallelizes
+  * independently); the union is metadata-sized. NDV here is exact
+  * count(DISTINCT) so the DuckDB oracle can replay it bit-for-bit — at
+  * scale the swap-in is approx_count_distinct (HLL, one pass, no
+  * Expand), which `q_approx_distinct` already exercises.
+  */
+object ProfileQ {
+
+  private val numericCols = Seq(
+    "l_orderkey", "l_partkey", "l_suppkey", "l_linenumber",
+    "l_quantity", "l_extendedprice", "l_discount", "l_tax")
+
+  /** Exact per-column statistics over lineitem's numeric columns. */
+  def columnStats(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables(spark, dir, "lineitem")
+    numericCols.map { c =>
+      li.agg(
+        count(lit(1)).cast("long").as("n"),
+        (count(lit(1)) - count(col(c))).cast("long").as("nulls"),
+        count_distinct(col(c)).cast("long").as("ndv"),
+        min(col(c)).cast("double").as("min_val"),
+        max(col(c)).cast("double").as("max_val"))
+        .select(lit(c).as("column"), col("n"), col("nulls"), col("ndv"),
+          col("min_val"), col("max_val"))
+    }.reduce(_ union _)
+  }
+
+  /** Equi-width 10-bucket histogram of l_extendedprice: bucket bounds
+    * derive from the exact min/max (two-pass — the scan is narrow and
+    * the stats row broadcasts), the top edge closes into the last
+    * bucket. Every float step is mirrored verbatim in the oracle.
+    */
+  def histogram(spark: SparkSession, dir: String): DataFrame = {
+    val nb = 10
+    val li = Tables(spark, dir, "lineitem").select(col("l_extendedprice"))
+    val stats = li.agg(min(col("l_extendedprice")).cast("double").as("mn"),
+      max(col("l_extendedprice")).cast("double").as("mx"))
+    li.crossJoin(broadcast(stats))
+      .withColumn("width", (col("mx") - col("mn")) / lit(nb.toDouble))
+      .withColumn("bucket", least(
+        floor((col("l_extendedprice") - col("mn")) / col("width")),
+        lit(nb - 1).cast("long")).cast("long"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).cast("long").as("n"),
+        // width is constant; min/max make it visible post-groupBy
+        min(col("mn")).as("mn"), min(col("width")).as("w"))
+      .select(col("bucket"), col("n"),
+        (col("mn") + col("bucket").cast("double") * col("w")).as("lo"),
+        (col("mn") + (col("bucket").cast("double") + lit(1.0)) * col("w"))
+          .as("hi"))
+  }
+}

@@ -46,6 +46,16 @@ class PlanSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("column_stats: every per-column aggregate scans ONLY its column") {
+    // 8 single-column passes must column-prune to 8 single-column reads
+    // — one wide ReadSchema would mean the profiler reads the whole
+    // table 8 times at 100 TB
+    val p = plan("q_column_stats")
+    for (c <- Seq("l_orderkey:bigint", "l_quantity:double", "l_tax:double"))
+      assert(p.contains(s"ReadSchema: struct<$c>"), s"no pruned scan for $c")
+    assert(!p.contains("l_returnflag"), "profiler reads an unprofiled column")
+  }
+
   test("embedding scans are pruned to (vec_id, embedding)") {
     // the embeddings table also carries `label` — none of the
     // ANN/quantization queries may read it. These queries scan the
