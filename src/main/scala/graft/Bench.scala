@@ -18,8 +18,11 @@ import org.apache.spark.sql.SparkSession
   *    single-run numbers carry ±10–15 % JVM noise (BENCH_NOTES.md r2/r3
   *    post-mortems) and round-over-round deltas should not chase it;
   *  - failures are RECORDED, not swallowed: a failed query reports its
-  *    exception class+message under "errors" and its wall time still
-  *    counts, so a broken query can never masquerade as a fast one;
+  *    exception class+message under "errors"; the MEDIAN covers the
+  *    SUCCESSFUL samples only (an intermittent fast-fail must not
+  *    report a misleadingly low median), falling back to the fail-time
+  *    median when every run failed so a broken query still shows a
+  *    number next to its error;
   *  - SPARK_GRAFT_ONLY=q_a,q_b restricts the run (local iteration aid).
   */
 object Bench {

@@ -1012,8 +1012,9 @@ object SparkEntry {
         |   CAST(max(l_extendedprice) AS DOUBLE) AS mx
         |  FROM lineitem
         |), b AS (
-        |  SELECT least(CAST(floor((l_extendedprice - s.mn)
-        |    / ((s.mx - s.mn) / 10.0)) AS BIGINT), 9) AS bucket,
+        |  SELECT CASE WHEN s.mx = s.mn THEN 0 ELSE
+        |    least(CAST(floor((l_extendedprice - s.mn)
+        |      / ((s.mx - s.mn) / 10.0)) AS BIGINT), 9) END AS bucket,
         |   s.mn, (s.mx - s.mn) / 10.0 AS w
         |  FROM lineitem, s
         |), g AS (

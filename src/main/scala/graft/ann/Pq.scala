@@ -220,8 +220,13 @@ object Pq {
         sequence(lit(0), lit(m - 1)), lit(0.0),
         (acc, s) => acc + element_at(col("lut"),
           s * k + element_at(col("codes"), s + 1) + 1)))
+      // zero-norm guard: an all-zero query or reconstruction has no
+      // direction — define its cosine as 0 rather than NaN (NaN sorts
+      // ABOVE every real cosine under a descending window and would
+      // fill top-k with garbage; same convention as a zero dot)
       .withColumn("cosine",
-        col("adc_dot") / (col("rnorm") * col("nq")))
+        when(col("rnorm") * col("nq") > 0.0,
+          col("adc_dot") / (col("rnorm") * col("nq"))).otherwise(lit(0.0)))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cosine").desc, col("neighbor_id"))
     scored

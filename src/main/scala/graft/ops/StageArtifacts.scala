@@ -34,15 +34,21 @@ object StageArtifacts {
 
   private val built = new ConcurrentHashMap[String, String]()
 
-  private def keyFor(dataDir: String, name: String): String = {
-    val abs = new File(dataDir).getAbsolutePath
-    // 128-bit content digest, not String.hashCode: a key collision
-    // between two corpora would silently serve one corpus' artifact
-    // (e.g. an IVF index) for the other
-    name + "-" + java.security.MessageDigest.getInstance("MD5")
-      .digest(abs.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+  /** Short path-derived identifier: the first 64 bits of MD5(path) as
+    * hex. Content digest, not String.hashCode — a collision would
+    * silently serve one path's artifact (an IVF index, a catalog root)
+    * for another; 64 truncated bits put the birthday bound near 2^32
+    * distinct paths, versus String.hashCode collisions that occur in
+    * the wild. The ONE definition [[graft.queries.CatalogQ]] and the
+    * artifact keys share.
+    */
+  def pathIdent(path: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(path.getBytes(java.nio.charset.StandardCharsets.UTF_8))
       .map("%02x".format(_)).mkString.take(16)
-  }
+
+  private def keyFor(dataDir: String, name: String): String =
+    name + "-" + pathIdent(new File(dataDir).getAbsolutePath)
 
   /** The artifact dir for (dataDir, name), building it with `build` on
     * the FIRST touch in this JVM and reusing it afterwards.

@@ -77,8 +77,31 @@ object Lineage {
     * context is the union of source columns referenced by any filter or
     * join condition in the subtree — the indirect closure.
     */
-  private def walk(plan: LogicalPlan): (Sources, Set[(String, String)]) = {
-    val childResults = plan.children.map(walk)
+  private type WalkResult = (Sources, Set[(String, String)])
+
+  /** Memoized by plan-node IDENTITY within one describeLineage call:
+    * subquery plans are re-reachable from both the per-expression value
+    * walk (refs) and the node's indirect-context walk (subCtx), and
+    * without the memo each nesting level multiplies full re-walks —
+    * super-linear driver work on nested subqueries. Identity (not
+    * structural) keys: equal-but-distinct nodes are rare, while
+    * structural hashing of a deep plan costs what the memo saves.
+    */
+  private def walk(plan: LogicalPlan,
+      memo: java.util.IdentityHashMap[LogicalPlan, WalkResult] =
+        new java.util.IdentityHashMap[LogicalPlan, WalkResult]())
+      : WalkResult = {
+    val cached = memo.get(plan)
+    if (cached != null) return cached
+    val result = walkUncached(plan, memo)
+    memo.put(plan, result)
+    result
+  }
+
+  private def walkUncached(plan: LogicalPlan,
+      memo: java.util.IdentityHashMap[LogicalPlan, WalkResult])
+      : WalkResult = {
+    val childResults = plan.children.map(walk(_, memo))
     val childMaps = childResults.map(_._1)
     // UNION-merge across children, never last-wins: branches of one plan
     // can share exprIds (a localCheckpoint's LogicalRDD keeps the
@@ -102,7 +125,7 @@ object Lineage {
     def refs(e: Expression): Set[(String, String)] = {
       val attrs = e.references.toSeq.flatMap(a => merged.get(a.exprId)).flatten.toSet
       val sub = subqueryPlans(e).flatMap { sp =>
-        val (sm, _) = walk(sp)
+        val (sm, _) = walk(sp, memo)
         sp.output.flatMap(a => sm.getOrElse(a.exprId, Set.empty[(String, String)]))
       }.toSet
       attrs ++ sub
@@ -158,7 +181,7 @@ object Lineage {
     // every subquery anywhere in this node's expressions contributes its
     // own indirect closure (its internal filters/joins select rows too)
     val subCtx = plan.expressions.flatMap(subqueryPlans)
-      .flatMap(sp => walk(sp)._2).toSet
+      .flatMap(sp => walk(sp, memo)._2).toSet
     (direct, childResults.flatMap(_._2).toSet ++ ownConditions ++ subCtx)
   }
 }

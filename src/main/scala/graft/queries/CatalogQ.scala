@@ -25,12 +25,11 @@ object CatalogQ {
     val p = new java.io.File(dir).getCanonicalFile
     val root = p.getParent
     val ns = p.getName
-    // 128-bit content digest, not String.hashCode: catalog instances are
-    // cached per NAME for the session's lifetime and a name collision
-    // between two roots would silently read the wrong lake
-    val name = "graft_" + java.security.MessageDigest.getInstance("MD5")
-      .digest(root.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-      .map("%02x".format(_)).mkString.take(16)
+    // content digest (64 bits of MD5), not String.hashCode: catalog
+    // instances are cached per NAME for the session's lifetime and a
+    // name collision between two roots would silently read the wrong
+    // lake — 2^-32 birthday risk needs ~2^32 distinct roots to matter
+    val name = "graft_" + graft.ops.StageArtifacts.pathIdent(root)
     spark.conf.set(s"spark.sql.catalog.$name", classOf[GraftCatalog].getName)
     spark.conf.set(s"spark.sql.catalog.$name.root", root)
     (name, ns)

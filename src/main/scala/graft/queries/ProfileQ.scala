@@ -50,9 +50,14 @@ object ProfileQ {
       max(col("l_extendedprice")).cast("double").as("mx"))
     li.crossJoin(broadcast(stats))
       .withColumn("width", (col("mx") - col("mn")) / lit(nb.toDouble))
-      .withColumn("bucket", least(
-        floor((col("l_extendedprice") - col("mn")) / col("width")),
-        lit(nb - 1).cast("long")).cast("long"))
+      // degenerate-range guard: min == max makes the bucket expression
+      // 0/0 = NaN, which Spark would silently cast to 0 while the
+      // oracle's NaN->BIGINT cast errors — a constant column must land
+      // in bucket 0 identically in both engines
+      .withColumn("bucket", when(col("mx") === col("mn"), lit(0L))
+        .otherwise(least(
+          floor((col("l_extendedprice") - col("mn")) / col("width")),
+          lit(nb - 1).cast("long"))).cast("long"))
       .groupBy(col("bucket"))
       .agg(count(lit(1)).cast("long").as("n"),
         // width is constant; min/max make it visible post-groupBy

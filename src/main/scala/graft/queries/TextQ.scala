@@ -241,17 +241,20 @@ object TextQ {
       .select(col("doc_id"), TextOps.tokens(col("text")).as("toks"))
       // feeds pair counts AND unigram counts: tokenize once
       .localCheckpoint()
-    val pairs = docs
+    // grouped pair counts computed ONCE (the windowed explode is the
+    // dominant cost); the scalar total derives from the grouped counts
+    // — pinned so the count and total branches cannot re-explode
+    val pairCounts = docs
       .select(explode(TextOps.cooccurrences(col("toks"), 3)).as("pair"))
       .groupBy("pair").agg(count(lit(1)).as("c_ab"))
+      .localCheckpoint()
+    val pairs = pairCounts
       .filter(col("c_ab") >= 5)
       .withColumn("tok_a", split(col("pair"), " ").getItem(0))
       .withColumn("tok_b", split(col("pair"), " ").getItem(1))
     val uni = docs.select(explode(col("toks")).as("t"))
       .groupBy("t").agg(count(lit(1)).as("c"))
-    val tPairs = docs
-      .select(explode(TextOps.cooccurrences(col("toks"), 3)).as("pair"))
-      .agg(count(lit(1)).as("t_pairs"))
+    val tPairs = pairCounts.agg(sum(col("c_ab")).as("t_pairs"))
     val tUni = uni.agg(sum(col("c")).as("t_uni"))
     pairs
       .join(uni.select(col("t").as("tok_a"), col("c").as("c_a")), "tok_a")

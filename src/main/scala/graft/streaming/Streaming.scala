@@ -261,18 +261,29 @@ object Streaming {
         val p = new org.apache.hadoop.fs.Path(indexDir)
         val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
         val deduped = batch0.dropDuplicates(idCol)
-        val novel =
+        val novel0 =
           if (!fs.exists(p)) deduped
           else {
             val seen = spark.read.parquet(indexDir).select(col(idCol).as("sid"))
             deduped.join(seen, deduped(idCol) === col("sid"), "left_anti")
           }
-        val assigned = graft.ann.Ann.ivfAssignments(
-          novel, idCol, vecCol, centroids)
-        val coded = graft.ann.Quantize.codes(novel, idCol, vecCol)
-        assigned.join(coded, idCol)
-          .select(col(idCol), col("cluster"), col("qv"))
-          .write.mode("append").partitionBy("cluster").parquet(indexDir)
+        // PIN the novel rows: the assignment and code branches below
+        // would otherwise re-execute dropDuplicates + anti-join
+        // independently, and a duplicate-id batch (at-least-once
+        // producer retry with a changed payload) could contribute
+        // vector A's cluster joined to vector B's codes — a silently
+        // corrupt index row. One materialization, one answer (the
+        // nearDupDedupSink invariant), and the batch is deduped and
+        // anti-joined once instead of twice.
+        val novel = novel0.localCheckpoint()
+        try {
+          val assigned = graft.ann.Ann.ivfAssignments(
+            novel, idCol, vecCol, centroids)
+          val coded = graft.ann.Quantize.codes(novel, idCol, vecCol)
+          assigned.join(coded, idCol)
+            .select(col(idCol), col("cluster"), col("qv"))
+            .write.mode("append").partitionBy("cluster").parquet(indexDir)
+        } finally org.apache.spark.sql.graft.CheckpointUtils.release(novel)
       }
 
   /** Streaming NEAR-dup dedup — the S8 foreachBatch sink composed with

@@ -84,6 +84,23 @@ class PqSpec extends AnyFunSuite with SparkSpec {
     assert(mean >= 0.35, s"mean recall@5 $mean")
   }
 
+  test("zero-norm query ranks real neighbors' cosine 0, never NaN-first") {
+    import spark.implicits._
+    // corpus of real vectors + one all-zero query: every cosine for the
+    // zero query is DEFINED as 0 (no direction), so ranking falls back
+    // to the neighbor_id tiebreak instead of NaN flooding the top-k
+    val base = corpus.limit(10)
+    val zero = Seq((999L, Array.fill(64)(0.0f))).toDF("vec_id", "embedding")
+    val got = Pq.adcTopK(codes, codebooks, zero, "vec_id", "embedding", 3)
+      .collect()
+    assert(got.length == 3)
+    assert(got.forall(r => !r.getDouble(3).isNaN))
+    assert(got.forall(_.getDouble(3) == 0.0))
+    // tiebreak: ascending neighbor ids
+    assert(got.map(_.getLong(2)).toSeq == got.map(_.getLong(2)).toSeq.sorted)
+    assert(base.count() == 10) // corpus untouched
+  }
+
   test("deterministic run to run (fresh frames, no cache)") {
     def run() = {
       val cb = Pq.fitCodebooks(corpus, "vec_id", "embedding", m = M, k = K,

@@ -342,6 +342,47 @@ class StreamingSpec extends AnyFunSuite with SparkSpec {
     assert(streamed.nonEmpty)
   }
 
+  test("vectorIngestSink: duplicate-id batch writes ONE self-consistent row") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.functions.col
+    val dir = "/root/testdata/sf0.001"
+    val root = java.nio.file.Files.createTempDirectory("stream_vecdup").toString
+    val emb = graft.Tables(spark, dir, "embeddings")
+    val centroids = graft.ann.Ann.ivfCentroids(emb, "vec_id", "embedding",
+      nCentroids = 16)
+    // one batch, SAME id, two different payloads (producer retry after
+    // an upstream update) — the regression this pins: the written row's
+    // cluster and qv must derive from the SAME surviving payload, never
+    // (cluster of A, codes of B)
+    val a = emb.filter(col("vec_id") === 0).collect().head
+      .getSeq[Float](1).toArray
+    val b = emb.filter(col("vec_id") === 1).collect().head
+      .getSeq[Float](1).toArray
+    val in = MemoryStream[QVec]
+    val q = Streaming.vectorIngestSink(in.toDF(), centroids,
+      s"$root/index").start()
+    in.addData(Seq(QVec(7L, a), QVec(7L, b)))
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.read.parquet(s"$root/index").collect()
+    assert(got.length == 1)
+    val (cluster, qv) =
+      (got.head.getAs[Int]("cluster"), got.head.getSeq[Int](
+        got.head.fieldIndex("qv")))
+    // expected (cluster, qv) for each candidate payload, via the same
+    // batch operators the sink composes
+    def expectFor(v: Array[Float]) = {
+      val one = Seq(QVec(7L, v)).toDF("vec_id", "embedding")
+      (graft.ann.Ann.ivfAssignments(one, "vec_id", "embedding", centroids)
+        .collect().head.getInt(1),
+        graft.ann.Quantize.codes(one, "vec_id", "embedding")
+          .collect().head.getSeq[Int](1))
+    }
+    assert(Seq(expectFor(a), expectFor(b)).contains((cluster, qv)),
+      s"index row ($cluster, $qv) mixes payloads")
+  }
+
   test("stream-built IVF index compacts without changing probe results") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
