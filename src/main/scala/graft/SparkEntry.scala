@@ -297,6 +297,12 @@ object SparkEntry {
     // similarity search — PQ ADC probe-only against the prebuilt
     // codebooks + code table (the serving-path cost)
     "q_ann_pq_probe" -> AnnQ.pqTopKProbe,
+    // similarity search — IVF-PQ: residual product quantization inside
+    // IVF cells (the FAISS IVFx,PQy layout); build+persist+probe
+    "q_ann_ivfpq" -> AnnQ.ivfPqTopK,
+    // similarity search — IVF-PQ doubly-reduced ADC probe against
+    // prebuilt artifacts (cell pruning x m-lookup scoring)
+    "q_ann_ivfpq_probe" -> AnnQ.ivfPqTopKProbe,
     // governance — column-level lineage of the daily mart, read off the
     // analyzed plan (oracle = the pinned expected relation; LineageSpec
     // covers joins/rollup/curation shapes)

@@ -1,0 +1,224 @@
+package graft.ann
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** IVF-PQ: the full coarse-quantizer + product-quantizer composition
+  * (Jégou et al., "Product Quantization for Nearest Neighbor Search",
+  * TPAMI 2011 — the layout FAISS calls IVFx,PQy). The IVF centroids
+  * route queries to cells; each corpus vector stores only its cell id
+  * plus PQ codes of its RESIDUAL v − c(cell). Residuals concentrate
+  * near the origin, so the same codebook budget quantizes them far
+  * tighter than raw vectors — the reason every production vector store
+  * encodes residuals rather than vectors.
+  *
+  * The coarse term here is the cell MEAN, not the spherical routing
+  * centroid: [[Ann.ivfCentroids]] trains spherical k-means, whose
+  * centroids are unit DIRECTIONS — subtracting a direction from an
+  * unnormalized vector ADDS offset error (measured on this corpus:
+  * residual-vs-spherical-centroid MSE 146.6 vs raw PQ's 110.3), while
+  * the mean is by definition the constant that minimizes the cells'
+  * residual energy (IvfPqSpec pins residual-vs-mean strictly tighter
+  * than raw PQ). Routing stays spherical — identical cells to every
+  * other IVF path.
+  *
+  * Serving is doubly-reduced ADC: a query scans only its nProbe cells
+  * (IVF pruning), and scoring a vector is m lookup-adds (PQ ADC):
+  * dot(q, μ + r̂) = dot(q, μ) + Σ_s lut[s, code_s], where dot(q, μ) is
+  * one driver-side double per (query, probed cell) and the lut is one
+  * m×k literal per query — the residual codebooks are SHARED across
+  * cells, so one table serves every probed cell. Cosine divides by
+  * ‖μ + r̂‖, stored exactly at encode time.
+  *
+  * Scale shape mirrors [[Ann]]/[[Pq]]: training reuses
+  * [[Pq.fitCodebooks]] over the residual frame (one fused job per
+  * Lloyd iteration), encode is one narrow pass over the
+  * assignment-joined corpus, the probe broadcasts |Q|·nProbe route rows
+  * against the cell-pruned code table. Nothing corpus-sized ever
+  * collects, broadcasts, or shuffles beyond the one assignment join.
+  */
+object IvfPq {
+
+  private def asDouble(v: Column): Column = transform(v, _.cast("double"))
+
+  /** (cluster → centroid) as driver matrices, 0-gap-checked. */
+  private def centroidSeq(centroids: DataFrame): IndexedSeq[Seq[Double]] = {
+    val rows = centroids.select(col("cluster"), col("centroid"))
+      .orderBy(col("cluster")).collect()
+    rows.indices.foreach(i => require(rows(i).getInt(0) == i,
+      s"centroid table has a cluster gap at $i"))
+    rows.map(_.getSeq[Double](1).toIndexedSeq)
+  }
+
+  /** Per-cell L2 means: (cluster, mean ARRAY<DOUBLE>) — the coarse
+    * reconstruction term. ONE fused job: groupBy(cluster) with dim
+    * elementwise sums plus a count (map-side combinable, shuffles
+    * nCells×(dim+1) doubles). Cells the routing knows but no vector
+    * landed in simply have no row — and no residuals to serve.
+    */
+  def cellMeans(corpus: DataFrame, assignments: DataFrame,
+      idCol: String, vecCol: String): DataFrame = {
+    val joined = corpus.select(col(idCol), asDouble(col(vecCol)).as("v"))
+      .join(assignments.select(col(idCol), col("cluster")), idCol)
+    val dim = joined.select(size(col("v"))).head.getInt(0)
+    val sums = (0 until dim).map(j =>
+      sum(element_at(col("v"), j + 1)).as(s"s$j"))
+    joined.groupBy(col("cluster"))
+      .agg(count(lit(1)).as("n"), sums: _*)
+      .select(col("cluster"), array((0 until dim).map(j =>
+        col(s"s$j") / col("n").cast("double")): _*).as("mean"))
+  }
+
+  /** (cluster → mean) as a DENSE driver matrix: clusters with no
+    * members fill with the zero vector (routing can point at an empty
+    * cell; its mean is never used against a real row).
+    */
+  private def meanSeq(means: DataFrame, nCells: Int): IndexedSeq[Seq[Double]] = {
+    val m = means.select(col("cluster"), col("mean")).collect()
+      .map(r => r.getInt(0) -> r.getSeq[Double](1)).toMap
+    val dim = m.values.headOption.map(_.size).getOrElse(0)
+    (0 until nCells).map(c => m.getOrElse(c, Seq.fill(dim)(0.0)))
+  }
+
+  /** The residual frame (id, cluster, res): corpus joined to its cell
+    * assignment, residual = v − μ(cluster) via one literal lookup.
+    */
+  private def residuals(corpus: DataFrame, assignments: DataFrame,
+      means: IndexedSeq[Seq[Double]], idCol: String,
+      vecCol: String): DataFrame = {
+    val mlit = typedlit(means)
+    corpus.select(col(idCol), asDouble(col(vecCol)).as("v"))
+      .join(assignments.select(col(idCol), col("cluster")), idCol)
+      .withColumn("res", zip_with(col("v"),
+        element_at(mlit, col("cluster") + 1), (a, b) => a - b))
+  }
+
+  /** Train residual codebooks: PQ over v − μ(cell) for the whole
+    * corpus. Persistable (subspace, code, centroid) like
+    * [[Pq.fitCodebooks]] — m×k rows of d/m doubles.
+    */
+  def fitResidualCodebooks(corpus: DataFrame, assignments: DataFrame,
+      means: DataFrame, centroids: DataFrame, idCol: String, vecCol: String,
+      m: Int = 16, k: Int = 32, iterations: Int = 3): DataFrame =
+    Pq.fitCodebooks(
+      residuals(corpus, assignments,
+        meanSeq(means, centroidSeq(centroids).size), idCol, vecCol),
+      idCol, "res", m, k, iterations)
+
+  /** Encode the corpus: (id, cluster, codes ARRAY<INT>, rnorm DOUBLE)
+    * where rnorm = ‖c(cluster) + decode(codes)‖ — the EXACT norm of the
+    * served reconstruction, materialized once at encode time so the
+    * probe never touches float vectors. One narrow pass after the
+    * assignment join.
+    */
+  def encode(corpus: DataFrame, assignments: DataFrame,
+      means: DataFrame, centroids: DataFrame, codebooks: DataFrame,
+      idCol: String, vecCol: String): DataFrame = {
+    val ms = meanSeq(means, centroidSeq(centroids).size)
+    // feeds the code branch AND the (id, cluster) projection: assign-join
+    // and residual arithmetic run once (collected when the result drops)
+    val res = residuals(corpus, assignments, ms, idCol, vecCol)
+      .localCheckpoint()
+    val coded = Pq.encode(res, idCol, "res", codebooks)
+      .select(col(idCol), col("codes"))
+    val books = codebooks.select(col("subspace"), col("code"), col("centroid"))
+      .collect().groupBy(_.getInt(0))
+    val m = books.size
+    val bookLit = (0 until m).map(s =>
+      typedlit(books(s).sortBy(_.getInt(1)).map(_.getSeq[Double](2)).toSeq))
+    val mlit = typedlit(ms)
+    res.select(col(idCol), col("cluster")).join(coded, idCol)
+      // recon = μ(cluster) + concat of per-subspace codewords; rnorm =
+      // ||recon||. Materialized behind this single projection — the
+      // decode literals appear once per subspace, not per element
+      .withColumn("recon", zip_with(
+        element_at(mlit, col("cluster") + 1),
+        flatten(array((0 until m).map(s =>
+          element_at(bookLit(s), element_at(col("codes"), s + 1) + 1)): _*)),
+        (a, b) => a + b))
+      .withColumn("rnorm", sqrt(
+        graft.functions.ArrayDotProduct.ofColumns(col("recon"), col("recon"))))
+      .select(col(idCol), col("cluster"), col("codes"), col("rnorm"))
+  }
+
+  /** ADC probe over the IVF-PQ index: queries route to their nProbe
+    * nearest cells (same spherical-cosine routing as
+    * [[Ann.ivfProbeIndexed]]); each (query, cell) route row carries the
+    * constant dot(q, c) and the query's residual-codebook lut, so
+    * scoring is cluster-pruned lookups. The probed-cell set is computed
+    * driver-side FIRST and pushed as an isin filter, pruning a
+    * cluster-partitioned code table to nProbe/nCells of its files.
+    */
+  def probe(codeTable: DataFrame, centroids: DataFrame, means: DataFrame,
+      codebooks: DataFrame, queries: DataFrame,
+      idCol: String, vecCol: String, kNeighbors: Int,
+      nProbe: Int = 4): DataFrame = {
+    val spark = codeTable.sparkSession
+    val cs = centroidSeq(centroids)
+    val ms = meanSeq(means, cs.size)
+    val bookRows = codebooks.select(col("subspace"), col("code"), col("centroid"))
+      .collect().groupBy(_.getInt(0))
+    val m = bookRows.size
+    val books = (0 until m).map(s =>
+      bookRows(s).sortBy(_.getInt(1)).map(_.getSeq[Double](2).toIndexedSeq))
+    val k = books.head.size
+    val qRows = queries
+      .select(col(idCol).as("query_id"), asDouble(col(vecCol)).as("vq"))
+      .collect()
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("query_id", queries.schema(idCol).dataType),
+      StructField("cluster", IntegerType, nullable = false),
+      StructField("qcdot", DoubleType, nullable = false),
+      StructField("lut", ArrayType(DoubleType), nullable = false),
+      StructField("nq", DoubleType, nullable = false)))
+    val routeRows = qRows.flatMap { r =>
+      val vq = r.getSeq[Double](1)
+      val nq = math.sqrt(vq.map(x => x * x).sum)
+      val subDim = vq.size / m
+      val lut = (0 until m).flatMap { s =>
+        val qs = vq.slice(s * subDim, (s + 1) * subDim)
+        books(s).map(c => c.zip(qs).map { case (a, b) => a * b }.sum)
+      }
+      // route by spherical cosine against the cell centroids — the same
+      // rule [[Ann]] uses, so IVF and IVF-PQ probe the same cells; the
+      // per-cell score constant is dot(q, μ) — the coarse term of the
+      // reconstruction, NOT the routing direction
+      val unit = if (nq == 0.0) vq else vq.map(_ / nq)
+      cs.indices
+        .map(c => c -> cs(c).zip(unit).map { case (a, b) => a * b }.sum)
+        .sortBy { case (c, d) => (-d, c) }
+        .take(nProbe)
+        .map { case (c, _) =>
+          val qc = ms(c).zip(vq).map { case (a, b) => a * b }.sum
+          Row(r.get(0), c, qc, lut, nq)
+        }
+    }
+    val routes = spark.createDataFrame(
+      spark.sparkContext.parallelize(routeRows.toIndexedSeq, 1), schema)
+    val probedCells = routeRows.map(_.getInt(1)).distinct
+    val scored = codeTable
+      .select(col(idCol).as("neighbor_id"), col("cluster"), col("codes"),
+        col("rnorm"))
+      .filter(col("cluster").isin(probedCells: _*))
+      .join(broadcast(routes), Seq("cluster"))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .withColumn("adc_dot", col("qcdot") + aggregate(
+        sequence(lit(0), lit(m - 1)), lit(0.0),
+        (acc, s) => acc + element_at(col("lut"),
+          s * k + element_at(col("codes"), s + 1) + 1)))
+      // zero-norm guard: same convention as [[Pq.adcTopK]]
+      .withColumn("cosine",
+        when(col("rnorm") * col("nq") > 0.0,
+          col("adc_dot") / (col("rnorm") * col("nq"))).otherwise(lit(0.0)))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id"))
+    scored
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= kNeighbors)
+      .select(col("query_id"), col("rank"), col("neighbor_id"),
+        round(col("cosine"), 6).as("cosine"))
+  }
+}

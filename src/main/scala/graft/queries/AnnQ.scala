@@ -164,4 +164,53 @@ object AnnQ {
   def pqTopKProbe(spark: SparkSession, dir: String): DataFrame =
     adcOverIndex(spark, dir,
       graft.ops.StageArtifacts.ensure(dir, "pq")(buildPqIndex(spark, dir)))
+
+  /** Build + persist the IVF-PQ artifacts on top of the shared IVF
+    * index: residual codebooks and the (id, cluster, codes, rnorm)
+    * code table, written cluster-partitioned so the probe's isin
+    * filter prunes to the probed cells' files.
+    */
+  private def buildIvfPqIndex(spark: SparkSession, dir: String)(out: String): Unit = {
+    val corpus = Tables(spark, dir, "embeddings")
+    val ivf = graft.ops.StageArtifacts.ensure(dir, "ivf")(buildIvfIndex(spark, dir))
+    val centroids = spark.read.parquet(s"$ivf/centroids")
+    val assignments = spark.read.parquet(s"$ivf/assignments")
+    graft.ann.IvfPq.cellMeans(corpus, assignments, "vec_id", "embedding")
+      .write.mode("overwrite").parquet(s"$out/means")
+    val means = spark.read.parquet(s"$out/means")
+    graft.ann.IvfPq.fitResidualCodebooks(corpus, assignments, means,
+      centroids, "vec_id", "embedding", m = 16, k = 32, iterations = 3)
+      .write.mode("overwrite").parquet(s"$out/codebooks")
+    graft.ann.IvfPq.encode(corpus, assignments, means, centroids,
+      spark.read.parquet(s"$out/codebooks"), "vec_id", "embedding")
+      .write.mode("overwrite").partitionBy("cluster").parquet(s"$out/codes")
+  }
+
+  private def ivfPqOverIndex(spark: SparkSession, dir: String,
+      idx: String): DataFrame = {
+    val (_, queries) = corpusAndQueries(spark, dir)
+    val ivf = graft.ops.StageArtifacts.ensure(dir, "ivf")(buildIvfIndex(spark, dir))
+    graft.ann.IvfPq.probe(spark.read.parquet(s"$idx/codes"),
+      spark.read.parquet(s"$ivf/centroids"),
+      spark.read.parquet(s"$idx/means"),
+      spark.read.parquet(s"$idx/codebooks"), queries,
+      "vec_id", "embedding", kNeighbors = 5, nProbe = 4)
+  }
+
+  /** The IVF-PQ INDEXING path: residual codebooks + cluster-partitioned
+    * code table built, persisted and probed (rebuilds every call).
+    * Rows-only; IvfPqSpec pins ADC ≡ reconstructed-dot, cell-routing
+    * identity with the IVF float probe, recall, and determinism.
+    */
+  def ivfPqTopK(spark: SparkSession, dir: String): DataFrame =
+    ivfPqOverIndex(spark, dir,
+      graft.ops.StageArtifacts.refresh(dir, "ivfpq")(buildIvfPqIndex(spark, dir)))
+
+  /** The IVF-PQ SERVING path: doubly-reduced ADC probe (cell pruning ×
+    * m-lookup scoring) against prebuilt artifacts — the cost per query
+    * batch on a 100 TB vector corpus.
+    */
+  def ivfPqTopKProbe(spark: SparkSession, dir: String): DataFrame =
+    ivfPqOverIndex(spark, dir,
+      graft.ops.StageArtifacts.ensure(dir, "ivfpq")(buildIvfPqIndex(spark, dir)))
 }
