@@ -250,6 +250,9 @@ object SparkEntry {
     "q_histogram" -> ProfileQ.histogram,
     // retrieval — BM25-ranked keyword search (inverted-index workload)
     "q_bm25_search" -> SearchQ.bm25Search,
+    // hybrid retrieval — BM25 + dense-cosine lists fused by
+    // reciprocal-rank fusion (rank-only combination, no calibration)
+    "q_hybrid_search" -> SearchQ.hybridSearch,
     // content-hash deterministic train/val/test split assignment
     "q_split_assign" -> TextQ.splitAssign,
     // training-sequence packing (distributed two-phase prefix sum)
@@ -1095,6 +1098,71 @@ object SparkEntry {
         |  FROM agg
         |)
         |SELECT "rank", doc_id, n_terms, score FROM ranked WHERE "rank" <= 10""".stripMargin,
+    // hybrid fusion: the bm25 CTE (k=20) + the single-query dense CTE
+    // (mirrors q_ann_topk's list_cosine_similarity ranking), fused as
+    // 1/(60+rank) sums — integer-exact ranks make the doubles identical
+    "q_hybrid_search" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |   string_split(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' ') AS toks
+        |  FROM documents
+        |), dl AS (
+        |  SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl, toks FROM d
+        |), stats AS (
+        |  SELECT count(*) AS n, sum(dl) AS tl FROM dl
+        |), tf AS (
+        |  SELECT doc_id, dl, term, count(*) AS tf FROM (
+        |    SELECT doc_id, dl, unnest(toks) AS term FROM dl
+        |  ) WHERE term IN ('spark', 'join', 'vector', 'window')
+        |  GROUP BY 1, 2, 3
+        |), df AS (
+        |  SELECT term, count(DISTINCT doc_id) AS df FROM tf GROUP BY 1
+        |), scored AS (
+        |  SELECT tf.doc_id, CAST(round(
+        |    ln(1.0 + (CAST(stats.n - df.df AS DOUBLE) + 0.5)
+        |             / (CAST(df.df AS DOUBLE) + 0.5))
+        |    * (CAST(tf.tf AS DOUBLE) * 2.2)
+        |    / (CAST(tf.tf AS DOUBLE)
+        |       + 1.2 * (0.25 + 0.75 * (CAST(tf.dl AS DOUBLE)
+        |                / (CAST(stats.tl AS DOUBLE) / CAST(stats.n AS DOUBLE))))),
+        |   6) AS DECIMAL(18,6)) AS w
+        |  FROM tf JOIN df USING (term), stats
+        |), agg AS (
+        |  SELECT doc_id, CAST(sum(w) AS DOUBLE) AS score
+        |  FROM scored GROUP BY 1
+        |), sparse AS (
+        |  SELECT doc_id, rank_sparse FROM (
+        |    SELECT doc_id, CAST(row_number() OVER (
+        |      ORDER BY score DESC, doc_id) AS BIGINT) AS rank_sparse
+        |    FROM agg
+        |  ) WHERE rank_sparse <= 20
+        |), e AS (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+        |), q AS (
+        |  SELECT v FROM e WHERE vec_id = 0
+        |), p AS (
+        |  SELECT e.vec_id AS doc_id, list_cosine_similarity(e.v, q.v) AS c
+        |  FROM e, q WHERE e.vec_id != 0
+        |), dense AS (
+        |  SELECT doc_id, rank_dense FROM (
+        |    SELECT doc_id, CAST(row_number() OVER (
+        |      ORDER BY c DESC, doc_id) AS BIGINT) AS rank_dense
+        |    FROM p
+        |  ) WHERE rank_dense <= 20
+        |), fused AS (
+        |  SELECT coalesce(sparse.doc_id, dense.doc_id) AS doc_id,
+        |   coalesce(sparse.rank_sparse, -1) AS rank_sparse,
+        |   coalesce(dense.rank_dense, -1) AS rank_dense,
+        |   round(coalesce(CAST(1 AS DOUBLE) / (60 + sparse.rank_sparse), 0.0)
+        |       + coalesce(CAST(1 AS DOUBLE) / (60 + dense.rank_dense), 0.0),
+        |     6) AS rrf
+        |  FROM sparse FULL OUTER JOIN dense ON sparse.doc_id = dense.doc_id
+        |)
+        |SELECT "rank", doc_id, rank_sparse, rank_dense, rrf FROM (
+        |  SELECT CAST(row_number() OVER (
+        |    ORDER BY rrf DESC, doc_id) AS BIGINT) AS "rank", *
+        |  FROM fused
+        |) WHERE "rank" <= 10""".stripMargin,
     "q_split_assign" ->
       """WITH d AS (
         |  SELECT doc_id,

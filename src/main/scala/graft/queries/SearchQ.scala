@@ -81,4 +81,54 @@ object SearchQ {
   /** SparkEntry registration: top-10 for the fixed query. */
   def bm25Search(spark: SparkSession, dir: String): DataFrame =
     bm25(spark, dir, terms, k = 10)
+
+  /** Hybrid retrieval: the BM25 keyword list fused with a dense cosine
+    * list via reciprocal-rank fusion (Cormack, Clarke & Buettcher,
+    * SIGIR 2009): rrf(d) = Σ_lists 1/(K + rank_list(d)), K = 60 — the
+    * standard first-stage retrieval for RAG/training-slice selection
+    * (sparse recalls exact terms, dense recalls paraphrases; RRF needs
+    * no score calibration because it only consumes RANKS).
+    *
+    * Scale shape: each retriever produces a k-row list with its own
+    * 100 TB-shaped plan (BM25's posting-probe aggregation, ANN's
+    * broadcast-query scan — or any indexed variant, since only ranks
+    * cross the fusion boundary); the fusion itself is a full-outer join
+    * of two k-row frames — driver-trivial at any corpus size.
+    *
+    * Cross-engine exactness: rrf is a sum of exactly two IEEE double
+    * divisions of integers (rank lists are integer-exact in both
+    * engines because both upstream queries hash-match), so ordering and
+    * values are deterministic; absent ranks surface as -1, not NULL, to
+    * keep the compare dtype stable.
+    */
+  def hybrid(spark: SparkSession, dir: String, queryTerms: Seq[String],
+      queryVecId: Long, kEach: Int, k: Int): DataFrame = {
+    val sparse = bm25(spark, dir, queryTerms, kEach)
+      .select(col("doc_id"), col("rank").as("rank_sparse"))
+    val emb = Tables(spark, dir, "embeddings")
+    val dense = graft.ann.Ann.bruteForceTopK(
+        emb, emb.filter(col("vec_id") === queryVecId),
+        "vec_id", "embedding", kEach)
+      .select(col("neighbor_id").as("doc_id"), col("rank").as("rank_dense"))
+    val fused = sparse.join(dense, Seq("doc_id"), "full_outer")
+      .withColumn("rrf", round(
+        coalesce(lit(1.0) / (lit(60L) + col("rank_sparse")), lit(0.0)) +
+          coalesce(lit(1.0) / (lit(60L) + col("rank_dense")), lit(0.0)), 6))
+      .withColumn("rank_sparse", coalesce(col("rank_sparse"), lit(-1L)))
+      .withColumn("rank_dense", coalesce(col("rank_dense"), lit(-1L)))
+      // rrf is a 6dp-exact composite of integer ranks: ordering by the
+      // rounded value is itself deterministic (no post-round ties beyond
+      // genuine rank-pattern ties, broken by doc_id)
+      .orderBy(col("rrf").desc, col("doc_id")).limit(k)
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("rrf").desc, col("doc_id"))
+    fused.withColumn("rank", row_number().over(w).cast("long"))
+      .select("rank", "doc_id", "rank_sparse", "rank_dense", "rrf")
+  }
+
+  /** SparkEntry registration: fixed terms + the embedding of vec 0,
+    * top-20 per list, fused top-10.
+    */
+  def hybridSearch(spark: SparkSession, dir: String): DataFrame =
+    hybrid(spark, dir, terms, queryVecId = 0L, kEach = 20, k = 10)
 }

@@ -79,6 +79,34 @@ class LmSearchSpec extends AnyFunSuite with SparkSpec {
     assert(got == expected)
   }
 
+  test("hybrid RRF fusion matches a scalar fold of the two rank lists") {
+    import org.apache.spark.sql.functions.col
+    val kEach = 20
+    // upstream lists: bm25 is differentially pinned above; the dense
+    // brute-force ranking is DuckDB-oracled (q_ann_topk)
+    val sparse = SearchQ.bm25(spark, dir, SearchQ.terms, kEach).collect()
+      .map(r => r.getLong(1) -> r.getLong(0)).toMap
+    val emb = graft.Tables(spark, dir, "embeddings")
+    val dense = graft.ann.Ann.bruteForceTopK(
+        emb, emb.filter(col("vec_id") === 0L), "vec_id", "embedding", kEach)
+      .collect().map(r => r.getLong(2) -> r.getLong(1)).toMap
+    val expected = (sparse.keySet ++ dense.keySet).toSeq.map { id =>
+      val rrf = sparse.get(id).map(r => 1.0 / (60L + r)).getOrElse(0.0) +
+        dense.get(id).map(r => 1.0 / (60L + r)).getOrElse(0.0)
+      (id, sparse.getOrElse(id, -1L), dense.getOrElse(id, -1L),
+        round6(rrf).toDouble)
+    }.sortBy { case (id, _, _, s) => (-s, id) }.take(10)
+      .zipWithIndex.map { case ((id, rs, rd, s), i) => (i + 1L, id, rs, rd, s) }
+    val got = SearchQ.hybridSearch(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4))).toSeq.sortBy(_._1)
+    assert(got == expected)
+    // the fused list genuinely mixes: at least one doc from each list
+    // survives, and at least one is single-list (rank -1 on one side)
+    assert(got.exists(_._3 > 0) && got.exists(_._4 > 0))
+    assert(got.exists(t => t._3 == -1L || t._4 == -1L))
+  }
+
   test("bigrams column op: ordered multiset, short docs empty") {
     import spark.implicits._
     import org.apache.spark.sql.functions.col
