@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 import graft.etl.{Enricher, PosGenerator, RetailPipeline}
-import graft.queries.{AnnQ, CatalogQ, Core, DedupQ, EventsQ, MultimodalQ, ProfileQ, SampleQ, SearchQ, SketchQ, TextQ}
+import graft.queries.{AnnQ, CatalogQ, Core, DedupQ, EventsQ, GraphQ, MultimodalQ, ProfileQ, SampleQ, SearchQ, SketchQ, TextQ}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -253,6 +253,9 @@ object SparkEntry {
     // hybrid retrieval — BM25 + dense-cosine lists fused by
     // reciprocal-rank fusion (rank-only combination, no calibration)
     "q_hybrid_search" -> SearchQ.hybridSearch,
+    // weak supervision — seed-clamped label propagation over the
+    // cosine similarity graph (integer-exact => fully oracled)
+    "q_label_prop" -> GraphQ.labelProp,
     // content-hash deterministic train/val/test split assignment
     "q_split_assign" -> TextQ.splitAssign,
     // training-sequence packing (distributed two-phase prefix sum)
@@ -1163,6 +1166,55 @@ object SparkEntry {
         |    ORDER BY rrf DESC, doc_id) AS BIGINT) AS "rank", *
         |  FROM fused
         |) WHERE "rank" <= 10""".stripMargin,
+    // label propagation: 2 unrolled synchronous rounds; seeds clamped
+    // via coalesce(seed, majority, previous); ties broken by smallest
+    // label — mirrors LabelProp.propagate vote for vote
+    "q_label_prop" ->
+      """WITH e AS (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+        |), p AS (
+        |  SELECT a.vec_id AS a_id, b.vec_id AS b_id
+        |  FROM e a JOIN e b ON a.vec_id < b.vec_id
+        |   AND list_cosine_similarity(a.v, b.v) >= 0.25
+        |), sym AS (
+        |  SELECT a_id AS src, b_id AS dst FROM p
+        |  UNION ALL
+        |  SELECT b_id AS src, a_id AS dst FROM p
+        |), l0 AS (
+        |  SELECT vec_id AS id,
+        |   CASE WHEN vec_id % 5 = 0 THEN label END AS seed,
+        |   CASE WHEN vec_id % 5 = 0 THEN label END AS label
+        |  FROM embeddings
+        |), v1 AS (
+        |  SELECT sym.dst AS id, l.label AS l, count(*) AS n
+        |  FROM sym JOIN l0 l ON l.id = sym.src
+        |  WHERE l.label IS NOT NULL GROUP BY 1, 2
+        |), w1 AS (
+        |  SELECT id, l AS maj FROM (
+        |    SELECT id, l, row_number() OVER (
+        |      PARTITION BY id ORDER BY n DESC, l) AS rn FROM v1
+        |  ) WHERE rn = 1
+        |), l1 AS (
+        |  SELECT l0.id, l0.seed,
+        |   coalesce(l0.seed, w1.maj, l0.label) AS label
+        |  FROM l0 LEFT JOIN w1 ON w1.id = l0.id
+        |), v2 AS (
+        |  SELECT sym.dst AS id, l.label AS l, count(*) AS n
+        |  FROM sym JOIN l1 l ON l.id = sym.src
+        |  WHERE l.label IS NOT NULL GROUP BY 1, 2
+        |), w2 AS (
+        |  SELECT id, l AS maj FROM (
+        |    SELECT id, l, row_number() OVER (
+        |      PARTITION BY id ORDER BY n DESC, l) AS rn FROM v2
+        |  ) WHERE rn = 1
+        |), l2 AS (
+        |  SELECT l1.id, l1.seed,
+        |   coalesce(l1.seed, w2.maj, l1.label) AS label
+        |  FROM l1 LEFT JOIN w2 ON w2.id = l1.id
+        |)
+        |SELECT id AS vec_id, coalesce(seed, -1) AS seed_label,
+        | coalesce(label, -1) AS label
+        |FROM l2""".stripMargin,
     "q_split_assign" ->
       """WITH d AS (
         |  SELECT doc_id,
