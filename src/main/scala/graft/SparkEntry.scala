@@ -248,6 +248,9 @@ object SparkEntry {
     // profiling — exact equi-width 10-bucket histogram of
     // l_extendedprice (CBO/data-quality input)
     "q_histogram" -> ProfileQ.histogram,
+    // profiling — per-group z-score anomaly gate (exact decimal moments
+    // => bit-deterministic cut, fully oracled)
+    "q_outliers" -> ProfileQ.outliers,
     // retrieval — BM25-ranked keyword search (inverted-index workload)
     "q_bm25_search" -> SearchQ.bm25Search,
     // hybrid retrieval — BM25 + dense-cosine lists fused by
@@ -1166,6 +1169,29 @@ object SparkEntry {
         |    ORDER BY rrf DESC, doc_id) AS BIGINT) AS "rank", *
         |  FROM fused
         |) WHERE "rank" <= 10""".stripMargin,
+    // z-score outliers: moments via exact decimal sums, final
+    // arithmetic in doubles — mirrored operation for operation so the
+    // |z| > 3 cut lands identically
+    "q_outliers" ->
+      """WITH b AS (
+        |  SELECT event_id, event_type, CAST(value AS DECIMAL(18,6)) AS x
+        |  FROM events
+        |), m AS (
+        |  SELECT event_type, count(*) AS n, sum(x) AS s1, sum(x * x) AS s2
+        |  FROM b GROUP BY 1
+        |), mm AS (
+        |  SELECT event_type,
+        |   CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE) AS mean, n, s2
+        |  FROM m
+        |), st AS (
+        |  SELECT event_type, mean,
+        |   sqrt(CAST(s2 AS DOUBLE) / CAST(n AS DOUBLE) - mean * mean) AS sd
+        |  FROM mm
+        |)
+        |SELECT b.event_id, b.event_type, CAST(b.x AS DOUBLE) AS value,
+        | round((CAST(b.x AS DOUBLE) - mean) / sd, 6) AS z
+        |FROM b JOIN st USING (event_type)
+        |WHERE abs((CAST(b.x AS DOUBLE) - mean) / sd) > 3.0""".stripMargin,
     // label propagation: 2 unrolled synchronous rounds; seeds clamped
     // via coalesce(seed, majority, previous); ties broken by smallest
     // label — mirrors LabelProp.propagate vote for vote

@@ -67,4 +67,42 @@ object ProfileQ {
         (col("mn") + (col("bucket").cast("double") + lit(1.0)) * col("w"))
           .as("hi"))
   }
+
+  /** Per-group z-score outliers over `events.value`: rows more than 3
+    * population-σ from their event_type's mean — the anomaly gate a
+    * quality pipeline runs before trusting a day's ingest.
+    *
+    * Cross-engine exactness (the reason this doesn't use
+    * `stddev_pop`): double sums are addition-order-dependent, so the
+    * moments go through EXACT decimal sums instead — value is pinned to
+    * DECIMAL(18,6) (a double is never exactly a 6dp midpoint, so the
+    * cast is rounding-mode-independent), Σx and Σx² accumulate as
+    * decimals, and only the final mean/variance/z arithmetic happens in
+    * IEEE doubles, identically in both engines. The |z| > 3 cut is
+    * therefore bit-deterministic — no threshold-margin hazard.
+    *
+    * Scale shape: one narrow scan for the 5-row moment table
+    * (map-side-combinable decimal sums), broadcast back, one
+    * filter-project pass. Output is |outliers|, not |events|.
+    */
+  def outliers(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val ev = Tables(spark, dir, "events")
+      .select(col("event_id"), col("event_type"),
+        col("value").cast(DecimalType(18, 6)).as("x"))
+    val moments = ev.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("x")).as("s1"),
+        sum(col("x") * col("x")).as("s2"))
+      .withColumn("mean", col("s1").cast("double") / col("n").cast("double"))
+      .withColumn("sd", sqrt(
+        col("s2").cast("double") / col("n").cast("double") -
+          col("mean") * col("mean")))
+      .select(col("event_type"), col("mean"), col("sd"))
+    ev.join(broadcast(moments), "event_type")
+      .withColumn("xd", col("x").cast("double"))
+      .withColumn("z", (col("xd") - col("mean")) / col("sd"))
+      .filter(abs(col("z")) > lit(3.0))
+      .select(col("event_id"), col("event_type"), col("xd").as("value"),
+        round(col("z"), 6).as("z"))
+  }
 }

@@ -1,0 +1,46 @@
+package graft.queries
+
+import org.apache.spark.sql.functions.col
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.testkit.SparkSpec
+
+/** Differential test for the z-score outlier gate: moments recomputed
+  * from first principles with exact BigDecimal sums over sf0.001, the
+  * same decimal-then-double contract the query and its DuckDB oracle
+  * share — the flagged set must match EXACTLY, row for row.
+  */
+class ProfileSpec extends AnyFunSuite with SparkSpec {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  test("outliers matches a from-scratch exact-moment recompute") {
+    val rows = graft.Tables(spark, dir, "events")
+      .select(col("event_id"), col("event_type"), col("value")).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(2)))
+    // the query's decimal pin: value -> DECIMAL(18,6), HALF_UP (a double
+    // is never exactly a 6dp midpoint, so the mode is immaterial)
+    def pin(v: Double): BigDecimal =
+      BigDecimal(v).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+    val expected = rows.toSeq.groupBy(_._2).toSeq.flatMap { case (et, rs) =>
+      val xs = rs.map(t => pin(t._3))
+      val n = xs.size.toDouble
+      val mean = (xs.sum).toDouble / n
+      val sd = math.sqrt((xs.map(x => x * x).sum).toDouble / n - mean * mean)
+      rs.flatMap { case (id, _, v) =>
+        val xd = pin(v).toDouble
+        val z = (xd - mean) / sd
+        if (math.abs(z) > 3.0)
+          Some((id, et, xd,
+            BigDecimal(z).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+              .toDouble))
+        else None
+      }
+    }.toSet
+    val got = ProfileQ.outliers(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(2),
+        r.getDouble(3))).toSet
+    assert(got == expected)
+    assert(got.nonEmpty, "the gate must flag real outliers on this data")
+  }
+}
