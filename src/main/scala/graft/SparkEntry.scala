@@ -23,6 +23,10 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // A1 — hash group-by mart (mart_daily_sales.sql:6-15)
     "q_mart_daily_sales" -> Core.martDailySales,
+    // incremental view maintenance — persisted grain-level partial-agg
+    // state merged with a delta; oracle is the FULL recompute, so
+    // hash-match proves incremental ≡ full
+    "q_incremental_mart" -> Core.martDailySalesIncremental,
     // A1/P2 — scan-heavy pricing summary (TPC-H Q1 shape)
     "q_pricing_summary" -> Core.pricingSummary,
     // P1/P4 — cast-boundary projection + pushed filter
@@ -337,6 +341,14 @@ object SparkEntry {
     */
   def oracleSql: Map[String, String] = Map(
     "q_mart_daily_sales" ->
+      """SELECT CAST(o_orderdate AS DATE) AS day, o_orderstatus AS status,
+        | count(*) AS txns,
+        | CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS gross,
+        | count(DISTINCT o_custkey) AS customers
+        |FROM orders GROUP BY 1, 2""".stripMargin,
+    // incremental mart: the oracle is the FULL recompute — identical
+    // output contract to q_mart_daily_sales
+    "q_incremental_mart" ->
       """SELECT CAST(o_orderdate AS DATE) AS day, o_orderstatus AS status,
         | count(*) AS txns,
         | CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS gross,

@@ -43,6 +43,54 @@ object Core {
   }
 
   // -------------------------------------------------------------------
+  // Incremental view maintenance of the daily mart: the don't-recompute-
+  // the-world shape. The persisted state is a PARTIAL AGGREGATE at
+  // (day, status, custkey) grain — one grain finer than the mart so
+  // count(DISTINCT custkey), which has no mergeable partial, becomes a
+  // plain count over grain rows. A new day's delta aggregates to the
+  // same grain and MERGES by summing (counts and exact decimal sums are
+  // both associative), then the mart derives with one final group-by.
+  // At 100 TB the delta scan is |new data| and the merge shuffles
+  // |state ∪ delta| grain rows — never the raw history. The DuckDB
+  // oracle is the FULL recompute over all of orders, so the hash-match
+  // IS the incremental ≡ full proof.
+  // -------------------------------------------------------------------
+
+  /** Mergeable partial-aggregate state at (day, status, custkey) grain. */
+  private def martGrain(orders: DataFrame): DataFrame =
+    orders.groupBy(
+        to_date(col("o_orderdate")).as("day"),
+        col("o_orderstatus").as("status"),
+        col("o_custkey").as("custkey"))
+      .agg(count(lit(1)).as("n"), sum(dec(col("o_totalprice"))).as("gross_sum"))
+
+  def martDailySalesIncremental(spark: SparkSession, dir: String): DataFrame =
+    martDailySalesIncremental(spark, dir, "1998-01-01", "mart-state")
+
+  /** `cutDate` splits history (persisted state) from delta; the state
+    * artifact is keyed by name so different cuts never collide.
+    */
+  def martDailySalesIncremental(spark: SparkSession, dir: String,
+      cutDate: String, artifactName: String): DataFrame = {
+    val cut = lit(cutDate).cast("timestamp")
+    val orders = Tables(spark, dir, "orders")
+    // the "history as of yesterday" artifact, built once per JVM
+    val statePath = graft.ops.StageArtifacts.ensure(dir, artifactName) { out =>
+      martGrain(orders.filter(col("o_orderdate") < cut))
+        .write.mode("overwrite").parquet(out)
+    }
+    val state = spark.read.parquet(statePath)
+    val delta = martGrain(orders.filter(col("o_orderdate") >= cut))
+    val merged = state.unionByName(delta)
+      .groupBy(col("day"), col("status"), col("custkey"))
+      .agg(sum(col("n")).as("n"), sum(col("gross_sum")).as("gross_sum"))
+    merged.groupBy(col("day"), col("status"))
+      .agg(sum(col("n")).cast("long").as("txns"),
+        sum(col("gross_sum")).cast("double").as("gross"),
+        count(lit(1)).as("customers"))
+  }
+
+  // -------------------------------------------------------------------
   // A1/P2 — TPC-H Q1-shaped pricing summary: scan-heavy agg with derived
   // measures; the canonical "does partial agg + codegen survive 100×"
   // benchmark shape.
