@@ -243,6 +243,13 @@ object SparkEntry {
     "q_top_terms" -> TextQ.topTerms,
     // text analysis — bigram-LM mean log-prob scoring (perplexity filter)
     "q_lm_score" -> TextQ.lmScore,
+    // tokenizer construction — BPE merge training over the distinct-word
+    // frequency table (rows-only: the loop is data-dependent; BpeSpec
+    // pins it against a scalar reference trainer exactly)
+    "q_bpe_train" -> TextQ.bpeTrain,
+    // tokenizer application — per-doc BPE token counts via the
+    // once-encoded distinct-word table (rows-only; BpeSpec round-trips)
+    "q_bpe_encode" -> TextQ.bpeEncode,
     // corpus statistics — windowed PMI co-occurrence pairs (word2vec/
     // PPMI preprocessing)
     "q_pmi_pairs" -> TextQ.pmiPairs,

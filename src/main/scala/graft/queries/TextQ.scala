@@ -326,4 +326,29 @@ object TextQ {
         TextOps.rollingHash(TextOps.normalize(col("text"))).as("content_hash"),
         TextOps.bagHash(toks).as("bag_hash"))
   }
+
+  /** q_bpe_train: 20 BPE merges trained on the corpus word-frequency
+    * table — the merge table (rank, left, right, n) IS the tokenizer
+    * vocabulary artifact. Deterministic (argmax by count desc then
+    * lexicographic), but the loop is data-dependent so there is no
+    * static SQL oracle; BpeSpec pins it against a from-scratch scalar
+    * BPE trainer exactly.
+    */
+  def bpeTrain(spark: SparkSession, dir: String): DataFrame =
+    graft.text.Bpe.train(
+      graft.text.Bpe.wordCounts(Tables(spark, dir, "documents"), "text"),
+      merges = 20)
+
+  /** q_bpe_encode: per-document BPE token counts under the trained
+    * vocabulary — train on the distinct-word table, encode each
+    * distinct word once, join counts back to documents.
+    */
+  def bpeEncode(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(spark, dir, "documents")
+    val merges = graft.text.Bpe.train(
+        graft.text.Bpe.wordCounts(docs, "text"), merges = 20)
+      .orderBy(col("rank")).collect()
+      .map(r => (r.getString(1), r.getString(2))).toSeq
+    graft.text.Bpe.encodeStats(docs, "doc_id", "text", merges)
+  }
 }

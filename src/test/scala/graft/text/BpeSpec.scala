@@ -1,0 +1,121 @@
+package graft.text
+
+import org.apache.spark.sql.functions.col
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.testkit.SparkSpec
+
+/** BPE contract: the distributed trainer reproduces a from-scratch
+  * scalar BPE (same argmax rule) merge for merge; encoding round-trips
+  * (concatenating a word's tokens, minus the end marker, restores the
+  * word); greedy merge application is left-to-right non-overlapping.
+  */
+class BpeSpec extends AnyFunSuite with SparkSpec {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  /** Scalar reference trainer, argmax by (count desc, l asc, r asc). */
+  private def scalarTrain(words: Map[String, Long],
+      merges: Int): Seq[(String, String, Long)] = {
+    var syms: Map[String, (Seq[String], Long)] = words.map { case (w, n) =>
+      w -> (w.split("").toSeq :+ Bpe.Eow, n)
+    }
+    val out = scala.collection.mutable.ArrayBuffer.empty[(String, String, Long)]
+    var done = false
+    for (_ <- 1 to merges if !done) {
+      val counts = scala.collection.mutable.Map.empty[(String, String), Long]
+      for ((_, (ss, n)) <- syms; i <- 0 until ss.size - 1)
+        counts((ss(i), ss(i + 1))) = counts.getOrElse((ss(i), ss(i + 1)), 0L) + n
+      if (counts.isEmpty) done = true
+      else {
+        val ((l, r), c) = counts.toSeq
+          .sortBy { case ((l, r), c) => (-c, l, r) }.head
+        out += ((l, r, c))
+        syms = syms.map { case (w, (ss, n)) =>
+          val merged = ss.foldLeft(Vector.empty[String]) { (acc, x) =>
+            if (acc.nonEmpty && acc.last == l && x == r)
+              acc.init :+ (l + r)
+            else acc :+ x
+          }
+          w -> (merged, n)
+        }
+      }
+    }
+    out.toSeq
+  }
+
+  private lazy val wordCounts: Map[String, Long] =
+    Bpe.wordCounts(graft.Tables(spark, dir, "documents"), "text")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+
+  test("distributed trainer == scalar reference, merge for merge") {
+    val expected = scalarTrain(wordCounts, 20)
+      .zipWithIndex.map { case ((l, r, c), i) => (i + 1L, l, r, c) }
+    val got = graft.queries.TextQ.bpeTrain(spark, dir).orderBy(col("rank"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2),
+        r.getLong(3))).toSeq
+    assert(got == expected)
+    assert(got.size == 20, "the corpus must sustain 20 merges")
+  }
+
+  test("encodeWords round-trips and matches the scalar fold") {
+    import spark.implicits._
+    val merges = scalarTrain(wordCounts, 20).map { case (l, r, _) => (l, r) }
+    val words = wordCounts.keys.toSeq.toDF("word")
+    val got = Bpe.encodeWords(words, merges).collect()
+      .map(r => r.getString(0) -> r.getSeq[String](1)).toMap
+    assert(got.keySet == wordCounts.keySet)
+    for ((w, toks) <- got) {
+      assert(toks.mkString("").stripSuffix(Bpe.Eow) == w,
+        s"round-trip failed for '$w'")
+      // scalar greedy fold over the same merges must agree
+      val ref = merges.foldLeft(w.split("").toVector :+ Bpe.Eow) {
+        case (ss, (l, r)) =>
+          ss.foldLeft(Vector.empty[String]) { (acc, x) =>
+            if (acc.nonEmpty && acc.last == l && x == r) acc.init :+ (l + r)
+            else acc :+ x
+          }
+      }
+      assert(toks == ref, s"encode mismatch for '$w'")
+    }
+  }
+
+  test("mergeOnce is greedy left-to-right non-overlapping") {
+    import spark.implicits._
+    val df = Seq(Seq("a", "a", "a"), Seq("a", "b", "a", "b"), Seq("x"))
+      .toDF("s")
+    val got = df.select(Bpe.mergeOnce(col("s"), "a", "a").as("m"))
+      .collect().map(_.getSeq[String](0).toList).toList
+    assert(got == List(List("aa", "a"), List("a", "b", "a", "b"), List("x")))
+    val got2 = df.select(Bpe.mergeOnce(col("s"), "a", "b").as("m"))
+      .collect().map(_.getSeq[String](0).toList).toList
+    assert(got2 == List(List("a", "a", "a"), List("ab", "ab"), List("x")))
+  }
+
+  test("encodeStats: token counts are consistent with the encoded vocab") {
+    val merges = scalarTrain(wordCounts, 20).map { case (l, r, _) => (l, r) }
+    val docs = graft.Tables(spark, dir, "documents")
+    val got = Bpe.encodeStats(docs, "doc_id", "text", merges).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got.size == docs.count())
+    // scalar recompute of one document's stats
+    val encoded = merges.foldLeft(
+      wordCounts.keys.map(w => w -> (w.split("").toVector :+ Bpe.Eow)).toMap) {
+      case (m, (l, r)) => m.map { case (w, ss) =>
+        w -> ss.foldLeft(Vector.empty[String]) { (acc, x) =>
+          if (acc.nonEmpty && acc.last == l && x == r) acc.init :+ (l + r)
+          else acc :+ x
+        }
+      }
+    }
+    val texts = docs.select(col("doc_id"), col("text")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    for ((id, nWords, nBpe) <- got.take(20)) {
+      val ws = texts(id).toLowerCase.replaceAll("[^a-z0-9]+", " ")
+        .trim.split(" ").toSeq
+      assert(nWords == ws.size, s"doc $id word count")
+      assert(nBpe == ws.map(w => encoded(w).size.toLong).sum,
+        s"doc $id bpe count")
+    }
+  }
+}
