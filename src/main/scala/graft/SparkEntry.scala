@@ -232,6 +232,9 @@ object SparkEntry {
     "q_embed_near_dup" -> DedupQ.embedNearDup,
     // dedup — embedding near-dup clusters (blocked pairs + star contraction)
     "q_embed_clusters" -> DedupQ.embedClusters,
+    // SemDeDup — semantic dedup by cluster-representative selection:
+    // keep the highest-quality doc per embedding cluster
+    "q_semdedup" -> DedupQ.semDedup,
     // dedup/hygiene — test-set decontamination via 8-gram benchmark overlap
     "q_decontaminate" -> DedupQ.decontaminate,
     // dedup — incremental batch-vs-corpus near-dup via the persistable
@@ -885,6 +888,48 @@ object SparkEntry {
         |  SELECT r.s, e2.d FROM reach r JOIN edges e2 ON r.d = e2.s
         |)
         |SELECT s AS vec_id, min(d) AS cluster_id FROM reach GROUP BY s""".stripMargin,
+    // SemDeDup: the D8 closure + the T2 quality CTE + one representative
+    // window — quality is bit-identical cross-engine, so the pick is too
+    "q_semdedup" ->
+      """WITH RECURSIVE e AS (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+        |), p AS (
+        |  SELECT a.vec_id AS a_id, b.vec_id AS b_id FROM e a JOIN e b ON a.vec_id < b.vec_id
+        |  WHERE list_cosine_similarity(a.v, b.v) >= 0.4
+        |), edges AS (
+        |  SELECT a_id AS s, b_id AS d FROM p UNION ALL SELECT b_id, a_id FROM p
+        |), reach(s, d) AS (
+        |  SELECT vec_id, vec_id FROM embeddings
+        |  UNION
+        |  SELECT r.s, e2.d FROM reach r JOIN edges e2 ON r.d = e2.s
+        |), c AS (
+        |  SELECT s AS doc_id, min(d) AS cluster_id FROM reach GROUP BY s
+        |), toks AS (
+        |  SELECT doc_id,
+        |   string_split(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' ') AS toks
+        |  FROM documents
+        |), sig AS (
+        |  SELECT doc_id,
+        |   round(CAST(len(list_filter(toks, t -> list_contains(
+        |     ['the','a','an','and','of','to','in','is','it','for'], t))) AS DOUBLE)
+        |     / CAST(len(toks) AS DOUBLE), 6) AS stop_ratio,
+        |   round(CAST(len(list_distinct(toks)) AS DOUBLE)
+        |     / CAST(len(toks) AS DOUBLE), 6) AS diversity,
+        |   round(least(CAST(len(toks) AS DOUBLE) / 50.0, 1.0), 6) AS length_signal
+        |  FROM toks
+        |), q AS (
+        |  SELECT doc_id, CAST(
+        |    CAST(0.4 AS DECIMAL(2,1)) * CAST(length_signal AS DECIMAL(9,6))
+        |    + CAST(0.3 AS DECIMAL(2,1)) * CAST(diversity AS DECIMAL(9,6))
+        |    + CAST(0.3 AS DECIMAL(2,1)) * (CAST(1.0 AS DECIMAL(2,1)) - CAST(stop_ratio AS DECIMAL(9,6)))
+        |   AS DOUBLE) AS quality FROM sig
+        |), r AS (
+        |  SELECT c.doc_id, c.cluster_id, q.quality,
+        |   row_number() OVER (PARTITION BY c.cluster_id
+        |     ORDER BY q.quality DESC, c.doc_id) AS rn
+        |  FROM c JOIN q ON q.doc_id = c.doc_id
+        |)
+        |SELECT doc_id, cluster_id, quality, rn = 1 AS keep FROM r""".stripMargin,
     "q_decontaminate" ->
       """WITH d AS (
         |  SELECT doc_id,

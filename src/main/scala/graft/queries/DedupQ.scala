@@ -218,4 +218,39 @@ object DedupQ {
         col("quality_ok") && col("not_repetitive") &&
           col("not_contaminated") && col("canonical"))
   }
+
+  /** SemDeDup (Abbas et al. 2023): semantic deduplication by
+    * cluster-representative selection — within each embedding-similarity
+    * cluster keep the HIGHEST-QUALITY document, not the lowest id. Where
+    * `q_dedup_clusters` canonicalizes lexically, this is the
+    * curation-grade variant: near-semantic duplicates collapse to their
+    * best exemplar.
+    *
+    * Deterministic end-to-end: cluster labels are min-id components,
+    * quality is the DECIMAL-exact composite (bit-identical in both
+    * engines — q_quality_score hash-matches), and the representative
+    * window orders by (quality desc, doc_id), so the oracle replays the
+    * whole pipeline: recursive-CTE closure + the quality CTE + one
+    * window.
+    *
+    * Scale shape: pairs/components as in D8 (edge-only star
+    * contraction), quality as one narrow pass, then a single
+    * cluster-keyed window — the representative pick shuffles
+    * (cluster_id) once.
+    */
+  def semDedup(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables(spark, dir, "embeddings")
+    val pairs = Dedup.cosinePairsBlocked(emb, "vec_id", "embedding",
+      threshold = 0.4).select(col("a_id"), col("b_id"))
+    val clusters = Dedup.clusterLabels(emb, "vec_id", pairs)
+    val quality = TextQ.qualityScore(spark, dir)
+      .select(col("doc_id"), col("quality"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("cluster_id"))
+      .orderBy(col("quality").desc, col("doc_id"))
+    clusters.join(quality, "doc_id")
+      .withColumn("rn", row_number().over(w))
+      .select(col("doc_id"), col("cluster_id"), col("quality"),
+        (col("rn") === 1).as("keep"))
+  }
 }

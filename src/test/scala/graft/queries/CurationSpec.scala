@@ -26,4 +26,22 @@ class CurationSpec extends AnyFunSuite with SparkSpec {
     val composed = rows(DedupQ.corpusFilterCompose(spark, dir))
     assert(composed == inline)
   }
+
+  test("semDedup keeps exactly the best-quality doc per cluster") {
+    val rows = DedupQ.semDedup(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getBoolean(3)))
+    assert(rows.length == 500)
+    val byCluster = rows.groupBy(_._2)
+    // one representative per cluster, and it's the (quality desc, id)
+    // argmax of its cluster
+    for ((_, members) <- byCluster) {
+      val kept = members.filter(_._4)
+      assert(kept.length == 1)
+      assert(kept.head == members.minBy(m => (-m._3, m._1)))
+    }
+    // the operator must do real work on this corpus: at least one
+    // multi-member cluster, so at least one doc is dropped
+    assert(rows.count(!_._4) > 0)
+    assert(byCluster.exists(_._2.length > 1))
+  }
 }
