@@ -1249,13 +1249,14 @@ object SparkEntry {
         |  FROM m
         |), st AS (
         |  SELECT event_type, mean,
-        |   sqrt(CAST(s2 AS DOUBLE) / CAST(n AS DOUBLE) - mean * mean) AS sd
+        |   sqrt(greatest(CAST(s2 AS DOUBLE) / CAST(n AS DOUBLE)
+        |     - mean * mean, 0.0)) AS sd
         |  FROM mm
         |)
         |SELECT b.event_id, b.event_type, CAST(b.x AS DOUBLE) AS value,
         | round((CAST(b.x AS DOUBLE) - mean) / sd, 6) AS z
         |FROM b JOIN st USING (event_type)
-        |WHERE abs((CAST(b.x AS DOUBLE) - mean) / sd) > 3.0""".stripMargin,
+        |WHERE sd > 0.0 AND abs((CAST(b.x AS DOUBLE) - mean) / sd) > 3.0""".stripMargin,
     // label propagation: 2 unrolled synchronous rounds; seeds clamped
     // via coalesce(seed, majority, previous); ties broken by smallest
     // label — mirrors LabelProp.propagate vote for vote

@@ -61,7 +61,11 @@ object IvfPq {
       idCol: String, vecCol: String): DataFrame = {
     val joined = corpus.select(col(idCol), asDouble(col(vecCol)).as("v"))
       .join(assignments.select(col(idCol), col("cluster")), idCol)
-    val dim = joined.select(size(col("v"))).head.getInt(0)
+    val first = joined.select(size(col("v"))).head(1)
+    require(first.nonEmpty,
+      "cellMeans: corpus joined to assignments is empty — empty corpus " +
+        "or stale/mismatched assignments artifact")
+    val dim = first(0).getInt(0)
     val sums = (0 until dim).map(j =>
       sum(element_at(col("v"), j + 1)).as(s"s$j"))
     joined.groupBy(col("cluster"))
@@ -120,13 +124,12 @@ object IvfPq {
     // and residual arithmetic run once (collected when the result drops)
     val res = residuals(corpus, assignments, ms, idCol, vecCol)
       .localCheckpoint()
-    val coded = Pq.encode(res, idCol, "res", codebooks)
-      .select(col(idCol), col("codes"))
-    val books = codebooks.select(col("subspace"), col("code"), col("centroid"))
-      .collect().groupBy(_.getInt(0))
+    // codes only: the rnorm Pq.encode would fold is ‖r̂‖, not the ‖μ+r̂‖
+    // this index stores — skip the wasted per-row work
+    val coded = Pq.encodeCodes(res, idCol, "res", codebooks)
+    val books = Pq.collectBooks(codebooks)
     val m = books.size
-    val bookLit = (0 until m).map(s =>
-      typedlit(books(s).sortBy(_.getInt(1)).map(_.getSeq[Double](2)).toSeq))
+    val bookLit = (0 until m).map(s => typedlit(books(s).map(_.toSeq)))
     val mlit = typedlit(ms)
     res.select(col(idCol), col("cluster")).join(coded, idCol)
       // recon = μ(cluster) + concat of per-subspace codewords; rnorm =
@@ -157,12 +160,12 @@ object IvfPq {
     val spark = codeTable.sparkSession
     val cs = centroidSeq(centroids)
     val ms = meanSeq(means, cs.size)
-    val bookRows = codebooks.select(col("subspace"), col("code"), col("centroid"))
-      .collect().groupBy(_.getInt(0))
-    val m = bookRows.size
-    val books = (0 until m).map(s =>
-      bookRows(s).sortBy(_.getInt(1)).map(_.getSeq[Double](2).toIndexedSeq))
+    val books = Pq.collectBooks(codebooks)
+    val m = books.size
     val k = books.head.size
+    // the flattened lut indexes as s*k + code: uniform k is load-bearing
+    require(books.forall(_.size == k),
+      s"codebook subspaces must share one k, got ${books.map(_.size)}")
     val qRows = queries
       .select(col(idCol).as("query_id"), asDouble(col(vecCol)).as("vq"))
       .collect()
@@ -182,13 +185,14 @@ object IvfPq {
         val qs = vq.slice(s * subDim, (s + 1) * subDim)
         books(s).map(c => c.zip(qs).map { case (a, b) => a * b }.sum)
       }
-      // route by spherical cosine against the cell centroids — the same
-      // rule [[Ann]] uses, so IVF and IVF-PQ probe the same cells; the
-      // per-cell score constant is dot(q, μ) — the coarse term of the
-      // reconstruction, NOT the routing direction
-      val unit = if (nq == 0.0) vq else vq.map(_ / nq)
+      // route by RAW dot against the cell centroids — bit-identical to
+      // [[Ann]].probeRoutes (normalizing q first would reorder within
+      // an ulp and could probe different cells; the ranking is
+      // invariant to the positive scale, so raw dots ARE the spherical
+      // routing). The per-cell score constant is dot(q, μ) — the coarse
+      // term of the reconstruction, NOT the routing direction.
       cs.indices
-        .map(c => c -> cs(c).zip(unit).map { case (a, b) => a * b }.sum)
+        .map(c => c -> cs(c).zip(vq).map { case (a, b) => a * b }.sum)
         .sortBy { case (c, d) => (-d, c) }
         .take(nProbe)
         .map { case (c, _) =>

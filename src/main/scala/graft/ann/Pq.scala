@@ -129,8 +129,12 @@ object Pq {
     }
   }
 
-  /** Load a codebook table into driver matrices: books(s)(c) = centroid. */
-  private def collectBooks(codebooks: DataFrame)
+  /** Load a codebook table into driver matrices: books(s)(c) = centroid.
+    * The code-gap require makes a malformed artifact (partial write,
+    * filtered read) fail loudly instead of positionally mis-indexing —
+    * shared by every PQ consumer ([[IvfPq]] included).
+    */
+  private[ann] def collectBooks(codebooks: DataFrame)
       : IndexedSeq[IndexedSeq[Seq[Double]]] = {
     val rows = codebooks.select(col("subspace"), col("code"), col("centroid"))
       .collect()
@@ -156,6 +160,24 @@ object Pq {
     val books = collectBooks(codebooks)
     val m = books.size
     val norms = books.map(_.map(c => c.map(x => x * x).sum))
+    val nlit = typedlit(norms.map(_.toIndexedSeq))
+    encodeCodes(corpus, idCol, vecCol, codebooks)
+      .withColumn("rnorm", sqrt(aggregate(
+        sequence(lit(0), lit(m - 1)), lit(0.0),
+        (acc, s) => acc + element_at(element_at(nlit, s + 1),
+          element_at(col("codes"), s + 1) + 1))))
+  }
+
+  /** Code assignment only — (id, codes ARRAY<INT>) without the rnorm
+    * fold, for consumers that reconstruct their own norm (residual PQ
+    * stores ‖μ + r̂‖, not ‖r̂‖; paying a per-row m-lookup fold for a
+    * column nobody reads is wasted corpus-pass work).
+    */
+  def encodeCodes(corpus: DataFrame, idCol: String, vecCol: String,
+      codebooks: DataFrame): DataFrame = {
+    val books = collectBooks(codebooks)
+    val m = books.size
+    val norms = books.map(_.map(c => c.map(x => x * x).sum))
     val v = asDouble(col(vecCol))
     val sub = (size(v) / m).cast("int")
     // the subspace index is static, so each element of the code array is
@@ -168,12 +190,7 @@ object Pq {
       element_at(
         transform(array(sliced), sv => argminCode(sv, books(s), norms(s))), 1)
     }: _*)
-    val nlit = typedlit(norms.map(_.toIndexedSeq))
     corpus.select(col(idCol), codes.as("codes"))
-      .withColumn("rnorm", sqrt(aggregate(
-        sequence(lit(0), lit(m - 1)), lit(0.0),
-        (acc, s) => acc + element_at(element_at(nlit, s + 1),
-          element_at(col("codes"), s + 1) + 1))))
   }
 
   /** ADC top-`kNeighbors` per query over a PQ code table: per query the

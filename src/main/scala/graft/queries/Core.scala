@@ -68,14 +68,17 @@ object Core {
     martDailySalesIncremental(spark, dir, "1998-01-01", "mart-state")
 
   /** `cutDate` splits history (persisted state) from delta; the state
-    * artifact is keyed by name so different cuts never collide.
+    * artifact key INCLUDES the cut — a name-only key would let a second
+    * call with a different cut silently merge stale-cut state with the
+    * new cut's delta, vanishing every row between the two cuts.
     */
   def martDailySalesIncremental(spark: SparkSession, dir: String,
       cutDate: String, artifactName: String): DataFrame = {
     val cut = lit(cutDate).cast("timestamp")
     val orders = Tables(spark, dir, "orders")
     // the "history as of yesterday" artifact, built once per JVM
-    val statePath = graft.ops.StageArtifacts.ensure(dir, artifactName) { out =>
+    val statePath = graft.ops.StageArtifacts.ensure(
+        dir, s"$artifactName-$cutDate") { out =>
       martGrain(orders.filter(col("o_orderdate") < cut))
         .write.mode("overwrite").parquet(out)
     }

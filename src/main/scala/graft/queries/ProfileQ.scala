@@ -85,18 +85,28 @@ object ProfileQ {
     * (map-side-combinable decimal sums), broadcast back, one
     * filter-project pass. Output is |outliers|, not |events|.
     */
-  def outliers(spark: SparkSession, dir: String): DataFrame = {
+  def outliers(spark: SparkSession, dir: String): DataFrame =
+    outliersOf(Tables(spark, dir, "events"))
+
+  /** The gate over any (event_id, event_type, value) frame. */
+  private[queries] def outliersOf(events: DataFrame): DataFrame = {
     import org.apache.spark.sql.types.DecimalType
-    val ev = Tables(spark, dir, "events")
+    val ev = events
       .select(col("event_id"), col("event_type"),
         col("value").cast(DecimalType(18, 6)).as("x"))
     val moments = ev.groupBy(col("event_type"))
       .agg(count(lit(1)).as("n"), sum(col("x")).as("s1"),
         sum(col("x") * col("x")).as("s2"))
       .withColumn("mean", col("s1").cast("double") / col("n").cast("double"))
-      .withColumn("sd", sqrt(
+      // degenerate guard: a constant group's variance is 0 (or a hair
+      // negative from double cancellation) — clamp so sqrt never goes
+      // NaN, then filter sd > 0: no variance means no outliers, rather
+      // than every row flagged with z = NaN (NaN compares high in Spark
+      // while the oracle's sqrt(negative) would raise)
+      .withColumn("sd", sqrt(greatest(
         col("s2").cast("double") / col("n").cast("double") -
-          col("mean") * col("mean")))
+          col("mean") * col("mean"), lit(0.0))))
+      .filter(col("sd") > lit(0.0))
       .select(col("event_type"), col("mean"), col("sd"))
     ev.join(broadcast(moments), "event_type")
       .withColumn("xd", col("x").cast("double"))

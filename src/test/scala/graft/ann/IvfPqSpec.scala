@@ -87,13 +87,13 @@ class IvfPqSpec extends AnyFunSuite with SparkSpec {
       .map(r => r.getLong(0) -> r.getInt(1)).toMap
     val got = IvfPq.probe(codes, centroids, means, codebooks, queries,
       "vec_id", "embedding", kNeighbors = 5, nProbe = 2).collect()
-    // replicate the routing rule: unit query x cell centroids, top 2
+    // replicate the routing rule: RAW query dot x cell centroids, top 2
+    // — the exact rule Ann.probeRoutes uses, so IVF and IVF-PQ probe
+    // identical cells
     for ((qid, rows) <- got.groupBy(_.getLong(0))) {
       val vq = vecs(qid)
-      val nq = math.sqrt(vq.map(x => x * x).sum)
-      val unit = vq.map(_ / nq)
       val probed = cents.indices
-        .map(c => c -> cents(c).zip(unit).map { case (a, b) => a * b }.sum)
+        .map(c => c -> cents(c).zip(vq).map { case (a, b) => a * b }.sum)
         .sortBy { case (c, d) => (-d, c) }.take(2).map(_._1).toSet
       assert(rows.forall(r => probed.contains(codeMap(r.getLong(2)))),
         s"query $qid left its probed cells")

@@ -33,4 +33,14 @@ class IncrementalMartSpec extends AnyFunSuite with SparkSpec {
     assert(rows(Core.martDailySalesIncremental(
       spark, dir, "2005-01-01", "mart-state-late")) == full)
   }
+
+  test("same artifact name with different cuts must not share state") {
+    // the artifact key includes the cut: a reused NAME with a moved cut
+    // must rebuild state for the new cut, not merge stale state with
+    // the new delta (which would silently drop the in-between rows)
+    assert(rows(Core.martDailySalesIncremental(
+      spark, dir, "1996-01-01", "mart-state-moving")) == full)
+    assert(rows(Core.martDailySalesIncremental(
+      spark, dir, "1999-01-01", "mart-state-moving")) == full)
+  }
 }

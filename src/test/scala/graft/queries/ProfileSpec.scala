@@ -43,4 +43,18 @@ class ProfileSpec extends AnyFunSuite with SparkSpec {
     assert(got == expected)
     assert(got.nonEmpty, "the gate must flag real outliers on this data")
   }
+
+  test("degenerate group: constant values flag nothing, not everything") {
+    import spark.implicits._
+    // a stuck-sensor group (sd = 0) next to a group with one real spike
+    val ev = (1L to 50L).map(i => (i, "stuck", 7.5)) ++
+      (51L to 100L).map(i => (i, "live", if (i == 100L) 1000.0 else 10.0))
+    val got = ProfileQ.outliersOf(
+        ev.toDF("event_id", "event_type", "value")).collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    assert(!got.exists(_._2 == "stuck"),
+      "a zero-variance group must produce NO outliers (z would be NaN)")
+    assert(got.map(_._1).toSet == Set(100L),
+      "the live group's spike must still be flagged")
+  }
 }
