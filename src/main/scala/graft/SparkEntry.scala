@@ -86,6 +86,29 @@ object SparkEntry {
           sum(col("o_totalprice").cast(org.apache.spark.sql.types.DataTypes
             .createDecimalType(18, 2))).cast("double").as("gross"))
     }),
+    // snapshot diff / CDC reconciliation — v2 is a deterministic
+    // mutation of orders (key%20: 0 dropped, 1 repriced, 2 duplicated
+    // under a new key); one co-partitioned full-outer join classifies
+    // added/removed/changed, output is |drift| not |table|
+    "q_snapshot_diff" -> ((s, dir) => {
+      import org.apache.spark.sql.functions._
+      val v1 = graft.Tables(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_totalprice"), col("o_orderstatus"))
+      val m = pmod(col("o_orderkey"), lit(20))
+      val v2 = v1.filter(m =!= 0)
+        .withColumn("o_totalprice", when(m === 1,
+          col("o_totalprice") + lit(10.0)).otherwise(col("o_totalprice")))
+        .unionByName(v1.filter(m === 2).select(
+          (col("o_orderkey") + lit(100000000L)).as("o_orderkey"),
+          col("o_totalprice"), col("o_orderstatus")))
+      graft.ops.SnapshotDiff.diff(v1, v2, Seq("o_orderkey"),
+          Seq("o_totalprice", "o_orderstatus"))
+        .select(col("o_orderkey"), col("change"),
+          coalesce(col("old_o_totalprice"), lit(-1.0)).as("old_price"),
+          coalesce(col("new_o_totalprice"), lit(-1.0)).as("new_price"),
+          coalesce(col("old_o_orderstatus"), lit("")).as("old_status"),
+          coalesce(col("new_o_orderstatus"), lit("")).as("new_status"))
+    }),
     // multi-level rollup mart with grouping_id
     "q_mart_rollup" -> Core.martRollup,
     // pivot (conditional-aggregation compilation)
@@ -126,6 +149,10 @@ object SparkEntry {
     "q_running_totals" -> EventsQ.runningTotals,
     // cohort retention matrix (first-seen-day cohorts × day offset)
     "q_cohort_retention" -> EventsQ.cohortRetention,
+    // time-series regularization — hourly counts with missing hours
+    // zero-filled over each type's span (resampling before windowed
+    // models; scaffold is metadata-sized)
+    "q_gap_fill" -> EventsQ.gapFillHourly,
     // ordered-step funnel: view -> click -> purchase, sequential in
     // event time per user
     "q_funnel" -> EventsQ.funnel,
@@ -356,6 +383,55 @@ object SparkEntry {
         | CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS gross,
         | count(DISTINCT o_custkey) AS customers
         |FROM orders GROUP BY 1, 2""".stripMargin,
+    // gap fill: per-type hour scaffold via generate_series, left join,
+    // zero-fill — mirrors the Spark sequence+explode scaffold
+    "q_gap_fill" ->
+      """WITH c AS (
+        |  SELECT event_type, date_trunc('hour', ts) AS hour, count(*) AS n
+        |  FROM events GROUP BY 1, 2
+        |), span AS (
+        |  SELECT event_type, min(hour) AS h0, max(hour) AS h1 FROM c GROUP BY 1
+        |), scaffold AS (
+        |  SELECT event_type,
+        |   unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS hour
+        |  FROM span
+        |)
+        |SELECT s.event_type, s.hour, CAST(coalesce(c.n, 0) AS BIGINT) AS n
+        |FROM scaffold s LEFT JOIN c
+        |  ON c.event_type = s.event_type AND c.hour = s.hour""".stripMargin,
+    // snapshot diff: the v2 mutation replayed in SQL, full-outer join,
+    // IS DISTINCT FROM mirrors the null-safe change test
+    "q_snapshot_diff" ->
+      """WITH v1 AS (
+        |  SELECT o_orderkey, o_totalprice, o_orderstatus FROM orders
+        |), v2 AS (
+        |  SELECT o_orderkey,
+        |   CASE WHEN o_orderkey % 20 = 1
+        |        THEN o_totalprice + CAST(10.0 AS DOUBLE)
+        |        ELSE o_totalprice END AS o_totalprice,
+        |   o_orderstatus
+        |  FROM orders WHERE o_orderkey % 20 != 0
+        |  UNION ALL
+        |  SELECT o_orderkey + 100000000, o_totalprice, o_orderstatus
+        |  FROM orders WHERE o_orderkey % 20 = 2
+        |), j AS (
+        |  SELECT coalesce(v1.o_orderkey, v2.o_orderkey) AS o_orderkey,
+        |   v1.o_orderkey IS NULL AS only_new,
+        |   v2.o_orderkey IS NULL AS only_old,
+        |   (v1.o_totalprice IS DISTINCT FROM v2.o_totalprice
+        |    OR v1.o_orderstatus IS DISTINCT FROM v2.o_orderstatus) AS diff,
+        |   v1.o_totalprice AS op, v2.o_totalprice AS np,
+        |   v1.o_orderstatus AS os, v2.o_orderstatus AS ns
+        |  FROM v1 FULL OUTER JOIN v2 ON v1.o_orderkey = v2.o_orderkey
+        |)
+        |SELECT o_orderkey,
+        | CASE WHEN only_new THEN 'added'
+        |      WHEN only_old THEN 'removed'
+        |      ELSE 'changed' END AS change,
+        | coalesce(op, -1.0) AS old_price, coalesce(np, -1.0) AS new_price,
+        | coalesce(os, '') AS old_status, coalesce(ns, '') AS new_status
+        |FROM j
+        |WHERE only_new OR only_old OR diff""".stripMargin,
     // incremental mart: the oracle is the FULL recompute — identical
     // output contract to q_mart_daily_sales
     "q_incremental_mart" ->

@@ -160,4 +160,29 @@ object EventsQ {
       .agg(countDistinct(col("user_id")).as("users"))
       .filter(col("k") <= 7)
   }
+
+  /** Time-series gap filling / regularization: hourly event counts per
+    * type with EVERY hour of each type's [first, last] span present,
+    * missing hours zero-filled — the resampling step before any
+    * windowed model sees the series (a gap read as "no row" silently
+    * skews moving averages and anomaly baselines).
+    *
+    * Scale shape: the count aggregate is the only corpus-sized pass;
+    * the scaffold (per-type min/max + one `sequence` explode) is
+    * |types × hours| — metadata-sized — and the zero-fill is a left
+    * join of scaffold onto counts, shuffling only bucket rows.
+    */
+  def gapFillHourly(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables(spark, dir, "events")
+      .select(col("event_type"), date_trunc("hour", col("ts")).as("hour"))
+    val counts = ev.groupBy(col("event_type"), col("hour"))
+      .agg(count(lit(1)).as("n"))
+    val scaffold = counts.groupBy(col("event_type"))
+      .agg(min(col("hour")).as("h0"), max(col("hour")).as("h1"))
+      .select(col("event_type"), explode(
+        sequence(col("h0"), col("h1"), expr("interval 1 hour"))).as("hour"))
+    scaffold.join(counts, Seq("event_type", "hour"), "left")
+      .select(col("event_type"), col("hour"),
+        coalesce(col("n"), lit(0L)).as("n"))
+  }
 }
