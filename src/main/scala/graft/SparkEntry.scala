@@ -170,6 +170,38 @@ object SparkEntry {
     // embedded Derby (update batch REDELIVERED twice — the connector's
     // idempotence contract), read back through the same connector. The
     // oracle recomputes the converged table state relationally.
+    // DSv2 aggregate pushdown — the warehouse answers GROUP BY
+    // count/sum/min/max itself (complete pushdown, no Spark-side
+    // aggregate; WarehouseDataSourceSpec pins the plan). Money flows as
+    // exact integer cents so both engines sum exactly.
+    "q_warehouse_agg" -> ((s, dir) => {
+      import org.apache.spark.sql.functions._
+      import org.apache.spark.sql.types.DecimalType
+      val url = "jdbc:derby:memory:graftwhagg;create=true"
+      val c = java.sql.DriverManager.getConnection(url)
+      try {
+        try c.createStatement().execute(
+          "CREATE TABLE wh_sales (orderkey BIGINT NOT NULL, " +
+            "status VARCHAR(4), cents BIGINT)")
+        catch { // X0Y32 = already exists (re-runs in one session)
+          case e: java.sql.SQLException if e.getSQLState == "X0Y32" => ()
+        }
+      } finally c.close()
+      graft.Tables(s, dir, "orders")
+        .filter(col("o_orderkey") % 100 === 0)
+        .select(col("o_orderkey").as("orderkey"),
+          col("o_orderstatus").as("status"),
+          (col("o_totalprice").cast(DecimalType(18, 2)) * 100)
+            .cast("long").as("cents"))
+        .write.format("graft-warehouse")
+        .option("url", url).option("dbtable", "wh_sales")
+        .option("keys", "orderkey").mode("append").save()
+      s.read.format("graft-warehouse")
+        .option("url", url).option("dbtable", "wh_sales").load()
+        .groupBy(col("STATUS").as("status"))
+        .agg(count(lit(1)).as("n"), sum(col("CENTS")).as("total_cents"),
+          min(col("CENTS")).as("min_cents"), max(col("CENTS")).as("max_cents"))
+    }),
     "q_warehouse_roundtrip" -> ((s, dir) => {
       import org.apache.spark.sql.functions._
       import org.apache.spark.sql.types.DecimalType
@@ -486,6 +518,16 @@ object SparkEntry {
         |FROM orders WHERE CAST(o_orderdate AS DATE) >= DATE '1995-01-01'""".stripMargin,
     // the converged warehouse state after base upsert + (redelivered)
     // update batch: rows with orderkey % 700 = 0 carry the doubled price
+    "q_warehouse_agg" ->
+      """WITH base AS (
+        |  SELECT o_orderstatus AS status,
+        |   CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+        |  FROM orders WHERE o_orderkey % 100 = 0
+        |)
+        |SELECT status, count(*) AS n,
+        | CAST(sum(cents) AS BIGINT) AS total_cents,
+        | min(cents) AS min_cents, max(cents) AS max_cents
+        |FROM base GROUP BY 1""".stripMargin,
     "q_warehouse_roundtrip" ->
       """WITH base AS (
         |  SELECT o_orderkey AS orderkey, o_orderstatus AS status,

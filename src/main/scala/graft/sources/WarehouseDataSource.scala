@@ -7,7 +7,9 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsWrite, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.distributions.{Distribution, Distributions}
 import org.apache.spark.sql.connector.expressions.{Expressions, SortOrder, Transform}
-import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownRequiredColumns}
+import org.apache.spark.sql.connector.expressions.NamedReference
+import org.apache.spark.sql.connector.expressions.aggregate.{Aggregation, Count, CountStar, Max, Min, Sum}
+import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownAggregates, SupportsPushDownRequiredColumns}
 import org.apache.spark.sql.connector.write.{BatchWrite, DataWriter, DataWriterFactory, LogicalWriteInfo, PhysicalWriteInfo, RequiresDistributionAndOrdering, Write, WriteBuilder, WriterCommitMessage}
 import org.apache.spark.sql.sources.DataSourceRegister
 import org.apache.spark.sql.types._
@@ -190,40 +192,131 @@ private[sources] class WarehouseTable(schema0: StructType, conf: WarehouseConf)
 
 private[sources] class WarehouseScanBuilder(full: StructType,
     conf: WarehouseConf)
-    extends ScanBuilder with SupportsPushDownRequiredColumns {
+    extends ScanBuilder with SupportsPushDownRequiredColumns
+    with SupportsPushDownAggregates {
 
   private var required: StructType = full
+  // (aggregated SELECT … GROUP BY … SQL, result schema) once pushed
+  private var pushedAgg: Option[(String, StructType)] = None
 
-  override def pruneColumns(requiredSchema: StructType): Unit =
-    // preserve TABLE column order/metadata; an empty projection (count-only
-    // scan) still reads one column so the row cursor has a SELECT list
-    required = {
-      val names = requiredSchema.fieldNames.toSet
-      val kept = full.fields.filter(f => names.contains(f.name))
-      StructType(if (kept.isEmpty) full.fields.take(1) else kept)
-    }
-
-  override def build(): Scan = {
-    // a user-supplied spark.read.schema(...) reaches the interpolated
-    // SELECT in WarehouseReader — hold it to the same no-injectable-SQL
-    // contract as the write path. Validated on the PRUNED set at scan
-    // build (not the full schema at construction), so a table with one
-    // exotic column name stays readable as long as queries don't
-    // select it
-    required.fieldNames.foreach(
-      JdbcSink.requireIdent(_, "column", allowQualified = false))
-    buildScan()
+  override def pruneColumns(requiredSchema: StructType): Unit = {
+    // after a COMPLETE aggregate pushdown Spark builds the scan straight
+    // from the aggregation output — column pruning only applies to the
+    // row-scan path
+    if (pushedAgg.isEmpty)
+      // preserve TABLE column order/metadata; an empty projection
+      // (count-only scan) still reads one column so the row cursor has a
+      // SELECT list
+      required = {
+        val names = requiredSchema.fieldNames.toSet
+        val kept = full.fields.filter(f => names.contains(f.name))
+        StructType(if (kept.isEmpty) full.fields.take(1) else kept)
+      }
   }
 
-  private def buildScan(): Scan = new Scan with Batch {
-    override def readSchema(): StructType = required
-    override def description(): String =
-      s"graft-warehouse ${conf.table} (${required.fieldNames.mkString(",")})"
+  /** The single-partition reader returns FINAL results, so any
+    * aggregation we can translate is safe to push completely — Spark
+    * then plans no aggregate at all over the scan.
+    */
+  override def supportCompletePushDown(agg: Aggregation): Boolean =
+    translate(agg).isDefined
+
+  override def pushAggregation(agg: Aggregation): Boolean =
+    translate(agg) match {
+      case some @ Some(_) =>
+        pushedAgg = some
+        true
+      // untranslatable → refuse; Spark aggregates over the row scan,
+      // which is always correct (partial-pushdown merge semantics are
+      // deliberately not implemented — complete-or-nothing)
+      case None => false
+    }
+
+  /** Single-name column behind a V2 expression, resolved against the
+    * table schema case-insensitively (as Spark resolved it).
+    */
+  private def fieldOf(
+      e: org.apache.spark.sql.connector.expressions.Expression)
+      : Option[StructField] = e match {
+    case nr: NamedReference if nr.fieldNames.length == 1 =>
+      full.fields.find(_.name.equalsIgnoreCase(nr.fieldNames()(0)))
+    case _ => None
+  }
+
+  /** COUNT(*) / COUNT([DISTINCT] c) / MIN / MAX / SUM over plain columns
+    * → (aggregated SQL, result schema in Spark's expected types).
+    * Anything else (expressions, decimals, distinct sums) → None.
+    */
+  private def translate(a: Aggregation): Option[(String, StructType)] = {
+    val groups = a.groupByExpressions.toSeq.map(fieldOf)
+    val aggs = a.aggregateExpressions.toSeq.zipWithIndex.map {
+      case (_: CountStar, i) =>
+        Some(("COUNT(*)", StructField(s"agg_$i", LongType, nullable = false)))
+      case (c: Count, i) => fieldOf(c.column).map { f =>
+        val d = if (c.isDistinct) "DISTINCT " else ""
+        (s"COUNT($d${f.name})",
+          StructField(s"agg_$i", LongType, nullable = false))
+      }
+      case (m: Min, i) => fieldOf(m.column).map(f =>
+        (s"MIN(${f.name})", StructField(s"agg_$i", f.dataType)))
+      case (m: Max, i) => fieldOf(m.column).map(f =>
+        (s"MAX(${f.name})", StructField(s"agg_$i", f.dataType)))
+      case (s: Sum, i) if !s.isDistinct => fieldOf(s.column).flatMap { f =>
+        f.dataType match {
+          // Spark's SUM over integral types is LongType — cast in SQL so
+          // the JDBC cursor hands back the type the schema promises
+          case ShortType | IntegerType | LongType =>
+            Some((s"CAST(SUM(${f.name}) AS BIGINT)",
+              StructField(s"agg_$i", LongType)))
+          case FloatType | DoubleType =>
+            Some((s"CAST(SUM(${f.name}) AS DOUBLE)",
+              StructField(s"agg_$i", DoubleType)))
+          case _ => None
+        }
+      }
+      case _ => None
+    }
+    if (groups.exists(_.isEmpty) || aggs.exists(_.isEmpty) || aggs.isEmpty)
+      None
+    else {
+      val g = groups.map(_.get)
+      // same no-injectable-SQL contract as every other interpolation
+      g.map(_.name).foreach(
+        JdbcSink.requireIdent(_, "column", allowQualified = false))
+      val select = (g.map(_.name) ++ aggs.map(_.get._1)).mkString(", ")
+      val groupBy =
+        if (g.isEmpty) "" else s" GROUP BY ${g.map(_.name).mkString(", ")}"
+      Some((s"SELECT $select FROM ${conf.table}$groupBy",
+        StructType(g ++ aggs.map(_.get._2))))
+    }
+  }
+
+  override def build(): Scan = pushedAgg match {
+    case Some((sql, schema)) => buildScan(schema, sql,
+      s"graft-warehouse ${conf.table} PushedAggregates=[$sql]")
+    case None =>
+      // a user-supplied spark.read.schema(...) reaches the interpolated
+      // SELECT in WarehouseReader — hold it to the same no-injectable-SQL
+      // contract as the write path. Validated on the PRUNED set at scan
+      // build (not the full schema at construction), so a table with one
+      // exotic column name stays readable as long as queries don't
+      // select it
+      required.fieldNames.foreach(
+        JdbcSink.requireIdent(_, "column", allowQualified = false))
+      buildScan(required,
+        s"SELECT ${required.fieldNames.mkString(", ")} FROM ${conf.table}",
+        s"graft-warehouse ${conf.table} (${required.fieldNames.mkString(",")})")
+  }
+
+  private def buildScan(schema: StructType, sql: String,
+      desc: String): Scan = new Scan with Batch {
+    override def readSchema(): StructType = schema
+    override def description(): String = desc
     override def toBatch: Batch = this
     override def planInputPartitions(): Array[InputPartition] =
       Array(WarehousePartition(0))
     override def createReaderFactory(): PartitionReaderFactory =
-      WarehouseReaderFactory(conf, required)
+      WarehouseReaderFactory(conf, schema, sql)
   }
 }
 
@@ -231,19 +324,19 @@ private[sources] class WarehouseScanBuilder(full: StructType,
   * the non-serializable enclosing Scan.
   */
 private[sources] final case class WarehouseReaderFactory(conf: WarehouseConf,
-    schema: StructType) extends PartitionReaderFactory {
+    schema: StructType, sql: String) extends PartitionReaderFactory {
   override def createReader(p: InputPartition): PartitionReader[InternalRow] =
-    new WarehouseReader(conf, schema)
+    new WarehouseReader(conf, schema, sql)
 }
 
 private[sources] final case class WarehousePartition(id: Int) extends InputPartition
 
-private[sources] class WarehouseReader(conf: WarehouseConf, schema: StructType)
+private[sources] class WarehouseReader(conf: WarehouseConf,
+    schema: StructType, sql: String)
     extends PartitionReader[InternalRow] {
 
   private val conn = DriverManager.getConnection(conf.url)
-  private val rs = conn.createStatement().executeQuery(
-    s"SELECT ${schema.fieldNames.mkString(", ")} FROM ${conf.table}")
+  private val rs = conn.createStatement().executeQuery(sql)
 
   override def next(): Boolean = rs.next()
   override def get(): InternalRow =

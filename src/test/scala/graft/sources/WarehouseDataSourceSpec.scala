@@ -107,4 +107,63 @@ class WarehouseDataSourceSpec extends AnyFunSuite with SparkSpec {
       writeTo(Seq((1L, 2L)).toDF("k", "v"), "wh_fct", Some("k; --"))
     }
   }
+
+  test("aggregates push down completely: no Spark-side aggregate node") {
+    import org.apache.spark.sql.functions._
+    exec("CREATE TABLE wh_agg (grp VARCHAR(10) NOT NULL, qty INT, amt DOUBLE)")
+    val df = Seq(("a", 1, 1.5), ("a", 2, 2.5), ("b", 3, 10.0),
+      ("b", 4, 20.0), ("b", 5, 30.0)).toDF("grp", "qty", "amt")
+    writeTo(df, "wh_agg", keys = None)
+
+    val agg = readBack("wh_agg").groupBy(col("GRP"))
+      .agg(count(lit(1)).as("n"), sum(col("QTY")).as("sq"),
+        sum(col("AMT")).as("sa"), min(col("QTY")).as("mn"),
+        max(col("AMT")).as("mx"))
+    val plan = agg.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedAggregates="), plan)
+    assert(!plan.contains("HashAggregate"),
+      s"complete pushdown must plan no Spark aggregate:\n$plan")
+    val got = agg.collect().map(r => (r.getString(0), r.getLong(1),
+      r.getLong(2), r.getDouble(3), r.getInt(4), r.getDouble(5))).toSet
+    assert(got == Set(("a", 2L, 3L, 4.0, 1, 2.5),
+      ("b", 3L, 12L, 60.0, 3, 30.0)))
+  }
+
+  test("global aggregate (no group-by) pushes down too") {
+    import org.apache.spark.sql.functions._
+    val agg = readBack("wh_agg").agg(count(lit(1)).as("n"),
+      count_distinct(col("GRP")).as("g"))
+    val plan = agg.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedAggregates="), plan)
+    assert(!plan.contains("HashAggregate"), plan)
+    assert(agg.collect().map(r => (r.getLong(0), r.getLong(1))).toSeq ==
+      Seq((5L, 2L)))
+  }
+
+  test("AVG pushes as its sum/count decomposition with a final project") {
+    import org.apache.spark.sql.functions._
+    // Spark rewrites AVG into SUM + COUNT before offering the V2
+    // aggregation — both translate, so the pushdown is still complete
+    // and only a Project (the division) runs Spark-side
+    val agg = readBack("wh_agg").groupBy(col("GRP"))
+      .agg(avg(col("AMT")).as("a"))
+    val plan = agg.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedAggregates="), plan)
+    assert(!plan.contains("HashAggregate"), plan)
+    assert(agg.collect().map(r => (r.getString(0), r.getDouble(1))).toSet ==
+      Set(("a", 2.0), ("b", 20.0)))
+  }
+
+  test("untranslatable aggregate falls back to a correct row-scan plan") {
+    import org.apache.spark.sql.functions._
+    // an EXPRESSION input (qty * 2) has no NamedReference — refused, so
+    // Spark aggregates over the plain scan and still answers correctly
+    val agg = readBack("wh_agg").groupBy(col("GRP"))
+      .agg(sum(col("QTY") * 2).as("s"))
+    val plan = agg.queryExecution.executedPlan.toString
+    assert(!plan.contains("PushedAggregates="), plan)
+    assert(plan.contains("HashAggregate"), plan)
+    assert(agg.collect().map(r => (r.getString(0), r.getLong(1))).toSet ==
+      Set(("a", 6L), ("b", 24L)))
+  }
 }
