@@ -9,7 +9,8 @@ import org.apache.spark.sql.connector.distributions.{Distribution, Distributions
 import org.apache.spark.sql.connector.expressions.{Expressions, SortOrder, Transform}
 import org.apache.spark.sql.connector.expressions.NamedReference
 import org.apache.spark.sql.connector.expressions.aggregate.{Aggregation, Count, CountStar, Max, Min, Sum}
-import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownAggregates, SupportsPushDownRequiredColumns}
+import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownAggregates, SupportsPushDownFilters, SupportsPushDownRequiredColumns}
+import org.apache.spark.sql.sources.{EqualTo, Filter, GreaterThan, GreaterThanOrEqual, In, IsNotNull, IsNull, LessThan, LessThanOrEqual}
 import org.apache.spark.sql.connector.write.{BatchWrite, DataWriter, DataWriterFactory, LogicalWriteInfo, PhysicalWriteInfo, RequiresDistributionAndOrdering, Write, WriteBuilder, WriterCommitMessage}
 import org.apache.spark.sql.sources.DataSourceRegister
 import org.apache.spark.sql.types._
@@ -193,11 +194,72 @@ private[sources] class WarehouseTable(schema0: StructType, conf: WarehouseConf)
 private[sources] class WarehouseScanBuilder(full: StructType,
     conf: WarehouseConf)
     extends ScanBuilder with SupportsPushDownRequiredColumns
-    with SupportsPushDownAggregates {
+    with SupportsPushDownAggregates with SupportsPushDownFilters {
 
   private var required: StructType = full
   // (aggregated SELECT … GROUP BY … SQL, result schema) once pushed
   private var pushedAgg: Option[(String, StructType)] = None
+  private var pushed: Seq[(Filter, String)] = Nil
+
+  // ----- filter pushdown ---------------------------------------------
+
+  /** Render a comparison literal, or None if the type has no safe SQL
+    * form. Strings escape embedded quotes — the ONE non-identifier
+    * interpolation in this connector, fenced the standard way.
+    */
+  private def sqlLit(v: Any): Option[String] = v match {
+    case null => None
+    case _: Int | _: Long | _: Short | _: Byte => Some(v.toString)
+    case d: Double if !d.isNaN && !d.isInfinite => Some(d.toString)
+    case f: Float if !f.isNaN && !f.isInfinite => Some(f.toString)
+    case b: Boolean => Some(if (b) "TRUE" else "FALSE")
+    case s: String => Some("'" + s.replace("'", "''") + "'")
+    case _ => None // timestamps/dates/decimals: leave to Spark
+  }
+
+  /** Column reference valid for interpolation, resolved case-insensitively. */
+  private def sqlCol(name: String): Option[String] =
+    full.fields.find(_.name.equalsIgnoreCase(name)).map { f =>
+      JdbcSink.requireIdent(f.name, "column", allowQualified = false)
+      f.name
+    }
+
+  private def toWhere(f: Filter): Option[String] = f match {
+    case EqualTo(c, v) =>
+      for (cc <- sqlCol(c); vv <- sqlLit(v)) yield s"$cc = $vv"
+    case GreaterThan(c, v) =>
+      for (cc <- sqlCol(c); vv <- sqlLit(v)) yield s"$cc > $vv"
+    case GreaterThanOrEqual(c, v) =>
+      for (cc <- sqlCol(c); vv <- sqlLit(v)) yield s"$cc >= $vv"
+    case LessThan(c, v) =>
+      for (cc <- sqlCol(c); vv <- sqlLit(v)) yield s"$cc < $vv"
+    case LessThanOrEqual(c, v) =>
+      for (cc <- sqlCol(c); vv <- sqlLit(v)) yield s"$cc <= $vv"
+    case In(c, vs) if vs.nonEmpty =>
+      val lits = vs.toSeq.map(sqlLit)
+      for (cc <- sqlCol(c); if lits.forall(_.isDefined))
+        yield s"$cc IN (${lits.map(_.get).mkString(", ")})"
+    case IsNull(c) => sqlCol(c).map(cc => s"$cc IS NULL")
+    case IsNotNull(c) => sqlCol(c).map(cc => s"$cc IS NOT NULL")
+    case _ => None // AND/OR/NOT/string-match: leave to Spark
+  }
+
+  /** Push what translates; Spark re-checks the rest post-scan. */
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    val (ok, residual) = filters.toSeq
+      .map(f => f -> toWhere(f))
+      .partition(_._2.isDefined)
+    pushed = ok.map { case (f, w) => (f, w.get) }
+    residual.map(_._1).toArray
+  }
+
+  override def pushedFilters(): Array[Filter] = pushed.map(_._1).toArray
+
+  private def whereClause: String =
+    if (pushed.isEmpty) ""
+    else pushed.map(_._2).mkString(" WHERE ", " AND ", "")
+
+  // ----- aggregate pushdown ------------------------------------------
 
   override def pruneColumns(requiredSchema: StructType): Unit = {
     // after a COMPLETE aggregate pushdown Spark builds the scan straight
@@ -286,7 +348,10 @@ private[sources] class WarehouseScanBuilder(full: StructType,
       val select = (g.map(_.name) ++ aggs.map(_.get._1)).mkString(", ")
       val groupBy =
         if (g.isEmpty) "" else s" GROUP BY ${g.map(_.name).mkString(", ")}"
-      Some((s"SELECT $select FROM ${conf.table}$groupBy",
+      // filters are pushed before aggregates (Spark only offers the
+      // aggregation once every filter is handled), so the WHERE is
+      // already final here
+      Some((s"SELECT $select FROM ${conf.table}$whereClause$groupBy",
         StructType(g ++ aggs.map(_.get._2))))
     }
   }
@@ -303,9 +368,14 @@ private[sources] class WarehouseScanBuilder(full: StructType,
       // select it
       required.fieldNames.foreach(
         JdbcSink.requireIdent(_, "column", allowQualified = false))
+      val filterDesc =
+        if (pushed.isEmpty) ""
+        else s" PushedFilters=[${pushed.map(_._2).mkString(", ")}]"
       buildScan(required,
-        s"SELECT ${required.fieldNames.mkString(", ")} FROM ${conf.table}",
-        s"graft-warehouse ${conf.table} (${required.fieldNames.mkString(",")})")
+        s"SELECT ${required.fieldNames.mkString(", ")} " +
+          s"FROM ${conf.table}$whereClause",
+        s"graft-warehouse ${conf.table} " +
+          s"(${required.fieldNames.mkString(",")})$filterDesc")
   }
 
   private def buildScan(schema: StructType, sql: String,

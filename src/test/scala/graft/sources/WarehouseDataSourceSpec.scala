@@ -154,6 +154,42 @@ class WarehouseDataSourceSpec extends AnyFunSuite with SparkSpec {
       Set(("a", 2.0), ("b", 20.0)))
   }
 
+  test("filters push into the warehouse SQL: no Spark-side Filter node") {
+    import org.apache.spark.sql.functions._
+    val q = readBack("wh_agg").filter(col("QTY") > 2 && col("GRP") === "b")
+      .select(col("QTY"))
+    val plan = q.queryExecution.executedPlan
+    assert(plan.toString.contains("PushedFilters=[QTY IS NOT NULL, " +
+      "QTY > 2, GRP = 'b']"), plan.toString)
+    assert(plan.collect {
+      case f: org.apache.spark.sql.execution.FilterExec => f
+    }.isEmpty, s"fully-pushed predicates must leave no FilterExec:\n$plan")
+    assert(q.collect().map(_.getInt(0)).toSet == Set(3, 4, 5))
+  }
+
+  test("filter + aggregate push down together into one warehouse query") {
+    import org.apache.spark.sql.functions._
+    val agg = readBack("wh_agg").filter(col("QTY") >= 2)
+      .groupBy(col("GRP")).agg(count(lit(1)).as("n"))
+    val plan = agg.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedAggregates="), plan)
+    assert(plan.contains("WHERE"), plan)
+    assert(!plan.contains("HashAggregate"), plan)
+    assert(agg.collect().map(r => (r.getString(0), r.getLong(1))).toSet ==
+      Set(("a", 1L), ("b", 3L)))
+  }
+
+  test("untranslatable filter stays Spark-side and still answers right") {
+    import org.apache.spark.sql.functions._
+    val q = readBack("wh_agg").filter(col("GRP").endsWith("b"))
+      .select(col("QTY"))
+    val plan = q.queryExecution.executedPlan
+    assert(plan.collect {
+      case f: org.apache.spark.sql.execution.FilterExec => f
+    }.nonEmpty, "the residual predicate must be re-checked by Spark")
+    assert(q.collect().map(_.getInt(0)).toSet == Set(3, 4, 5))
+  }
+
   test("untranslatable aggregate falls back to a correct row-scan plan") {
     import org.apache.spark.sql.functions._
     // an EXPRESSION input (qty * 2) has no NamedReference — refused, so
