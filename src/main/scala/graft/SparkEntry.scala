@@ -385,6 +385,10 @@ object SparkEntry {
     // similarity search — IVF-PQ doubly-reduced ADC probe against
     // prebuilt artifacts (cell pruning x m-lookup scoring)
     "q_ann_ivfpq_probe" -> AnnQ.ivfPqTopKProbe,
+    // retrieval diversification — MMR greedy rerank of the brute
+    // candidate list (rows-only: data-dependent greedy loop; MmrSpec
+    // pins scalar recompute, λ=1 degeneration, determinism)
+    "q_ann_mmr" -> AnnQ.mmrTopK,
     // governance — column-level lineage of the daily mart, read off the
     // analyzed plan (oracle = the pinned expected relation; LineageSpec
     // covers joins/rollup/curation shapes)

@@ -213,4 +213,17 @@ object AnnQ {
   def ivfPqTopKProbe(spark: SparkSession, dir: String): DataFrame =
     ivfPqOverIndex(spark, dir,
       graft.ops.StageArtifacts.ensure(dir, "ivfpq")(buildIvfPqIndex(spark, dir)))
+
+  /** q_ann_mmr: MMR-diversified top-10 from the brute top-20 candidate
+    * list for query vector 0 (λ = 0.7). Candidate generation is the
+    * distributed stage; the greedy rerank is k-sized serving logic.
+    */
+  def mmrTopK(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables(spark, dir, "embeddings")
+    val cands = Ann.bruteForceTopK(emb,
+        emb.filter(col("vec_id") === 0L), "vec_id", "embedding", k = 20)
+      .select(col("neighbor_id").as("doc_id"), col("cosine"))
+    graft.ann.Mmr.rerank(spark, cands, emb, "vec_id", "embedding",
+      k = 10, lambda = 0.7)
+  }
 }
