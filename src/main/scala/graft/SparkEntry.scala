@@ -263,6 +263,9 @@ object SparkEntry {
     // quality-weighted sampling — keep probability = quality score,
     // decided by a content-hash draw (deterministic Bernoulli)
     "q_weighted_sample" -> SampleQ.weightedSample,
+    // training-mix scheduling — stride-scheduled curriculum interleave
+    // (order KEY, not a single-partition global position)
+    "q_interleave" -> ((s, dir) => SampleQ.curriculumInterleave(s, dir)),
     // corpus hygiene — PII redaction (emails/IPs/phones -> typed tokens,
     // per-category counts; PII planted deterministically, see TextQ)
     "q_pii_redact" -> TextQ.piiRedact,
@@ -872,6 +875,19 @@ object SparkEntry {
         | round(quality, 6) AS quality,
         | CAST(draw AS DOUBLE) < quality * 1e6 AS keep
         |FROM s""".stripMargin,
+    // stride-scheduled interleave: per-source rank over doc_id, frac =
+    // rn/n — one exact integer double division, mirrored verbatim
+    "q_interleave" ->
+      """WITH c AS (
+        |  SELECT source, count(*) AS n_source FROM documents GROUP BY 1
+        |), r AS (
+        |  SELECT doc_id, source, CAST(row_number() OVER (
+        |    PARTITION BY source ORDER BY doc_id) AS BIGINT) AS rn
+        |  FROM documents
+        |)
+        |SELECT r.doc_id, r.source, r.rn, CAST(c.n_source AS BIGINT) AS n_source,
+        | CAST(r.rn AS DOUBLE) / CAST(c.n_source AS DOUBLE) AS frac
+        |FROM r JOIN c USING (source)""".stripMargin,
     "q_pii_redact" ->
       """WITH p AS (
         |  SELECT doc_id, text

@@ -88,4 +88,34 @@ object SampleQ {
       .filter(col("rn") <= ceil(col("cnt") * fraction))
       .select(col("doc_id"), col("lang"), col("rn"))
   }
+
+  /** Curriculum interleaving by stride scheduling: every document gets
+    * the order key frac = rn/|source| — sorting by (frac, source,
+    * doc_id) interleaves the sources PROPORTIONALLY (each source
+    * advances at the pace of its size; after any prefix of length L,
+    * source s has contributed L·n_s/N ± 1 docs). The training-mix
+    * scheduler: a run that reads the corpus in this order consumes
+    * every source evenly instead of front-loading whichever was
+    * ingested first.
+    *
+    * The output is the ORDER KEY, not a materialized global position —
+    * a global row_number would plan a single-partition window, while
+    * the key is computed with one per-source window + a broadcast of
+    * the source counts, and the consumer realizes the order as a
+    * range-partitioned sort. frac is one exact-integer double division,
+    * so the whole thing is DuckDB-oracled.
+    */
+  def curriculumInterleave(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(spark, dir, "documents")
+      .select(col("doc_id"), col("source"))
+    val bySource = Window.partitionBy(col("source")).orderBy(col("doc_id"))
+    val counts = docs.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_source"))
+    docs.withColumn("rn", row_number().over(bySource).cast("long"))
+      .join(broadcast(counts), "source")
+      .withColumn("frac",
+        col("rn").cast("double") / col("n_source").cast("double"))
+      .select(col("doc_id"), col("source"), col("rn"), col("n_source"),
+        col("frac"))
+  }
 }
