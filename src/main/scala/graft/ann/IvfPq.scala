@@ -125,9 +125,10 @@ object IvfPq {
     val res = residuals(corpus, assignments, ms, idCol, vecCol)
       .localCheckpoint()
     // codes only: the rnorm Pq.encode would fold is ‖r̂‖, not the ‖μ+r̂‖
-    // this index stores — skip the wasted per-row work
-    val coded = Pq.encodeCodes(res, idCol, "res", codebooks)
+    // this index stores — skip the wasted per-row work; books collect
+    // ONCE for both the code projection and the recon literals
     val books = Pq.collectBooks(codebooks)
+    val coded = Pq.encodeCodesWith(res, idCol, "res", books)
     val m = books.size
     val bookLit = (0 until m).map(s => typedlit(books(s).map(_.toSeq)))
     val mlit = typedlit(ms)

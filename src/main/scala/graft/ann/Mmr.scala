@@ -34,7 +34,13 @@ object Mmr {
       idCol: String, vecCol: String, k: Int, lambda: Double): DataFrame = {
     require(lambda >= 0.0 && lambda <= 1.0, s"lambda must be in [0,1]: $lambda")
     val cands = candidates.select(col("doc_id"), col("cosine"))
-      .collect().map(r => r.getLong(0) -> r.getDouble(1))
+      .collect().map { r =>
+        // zero-norm guard, same convention as Pq.adcTopK: a NaN
+        // relevance (0/0 cosine from a zero vector) scores as 0 instead
+        // of crashing the BigDecimal rounding below
+        val rel = r.getDouble(1)
+        r.getLong(0) -> (if (rel.isNaN) 0.0 else rel)
+      }
       .sortBy { case (id, rel) => (-rel, id) }
     val ids = cands.map(_._1)
     val vecs = emb
@@ -46,7 +52,8 @@ object Mmr {
       while (i < a.length) {
         d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1
       }
-      d / (math.sqrt(na) * math.sqrt(nb))
+      if (na == 0.0 || nb == 0.0) 0.0
+      else d / (math.sqrt(na) * math.sqrt(nb))
     }
     val relOf = cands.toMap
     val selected = scala.collection.mutable.ArrayBuffer.empty[(Long, Double)]

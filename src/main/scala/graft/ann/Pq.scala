@@ -161,7 +161,7 @@ object Pq {
     val m = books.size
     val norms = books.map(_.map(c => c.map(x => x * x).sum))
     val nlit = typedlit(norms.map(_.toIndexedSeq))
-    encodeCodes(corpus, idCol, vecCol, codebooks)
+    encodeCodesWith(corpus, idCol, vecCol, books)
       .withColumn("rnorm", sqrt(aggregate(
         sequence(lit(0), lit(m - 1)), lit(0.0),
         (acc, s) => acc + element_at(element_at(nlit, s + 1),
@@ -174,8 +174,15 @@ object Pq {
     * column nobody reads is wasted corpus-pass work).
     */
   def encodeCodes(corpus: DataFrame, idCol: String, vecCol: String,
-      codebooks: DataFrame): DataFrame = {
-    val books = collectBooks(codebooks)
+      codebooks: DataFrame): DataFrame =
+    encodeCodesWith(corpus, idCol, vecCol, collectBooks(codebooks))
+
+  /** The codes projection over ALREADY-collected books — callers that
+    * hold the driver matrices (encode, IvfPq) must not pay a second
+    * collect of the codebook artifact.
+    */
+  private[ann] def encodeCodesWith(corpus: DataFrame, idCol: String,
+      vecCol: String, books: IndexedSeq[IndexedSeq[Seq[Double]]]): DataFrame = {
     val m = books.size
     val norms = books.map(_.map(c => c.map(x => x * x).sum))
     val v = asDouble(col(vecCol))

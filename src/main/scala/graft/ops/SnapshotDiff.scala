@@ -25,6 +25,15 @@ object SnapshotDiff {
       compareCols: Seq[String]): DataFrame = {
     require(keyCols.nonEmpty && compareCols.nonEmpty,
       "diff needs at least one key and one compare column")
+    // the internal marker/rename names must not collide with user
+    // columns — a compare column literally named "change" (or _l/_r/
+    // _r_<c>) would be silently overwritten or made ambiguous
+    val reserved = Set("change", "_l", "_r") ++ compareCols.map(c => s"_r_$c")
+    val clash = (keyCols ++ compareCols).filter(c =>
+      reserved.contains(c) || c.startsWith("_r_"))
+    require(clash.isEmpty,
+      s"column name(s) ${clash.mkString(", ")} collide with SnapshotDiff's " +
+        "internal names (change, _l, _r, _r_<compareCol>)")
     val left = v1.select((keyCols ++ compareCols).map(col): _*)
       .withColumn("_l", lit(1))
     val right = v2.select(keyCols.map(col) ++

@@ -97,9 +97,16 @@ private[sources] object WarehouseDataSource {
         .executeQuery(s"SELECT * FROM ${conf.table} WHERE 1=0")
       val md = rs.getMetaData
       StructType((1 to md.getColumnCount).map { i =>
+        // record the warehouse-side type: CHAR(n) compares blank-padded
+        // in SQL but trimmed-exact in Spark, so the filter pushdown must
+        // know VARCHAR from CHAR (pushing an equality at a CHAR column
+        // would return rows Spark's own evaluation rejects)
+        val meta = new MetadataBuilder()
+          .putLong("jdbcType", md.getColumnType(i).toLong).build()
         StructField(md.getColumnName(i), sparkType(md.getColumnType(i),
           md.getPrecision(i), md.getScale(i)),
-          md.isNullable(i) != java.sql.ResultSetMetaData.columnNoNulls)
+          md.isNullable(i) != java.sql.ResultSetMetaData.columnNoNulls,
+          meta)
       })
     } finally conn.close()
   }
@@ -206,41 +213,59 @@ private[sources] class WarehouseScanBuilder(full: StructType,
   /** Render a comparison literal, or None if the type has no safe SQL
     * form. Strings escape embedded quotes — the ONE non-identifier
     * interpolation in this connector, fenced the standard way.
+    * Double.toString round-trips exactly through SQL parsing; Float
+    * does NOT (the warehouse would promote "0.1" to a different double
+    * than (double)0.1f), so Float comparisons stay Spark-side.
     */
   private def sqlLit(v: Any): Option[String] = v match {
     case null => None
     case _: Int | _: Long | _: Short | _: Byte => Some(v.toString)
     case d: Double if !d.isNaN && !d.isInfinite => Some(d.toString)
-    case f: Float if !f.isNaN && !f.isInfinite => Some(f.toString)
     case b: Boolean => Some(if (b) "TRUE" else "FALSE")
     case s: String => Some("'" + s.replace("'", "''") + "'")
-    case _ => None // timestamps/dates/decimals: leave to Spark
+    case _ => None // floats/timestamps/dates/decimals: leave to Spark
   }
 
   /** Column reference valid for interpolation, resolved case-insensitively. */
-  private def sqlCol(name: String): Option[String] =
+  private def sqlCol(name: String): Option[StructField] =
     full.fields.find(_.name.equalsIgnoreCase(name)).map { f =>
       JdbcSink.requireIdent(f.name, "column", allowQualified = false)
-      f.name
+      f
     }
 
-  private def toWhere(f: Filter): Option[String] = f match {
-    case EqualTo(c, v) =>
-      for (cc <- sqlCol(c); vv <- sqlLit(v)) yield s"$cc = $vv"
-    case GreaterThan(c, v) =>
-      for (cc <- sqlCol(c); vv <- sqlLit(v)) yield s"$cc > $vv"
-    case GreaterThanOrEqual(c, v) =>
-      for (cc <- sqlCol(c); vv <- sqlLit(v)) yield s"$cc >= $vv"
-    case LessThan(c, v) =>
-      for (cc <- sqlCol(c); vv <- sqlLit(v)) yield s"$cc < $vv"
-    case LessThanOrEqual(c, v) =>
-      for (cc <- sqlCol(c); vv <- sqlLit(v)) yield s"$cc <= $vv"
+  /** String predicates only push at columns KNOWN to be VARCHAR-family:
+    * CHAR(n) compares blank-padded in SQL but exact in Spark, and a
+    * user-supplied schema carries no type metadata at all — both refuse
+    * (the predicate stays Spark-side, which is always correct).
+    */
+  private def stringPushable(f: StructField): Boolean =
+    f.metadata.contains("jdbcType") && {
+      val t = f.metadata.getLong("jdbcType").toInt
+      t == java.sql.Types.VARCHAR || t == java.sql.Types.LONGVARCHAR
+    }
+
+  private def comparable(f: StructField, v: Any): Boolean = v match {
+    case _: String => stringPushable(f)
+    case _ => true
+  }
+
+  private def cmp(c: String, v: Any, op: String): Option[String] =
+    for (f <- sqlCol(c) if comparable(f, v); vv <- sqlLit(v))
+      yield s"${f.name} $op $vv"
+
+  private def toWhere(flt: Filter): Option[String] = flt match {
+    case EqualTo(c, v) => cmp(c, v, "=")
+    case GreaterThan(c, v) => cmp(c, v, ">")
+    case GreaterThanOrEqual(c, v) => cmp(c, v, ">=")
+    case LessThan(c, v) => cmp(c, v, "<")
+    case LessThanOrEqual(c, v) => cmp(c, v, "<=")
     case In(c, vs) if vs.nonEmpty =>
       val lits = vs.toSeq.map(sqlLit)
-      for (cc <- sqlCol(c); if lits.forall(_.isDefined))
-        yield s"$cc IN (${lits.map(_.get).mkString(", ")})"
-    case IsNull(c) => sqlCol(c).map(cc => s"$cc IS NULL")
-    case IsNotNull(c) => sqlCol(c).map(cc => s"$cc IS NOT NULL")
+      for (f <- sqlCol(c)
+           if lits.forall(_.isDefined) && vs.forall(comparable(f, _)))
+        yield s"${f.name} IN (${lits.map(_.get).mkString(", ")})"
+    case IsNull(c) => sqlCol(c).map(f => s"${f.name} IS NULL")
+    case IsNotNull(c) => sqlCol(c).map(f => s"${f.name} IS NOT NULL")
     case _ => None // AND/OR/NOT/string-match: leave to Spark
   }
 
@@ -295,13 +320,26 @@ private[sources] class WarehouseScanBuilder(full: StructType,
     }
 
   /** Single-name column behind a V2 expression, resolved against the
-    * table schema case-insensitively (as Spark resolved it).
+    * table schema case-insensitively (as Spark resolved it) and held to
+    * the no-injectable-identifier contract — EVERY name the aggregate
+    * path interpolates flows through here (a user-supplied
+    * spark.read.schema(...) is attacker-controlled input).
+    *
+    * String-typed columns additionally require a known VARCHAR-family
+    * warehouse type: CHAR blank-padding and non-binary collations make
+    * source-side grouping/ordering of strings diverge from Spark's
+    * binary semantics, and a complete pushdown would never re-check.
     */
   private def fieldOf(
       e: org.apache.spark.sql.connector.expressions.Expression)
       : Option[StructField] = e match {
     case nr: NamedReference if nr.fieldNames.length == 1 =>
       full.fields.find(_.name.equalsIgnoreCase(nr.fieldNames()(0)))
+        .filter(f => f.dataType != StringType || stringPushable(f))
+        .map { f =>
+          JdbcSink.requireIdent(f.name, "column", allowQualified = false)
+          f
+        }
     case _ => None
   }
 
@@ -325,13 +363,16 @@ private[sources] class WarehouseScanBuilder(full: StructType,
         (s"MAX(${f.name})", StructField(s"agg_$i", f.dataType)))
       case (s: Sum, i) if !s.isDistinct => fieldOf(s.column).flatMap { f =>
         f.dataType match {
-          // Spark's SUM over integral types is LongType — cast in SQL so
-          // the JDBC cursor hands back the type the schema promises
+          // Spark's SUM over integral types is LongType — cast the
+          // OPERAND (inside the SUM) so the warehouse accumulates in
+          // 64-bit: SQL SUM's result type follows its operand, and a
+          // 32-bit accumulator would overflow where Spark's own
+          // aggregation returns the correct Long
           case ShortType | IntegerType | LongType =>
-            Some((s"CAST(SUM(${f.name}) AS BIGINT)",
+            Some((s"SUM(CAST(${f.name} AS BIGINT))",
               StructField(s"agg_$i", LongType)))
           case FloatType | DoubleType =>
-            Some((s"CAST(SUM(${f.name}) AS DOUBLE)",
+            Some((s"SUM(CAST(${f.name} AS DOUBLE))",
               StructField(s"agg_$i", DoubleType)))
           case _ => None
         }
@@ -341,10 +382,9 @@ private[sources] class WarehouseScanBuilder(full: StructType,
     if (groups.exists(_.isEmpty) || aggs.exists(_.isEmpty) || aggs.isEmpty)
       None
     else {
+      // every name (group keys AND aggregate inputs) was validated by
+      // fieldOf against the identifier contract
       val g = groups.map(_.get)
-      // same no-injectable-SQL contract as every other interpolation
-      g.map(_.name).foreach(
-        JdbcSink.requireIdent(_, "column", allowQualified = false))
       val select = (g.map(_.name) ++ aggs.map(_.get._1)).mkString(", ")
       val groupBy =
         if (g.isEmpty) "" else s" GROUP BY ${g.map(_.name).mkString(", ")}"

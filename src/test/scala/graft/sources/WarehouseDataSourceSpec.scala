@@ -190,6 +190,28 @@ class WarehouseDataSourceSpec extends AnyFunSuite with SparkSpec {
     assert(q.collect().map(_.getInt(0)).toSet == Set(3, 4, 5))
   }
 
+  test("CHAR and REAL predicates refuse pushdown (pad/precision hazards)") {
+    import org.apache.spark.sql.functions._
+    exec("CREATE TABLE wh_pad (id BIGINT NOT NULL, code CHAR(4), r REAL)")
+    writeTo(Seq((1L, "a", 0.1f), (2L, "bb", 2.5f)).toDF("id", "code", "r"),
+      "wh_pad", keys = None)
+    // CHAR comparison: SQL would blank-pad-match 'a', Spark must not —
+    // the predicate stays Spark-side and correctly matches nothing
+    val q1 = readBack("wh_pad").filter(col("CODE") === "a")
+    assert(q1.queryExecution.executedPlan.collect {
+      case f: org.apache.spark.sql.execution.FilterExec => f
+    }.nonEmpty, "CHAR equality must not push")
+    assert(q1.count() == 0L)
+    assert(readBack("wh_pad").filter(col("CODE") === "a   ").count() == 1L)
+    // Float literal: "0.1" parses as a different double than
+    // (double)0.1f — must stay Spark-side and still match
+    val q2 = readBack("wh_pad").filter(col("R") === 0.1f)
+    assert(q2.queryExecution.executedPlan.collect {
+      case f: org.apache.spark.sql.execution.FilterExec => f
+    }.nonEmpty, "Float equality must not push")
+    assert(q2.count() == 1L)
+  }
+
   test("untranslatable aggregate falls back to a correct row-scan plan") {
     import org.apache.spark.sql.functions._
     // an EXPRESSION input (qty * 2) has no NamedReference — refused, so
