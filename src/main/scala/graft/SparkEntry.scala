@@ -337,6 +337,9 @@ object SparkEntry {
     "q_label_prop" -> GraphQ.labelProp,
     // content-hash deterministic train/val/test split assignment
     "q_split_assign" -> TextQ.splitAssign,
+    // leakage-safe split — near-dup clusters move to one split together
+    // (split key = cluster representative's content hash)
+    "q_split_leakage_safe" -> DedupQ.splitLeakageSafe,
     // training-sequence packing (distributed two-phase prefix sum)
     "q_pack_sequences" -> TextQ.packSequences,
     // NO-SPLIT bin packing (bucket-local next-fit with sequential bin
@@ -957,6 +960,35 @@ object SparkEntry {
         |FROM k GROUP BY 1""".stripMargin,
     "q_jaccard_pairs" -> jaccardPairsSql,
     "q_minhash_lsh" -> jaccardPairsSql,
+    // leakage-safe split: the dedup-cluster closure joined to the
+    // REPRESENTATIVE's content-hash split key
+    "q_split_leakage_safe" ->
+      s"""WITH RECURSIVE p AS ($jaccardPairsSql),
+        |edges AS (
+        |  SELECT a_id AS s, b_id AS d FROM p
+        |  UNION ALL SELECT b_id, a_id FROM p
+        |),
+        |reach(s, d) AS (
+        |  SELECT doc_id, doc_id FROM documents
+        |  UNION
+        |  SELECT r.s, e.d FROM reach r JOIN edges e ON r.d = e.s
+        |),
+        |c AS (
+        |  SELECT s AS doc_id, min(d) AS cluster_id FROM reach GROUP BY s
+        |),
+        |h AS (
+        |  SELECT doc_id AS cluster_id,
+        |   list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |     list_transform(string_split(
+        |       trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ''),
+        |       ch -> CAST(ascii(ch) AS BIGINT))),
+        |     (a, b) -> (a * 31 + b) % 1000000007) % 100 AS h_mod
+        |  FROM documents
+        |)
+        |SELECT c.doc_id, c.cluster_id, CAST(h.h_mod AS BIGINT) AS h_mod,
+        | CASE WHEN h.h_mod < 90 THEN 'train'
+        |      WHEN h.h_mod < 95 THEN 'val' ELSE 'test' END AS split
+        |FROM c JOIN h USING (cluster_id)""".stripMargin,
     "q_substring_dups" ->
       """WITH d AS (
         |  SELECT doc_id,

@@ -219,6 +219,32 @@ object DedupQ {
           col("not_contaminated") && col("canonical"))
   }
 
+  /** Leakage-safe train/val/test split: near-duplicate documents MUST
+    * land in the same split — a doc-level hash split (T10) puts two
+    * 0.9-Jaccard copies of the same page in train and test, leaking the
+    * eval set into training. Here the split key is the CLUSTER
+    * representative's content hash, so every member of a near-dup
+    * cluster moves together; singleton clusters reduce exactly to the
+    * doc-level rule.
+    *
+    * Scale shape: clusters from the shared star contraction (edge-only
+    * rounds); the representative's hash joins back on cluster_id — one
+    * id-keyed shuffle over |docs|.
+    */
+  def splitLeakageSafe(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(spark, dir, "documents")
+    val clusters = Dedup.duplicateClusters(docs, "doc_id", "text",
+      n = 3, threshold = 0.8)
+    val h = pmod(graft.text.TextOps.rollingHash(
+      graft.text.TextOps.normalize(col("text"))), lit(100))
+    val repHash = docs.select(col("doc_id").as("cluster_id"),
+      h.cast("long").as("h_mod"))
+    clusters.join(repHash, "cluster_id")
+      .select(col("doc_id"), col("cluster_id"), col("h_mod"),
+        when(col("h_mod") < 90, "train").when(col("h_mod") < 95, "val")
+          .otherwise("test").as("split"))
+  }
+
   /** SemDeDup (Abbas et al. 2023): semantic deduplication by
     * cluster-representative selection — within each embedding-similarity
     * cluster keep the HIGHEST-QUALITY document, not the lowest id. Where

@@ -44,4 +44,20 @@ class CurationSpec extends AnyFunSuite with SparkSpec {
     assert(rows.count(!_._4) > 0)
     assert(byCluster.exists(_._2.length > 1))
   }
+
+  test("leakage-safe split: every near-dup cluster moves as one") {
+    val rows = DedupQ.splitLeakageSafe(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    assert(rows.length == 500)
+    // cluster coherence: one split per cluster — the leakage guarantee
+    for ((_, members) <- rows.groupBy(_._2))
+      assert(members.map(_._4).distinct.length == 1)
+    // singletons reduce exactly to the doc-level rule (T10)
+    val docLevel = TextQ.splitAssign(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getString(2)).toMap
+    for ((id, cid, _, split) <- rows if id == cid)
+      assert(split == docLevel(id), s"representative $id")
+    // and the guarantee is non-vacuous: some multi-member cluster exists
+    assert(rows.groupBy(_._2).exists(_._2.length > 1))
+  }
 }
