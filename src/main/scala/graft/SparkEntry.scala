@@ -391,6 +391,12 @@ object SparkEntry {
     // similarity search — IVF-PQ doubly-reduced ADC probe against
     // prebuilt artifacts (cell pruning x m-lookup scoring)
     "q_ann_ivfpq_probe" -> AnnQ.ivfPqTopKProbe,
+    // contrastive-training data — hard negatives: most-similar vectors
+    // OUTSIDE the query's near-dup cluster (false-negative exclusion)
+    "q_hard_negatives" -> AnnQ.hardNegatives,
+    // curation — token-budget selection: best docs first until the
+    // budget fills (two-phase distributed prefix sum, no SinglePartition)
+    "q_budget_select" -> ((s, dir) => SampleQ.budgetSelect(s, dir)),
     // retrieval diversification — MMR greedy rerank of the brute
     // candidate list (rows-only: data-dependent greedy loop; MmrSpec
     // pins scalar recompute, λ=1 degeneration, determinism)
@@ -1058,6 +1064,75 @@ object SparkEntry {
         |  SELECT r.s, e2.d FROM reach r JOIN edges e2 ON r.d = e2.s
         |)
         |SELECT s AS vec_id, min(d) AS cluster_id FROM reach GROUP BY s""".stripMargin,
+    // hard negatives: cosine scores + cluster closure; ranking uses the
+    // ROUNDED cosine (mirrors the Spark output contract) after the
+    // same-cluster exclusion
+    "q_hard_negatives" ->
+      """WITH RECURSIVE e AS (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+        |), p AS (
+        |  SELECT a.vec_id AS a_id, b.vec_id AS b_id FROM e a JOIN e b ON a.vec_id < b.vec_id
+        |  WHERE list_cosine_similarity(a.v, b.v) >= 0.4
+        |), edges AS (
+        |  SELECT a_id AS s, b_id AS d FROM p UNION ALL SELECT b_id, a_id FROM p
+        |), reach(s, d) AS (
+        |  SELECT vec_id, vec_id FROM embeddings
+        |  UNION
+        |  SELECT r.s, e2.d FROM reach r JOIN edges e2 ON r.d = e2.s
+        |), c AS (
+        |  SELECT s AS vec_id, min(d) AS cluster_id FROM reach GROUP BY s
+        |), q AS (
+        |  SELECT vec_id, v FROM e WHERE vec_id < 10
+        |), scored AS (
+        |  SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+        |   round(list_cosine_similarity(e.v, q.v), 6) AS cosine
+        |  FROM e JOIN q ON e.vec_id != q.vec_id
+        |), negs AS (
+        |  SELECT s.*, CAST(row_number() OVER (
+        |    PARTITION BY s.query_id
+        |    ORDER BY s.cosine DESC, s.neighbor_id) AS BIGINT) AS "rank"
+        |  FROM scored s
+        |   JOIN c qc ON qc.vec_id = s.query_id
+        |   JOIN c nc ON nc.vec_id = s.neighbor_id
+        |  WHERE qc.cluster_id != nc.cluster_id
+        |)
+        |SELECT query_id, "rank", neighbor_id, cosine
+        |FROM negs WHERE "rank" <= 5""".stripMargin,
+    // budget select: the T2 quality CTE + a global cumsum window (the
+    // oracle runs single-threaded; Spark uses the bucketed prefix sum)
+    "q_budget_select" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |   string_split(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' ') AS toks
+        |  FROM documents
+        |), s AS (
+        |  SELECT doc_id,
+        |   CAST(len(toks) AS BIGINT) AS n_tokens,
+        |   round(CAST(len(list_filter(toks, t -> list_contains(
+        |     ['the','a','an','and','of','to','in','is','it','for'], t))) AS DOUBLE)
+        |     / CAST(len(toks) AS DOUBLE), 6) AS stop_ratio,
+        |   round(CAST(len(list_distinct(toks)) AS DOUBLE)
+        |     / CAST(len(toks) AS DOUBLE), 6) AS diversity,
+        |   round(least(CAST(len(toks) AS DOUBLE) / 50.0, 1.0), 6) AS length_signal
+        |  FROM d
+        |), q AS (
+        |  SELECT doc_id, n_tokens, CAST(
+        |    CAST(0.4 AS DECIMAL(2,1)) * CAST(length_signal AS DECIMAL(9,6))
+        |    + CAST(0.3 AS DECIMAL(2,1)) * CAST(diversity AS DECIMAL(9,6))
+        |    + CAST(0.3 AS DECIMAL(2,1)) * (CAST(1.0 AS DECIMAL(2,1)) - CAST(stop_ratio AS DECIMAL(9,6)))
+        |   AS DOUBLE) AS quality FROM s
+        |), t AS (
+        |  SELECT sum(n_tokens) // 2 AS budget FROM q
+        |), cum AS (
+        |  SELECT doc_id, n_tokens, quality,
+        |   CAST(sum(n_tokens) OVER (
+        |     ORDER BY quality DESC, doc_id
+        |     ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens
+        |  FROM q
+        |)
+        |SELECT doc_id, n_tokens, quality, cum_tokens,
+        | cum_tokens <= t.budget AS selected
+        |FROM cum, t""".stripMargin,
     // SemDeDup: the D8 closure + the T2 quality CTE + one representative
     // window — quality is bit-identical cross-engine, so the pick is too
     "q_semdedup" ->

@@ -214,6 +214,43 @@ object AnnQ {
     ivfPqOverIndex(spark, dir,
       graft.ops.StageArtifacts.ensure(dir, "ivfpq")(buildIvfPqIndex(spark, dir)))
 
+  /** q_hard_negatives: for each query vector, the top-5 most-similar
+    * vectors that are NOT in its near-dup cluster — the hard-negative
+    * mining step of contrastive embedding training (a near-duplicate is
+    * a false negative that poisons the loss; the best negatives are
+    * similar-but-distinct). Composes the exact cosine ranking with the
+    * embed-cluster closure; fully oracled (cosine + recursive-CTE
+    * closure + one window).
+    *
+    * Scale: the cosine scan is the ANN-serving shape (broadcast query
+    * batch, corpus streamed once, any indexed variant substitutes);
+    * cluster labels join on the id key both sides.
+    */
+  def hardNegatives(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val emb = Tables(spark, dir, "embeddings")
+    val clusters = graft.dedup.Dedup.clusterLabels(emb, "vec_id",
+        graft.dedup.Dedup.cosinePairsBlocked(emb, "vec_id", "embedding",
+          threshold = 0.4).select(col("a_id"), col("b_id")))
+      .select(col("doc_id").as("vec_id"), col("cluster_id"))
+    val scored = Ann.bruteForceTopK(emb, emb.filter(col("vec_id") < 10),
+      "vec_id", "embedding", k = Int.MaxValue) // unpruned scored list
+    // rank AFTER the cluster exclusion, so the window sees only true
+    // negatives; top-k of the full scored list would under-fill
+    val qc = clusters.select(col("vec_id").as("query_id"),
+      col("cluster_id").as("qc"))
+    val nc = clusters.select(col("vec_id").as("neighbor_id"),
+      col("cluster_id").as("nc"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id"))
+    scored.join(qc, "query_id").join(nc, "neighbor_id")
+      .filter(col("qc") =!= col("nc"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= 5)
+      .select(col("query_id"), col("rank"), col("neighbor_id"),
+        col("cosine"))
+  }
+
   /** q_ann_mmr: MMR-diversified top-10 from the brute top-20 candidate
     * list for query vector 0 (λ = 0.7). Candidate generation is the
     * distributed stage; the greedy rerank is k-sized serving logic.

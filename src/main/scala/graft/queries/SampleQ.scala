@@ -89,6 +89,49 @@ object SampleQ {
       .select(col("doc_id"), col("lang"), col("rn"))
   }
 
+  /** Token-budget selection: fill a fixed training-token budget with
+    * the best documents — order by (quality desc, doc_id) and keep
+    * documents while the running token total fits. The "spend a 1B-token
+    * budget on the best half" curation op.
+    *
+    * The running total uses the same two-phase distributed prefix sum
+    * as [[graft.text.Packing]] (the naive global-order window plans
+    * Exchange SinglePartition): quality in [0,1] buckets by VALUE RANGE
+    * (descending — bucket boundaries respect the global order),
+    * per-bucket totals come to the driver (O(buckets) longs), exclusive
+    * bucket bases broadcast back, and the per-row cumsum is a window
+    * WITHIN each bucket. The total corpus token count falls out of the
+    * same O(buckets) driver pass, so budget = total/2 costs nothing
+    * extra.
+    */
+  def budgetSelect(spark: SparkSession, dir: String,
+      buckets: Int = 32): DataFrame = {
+    val q = TextQ.qualityScore(spark, dir)
+      .select(col("doc_id"), col("n_tokens"), col("quality"))
+      // feeds phase 1 (totals) AND phase 2 (cumsum): score once
+      .withColumn("bucket", least(
+        floor((lit(1.0) - col("quality")) * buckets),
+        lit(buckets - 1)).cast("int"))
+      .localCheckpoint()
+    val totals = q.groupBy(col("bucket")).agg(sum(col("n_tokens")).as("t"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val total = totals.valuesIterator.sum
+    val budget = total / 2
+    val baseRows = (0 until buckets).scanLeft(0L) { (acc, b) =>
+      acc + totals.getOrElse(b, 0L)
+    }.init.zipWithIndex.map { case (base, b) => (b, base) }
+    import spark.implicits._
+    val bases = broadcast(baseRows.toDF("bucket", "base"))
+    val w = Window.partitionBy(col("bucket"))
+      .orderBy(col("quality").desc, col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    q.join(bases, "bucket")
+      .withColumn("cum_tokens", (col("base") + sum(col("n_tokens")).over(w))
+        .cast("long"))
+      .select(col("doc_id"), col("n_tokens"), col("quality"),
+        col("cum_tokens"), (col("cum_tokens") <= budget).as("selected"))
+  }
+
   /** Curriculum interleaving by stride scheduling: every document gets
     * the order key frac = rn/|source| — sorting by (frac, source,
     * doc_id) interleaves the sources PROPORTIONALLY (each source

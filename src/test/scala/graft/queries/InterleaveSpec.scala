@@ -35,4 +35,24 @@ class InterleaveSpec extends AnyFunSuite with SparkSpec {
     for ((_, _, rn, ns, frac) <- rows)
       assert(frac == rn.toDouble / ns.toDouble)
   }
+
+  test("budget select keeps exactly the best-quality prefix that fits") {
+    val rows = SampleQ.budgetSelect(spark, "/root/testdata/sf0.001")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3),
+        r.getBoolean(4)))
+    val total = rows.map(_._2).sum
+    val budget = total / 2
+    // cum_tokens must be the exact running total in (quality desc, id)
+    // order, and selected <=> cum <= budget
+    val ordered = rows.sortBy { case (id, _, q, _, _) => (-q, id) }
+    var cum = 0L
+    for ((id, n, _, cumGot, sel) <- ordered) {
+      cum += n
+      assert(cumGot == cum, s"doc $id running total")
+      assert(sel == (cum <= budget), s"doc $id selection")
+    }
+    // non-vacuous: some selected, some not
+    assert(rows.exists(_._5) && rows.exists(!_._5))
+  }
 }

@@ -87,6 +87,13 @@ class PlanSpec extends AnyFunSuite with SparkSpec {
     assert(!p.contains("SinglePartition"), p)
   }
 
+  test("budget_select: the running total never collapses to a single partition") {
+    // same contract as pack_sequences: the global-order cumsum runs as
+    // value-range buckets + in-bucket windows, never one partition
+    val p = plan("q_budget_select")
+    assert(!p.contains("SinglePartition"), p)
+  }
+
   test("chunk_docs: tokenize runs once, below a Generate barrier") {
     // the tokenize chain (one regexp_replace) must appear exactly once —
     // its result materializes at the explode(array(...)) Generate and the
