@@ -153,6 +153,9 @@ object SparkEntry {
     // zero-filled over each type's span (resampling before windowed
     // models; scaffold is metadata-sized)
     "q_gap_fill" -> EventsQ.gapFillHourly,
+    // time-series baseline — trailing 7h moving average over the
+    // gap-filled series (zeros keep the divisor honest)
+    "q_moving_avg" -> EventsQ.movingAverage,
     // ordered-step funnel: view -> click -> purchase, sequential in
     // event time per user
     "q_funnel" -> EventsQ.funnel,
@@ -447,6 +450,28 @@ object SparkEntry {
         |SELECT s.event_type, s.hour, CAST(coalesce(c.n, 0) AS BIGINT) AS n
         |FROM scaffold s LEFT JOIN c
         |  ON c.event_type = s.event_type AND c.hour = s.hour""".stripMargin,
+    // moving average: the gap-fill CTE + one trailing window; integer
+    // sums / counts → one exact double division
+    "q_moving_avg" ->
+      """WITH c AS (
+        |  SELECT event_type, date_trunc('hour', ts) AS hour, count(*) AS n
+        |  FROM events GROUP BY 1, 2
+        |), span AS (
+        |  SELECT event_type, min(hour) AS h0, max(hour) AS h1 FROM c GROUP BY 1
+        |), scaffold AS (
+        |  SELECT event_type,
+        |   unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS hour
+        |  FROM span
+        |), series AS (
+        |  SELECT s.event_type, s.hour, CAST(coalesce(c.n, 0) AS BIGINT) AS n
+        |  FROM scaffold s LEFT JOIN c
+        |    ON c.event_type = s.event_type AND c.hour = s.hour
+        |)
+        |SELECT event_type, hour, n,
+        | CAST(sum(n) OVER w AS DOUBLE) / CAST(count(*) OVER w AS DOUBLE) AS ma7
+        |FROM series
+        |WINDOW w AS (PARTITION BY event_type ORDER BY hour
+        |             ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)""".stripMargin,
     // snapshot diff: the v2 mutation replayed in SQL, full-outer join,
     // IS DISTINCT FROM mirrors the null-safe change test
     "q_snapshot_diff" ->

@@ -185,4 +185,27 @@ object EventsQ {
       .select(col("event_type"), col("hour"),
         coalesce(col("n"), lit(0L)).as("n"))
   }
+
+  /** Trailing 7-hour moving average over the GAP-FILLED hourly series —
+    * the moving-window baseline a monitoring/anomaly layer reads. Runs
+    * on the regularized series because a gap read as "no row" silently
+    * shrinks the window divisor; with zeros filled, the average is over
+    * actual hours. The leading partial windows divide by the true
+    * window size (count), not 7.
+    *
+    * Integer sums / integer counts → one exact double division:
+    * cross-engine deterministic with no rounding step. One keyed window
+    * per event_type — no single-partition exchange.
+    */
+  def movingAverage(spark: SparkSession, dir: String): DataFrame = {
+    val series = gapFillHourly(spark, dir)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("event_type")).orderBy(col("hour"))
+      .rowsBetween(-6, org.apache.spark.sql.expressions.Window.currentRow)
+    series
+      .withColumn("ma7",
+        sum(col("n")).over(w).cast("double") /
+          count(lit(1)).over(w).cast("double"))
+      .select(col("event_type"), col("hour"), col("n"), col("ma7"))
+  }
 }
