@@ -394,6 +394,10 @@ object SparkEntry {
     // similarity search — IVF-PQ doubly-reduced ADC probe against
     // prebuilt artifacts (cell pruning x m-lookup scoring)
     "q_ann_ivfpq_probe" -> AnnQ.ivfPqTopKProbe,
+    // embedding-quality eval — nearest-class-centroid confusion matrix
+    // (exact-decimal prototypes => fully oracled)
+    "q_prototype_eval" -> ((s, dir) => graft.ann.Prototype.confusion(
+      Tables(s, dir, "embeddings"), "embedding", "label")),
     // contrastive-training data — hard negatives: most-similar vectors
     // OUTSIDE the query's near-dup cluster (false-negative exclusion)
     "q_hard_negatives" -> AnnQ.hardNegatives,
@@ -1089,6 +1093,32 @@ object SparkEntry {
         |  SELECT r.s, e2.d FROM reach r JOIN edges e2 ON r.d = e2.s
         |)
         |SELECT s AS vec_id, min(d) AS cluster_id FROM reach GROUP BY s""".stripMargin,
+    // prototype eval: exact-decimal elementwise means, max-cosine
+    // assignment (ties -> smaller label), confusion counts
+    "q_prototype_eval" ->
+      """WITH e AS (
+        |  SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v,
+        |   list_transform(embedding, x -> CAST(x AS DECIMAL(18,9))) AS vd
+        |  FROM embeddings
+        |), u AS (
+        |  SELECT e.label, t.i, e.vd[t.i] AS x
+        |  FROM e, unnest(range(1, len(e.vd) + 1)) AS t(i)
+        |), m AS (
+        |  SELECT label, i, CAST(sum(x) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS mu
+        |  FROM u GROUP BY 1, 2
+        |), ml AS (
+        |  SELECT label, list(mu ORDER BY i) AS mv FROM m GROUP BY 1
+        |), s AS (
+        |  SELECT e.vec_id, e.label, ml.label AS cand,
+        |   list_cosine_similarity(e.v, ml.mv) AS c
+        |  FROM e, ml
+        |), p AS (
+        |  SELECT vec_id, label, cand,
+        |   row_number() OVER (PARTITION BY vec_id ORDER BY c DESC, cand) AS rn
+        |  FROM s
+        |)
+        |SELECT label, cand AS predicted, CAST(count(*) AS BIGINT) AS n
+        |FROM p WHERE rn = 1 GROUP BY 1, 2""".stripMargin,
     // hard negatives: cosine scores + cluster closure; ranking uses the
     // ROUNDED cosine (mirrors the Spark output contract) after the
     // same-cluster exclusion
