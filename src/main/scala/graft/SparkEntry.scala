@@ -440,37 +440,11 @@ object SparkEntry {
         |FROM orders GROUP BY 1, 2""".stripMargin,
     // gap fill: per-type hour scaffold via generate_series, left join,
     // zero-fill — mirrors the Spark sequence+explode scaffold
-    "q_gap_fill" ->
-      """WITH c AS (
-        |  SELECT event_type, date_trunc('hour', ts) AS hour, count(*) AS n
-        |  FROM events GROUP BY 1, 2
-        |), span AS (
-        |  SELECT event_type, min(hour) AS h0, max(hour) AS h1 FROM c GROUP BY 1
-        |), scaffold AS (
-        |  SELECT event_type,
-        |   unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS hour
-        |  FROM span
-        |)
-        |SELECT s.event_type, s.hour, CAST(coalesce(c.n, 0) AS BIGINT) AS n
-        |FROM scaffold s LEFT JOIN c
-        |  ON c.event_type = s.event_type AND c.hour = s.hour""".stripMargin,
-    // moving average: the gap-fill CTE + one trailing window; integer
-    // sums / counts → one exact double division
+    "q_gap_fill" -> gapFillSql,
+    // moving average: the SHARED gap-fill body as the input CTE + one
+    // trailing window; integer sums / counts → one exact double division
     "q_moving_avg" ->
-      """WITH c AS (
-        |  SELECT event_type, date_trunc('hour', ts) AS hour, count(*) AS n
-        |  FROM events GROUP BY 1, 2
-        |), span AS (
-        |  SELECT event_type, min(hour) AS h0, max(hour) AS h1 FROM c GROUP BY 1
-        |), scaffold AS (
-        |  SELECT event_type,
-        |   unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS hour
-        |  FROM span
-        |), series AS (
-        |  SELECT s.event_type, s.hour, CAST(coalesce(c.n, 0) AS BIGINT) AS n
-        |  FROM scaffold s LEFT JOIN c
-        |    ON c.event_type = s.event_type AND c.hour = s.hour
-        |)
+      s"""WITH series AS ($gapFillSql)
         |SELECT event_type, hour, n,
         | CAST(sum(n) OVER w AS DOUBLE) / CAST(count(*) OVER w AS DOUBLE) AS ma7
         |FROM series
@@ -1012,12 +986,7 @@ object SparkEntry {
         |  SELECT s AS doc_id, min(d) AS cluster_id FROM reach GROUP BY s
         |),
         |h AS (
-        |  SELECT doc_id AS cluster_id,
-        |   list_reduce(list_prepend(CAST(0 AS BIGINT),
-        |     list_transform(string_split(
-        |       trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ''),
-        |       ch -> CAST(ascii(ch) AS BIGINT))),
-        |     (a, b) -> (a * 31 + b) % 1000000007) % 100 AS h_mod
+        |  SELECT doc_id AS cluster_id, $splitKeySql AS h_mod
         |  FROM documents
         |)
         |SELECT c.doc_id, c.cluster_id, CAST(h.h_mod AS BIGINT) AS h_mod,
@@ -1607,13 +1576,8 @@ object SparkEntry {
         | coalesce(label, -1) AS label
         |FROM l2""".stripMargin,
     "q_split_assign" ->
-      """WITH d AS (
-        |  SELECT doc_id,
-        |   list_reduce(list_prepend(CAST(0 AS BIGINT),
-        |     list_transform(string_split(
-        |       trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ''),
-        |       c -> CAST(ascii(c) AS BIGINT))),
-        |     (a, b) -> (a * 31 + b) % 1000000007) % 100 AS h_mod
+      s"""WITH d AS (
+        |  SELECT doc_id, $splitKeySql AS h_mod
         |  FROM documents
         |)
         |SELECT doc_id, CAST(h_mod AS BIGINT) AS h_mod,
@@ -1736,6 +1700,36 @@ object SparkEntry {
   /** Gap-sessionization SQL — the oracle for q_sessionize and the
     * interval side of q_range_join.
     */
+  /** T10's split key (content rolling-hash mod 100) as DuckDB SQL over
+    * a `text` column in scope — shared by q_split_assign and
+    * q_split_leakage_safe so the two split rules can't drift.
+    */
+  private val splitKeySql: String =
+    """list_reduce(list_prepend(CAST(0 AS BIGINT),
+      |     list_transform(string_split(
+      |       trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ''),
+      |       ch -> CAST(ascii(ch) AS BIGINT))),
+      |     (a, b) -> (a * 31 + b) % 1000000007) % 100""".stripMargin
+
+  /** The gap-filled hourly series — the oracle body for q_gap_fill and
+    * the input CTE of q_moving_avg (one definition; a fix to the
+    * scaffold applies to both).
+    */
+  private val gapFillSql: String =
+    """WITH c AS (
+      |  SELECT event_type, date_trunc('hour', ts) AS hour, count(*) AS n
+      |  FROM events GROUP BY 1, 2
+      |), span AS (
+      |  SELECT event_type, min(hour) AS h0, max(hour) AS h1 FROM c GROUP BY 1
+      |), scaffold AS (
+      |  SELECT event_type,
+      |   unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS hour
+      |  FROM span
+      |)
+      |SELECT s.event_type, s.hour, CAST(coalesce(c.n, 0) AS BIGINT) AS n
+      |FROM scaffold s LEFT JOIN c
+      |  ON c.event_type = s.event_type AND c.hour = s.hour""".stripMargin
+
   private val sessionizeSql: String =
     """WITH e AS (
       |  SELECT user_id, event_id, ts, CAST(floor(epoch(ts)) AS BIGINT) AS ts_s,

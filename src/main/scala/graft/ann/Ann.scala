@@ -43,22 +43,33 @@ object Ann {
     */
   def bruteForceTopK(corpus: DataFrame, queries: DataFrame,
       idCol: String, vecCol: String, k: Int): DataFrame = {
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id"))
+    scoreAll(corpus, queries, idCol, vecCol)
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"),
+        round(col("cosine"), 6).as("cosine"))
+  }
+
+  /** The un-ranked scoring scan behind [[bruteForceTopK]]:
+    * (query_id, neighbor_id, cosine) for every (query, corpus) pair,
+    * self-matches excluded. Consumers that filter BEFORE ranking
+    * (hard-negative mining) start here instead of paying
+    * bruteForceTopK's per-query sort twice.
+    */
+  def scoreAll(corpus: DataFrame, queries: DataFrame,
+      idCol: String, vecCol: String): DataFrame = {
     val c = corpus.select(col(idCol).as("neighbor_id"),
       asDouble(col(vecCol)).as("vc"))
       .withColumn("nc", l2(col("vc")))
     val q = queries.select(col(idCol).as("query_id"),
       asDouble(col(vecCol)).as("vq"))
       .withColumn("nq", l2(col("vq")))
-    val scored = c.crossJoin(broadcast(q))
+    c.crossJoin(broadcast(q))
       .filter(col("neighbor_id") =!= col("query_id"))
       .withColumn("cosine", dot(col("vc"), col("vq")) / (col("nc") * col("nq")))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("cosine").desc, col("neighbor_id"))
-    scored
-      .withColumn("rank", row_number().over(w).cast("long"))
-      .filter(col("rank") <= k)
-      .select(col("query_id"), col("rank"), col("neighbor_id"),
-        round(col("cosine"), 6).as("cosine"))
+      .select(col("query_id"), col("neighbor_id"), col("cosine"))
   }
 
   /** (neighbor_id, v, norm nc, unit vn) projection shared by the IVF

@@ -54,18 +54,32 @@ object Prototype {
     val v = transform(col(vecCol), _.cast("double"))
     val base = emb.select(col(labelCol).as("label"), v.as("v"))
       .withColumn("nv", sqrt(ofColumns(col("v"), col("v"))))
-    // argmax fold in ascending label order: strict > keeps the smaller
-    // label on exact ties — the oracle's (cosine DESC, label) rank
-    val best = protos.foldLeft(
-      struct(lit(Double.NegativeInfinity).as("c"), lit(-1).as("l"))) {
-      case (acc, (lab, mean)) =>
-        val mnorm = math.sqrt(mean.map(x => x * x).sum)
-        val c = when(col("nv") > 0.0,
-          ofColumns(col("v"), typedlit(mean)) / (col("nv") * lit(mnorm)))
+    // argmax as an aggregate() LAMBDA over the prototype matrix, like
+    // Ann's assignment expression: the accumulator is a bound lambda
+    // variable, so the expression stays O(nLabels) — a plain foldLeft
+    // of when(c > acc.c, …, acc) references acc on BOTH branches and
+    // expands exponentially in nLabels. Iteration is ascending label
+    // order with a strict >, so exact ties keep the smaller label —
+    // the oracle's (cosine DESC, label) rank.
+    val mlit = typedlit(protos.map(_._2.toIndexedSeq))
+    val lablit = typedlit(protos.map(_._1))
+    // zero-norm prototypes score 0 (not NULL/NaN): a divide-by-zero
+    // NULL would silently make that label unreachable (and an oracle's
+    // NaN cosine would sort FIRST and claim every row) — the operator
+    // pins the 0 convention on both sides of the division
+    val nlit = typedlit(protos.map(p => math.sqrt(p._2.map(x => x * x).sum)))
+    val best = aggregate(
+      sequence(lit(0), lit(protos.size - 1)),
+      struct(lit(Double.NegativeInfinity).as("c"), lit(-1).as("l")),
+      (acc, i) => {
+        val c = when(col("nv") > 0.0 && element_at(nlit, i + 1) > 0.0,
+          ofColumns(col("v"), element_at(mlit, i + 1)) /
+            (col("nv") * element_at(nlit, i + 1)))
           .otherwise(lit(0.0))
         when(c > acc.getField("c"),
-          struct(c.as("c"), lit(lab).as("l"))).otherwise(acc)
-    }
+          struct(c.as("c"), element_at(lablit, i + 1).as("l")))
+          .otherwise(acc)
+      })
     base.withColumn("predicted", best.getField("l"))
       .groupBy(col("label"), col("predicted"))
       .agg(count(lit(1)).as("n"))

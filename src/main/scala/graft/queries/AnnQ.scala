@@ -233,10 +233,13 @@ object AnnQ {
         graft.dedup.Dedup.cosinePairsBlocked(emb, "vec_id", "embedding",
           threshold = 0.4).select(col("a_id"), col("b_id")))
       .select(col("doc_id").as("vec_id"), col("cluster_id"))
-    val scored = Ann.bruteForceTopK(emb, emb.filter(col("vec_id") < 10),
-      "vec_id", "embedding", k = Int.MaxValue) // unpruned scored list
-    // rank AFTER the cluster exclusion, so the window sees only true
-    // negatives; top-k of the full scored list would under-fill
+    // the un-ranked scoring scan — ranking happens ONCE, after the
+    // cluster exclusion, so the window sees only true negatives (and
+    // the widest intermediate is never sorted twice). Cosine rounds to
+    // the output precision BEFORE ranking, mirroring the oracle.
+    val scored = Ann.scoreAll(emb, emb.filter(col("vec_id") < 10),
+        "vec_id", "embedding")
+      .withColumn("cosine", round(col("cosine"), 6))
     val qc = clusters.select(col("vec_id").as("query_id"),
       col("cluster_id").as("qc"))
     val nc = clusters.select(col("vec_id").as("neighbor_id"),

@@ -235,14 +235,13 @@ object DedupQ {
     val docs = Tables(spark, dir, "documents")
     val clusters = Dedup.duplicateClusters(docs, "doc_id", "text",
       n = 3, threshold = 0.8)
-    val h = pmod(graft.text.TextOps.rollingHash(
-      graft.text.TextOps.normalize(col("text"))), lit(100))
+    // T10's key and rule, applied to the REPRESENTATIVE's text — shared
+    // definitions keep the singleton-reduces-to-T10 invariant honest
     val repHash = docs.select(col("doc_id").as("cluster_id"),
-      h.cast("long").as("h_mod"))
+      TextQ.splitKey(col("text")).cast("long").as("h_mod"))
     clusters.join(repHash, "cluster_id")
       .select(col("doc_id"), col("cluster_id"), col("h_mod"),
-        when(col("h_mod") < 90, "train").when(col("h_mod") < 95, "val")
-          .otherwise("test").as("split"))
+        TextQ.splitName(col("h_mod")).as("split"))
   }
 
   /** SemDeDup (Abbas et al. 2023): semantic deduplication by

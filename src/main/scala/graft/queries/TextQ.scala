@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 
@@ -274,11 +274,23 @@ object TextQ {
     * re-crawled duplicate lands in the same split (no train/test leak
     * through re-ingestion). Narrow pass, no shuffle.
     */
+  /** T10's split key (content rolling-hash mod 100) and 90/5/5 rule —
+    * the ONE definition; the leakage-safe split (T21) applies the same
+    * rule to the cluster representative's text, and its "singletons
+    * reduce exactly to T10" invariant holds only while these stay
+    * single-sourced.
+    */
+  private[queries] def splitKey(text: Column): Column =
+    pmod(TextOps.rollingHash(TextOps.normalize(text)), lit(100))
+
+  private[queries] def splitName(h: Column): Column =
+    when(h < 90, "train").when(h < 95, "val").otherwise("test")
+
   def splitAssign(spark: SparkSession, dir: String): DataFrame = {
-    val h = pmod(TextOps.rollingHash(TextOps.normalize(col("text"))), lit(100))
+    val h = splitKey(col("text"))
     Tables(spark, dir, "documents")
       .select(col("doc_id"), h.cast("long").as("h_mod"),
-        when(h < 90, "train").when(h < 95, "val").otherwise("test").as("split"))
+        splitName(h).as("split"))
   }
 
   /** PII scrubbing — the corpus hygiene pass every shipped training set
