@@ -330,6 +330,11 @@ object SparkEntry {
     // profiling — per-group z-score anomaly gate (exact decimal moments
     // => bit-deterministic cut, fully oracled)
     "q_outliers" -> ProfileQ.outliers,
+    // profiling — winsorized robust moments (exact interpolated p05/p95
+    // clip, decimal-exact clipped mean)
+    "q_winsorized" -> ProfileQ.winsorized,
+    // preprocessing — per-type value deciles (rank-exact ntile)
+    "q_deciles" -> ProfileQ.deciles,
     // retrieval — BM25-ranked keyword search (inverted-index workload)
     "q_bm25_search" -> SearchQ.bm25Search,
     // hybrid retrieval — BM25 + dense-cosine lists fused by
@@ -1526,6 +1531,30 @@ object SparkEntry {
         | round((CAST(b.x AS DOUBLE) - mean) / sd, 6) AS z
         |FROM b JOIN st USING (event_type)
         |WHERE sd > 0.0 AND abs((CAST(b.x AS DOUBLE) - mean) / sd) > 3.0""".stripMargin,
+    // winsorized stats: quantile_cont ≡ Spark percentile (exact
+    // interpolated), decimal-exact clipped sum
+    "q_winsorized" ->
+      """WITH q AS (
+        |  SELECT event_type,
+        |   quantile_cont(value, 0.05) AS p05,
+        |   quantile_cont(value, 0.95) AS p95
+        |  FROM events GROUP BY 1
+        |), b AS (
+        |  SELECT e.event_type, e.value, q.p05, q.p95,
+        |   CAST(least(greatest(e.value, q.p05), q.p95) AS DECIMAL(18,6)) AS clipped
+        |  FROM events e JOIN q USING (event_type)
+        |)
+        |SELECT event_type, count(*) AS n,
+        | CAST(count(*) FILTER (value < p05 OR value > p95) AS BIGINT) AS n_clipped,
+        | min(p05) AS p05, min(p95) AS p95,
+        | CAST(sum(clipped) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS win_mean
+        |FROM b GROUP BY 1""".stripMargin,
+    // deciles: identical deterministic order, standard ntile semantics
+    "q_deciles" ->
+      """SELECT event_id, event_type, value,
+        | CAST(ntile(10) OVER (PARTITION BY event_type
+        |   ORDER BY value, event_id) AS BIGINT) AS decile
+        |FROM events""".stripMargin,
     // label propagation: 2 unrolled synchronous rounds; seeds clamped
     // via coalesce(seed, majority, previous); ties broken by smallest
     // label — mirrors LabelProp.propagate vote for vote

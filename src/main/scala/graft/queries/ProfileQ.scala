@@ -88,6 +88,54 @@ object ProfileQ {
   def outliers(spark: SparkSession, dir: String): DataFrame =
     outliersOf(Tables(spark, dir, "events"))
 
+  /** Winsorized per-group statistics: values clipped at the exact
+    * interpolated p05/p95 before the mean — the robust-moments
+    * companion to [[outliers]] (a z-gate flags the tail; winsorization
+    * bounds its influence on the baseline).
+    *
+    * Exactness: Spark's `percentile` and DuckDB's `quantile_cont` are
+    * the same exact interpolated definition (proven by q_percentiles);
+    * clipping is least/greatest over bit-identical doubles; the clipped
+    * mean goes through an exact DECIMAL(18,6) sum like every money
+    * aggregate. One scan for the 5-row quantile table, broadcast back,
+    * one aggregating pass.
+    */
+  def winsorized(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val ev = Tables(spark, dir, "events")
+      .select(col("event_type"), col("value"))
+    val qs = ev.groupBy(col("event_type")).agg(
+      expr("percentile(value, 0.05)").as("p05"),
+      expr("percentile(value, 0.95)").as("p95"))
+    ev.join(broadcast(qs), "event_type")
+      .withColumn("clipped",
+        least(greatest(col("value"), col("p05")), col("p95"))
+          .cast(DecimalType(18, 6)))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum((col("value") < col("p05") || col("value") > col("p95"))
+          .cast("long")).as("n_clipped"),
+        min(col("p05")).as("p05"), min(col("p95")).as("p95"),
+        sum(col("clipped")).as("wsum"))
+      .select(col("event_type"), col("n"), col("n_clipped"),
+        col("p05"), col("p95"),
+        (col("wsum").cast("double") / col("n").cast("double"))
+          .as("win_mean"))
+  }
+
+  /** Quantile discretization: per-type value deciles via ntile(10) over
+    * a deterministic (value, event_id) order — the feature-bucketing
+    * preprocessing step, rank-exact in both engines.
+    */
+  def deciles(spark: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("event_type"))
+      .orderBy(col("value"), col("event_id"))
+    Tables(spark, dir, "events")
+      .select(col("event_id"), col("event_type"), col("value"))
+      .withColumn("decile", ntile(10).over(w).cast("long"))
+  }
+
   /** The gate over any (event_id, event_type, value) frame. */
   private[queries] def outliersOf(events: DataFrame): DataFrame = {
     import org.apache.spark.sql.types.DecimalType
