@@ -43,6 +43,21 @@ object SparkEntry {
     "q_count_canary" -> Core.countCanary,
     // V3 — not_null column checks (single-scan unpivot)
     "q_not_null_checks" -> Core.notNullChecks,
+    // cross-table integrity gate — referential orphans, PK dups, domain
+    // violations; the corpus is clean, so deterministic violations are
+    // PLANTED (key%100: 0 -> orphaned FK copy under a fresh key,
+    // 1 -> duplicated PK) to prove the detector detects
+    "q_integrity_check" -> ((s, dir) => {
+      import org.apache.spark.sql.functions._
+      val orders = graft.Tables(s, dir, "orders")
+      val planted = orders
+        .unionByName(orders.filter(pmod(col("o_orderkey"), lit(100)) === 0)
+          .withColumn("o_orderkey", col("o_orderkey") + lit(500000000L))
+          .withColumn("o_custkey", col("o_custkey") + lit(90000000L)))
+        .unionByName(orders.filter(pmod(col("o_orderkey"), lit(100)) === 1))
+      graft.etl.Checks.integrityReport(planted, "o_orderkey", "o_custkey",
+        graft.Tables(s, dir, "customer"), "c_custkey", "o_totalprice")
+    }),
     // V4 — non-empty singular test
     "q_non_empty" -> Core.nonEmptyCheck,
     // V1 — contract validation → ordered violations relation
@@ -1531,6 +1546,27 @@ object SparkEntry {
         | round((CAST(b.x AS DOUBLE) - mean) / sd, 6) AS z
         |FROM b JOIN st USING (event_type)
         |WHERE sd > 0.0 AND abs((CAST(b.x AS DOUBLE) - mean) / sd) > 3.0""".stripMargin,
+    // integrity gate: the plant replayed in SQL, then the three checks
+    "q_integrity_check" ->
+      """WITH t AS (
+        |  SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+        |  UNION ALL
+        |  SELECT o_orderkey + 500000000, o_custkey + 90000000, o_totalprice
+        |  FROM orders WHERE o_orderkey % 100 = 0
+        |  UNION ALL
+        |  SELECT o_orderkey, o_custkey, o_totalprice
+        |  FROM orders WHERE o_orderkey % 100 = 1
+        |)
+        |SELECT 'orphan_o_custkey' AS "check", CAST(count(*) AS BIGINT) AS n_bad
+        |FROM t WHERE NOT EXISTS (
+        |  SELECT 1 FROM customer c WHERE c.c_custkey = t.o_custkey)
+        |UNION ALL
+        |SELECT 'dup_o_orderkey', CAST(count(*) AS BIGINT) FROM (
+        |  SELECT o_orderkey FROM t GROUP BY 1 HAVING count(*) > 1
+        |)
+        |UNION ALL
+        |SELECT 'negative_o_totalprice', CAST(count(*) AS BIGINT)
+        |FROM t WHERE o_totalprice < 0""".stripMargin,
     // winsorized stats: quantile_cont ≡ Spark percentile (exact
     // interpolated), decimal-exact clipped sum
     "q_winsorized" ->

@@ -67,4 +67,30 @@ object Checks {
     val failed = checks.filterNot(_.pass)
     if (failed.nonEmpty) throw new DataQualityError(failed)
   }
+
+  /** Cross-table integrity report: referential orphans (FK with no
+    * parent), primary-key duplicates, and a domain check — the
+    * relational-hygiene gate a warehouse load runs before publishing.
+    * Each check is one anti-join or one keyed aggregate; the report is
+    * checks-sized.
+    *
+    * The corpus itself is clean (zero violations all three checks), so
+    * [[graft.queries]] plants deterministic violations before calling
+    * this — an all-zeros report proves nothing about the detector.
+    */
+  def integrityReport(facts: DataFrame, factKey: String, fkCol: String,
+      dims: DataFrame, dimKey: String, domainCol: String): DataFrame = {
+    val orphan = facts
+      .join(dims.select(col(dimKey).as(fkCol)), Seq(fkCol), "left_anti")
+      .agg(coalesce(count(lit(1)), lit(0L)).cast("long").as("n_bad"))
+      .select(lit(s"orphan_$fkCol").as("check"), col("n_bad"))
+    val dup = facts.groupBy(col(factKey))
+      .agg(count(lit(1)).as("c")).filter(col("c") > 1)
+      .agg(coalesce(count(lit(1)), lit(0L)).cast("long").as("n_bad"))
+      .select(lit(s"dup_$factKey").as("check"), col("n_bad"))
+    val dom = facts.filter(col(domainCol) < 0)
+      .agg(coalesce(count(lit(1)), lit(0L)).cast("long").as("n_bad"))
+      .select(lit(s"negative_$domainCol").as("check"), col("n_bad"))
+    orphan.unionByName(dup).unionByName(dom)
+  }
 }
