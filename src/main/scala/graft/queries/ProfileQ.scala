@@ -137,30 +137,9 @@ object ProfileQ {
   }
 
   /** The gate over any (event_id, event_type, value) frame. */
-  private[queries] def outliersOf(events: DataFrame): DataFrame = {
-    import org.apache.spark.sql.types.DecimalType
-    val ev = events
-      .select(col("event_id"), col("event_type"),
-        col("value").cast(DecimalType(18, 6)).as("x"))
-    val moments = ev.groupBy(col("event_type"))
-      .agg(count(lit(1)).as("n"), sum(col("x")).as("s1"),
-        sum(col("x") * col("x")).as("s2"))
-      .withColumn("mean", col("s1").cast("double") / col("n").cast("double"))
-      // degenerate guard: a constant group's variance is 0 (or a hair
-      // negative from double cancellation) — clamp so sqrt never goes
-      // NaN, then filter sd > 0: no variance means no outliers, rather
-      // than every row flagged with z = NaN (NaN compares high in Spark
-      // while the oracle's sqrt(negative) would raise)
-      .withColumn("sd", sqrt(greatest(
-        col("s2").cast("double") / col("n").cast("double") -
-          col("mean") * col("mean"), lit(0.0))))
-      .filter(col("sd") > lit(0.0))
-      .select(col("event_type"), col("mean"), col("sd"))
-    ev.join(broadcast(moments), "event_type")
-      .withColumn("xd", col("x").cast("double"))
-      .withColumn("z", (col("xd") - col("mean")) / col("sd"))
-      .filter(abs(col("z")) > lit(3.0))
-      .select(col("event_id"), col("event_type"), col("xd").as("value"),
-        round(col("z"), 6).as("z"))
-  }
+  private[queries] def outliersOf(events: DataFrame): DataFrame =
+    // baseline and scoring delegate to AnomalyGate — the ONE definition
+    // the streaming sink shares
+    graft.ops.AnomalyGate.gate(events,
+      graft.ops.AnomalyGate.moments(events))
 }

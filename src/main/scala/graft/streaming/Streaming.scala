@@ -461,4 +461,33 @@ object Streaming {
           org.apache.spark.sql.graft.CheckpointUtils.release(pairs)
         }
       }
+
+  /** Streaming anomaly gate — the deploy shape of the z-score gate:
+    * the baseline is the PERSISTED moment table (trained batch-side
+    * with [[graft.ops.AnomalyGate.moments]] on yesterday's corpus),
+    * the traffic is today's event stream, and each micro-batch scores
+    * against that fixed baseline ([[graft.ops.AnomalyGate.gate]] — the
+    * same definition the batch q_outliers gate uses, so stream and
+    * batch can never disagree about what an outlier is). Flagged rows
+    * upsert keyed by event_id: a redelivered batch converges instead
+    * of duplicating alerts.
+    *
+    * Scale: the moment table is |event types| rows (broadcast inside
+    * the gate); per batch the work is one narrow scoring pass over the
+    * batch plus the |flagged|-sized upsert.
+    */
+  def anomalyGateSink(events: DataFrame, momentsDir: String,
+      outDir: String, threshold: Double = 3.0)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    events.writeStream
+      .outputMode(OutputMode.Append())
+      .foreachBatch { (batch0: DataFrame, batchId: Long) =>
+        val spark = batch0.sparkSession
+        val moments = spark.read.parquet(momentsDir)
+        val flagged = graft.ops.AnomalyGate
+          .gate(batch0.dropDuplicates("event_id"), moments, threshold)
+          .withColumn("served_batch", lit(batchId))
+        graft.etl.Upsert.upsertParquet(spark, outDir, flagged,
+          keys = Seq("event_id"), versionCol = "served_batch")
+      }
 }

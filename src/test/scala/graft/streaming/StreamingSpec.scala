@@ -463,4 +463,36 @@ class StreamingSpec extends AnyFunSuite with SparkSpec {
     assert(served.count() == batch.count()) // no duplicated redelivery rows
     assert(served.collect().map(key).toSet == batch.collect().map(key).toSet)
   }
+
+  test("anomalyGateSink: stream flags == batch gate, idempotent under redelivery") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dir = "/root/testdata/sf0.001"
+    val root = java.nio.file.Files.createTempDirectory("stream_gate").toString
+    val (momentsDir, outDir) = (s"$root/moments", s"$root/flagged")
+    val events = graft.Tables(spark, dir, "events")
+    // the persisted baseline: batch-trained moments over the corpus
+    graft.ops.AnomalyGate.moments(events).write.parquet(momentsDir)
+    // stream the SAME events in two micro-batches + one redelivery
+    val rows = events
+      .select("event_id", "user_id", "event_type", "ts", "value")
+      .collect().map(r => Ev(r.getLong(0), r.getLong(1), r.getString(2),
+        r.getTimestamp(3), r.getDouble(4)))
+    val in = MemoryStream[Ev]
+    val q = Streaming.anomalyGateSink(in.toDF(), momentsDir, outDir).start()
+    val (a, b) = rows.splitAt(rows.length / 2)
+    in.addData(a.toIndexedSeq); q.processAllAvailable()
+    in.addData(b.toIndexedSeq); q.processAllAvailable()
+    in.addData(a.toIndexedSeq); q.processAllAvailable() // redelivery
+    q.stop()
+    def key(r: org.apache.spark.sql.Row) = (r.getAs[Long]("event_id"),
+      r.getAs[String]("event_type"), r.getAs[Double]("value"),
+      r.getAs[Double]("z"))
+    val streamed = spark.read.parquet(outDir)
+    val batch = graft.queries.ProfileQ.outliers(spark, dir)
+    assert(streamed.count() == batch.count()) // redelivery added nothing
+    assert(streamed.collect().map(key).toSet ==
+      batch.collect().map(key).toSet)
+    assert(batch.count() > 0, "the corpus must have real outliers")
+  }
 }
