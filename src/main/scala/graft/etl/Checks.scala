@@ -80,16 +80,18 @@ object Checks {
     */
   def integrityReport(facts: DataFrame, factKey: String, fkCol: String,
       dims: DataFrame, dimKey: String, domainCol: String): DataFrame = {
+    // count(*) is 0 (never NULL) on an empty relation — unlike SUM, per
+    // notNull's coalesce note — so no guard is needed here
     val orphan = facts
       .join(dims.select(col(dimKey).as(fkCol)), Seq(fkCol), "left_anti")
-      .agg(coalesce(count(lit(1)), lit(0L)).cast("long").as("n_bad"))
+      .agg(count(lit(1)).as("n_bad"))
       .select(lit(s"orphan_$fkCol").as("check"), col("n_bad"))
     val dup = facts.groupBy(col(factKey))
       .agg(count(lit(1)).as("c")).filter(col("c") > 1)
-      .agg(coalesce(count(lit(1)), lit(0L)).cast("long").as("n_bad"))
+      .agg(count(lit(1)).as("n_bad"))
       .select(lit(s"dup_$factKey").as("check"), col("n_bad"))
     val dom = facts.filter(col(domainCol) < 0)
-      .agg(coalesce(count(lit(1)), lit(0L)).cast("long").as("n_bad"))
+      .agg(count(lit(1)).as("n_bad"))
       .select(lit(s"negative_$domainCol").as("check"), col("n_bad"))
     orphan.unionByName(dup).unionByName(dom)
   }
