@@ -363,6 +363,9 @@ object SparkEntry {
     // leakage-safe split — near-dup clusters move to one split together
     // (split key = cluster representative's content hash)
     "q_split_leakage_safe" -> DedupQ.splitLeakageSafe,
+    // curation dashboard — per-source volume/quality/keep/canonical
+    // report; every input stage is independently oracled
+    "q_corpus_report" -> DedupQ.corpusReport,
     // training-sequence packing (distributed two-phase prefix sum)
     "q_pack_sequences" -> TextQ.packSequences,
     // NO-SPLIT bin packing (bucket-local next-fit with sequential bin
@@ -1546,6 +1549,54 @@ object SparkEntry {
         | round((CAST(b.x AS DOUBLE) - mean) / sd, 6) AS z
         |FROM b JOIN st USING (event_type)
         |WHERE sd > 0.0 AND abs((CAST(b.x AS DOUBLE) - mean) / sd) > 3.0""".stripMargin,
+    // corpus report: quality CTE + dedup closure + per-source rollup
+    "q_corpus_report" ->
+      s"""WITH RECURSIVE p AS ($jaccardPairsSql),
+        |edges AS (
+        |  SELECT a_id AS s, b_id AS d FROM p
+        |  UNION ALL SELECT b_id, a_id FROM p
+        |),
+        |reach(s, d) AS (
+        |  SELECT doc_id, doc_id FROM documents
+        |  UNION
+        |  SELECT r.s, e.d FROM reach r JOIN edges e ON r.d = e.s
+        |),
+        |cl AS (
+        |  SELECT s AS doc_id, min(d) AS cluster_id FROM reach GROUP BY s
+        |),
+        |toks AS (
+        |  SELECT doc_id, source,
+        |   string_split(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' ') AS toks
+        |  FROM documents
+        |), sig AS (
+        |  SELECT doc_id, source,
+        |   CAST(len(toks) AS BIGINT) AS n_tokens,
+        |   round(CAST(len(list_filter(toks, t -> list_contains(
+        |     ['the','a','an','and','of','to','in','is','it','for'], t))) AS DOUBLE)
+        |     / CAST(len(toks) AS DOUBLE), 6) AS stop_ratio,
+        |   round(CAST(len(list_distinct(toks)) AS DOUBLE)
+        |     / CAST(len(toks) AS DOUBLE), 6) AS diversity,
+        |   round(least(CAST(len(toks) AS DOUBLE) / 50.0, 1.0), 6) AS length_signal
+        |  FROM toks
+        |), q AS (
+        |  SELECT doc_id, source, n_tokens,
+        |   CAST(0.4 AS DECIMAL(2,1)) * CAST(length_signal AS DECIMAL(9,6))
+        |    + CAST(0.3 AS DECIMAL(2,1)) * CAST(diversity AS DECIMAL(9,6))
+        |    + CAST(0.3 AS DECIMAL(2,1)) * (CAST(1.0 AS DECIMAL(2,1)) - CAST(stop_ratio AS DECIMAL(9,6)))
+        |     AS qd,
+        |   (CAST(CAST(0.4 AS DECIMAL(2,1)) * CAST(length_signal AS DECIMAL(9,6))
+        |    + CAST(0.3 AS DECIMAL(2,1)) * CAST(diversity AS DECIMAL(9,6))
+        |    + CAST(0.3 AS DECIMAL(2,1)) * (CAST(1.0 AS DECIMAL(2,1)) - CAST(stop_ratio AS DECIMAL(9,6)))
+        |     AS DOUBLE) >= 0.5 AND n_tokens >= 10) AS keep
+        |  FROM sig
+        |)
+        |SELECT q.source, count(*) AS n_docs,
+        | CAST(sum(q.n_tokens) AS BIGINT) AS n_tokens,
+        | CAST(sum(q.qd) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avg_quality,
+        | CAST(count(*) FILTER (q.keep) AS BIGINT) AS n_keep,
+        | CAST(count(*) FILTER (cl.doc_id = cl.cluster_id) AS BIGINT) AS n_canonical
+        |FROM q JOIN cl ON cl.doc_id = q.doc_id
+        |GROUP BY 1""".stripMargin,
     // integrity gate: the plant replayed in SQL, then the three checks
     "q_integrity_check" ->
       """WITH t AS (

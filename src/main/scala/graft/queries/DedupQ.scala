@@ -219,6 +219,40 @@ object DedupQ {
           col("not_contaminated") && col("canonical"))
   }
 
+  /** Per-source corpus report — the curation dashboard: document and
+    * token volume, exact-decimal average quality, quality-gate keep
+    * counts, and near-dup canonical counts, grouped by source. The
+    * summary a data owner reads before signing off a training mix;
+    * every input column is an independently-oracled stage (T2 quality,
+    * D6 clusters), so the report itself is fully oracled too.
+    *
+    * Scale: two id-keyed joins onto doc_id and one source-keyed
+    * aggregate; the report is |sources| rows.
+    */
+  def corpusReport(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val docs = Tables(spark, dir, "documents")
+    val quality = TextQ.qualityScore(spark, dir)
+      .select(col("doc_id"), col("n_tokens"),
+        // quality is an exact 7dp composite (0.4 × 6dp terms carry a
+        // 7th decimal): DECIMAL(10,7) round-trips the double losslessly,
+        // making the average an exact-sum division — (9,6) would ROUND
+        col("quality").cast(DecimalType(10, 7)).as("qd"), col("keep"))
+    val clusters = Dedup.duplicateClusters(docs, "doc_id", "text",
+      n = 3, threshold = 0.8)
+    docs.select(col("doc_id"), col("source"))
+      .join(quality, "doc_id")
+      .join(clusters, "doc_id")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).cast("long").as("n_tokens"),
+        (sum(col("qd")).cast("double") /
+          count(lit(1)).cast("double")).as("avg_quality"),
+        sum(col("keep").cast("long")).as("n_keep"),
+        sum((col("doc_id") === col("cluster_id")).cast("long"))
+          .as("n_canonical"))
+  }
+
   /** Leakage-safe train/val/test split: near-duplicate documents MUST
     * land in the same split — a doc-level hash split (T10) puts two
     * 0.9-Jaccard copies of the same page in train and test, leaking the
