@@ -326,6 +326,9 @@ object SparkEntry {
     "q_top_terms" -> TextQ.topTerms,
     // text analysis — bigram-LM mean log-prob scoring (perplexity filter)
     "q_lm_score" -> TextQ.lmScore,
+    // text quality — character-distribution entropy (gibberish signal;
+    // round-then-exact-DECIMAL-sum ln contract as q_lm_score)
+    "q_char_entropy" -> TextQ.charEntropy,
     // tokenizer construction — BPE merge training over the distinct-word
     // frequency table (rows-only: the loop is data-dependent; BpeSpec
     // pins it against a scalar reference trainer exactly)
@@ -1368,6 +1371,28 @@ object SparkEntry {
         |SELECT doc_id, n_bigrams, avg_logp, round(exp(-avg_logp), 6) AS ppl,
         | avg_logp >= -3.45 AS keep
         |FROM a""".stripMargin,
+    // char entropy: per-character 6dp terms summed as exact decimals
+    "q_char_entropy" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |   trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')) AS t
+        |  FROM documents
+        |), ch AS (
+        |  SELECT doc_id, unnest(string_split(t, '')) AS c FROM d
+        |), cnt AS (
+        |  SELECT doc_id, c, count(*) AS k FROM ch GROUP BY 1, 2
+        |), tot AS (
+        |  SELECT doc_id, sum(k) AS n FROM cnt GROUP BY 1
+        |), t AS (
+        |  SELECT cnt.doc_id, tot.n,
+        |   CAST(round((CAST(k AS DOUBLE) / CAST(n AS DOUBLE))
+        |     * ln(CAST(k AS DOUBLE) / CAST(n AS DOUBLE)), 6)
+        |    AS DECIMAL(18,6)) AS term
+        |  FROM cnt JOIN tot ON tot.doc_id = cnt.doc_id
+        |)
+        |SELECT doc_id, CAST(max(n) AS BIGINT) AS n_chars,
+        | CAST(-sum(term) AS DOUBLE) AS entropy
+        |FROM t GROUP BY 1""".stripMargin,
     "q_column_stats" -> Seq(
       "l_orderkey", "l_partkey", "l_suppkey", "l_linenumber",
       "l_quantity", "l_extendedprice", "l_discount", "l_tax").map(c =>

@@ -339,6 +339,30 @@ object TextQ {
         TextOps.bagHash(toks).as("bag_hash"))
   }
 
+  /** q_char_entropy: character-distribution entropy of the normalized
+    * text, −Σ p·ln p — the gibberish/compression quality signal (too
+    * LOW = repeated characters or machine spam, too HIGH = random
+    * noise; natural language sits in a band). Cross-engine exactness
+    * uses the [[lmScore]] contract: each per-character term rounds to
+    * 6dp and sums as an exact DECIMAL, so partial-aggregation order
+    * can't perturb the result. One explode + two doc-keyed aggregates.
+    */
+  def charEntropy(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(spark, dir, "documents")
+      .select(col("doc_id"), TextOps.normalize(col("text")).as("t"))
+    val counts = docs
+      .select(col("doc_id"), explode(split(col("t"), "")).as("ch"))
+      .groupBy(col("doc_id"), col("ch")).agg(count(lit(1)).as("k"))
+    val totals = counts.groupBy(col("doc_id")).agg(sum(col("k")).as("n"))
+    counts.join(totals, "doc_id")
+      .withColumn("p", col("k").cast("double") / col("n").cast("double"))
+      .withColumn("term",
+        round(col("p") * log(col("p")), 6).cast(DecimalType(18, 6)))
+      .groupBy(col("doc_id"))
+      .agg(max(col("n")).cast("long").as("n_chars"),
+        (-sum(col("term"))).cast("double").as("entropy"))
+  }
+
   /** q_bpe_train: 20 BPE merges trained on the corpus word-frequency
     * table — the merge table (rank, left, right, n) IS the tokenizer
     * vocabulary artifact. Deterministic (argmax by count desc then

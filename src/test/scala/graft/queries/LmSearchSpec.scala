@@ -107,6 +107,28 @@ class LmSearchSpec extends AnyFunSuite with SparkSpec {
     assert(got.exists(t => t._3 == -1L || t._4 == -1L))
   }
 
+  test("charEntropy matches a from-scratch scalar recompute exactly") {
+    import org.apache.spark.sql.functions.col
+    val texts = graft.Tables(spark, dir, "documents")
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => r.getLong(0) ->
+        r.getString(1).toLowerCase.replaceAll("[^a-z0-9]+", " ").trim)
+    val expected = texts.map { case (id, t) =>
+      val counts = t.toSeq.groupBy(identity).view.mapValues(_.size)
+      val n = t.length.toLong
+      val sum = counts.values.map { k =>
+        val p = k.toDouble / n.toDouble
+        round6(p * math.log(p))
+      }.sum
+      (id, n, (-sum).toDouble)
+    }.toSet
+    val got = TextQ.charEntropy(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(got == expected)
+    // the signal separates: entropies vary across the corpus
+    assert(got.map(_._3).size > 1)
+  }
+
   test("bigrams column op: ordered multiset, short docs empty") {
     import spark.implicits._
     import org.apache.spark.sql.functions.col
