@@ -329,6 +329,9 @@ object SparkEntry {
     // text quality — character-distribution entropy (gibberish signal;
     // round-then-exact-DECIMAL-sum ln contract as q_lm_score)
     "q_char_entropy" -> TextQ.charEntropy,
+    // corpus diversity — per-doc novel-trigram ratio (grams appearing
+    // in no other doc; integer-exact)
+    "q_novelty" -> TextQ.novelty,
     // tokenizer construction — BPE merge training over the distinct-word
     // frequency table (rows-only: the loop is data-dependent; BpeSpec
     // pins it against a scalar reference trainer exactly)
@@ -1371,6 +1374,27 @@ object SparkEntry {
         |SELECT doc_id, n_bigrams, avg_logp, round(exp(-avg_logp), 6) AS ppl,
         | avg_logp >= -3.45 AS keep
         |FROM a""".stripMargin,
+    // novelty: the jaccard shingle CTE + a gram-df aggregate
+    "q_novelty" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |   string_split(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' ') AS ws
+        |  FROM documents
+        |), g AS (
+        |  SELECT doc_id, list_distinct(
+        |    [ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]
+        |     for i in generate_series(1, len(ws) - 2)]) AS gs
+        |  FROM d WHERE len(ws) >= 3
+        |), s AS (
+        |  SELECT doc_id, unnest(gs) AS sh FROM g
+        |), f AS (
+        |  SELECT sh, count(*) AS df FROM s GROUP BY 1
+        |)
+        |SELECT s.doc_id, count(*) AS n_grams,
+        | CAST(count(*) FILTER (f.df = 1) AS BIGINT) AS n_novel,
+        | CAST(count(*) FILTER (f.df = 1) AS DOUBLE)
+        |   / CAST(count(*) AS DOUBLE) AS novelty
+        |FROM s JOIN f USING (sh) GROUP BY 1""".stripMargin,
     // char entropy: per-character 6dp terms summed as exact decimals
     "q_char_entropy" ->
       """WITH d AS (

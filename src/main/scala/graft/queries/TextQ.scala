@@ -339,6 +339,31 @@ object TextQ {
         TextOps.bagHash(toks).as("bag_hash"))
   }
 
+  /** q_novelty: per-document novel-trigram ratio — the fraction of a
+    * doc's distinct 3-grams that appear in NO other document. The
+    * corpus-diversity metric (self-BLEU's set-based cousin): a corpus
+    * whose novelty collapses is near-duplicating itself even when no
+    * pair crosses the dedup threshold. Integer counting + one exact
+    * division — fully oracled. Docs under 3 tokens have no trigrams and
+    * drop out (both engines).
+    *
+    * Scale: one explode + a shingle-keyed document-frequency aggregate
+    * (the same content-key shuffle the dedup family uses) + a doc-keyed
+    * rollup.
+    */
+  def novelty(spark: SparkSession, dir: String): DataFrame = {
+    val sh = Tables(spark, dir, "documents")
+      .select(col("doc_id"),
+        explode(TextOps.shingles(TextOps.tokens(col("text")), 3)).as("sh"))
+    val df_ = sh.groupBy(col("sh")).agg(count(lit(1)).as("df"))
+    sh.join(df_, "sh")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_grams"),
+        sum((col("df") === 1).cast("long")).as("n_novel"))
+      .withColumn("novelty",
+        col("n_novel").cast("double") / col("n_grams").cast("double"))
+  }
+
   /** q_char_entropy: character-distribution entropy of the normalized
     * text, −Σ p·ln p — the gibberish/compression quality signal (too
     * LOW = repeated characters or machine spam, too HIGH = random
