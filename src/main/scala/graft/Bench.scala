@@ -97,13 +97,17 @@ object Bench {
     val errs = errors.map { case (k, v) => s"\"$k\":\"${jsonEsc(v)}\"" }
       .mkString("{", ",", "}")
     val total = times.values.sum
-    // Summary line FIRST: the driver's output capture has truncated the
-    // TAIL of the full line before (BENCH_r04) — the headline total and
-    // the expensive-query ranking must survive that.
+    // Summary line on BOTH sides of the big per-query line: the driver's
+    // capture has truncated the HEAD (BENCH_r05 — kept only the tail) and
+    // the TAIL (BENCH_r04) of the output in different rounds. Printing the
+    // summary before AND after guarantees the headline total and the
+    // expensive-query ranking survive either truncation direction.
     val top5 = times.toSeq.sortBy(-_._2).take(5)
       .map { case (k, v) => s"\"$k\":$v" }.mkString("{", ",", "}")
-    println(s"""{"metric":"summary","value":$total,"unit":"sec","n_queries":${times.size},"n_errors":${errors.size},"top5":$top5,"sf":"$sfDir"}""")
+    val summary = s"""{"metric":"summary","value":$total,"unit":"sec","n_queries":${times.size},"n_errors":${errors.size},"top5":$top5,"sf":"$sfDir"}"""
+    println(summary)
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":${obj(times)},"spread":${obj(spreads)},"runs":$runs,"errors":$errs,"failed_runs":${obj(failedRuns)},"sf":"$sfDir"}""")
+    println(summary)
     spark.stop()
   }
 }

@@ -181,6 +181,8 @@ object IvfPq {
     val routeRows = qRows.flatMap { r =>
       val vq = r.getSeq[Double](1)
       val nq = math.sqrt(vq.map(x => x * x).sum)
+      require(vq.size % m == 0,
+        s"IVF-PQ probe: query dim ${vq.size} is not divisible by m=$m")
       val subDim = vq.size / m
       val lut = (0 until m).flatMap { s =>
         val qs = vq.slice(s * subDim, (s + 1) * subDim)

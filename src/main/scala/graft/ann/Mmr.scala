@@ -22,9 +22,13 @@ import org.apache.spark.sql.functions._
   */
 object Mmr {
 
-  /** Rerank the top-`k` of `candidates` (doc_id, cosine relevance).
-    * Vectors for the pairwise term come from `emb`; ties break by
-    * smaller doc_id at every argmax so the selection is deterministic.
+  /** Rerank the top-`k` of `candidates`. The candidate frame has a FIXED
+    * contract — columns `doc_id` (LONG) and `cosine` (DOUBLE), i.e. the
+    * shape every retriever in this engine emits (Ann.topK / Pq.adcTopK /
+    * IvfPq) — while `idCol`/`vecCol` name the id/vector columns of `emb`,
+    * whose schema varies by corpus. Vectors for the pairwise term come
+    * from `emb`; ties break by smaller doc_id at every argmax so the
+    * selection is deterministic.
     *
     * @return (rank, doc_id, relevance, mmr_score) — mmr_score is the
     *         objective value at selection time (rank 1 has no
@@ -33,6 +37,15 @@ object Mmr {
   def rerank(spark: SparkSession, candidates: DataFrame, emb: DataFrame,
       idCol: String, vecCol: String, k: Int, lambda: Double): DataFrame = {
     require(lambda >= 0.0 && lambda <= 1.0, s"lambda must be in [0,1]: $lambda")
+    require(candidates.columns.contains("doc_id") &&
+      candidates.columns.contains("cosine"),
+      "Mmr.rerank candidates must carry (doc_id LONG, cosine DOUBLE) — " +
+        s"got [${candidates.columns.mkString(", ")}]; idCol/vecCol name " +
+        "the EMBEDDING frame's columns, not the candidate frame's")
+    import org.apache.spark.sql.types.LongType
+    require(candidates.schema("doc_id").dataType == LongType,
+      "Mmr.rerank candidate doc_id must be LONG, got " +
+        candidates.schema("doc_id").dataType.simpleString)
     val cands = candidates.select(col("doc_id"), col("cosine"))
       .collect().map { r =>
         // zero-norm guard, same convention as Pq.adcTopK: a NaN
@@ -47,6 +60,11 @@ object Mmr {
       .select(col(idCol), transform(col(vecCol), _.cast("double")).as("v"))
       .filter(col(idCol).isin(ids: _*))
       .collect().map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).toMap
+    val orphans = ids.filterNot(vecs.contains)
+    require(orphans.isEmpty,
+      s"Mmr.rerank: ${orphans.length} candidate id(s) have no vector in " +
+        s"emb.$idCol (first few: ${orphans.take(5).mkString(", ")}) — " +
+        "the candidate list and embedding corpus are out of sync")
     def cos(a: Array[Double], b: Array[Double]): Double = {
       var (d, na, nb, i) = (0.0, 0.0, 0.0, 0)
       while (i < a.length) {

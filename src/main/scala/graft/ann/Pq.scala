@@ -34,15 +34,29 @@ object Pq {
   private def dot(a: Column, b: Column): Column =
     graft.functions.ArrayDotProduct.ofColumns(a, b)
 
+  /** d/m as an INT column that RAISES per row when size(v) % m ≠ 0 — a
+    * non-divisible dim would otherwise floor the subvector length and
+    * silently drop the trailing d mod m dimensions from every code,
+    * rnorm, and LUT. The scaladoc contract is "mixed/mismatched dims
+    * fail loudly", so the slice refuses rather than mis-slicing.
+    */
+  private[ann] def subDimChecked(v: Column, m: Int): Column =
+    when(pmod(size(v), lit(m)) === 0, (size(v) / m).cast("int"))
+      .otherwise(raise_error(concat(
+        lit("PQ: vector dim "), size(v).cast("string"),
+        lit(s" is not divisible by m=$m — trailing dimensions would be " +
+          "silently dropped from the codes"))).cast("int"))
+
   /** The exploded (pq_id, sub, sv) relation: one row per (vector,
-    * subspace), subvector length d/m. `size(v) div m` is evaluated
-    * per row, so mixed-dim corpora fail loudly in the slice rather
-    * than silently mis-slicing.
+    * subspace), subvector length d/m. The subvector length is evaluated
+    * per row via [[subDimChecked]], so mixed-dim corpora AND dims not
+    * divisible by m fail loudly in the slice rather than silently
+    * mis-slicing or truncating.
     */
   private def subvectors(df: DataFrame, idCol: String, vecCol: String,
       m: Int): DataFrame = {
     val v = asDouble(col(vecCol))
-    val sub = (size(v) / m).cast("int")
+    val sub = subDimChecked(v, m)
     df.select(col(idCol).as("pq_id"),
       posexplode(transform(sequence(lit(0), lit(m - 1)),
         s => slice(v, s * sub + 1, sub))))
@@ -186,7 +200,7 @@ object Pq {
     val m = books.size
     val norms = books.map(_.map(c => c.map(x => x * x).sum))
     val v = asDouble(col(vecCol))
-    val sub = (size(v) / m).cast("int")
+    val sub = subDimChecked(v, m)
     // the subspace index is static, so each element of the code array is
     // its own expression over only ITS codebook literal; the slice is
     // let-bound via a single-element transform() so the fold over codes
@@ -227,6 +241,8 @@ object Pq {
       StructField("nq", DoubleType, nullable = false)))
     val lutRows = qRows.map { r =>
       val vq = r.getSeq[Double](1)
+      require(vq.size % m == 0,
+        s"PQ ADC: query dim ${vq.size} is not divisible by m=$m")
       val subDim = vq.size / m
       val lut = (0 until m).flatMap { s =>
         val qs = vq.slice(s * subDim, (s + 1) * subDim)

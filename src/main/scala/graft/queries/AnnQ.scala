@@ -226,13 +226,27 @@ object AnnQ {
     * batch, corpus streamed once, any indexed variant substitutes);
     * cluster labels join on the id key both sides.
     */
-  def hardNegatives(spark: SparkSession, dir: String): DataFrame = {
+  def hardNegatives(spark: SparkSession, dir: String): DataFrame =
+    hardNegativesFrom(spark, dir,
+      graft.dedup.Dedup.clusterLabels(Tables(spark, dir, "embeddings"),
+          "vec_id",
+          graft.dedup.Dedup.cosinePairsBlocked(
+            Tables(spark, dir, "embeddings"), "vec_id", "embedding",
+            threshold = 0.4).select(col("a_id"), col("b_id")))
+        .select(col("doc_id").as("vec_id"), col("cluster_id")))
+
+  /** [[hardNegatives]] composed from the prebuilt embedding-cluster
+    * artifact — same oracle; mining pays the scoring scan + two id-keyed
+    * joins, not the pair scan + closure (which ships in the artifact).
+    */
+  def hardNegativesCompose(spark: SparkSession, dir: String): DataFrame =
+    hardNegativesFrom(spark, dir,
+      DedupQ.embedClustersFromArtifact(spark, dir))
+
+  private def hardNegativesFrom(spark: SparkSession, dir: String,
+      clusters: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val emb = Tables(spark, dir, "embeddings")
-    val clusters = graft.dedup.Dedup.clusterLabels(emb, "vec_id",
-        graft.dedup.Dedup.cosinePairsBlocked(emb, "vec_id", "embedding",
-          threshold = 0.4).select(col("a_id"), col("b_id")))
-      .select(col("doc_id").as("vec_id"), col("cluster_id"))
     // the un-ranked scoring scan — ranking happens ONCE, after the
     // cluster exclusion, so the window sees only true negatives (and
     // the widest intermediate is never sorted twice). Cosine rounds to

@@ -177,12 +177,52 @@ object DedupQ {
     * for — what a re-tuned downstream pays when the clustering stage is
     * already materialized. Same oracle as the inline/staged twins.
     */
-  def corpusFilterCompose(spark: SparkSession, dir: String): DataFrame = {
+  def corpusFilterCompose(spark: SparkSession, dir: String): DataFrame =
+    corpusVerdict(spark, dir, canonicalFrom(textClustersFromArtifact(spark, dir)))
+
+  /** The prebuilt TEXT near-dup cluster artifact (built at most once per
+    * JVM): the one clustering pass every closure-stage consumer
+    * composes from — corpus filter, corpus report, leakage-safe split.
+    * At 100 TB the cluster artifact is built once per corpus version and
+    * every downstream reads it; recomputing the MinHash banding + star
+    * contraction inline in each consumer multiplies the most expensive
+    * stage by the number of consumers.
+    */
+  private def textClustersFromArtifact(spark: SparkSession,
+      dir: String): DataFrame = {
     val stage = graft.ops.StageArtifacts.ensure(dir, "curation") { out =>
       writeClusterArtifact(spark, dir, s"$out/dedup_clusters")
     }
-    corpusVerdict(spark, dir,
-      canonicalFrom(spark.read.parquet(s"$stage/dedup_clusters")))
+    spark.read.parquet(s"$stage/dedup_clusters")
+  }
+
+  /** The EMBEDDING near-dup cluster artifact (cosine pairs + star
+    * contraction, the [[embedClusters]] relation) materialized once —
+    * the stage SemDeDup and hard-negative mining compose from.
+    */
+  def writeEmbedClusterArtifact(spark: SparkSession, dir: String,
+      outPath: String): Unit =
+    embedClusters(spark, dir).write.mode("overwrite").parquet(outPath)
+
+  /** [[embedClusters]] through the refreshed stage artifact (parquet
+    * write + read-back) — the embedding twin of [[corpusFilterStaged]].
+    * Shares q_embed_clusters' oracle; named to sort BEFORE the compose
+    * consumers in the bench's sorted order so their samples are
+    * build-free.
+    */
+  def embedClustersStaged(spark: SparkSession, dir: String): DataFrame = {
+    val stage = graft.ops.StageArtifacts.refresh(dir, "embclusters") { out =>
+      writeEmbedClusterArtifact(spark, dir, s"$out/embed_clusters")
+    }
+    spark.read.parquet(s"$stage/embed_clusters")
+  }
+
+  private[queries] def embedClustersFromArtifact(spark: SparkSession,
+      dir: String): DataFrame = {
+    val stage = graft.ops.StageArtifacts.ensure(dir, "embclusters") { out =>
+      writeEmbedClusterArtifact(spark, dir, s"$out/embed_clusters")
+    }
+    spark.read.parquet(s"$stage/embed_clusters")
   }
 
   private def clusterLabelsInline(spark: SparkSession, dir: String): DataFrame =
@@ -229,7 +269,20 @@ object DedupQ {
     * Scale: two id-keyed joins onto doc_id and one source-keyed
     * aggregate; the report is |sources| rows.
     */
-  def corpusReport(spark: SparkSession, dir: String): DataFrame = {
+  def corpusReport(spark: SparkSession, dir: String): DataFrame =
+    corpusReportFrom(spark, dir,
+      Dedup.duplicateClusters(Tables(spark, dir, "documents"), "doc_id",
+        "text", n = 3, threshold = 0.8))
+
+  /** [[corpusReport]] composed from the prebuilt cluster artifact —
+    * same oracle; the dashboard refresh pays only the joins, not the
+    * clustering pass.
+    */
+  def corpusReportCompose(spark: SparkSession, dir: String): DataFrame =
+    corpusReportFrom(spark, dir, textClustersFromArtifact(spark, dir))
+
+  private def corpusReportFrom(spark: SparkSession, dir: String,
+      clusters: DataFrame): DataFrame = {
     import org.apache.spark.sql.types.DecimalType
     val docs = Tables(spark, dir, "documents")
     val quality = TextQ.qualityScore(spark, dir)
@@ -238,8 +291,6 @@ object DedupQ {
         // 7th decimal): DECIMAL(10,7) round-trips the double losslessly,
         // making the average an exact-sum division — (9,6) would ROUND
         col("quality").cast(DecimalType(10, 7)).as("qd"), col("keep"))
-    val clusters = Dedup.duplicateClusters(docs, "doc_id", "text",
-      n = 3, threshold = 0.8)
     docs.select(col("doc_id"), col("source"))
       .join(quality, "doc_id")
       .join(clusters, "doc_id")
@@ -265,10 +316,21 @@ object DedupQ {
     * rounds); the representative's hash joins back on cluster_id — one
     * id-keyed shuffle over |docs|.
     */
-  def splitLeakageSafe(spark: SparkSession, dir: String): DataFrame = {
+  def splitLeakageSafe(spark: SparkSession, dir: String): DataFrame =
+    splitLeakageSafeFrom(spark, dir,
+      Dedup.duplicateClusters(Tables(spark, dir, "documents"), "doc_id",
+        "text", n = 3, threshold = 0.8))
+
+  /** [[splitLeakageSafe]] composed from the prebuilt cluster artifact —
+    * same oracle; re-cutting a split pays one id-keyed join, not the
+    * clustering pass.
+    */
+  def splitLeakageSafeCompose(spark: SparkSession, dir: String): DataFrame =
+    splitLeakageSafeFrom(spark, dir, textClustersFromArtifact(spark, dir))
+
+  private def splitLeakageSafeFrom(spark: SparkSession, dir: String,
+      clusters: DataFrame): DataFrame = {
     val docs = Tables(spark, dir, "documents")
-    val clusters = Dedup.duplicateClusters(docs, "doc_id", "text",
-      n = 3, threshold = 0.8)
     // T10's key and rule, applied to the REPRESENTATIVE's text — shared
     // definitions keep the singleton-reduces-to-T10 invariant honest
     val repHash = docs.select(col("doc_id").as("cluster_id"),
@@ -301,7 +363,19 @@ object DedupQ {
     val emb = Tables(spark, dir, "embeddings")
     val pairs = Dedup.cosinePairsBlocked(emb, "vec_id", "embedding",
       threshold = 0.4).select(col("a_id"), col("b_id"))
-    val clusters = Dedup.clusterLabels(emb, "vec_id", pairs)
+    semDedupFrom(spark, dir, Dedup.clusterLabels(emb, "vec_id", pairs))
+  }
+
+  /** [[semDedup]] composed from the prebuilt embedding-cluster artifact
+    * — same oracle; the representative pick pays one cluster-keyed
+    * window, not the pair scan + closure.
+    */
+  def semDedupCompose(spark: SparkSession, dir: String): DataFrame =
+    semDedupFrom(spark, dir, embedClustersFromArtifact(spark, dir)
+      .select(col("vec_id").as("doc_id"), col("cluster_id")))
+
+  private def semDedupFrom(spark: SparkSession, dir: String,
+      clusters: DataFrame): DataFrame = {
     val quality = TextQ.qualityScore(spark, dir)
       .select(col("doc_id"), col("quality"))
     val w = org.apache.spark.sql.expressions.Window

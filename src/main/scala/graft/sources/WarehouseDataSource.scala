@@ -67,7 +67,15 @@ class WarehouseDataSource extends TableProvider with DataSourceRegister {
 }
 
 private[sources] final case class WarehouseConf(url: String, table: String,
-    keys: Seq[String], batchSize: Int)
+    keys: Seq[String], batchSize: Int,
+    // String grouping/min/max/predicates only push down when the
+    // warehouse collates binary like Spark; a collated warehouse (e.g.
+    // Derby created with territory-based collation, or any locale-
+    // collated RDBMS) would group/order strings differently and a
+    // COMPLETE pushdown is never re-checked by Spark. Default true —
+    // embedded Derby's default IS binary (UCS_BASIC); set
+    // assumeBinaryCollation=false when pointing at a collated warehouse.
+    assumeBinaryCollation: Boolean = true)
 
 private[sources] object WarehouseConf {
   /** Options resolve CASE-INSENSITIVELY (`dbTable` == `dbtable`), the
@@ -83,7 +91,8 @@ private[sources] object WarehouseConf {
       .getOrElse(Seq.empty)
     JdbcSink.requireIdent(table, "dbtable", allowQualified = true)
     keys.foreach(JdbcSink.requireIdent(_, "key", allowQualified = false))
-    WarehouseConf(url, table, keys, get("batchSize").map(_.toInt).getOrElse(1000))
+    WarehouseConf(url, table, keys, get("batchSize").map(_.toInt).getOrElse(1000),
+      get("assumeBinaryCollation").forall(_.toBoolean))
   }
 }
 
@@ -233,12 +242,18 @@ private[sources] class WarehouseScanBuilder(full: StructType,
       f
     }
 
-  /** String predicates only push at columns KNOWN to be VARCHAR-family:
-    * CHAR(n) compares blank-padded in SQL but exact in Spark, and a
-    * user-supplied schema carries no type metadata at all — both refuse
-    * (the predicate stays Spark-side, which is always correct).
+  /** String predicates/aggregates only push at columns KNOWN to be
+    * VARCHAR-family: CHAR(n) compares blank-padded in SQL but exact in
+    * Spark, and a user-supplied schema carries no type metadata at all —
+    * both refuse (the predicate stays Spark-side, which is always
+    * correct). Additionally gated on `assumeBinaryCollation`: jdbcType
+    * says VARCHAR but not how it COLLATES, and a locale-collated
+    * warehouse groups/orders strings differently from Spark's binary
+    * semantics — with the option off, every string column stays
+    * Spark-side.
     */
   private def stringPushable(f: StructField): Boolean =
+    conf.assumeBinaryCollation &&
     f.metadata.contains("jdbcType") && {
       val t = f.metadata.getLong("jdbcType").toInt
       t == java.sql.Types.VARCHAR || t == java.sql.Types.LONGVARCHAR
