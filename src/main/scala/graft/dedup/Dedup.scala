@@ -116,9 +116,14 @@ object Dedup {
       .localCheckpoint()
     val dfreq = wins.groupBy(col("win")).agg(count(lit(1)).as("wdf"))
     // wdf >= 2 is pure pruning (singleton windows cannot pair);
-    // wdf <= maxDf is the shedding contract
+    // wdf <= maxDf is the shedding contract. Checkpointed because keep
+    // feeds BOTH self-join sides and each side broadcasts it separately —
+    // without the barrier the full window df-count aggregation (a shuffle
+    // of every window string) plans TWICE, once per side (the broadcast
+    // exchanges defeat ReuseExchange). keep itself is small: only windows
+    // with df in [2, maxDf]
     val keep = dfreq.filter(col("wdf") >= 2 && col("wdf") <= maxDf)
-      .select("win")
+      .select("win").localCheckpoint()
     val pruned = wins.join(keep, "win")
     pruned.as("x").join(pruned.as("y"), "win")
       .filter(col("x.doc") < col("y.doc"))

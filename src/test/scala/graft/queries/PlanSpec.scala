@@ -127,6 +127,32 @@ class PlanSpec extends AnyFunSuite with SparkSpec {
     assert(p.contains("ReadSchema: struct<doc_id:bigint,text:string>"), p)
   }
 
+  test("substring_dups keeps the single-df-pass inverted-index shape") {
+    // pinned after the r5→r5 driver swing (5.64 → 11.92 s, same code):
+    // like the jaccard pin, while this holds an unexplained bench delta
+    // is harness/environment by elimination. The shape under pin: window
+    // building AND the window df-count both run ONCE (eagerly, behind
+    // the two localCheckpoint barriers) — the serve plan only joins the
+    // materialized window relation against the small keep set, per side
+    val p = plan("q_substring_dups")
+    // exactly one aggregate pair remains: the final pair counting
+    // (partial + final). A reappearing df-count would add two more —
+    // the duplicated-aggregation regression this pin exists to catch
+    // (each self-join side used to re-plan the full window df shuffle)
+    assert("HashAggregate".r.findAllIn(p).size == 2, p)
+    assert(p.contains("partial_count"), p) // pair count map-side combines
+    // tokenize/window-build never re-plans: it lives behind the
+    // checkpoint, so no regexp and no Generate may appear at serve time
+    assert(!p.contains("regexp_replace"), p)
+    assert(!p.contains("Generate"), p)
+    // the window relation is scanned once per self-join side + the keep
+    // set per side: materialized RDD scans, never a recompute
+    assert("Scan ExistingRDD".r.findAllIn(p).size == 4, p)
+    // pair generation is an equi-join on the window content key — never
+    // a global sort or single partition
+    assert(!p.contains("SinglePartition"), p)
+  }
+
   test("catalog_sql: the catalog scan prunes columns and receives the filter") {
     // GraftCatalog.loadTable delegates to Spark's ParquetTable — the
     // catalog must add naming, not an execution layer. The date filter
