@@ -437,6 +437,12 @@ object SparkEntry {
     // similarity search — IVF-PQ doubly-reduced ADC probe against
     // prebuilt artifacts (cell pruning x m-lookup scoring)
     "q_ann_ivfpq_probe" -> AnnQ.ivfPqTopKProbe,
+    // PQ ADC serving over the PINNED integer fixture — hash-match
+    // oracle: DuckDB replays encode + LUT + rnorm + ranking exactly
+    "q_ann_pq_fixture" -> AnnQ.pqFixtureTopK,
+    // IVF-PQ residual-ADC serving over the pinned fixture (routing +
+    // residual encode + qcdot/LUT scoring replayed by the oracle)
+    "q_ann_ivfpq_fixture" -> AnnQ.ivfPqFixtureTopK,
     // embedding-quality eval — nearest-class-centroid confusion matrix
     // (exact-decimal prototypes => fully oracled)
     "q_prototype_eval" -> ((s, dir) => graft.ann.Prototype.confusion(
@@ -1079,6 +1085,139 @@ object SparkEntry {
         | CAST(bit_count(xor(a.sh64, b.sh64)) AS BIGINT) AS hamming
         |FROM h a JOIN h b ON a.doc_id < b.doc_id
         |WHERE bit_count(xor(a.sh64, b.sh64)) <= 3""".stripMargin,
+    // PQ ADC serving replayed from the pinned integer fixture: argmin
+    // encoding, LUT sums, rnorm and the (cosine desc, id) ranking are
+    // all exact arithmetic — every dot is an integer in DOUBLE, sqrt and
+    // the division are correctly-rounded IEEE ops identical across
+    // engines, so this hash-matches (PqFixture scaladoc has the proof
+    // obligations)
+    "q_ann_pq_fixture" ->
+      s"""WITH v(vec_id, emb) AS (VALUES
+        |  ${graft.ann.PqFixture.corpusValuesSql}
+        |), cb(subspace, code, centroid) AS (VALUES
+        |  ${graft.ann.PqFixture.codebooksValuesSql}
+        |), sv AS (
+        |  SELECT v.vec_id, cb.subspace, cb.code,
+        |   list_dot_product(cb.centroid, cb.centroid)
+        |    - 2 * list_dot_product(
+        |        list_slice(v.emb, cb.subspace*2+1, cb.subspace*2+2),
+        |        cb.centroid) AS dist
+        |  FROM v CROSS JOIN cb
+        |), codes AS (
+        |  SELECT vec_id, subspace, code FROM (
+        |    SELECT vec_id, subspace, code,
+        |     row_number() OVER (PARTITION BY vec_id, subspace
+        |       ORDER BY dist, code) AS rn
+        |    FROM sv) WHERE rn = 1
+        |), rec AS (
+        |  SELECT c.vec_id,
+        |   sqrt(sum(list_dot_product(cb.centroid, cb.centroid))) AS rnorm
+        |  FROM codes c JOIN cb ON cb.subspace = c.subspace AND cb.code = c.code
+        |  GROUP BY 1
+        |), q AS (
+        |  SELECT vec_id AS query_id, emb AS qv,
+        |   sqrt(list_dot_product(emb, emb)) AS nq
+        |  FROM v WHERE vec_id < 3
+        |), sc AS (
+        |  SELECT q.query_id, c.vec_id AS neighbor_id, q.nq,
+        |   sum(list_dot_product(
+        |     list_slice(q.qv, c.subspace*2+1, c.subspace*2+2),
+        |     cb.centroid)) AS adc
+        |  FROM q CROSS JOIN codes c
+        |  JOIN cb ON cb.subspace = c.subspace AND cb.code = c.code
+        |  WHERE c.vec_id <> q.query_id
+        |  GROUP BY 1, 2, 3
+        |), f AS (
+        |  SELECT s.query_id, s.neighbor_id,
+        |   CASE WHEN r.rnorm * s.nq > 0 THEN s.adc / (r.rnorm * s.nq)
+        |        ELSE 0.0 END AS c
+        |  FROM sc s JOIN rec r ON r.vec_id = s.neighbor_id
+        |)
+        |SELECT query_id,
+        | CAST(row_number() OVER (PARTITION BY query_id
+        |   ORDER BY c DESC, neighbor_id) AS BIGINT) AS rank,
+        | neighbor_id, round(c, 6) AS cosine
+        |FROM f
+        |QUALIFY rank <= 5""".stripMargin,
+    // the IVF-PQ twin: adds pinned routing centroids / cell means /
+    // assignments; replays cell routing (raw dot desc, cluster asc),
+    // residual argmin encoding, recon rnorm = ||mean + codewords||, and
+    // qcdot + LUT scoring — same exactness argument
+    "q_ann_ivfpq_fixture" ->
+      s"""WITH v(vec_id, emb) AS (VALUES
+        |  ${graft.ann.PqFixture.corpusValuesSql}
+        |), ct(cluster, centroid) AS (VALUES
+        |  ${graft.ann.PqFixture.centroidsValuesSql}
+        |), mn(cluster, mean) AS (VALUES
+        |  ${graft.ann.PqFixture.meansValuesSql}
+        |), cb(subspace, code, centroid) AS (VALUES
+        |  ${graft.ann.PqFixture.codebooksValuesSql}
+        |), asg(vec_id, cluster) AS (VALUES
+        |  ${graft.ann.PqFixture.assignmentsValuesSql}
+        |), res AS (
+        |  SELECT v.vec_id, a.cluster,
+        |   list_transform(range(1, 9), i -> v.emb[i] - m.mean[i]) AS r
+        |  FROM v JOIN asg a USING (vec_id) JOIN mn m ON m.cluster = a.cluster
+        |), sv AS (
+        |  SELECT res.vec_id, cb.subspace, cb.code,
+        |   list_dot_product(cb.centroid, cb.centroid)
+        |    - 2 * list_dot_product(
+        |        list_slice(res.r, cb.subspace*2+1, cb.subspace*2+2),
+        |        cb.centroid) AS dist
+        |  FROM res CROSS JOIN cb
+        |), codes AS (
+        |  SELECT vec_id, subspace, code FROM (
+        |    SELECT vec_id, subspace, code,
+        |     row_number() OVER (PARTITION BY vec_id, subspace
+        |       ORDER BY dist, code) AS rn
+        |    FROM sv) WHERE rn = 1
+        |), rec AS (
+        |  SELECT c.vec_id, sqrt(sum(list_dot_product(
+        |     list_transform(range(1, 3),
+        |       i -> m.mean[c.subspace*2 + i] + cb.centroid[i]),
+        |     list_transform(range(1, 3),
+        |       i -> m.mean[c.subspace*2 + i] + cb.centroid[i])))) AS rnorm
+        |  FROM codes c
+        |  JOIN cb ON cb.subspace = c.subspace AND cb.code = c.code
+        |  JOIN asg a ON a.vec_id = c.vec_id
+        |  JOIN mn m ON m.cluster = a.cluster
+        |  GROUP BY 1
+        |), q AS (
+        |  SELECT vec_id AS query_id, emb AS qv,
+        |   sqrt(list_dot_product(emb, emb)) AS nq
+        |  FROM v WHERE vec_id < 3
+        |), routes AS (
+        |  SELECT query_id, cluster, qv, nq FROM (
+        |    SELECT q.query_id, ct.cluster, q.qv, q.nq,
+        |     row_number() OVER (PARTITION BY q.query_id
+        |       ORDER BY list_dot_product(q.qv, ct.centroid) DESC,
+        |         ct.cluster) AS rr
+        |    FROM q CROSS JOIN ct) WHERE rr <= 2
+        |), sc AS (
+        |  SELECT r.query_id, c.vec_id AS neighbor_id, r.nq,
+        |   max(list_dot_product(r.qv, m.mean))
+        |    + sum(list_dot_product(
+        |        list_slice(r.qv, c.subspace*2+1, c.subspace*2+2),
+        |        cb.centroid)) AS adc
+        |  FROM routes r
+        |  JOIN asg a ON a.cluster = r.cluster
+        |  JOIN codes c ON c.vec_id = a.vec_id
+        |  JOIN cb ON cb.subspace = c.subspace AND cb.code = c.code
+        |  JOIN mn m ON m.cluster = a.cluster
+        |  WHERE c.vec_id <> r.query_id
+        |  GROUP BY 1, 2, 3
+        |), f AS (
+        |  SELECT s.query_id, s.neighbor_id,
+        |   CASE WHEN r.rnorm * s.nq > 0 THEN s.adc / (r.rnorm * s.nq)
+        |        ELSE 0.0 END AS c
+        |  FROM sc s JOIN rec r ON r.vec_id = s.neighbor_id
+        |)
+        |SELECT query_id,
+        | CAST(row_number() OVER (PARTITION BY query_id
+        |   ORDER BY c DESC, neighbor_id) AS BIGINT) AS rank,
+        | neighbor_id, round(c, 6) AS cosine
+        |FROM f
+        |QUALIFY rank <= 5""".stripMargin,
     // the exact pair relation restricted to pairs touching the batch
     "q_incremental_dedup" ->
       s"""WITH p AS ($jaccardPairsSql)

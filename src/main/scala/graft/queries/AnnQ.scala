@@ -214,6 +214,41 @@ object AnnQ {
     ivfPqOverIndex(spark, dir,
       graft.ops.StageArtifacts.ensure(dir, "ivfpq")(buildIvfPqIndex(spark, dir)))
 
+  /** q_ann_pq_fixture: ADC top-5 over the PINNED fixture corpus and
+    * codebooks — the hash-match-oracled twin of the rows-only PQ
+    * queries. The engine runs the REAL encode + adcTopK path
+    * ([[graft.ann.Pq]], unchanged); DuckDB replays argmin encoding, the
+    * LUT sum, rnorm and the ranking from the same pinned integer
+    * artifacts, where every intermediate is exact — so a hash match
+    * proves the serving math end-to-end, not just row counts.
+    */
+  def pqFixtureTopK(spark: SparkSession, dir: String): DataFrame = {
+    val corpus = graft.ann.PqFixture.corpusDf(spark)
+    val books = graft.ann.PqFixture.codebooksDf(spark)
+    val codes = graft.ann.Pq.encode(corpus, "vec_id", "embedding", books)
+    graft.ann.Pq.adcTopK(codes, books,
+      corpus.filter(col("vec_id") < 3), "vec_id", "embedding", kNeighbors = 5)
+  }
+
+  /** q_ann_ivfpq_fixture: the IVF-PQ twin of [[pqFixtureTopK]] — the
+    * real residual encode + doubly-reduced ADC probe
+    * ([[graft.ann.IvfPq]], unchanged) over pinned integer artifacts
+    * (routing centroids, cell means, residual codebooks, assignments),
+    * DuckDB replaying routing, residual encoding, qcdot + LUT scoring
+    * and ranking exactly.
+    */
+  def ivfPqFixtureTopK(spark: SparkSession, dir: String): DataFrame = {
+    val fx = graft.ann.PqFixture
+    val corpus = fx.corpusDf(spark)
+    val codeTable = graft.ann.IvfPq.encode(corpus, fx.assignmentsDf(spark),
+      fx.meansDf(spark), fx.centroidsDf(spark), fx.codebooksDf(spark),
+      "vec_id", "embedding")
+    graft.ann.IvfPq.probe(codeTable, fx.centroidsDf(spark),
+      fx.meansDf(spark), fx.codebooksDf(spark),
+      corpus.filter(col("vec_id") < 3), "vec_id", "embedding",
+      kNeighbors = 5, nProbe = 2)
+  }
+
   /** q_hard_negatives: for each query vector, the top-5 most-similar
     * vectors that are NOT in its near-dup cluster — the hard-negative
     * mining step of contrastive embedding training (a near-duplicate is

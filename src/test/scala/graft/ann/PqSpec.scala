@@ -113,4 +113,55 @@ class PqSpec extends AnyFunSuite with SparkSpec {
     }
     assert(run() == run())
   }
+
+  test("fixture: exactness preconditions the oracle replay relies on") {
+    // the q_ann_pq_fixture / q_ann_ivfpq_fixture hash-match argument
+    // requires every pinned value to be a small integer (integer dots
+    // are exact in double regardless of summation order) and no
+    // zero-norm vector/reconstruction anywhere (both engines would
+    // then hit the 0-guard — fine — but a zero corpus vector would also
+    // make ranks degenerate, weakening the fixture). Guard the fixture
+    // against drift that silently voids the argument.
+    import graft.ann.PqFixture
+    def allInts(vs: Seq[Double]): Boolean = vs.forall(x => x == x.toInt.toDouble)
+    assert(PqFixture.corpus.forall { case (_, v) => allInts(v) })
+    assert(PqFixture.codebooks.forall { case (_, _, c) => allInts(c) })
+    assert(PqFixture.centroids.forall { case (_, c) => allInts(c) })
+    assert(PqFixture.means.forall { case (_, m) => allInts(m) })
+    assert(PqFixture.corpus.forall { case (_, v) => v.exists(_ != 0.0) },
+      "fixture corpus must contain no zero vector")
+    assert(PqFixture.centroids.forall { case (_, c) => c.exists(_ != 0.0) },
+      "routing centroids must be non-zero")
+    assert(PqFixture.corpus.size == 24 &&
+      PqFixture.corpus.map(_._1).distinct.size == 24)
+    // dims stay divisible by m — the subDimChecked contract
+    assert(PqFixture.dim % PqFixture.m == 0)
+    // IVF-PQ recon = mean + codeword per 2-dim block must never be the
+    // zero vector for any ASSIGNED cell/codeword combination actually
+    // produced (zero rnorm would collapse the served cosine to the
+    // 0-guard and hide ranking bugs): check against the engine's codes
+    val ct = graft.ann.IvfPq.encode(PqFixture.corpusDf(spark),
+      PqFixture.assignmentsDf(spark), PqFixture.meansDf(spark),
+      PqFixture.centroidsDf(spark), PqFixture.codebooksDf(spark),
+      "vec_id", "embedding")
+    assert(ct.filter(col("rnorm") === 0.0).count() == 0)
+    assert(ct.count() == 24)
+  }
+
+  test("fixture serving is deterministic and full-size") {
+    def run(f: => org.apache.spark.sql.DataFrame) =
+      f.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3))).toSeq.sortBy(x => (x._1, x._2))
+    val pq = run(graft.queries.AnnQ.pqFixtureTopK(spark, ""))
+    assert(pq.size == 15) // 3 queries x top-5
+    assert(pq == run(graft.queries.AnnQ.pqFixtureTopK(spark, "")))
+    val ivfpq = run(graft.queries.AnnQ.ivfPqFixtureTopK(spark, ""))
+    assert(ivfpq.size == 15)
+    assert(ivfpq == run(graft.queries.AnnQ.ivfPqFixtureTopK(spark, "")))
+    // the doubly-reduced probe serves from 2 of 4 cells, so its
+    // candidate pool differs from plain PQ's full scan — the two
+    // fixtures must NOT be trivially identical (that would mean the
+    // cell pruning did nothing on this corpus)
+    assert(pq != ivfpq)
+  }
 }
