@@ -477,6 +477,11 @@ object SparkEntry {
     // back to (fmt, width, height, channels); oracle recomputes the
     // expected dims, so hash-match == parse round-trip proof
     "q_image_dims" -> MultimodalQ.imageDims,
+    // multimodal — REAL MP4 box walk: ftyp/moov/mvhd/tkhd parsed back
+    // to (duration_ms, width, height, n_tracks), corrupted containers
+    // quarantined; oracle recomputes + excludes, so hash-match proves
+    // parse AND quarantine
+    "q_video_meta" -> MultimodalQ.videoMeta,
   )
 
   /** DuckDB oracle SQL per query. Money math goes through DECIMAL(18,2) in
@@ -2017,6 +2022,17 @@ object SparkEntry {
         |   THEN CASE WHEN doc_id % 4 = 0 THEN 4 ELSE 3 END
         |   ELSE CASE WHEN doc_id % 5 = 0 THEN 1 ELSE 3 END END AS BIGINT) AS channels
         |FROM documents""".stripMargin,
+    // the MP4 metadata the box walk must recover, recomputed from the
+    // document table; duration contract: timescale 600, duration
+    // (1 + id % 240) * 60 units -> exactly (1 + id % 240) * 100 ms.
+    // doc_id % 91 = 0 rows are the planted truncation -> quarantined
+    "q_video_meta" ->
+      """SELECT doc_id AS asset_id, 'mp4' AS fmt,
+        | CAST((1 + doc_id % 240) * 100 AS BIGINT) AS duration_ms,
+        | CAST(16 + n_chars % 64 AS BIGINT) AS width,
+        | CAST(16 + (n_chars * 7) % 64 AS BIGINT) AS height,
+        | CAST(CASE WHEN doc_id % 4 = 0 THEN 2 ELSE 1 END AS BIGINT) AS n_tracks
+        |FROM documents WHERE doc_id % 91 <> 0""".stripMargin,
     "q_frame_sample" ->
       """WITH a AS (
         |  SELECT doc_id AS asset_id,

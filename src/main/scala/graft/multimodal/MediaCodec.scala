@@ -97,6 +97,94 @@ object MediaCodec {
     if (b.length >= 2 && u8(b, 0) == 0xff && u8(b, 1) == 0xd8) parseJpeg(b)
     else parsePng(b)
 
+  // ------------------------------------------------------------- MP4
+
+  /** Parsed MP4 movie metadata: presentation duration in milliseconds
+    * (mvhd duration/timescale, floor), the FIRST track with nonzero
+    * tkhd dimensions (the video track; audio tracks carry 0×0), and the
+    * total trak count.
+    */
+  final case class VideoHeader(fmt: String, durationMs: Long, width: Int,
+      height: Int, nTracks: Int)
+
+  private def boxType(b: Array[Byte], i: Int): String =
+    new String(Array(b(i), b(i + 1), b(i + 2), b(i + 3)),
+      java.nio.charset.StandardCharsets.US_ASCII)
+
+  /** Walk the boxes in [from, until): calls `f(type, payloadStart,
+    * payloadEnd)` per box. Returns false on structural corruption
+    * (truncated header, size too small / past the range, unsupported
+    * 64-bit largesize). ISO/IEC 14496-12 §4.2: size includes the 8-byte
+    * header; size==0 means "to end of enclosing container".
+    */
+  private def walkBoxes(b: Array[Byte], from: Int, until: Int)(
+      f: (String, Int, Int) => Unit): Boolean = {
+    var i = from
+    while (i < until) {
+      if (i + 8 > until) return false
+      val size = be32(b, i)
+      if (size == 1) return false // 64-bit largesize: not in this corpus
+      val end = if (size == 0) until else i + size
+      if (size != 0 && size < 8) return false
+      if (end > until) return false
+      f(boxType(b, i + 4), i + 8, end)
+      i = end
+    }
+    true
+  }
+
+  /** MP4 / ISO BMFF metadata extraction (ISO/IEC 14496-12): top-level
+    * box walk to `moov`, then `mvhd` (version 0 or 1 — timescale +
+    * duration) and each `trak`'s `tkhd` (width/height as 16.16 fixed
+    * point after the 36-byte matrix). Any structural corruption —
+    * truncated box, bad size, missing/short mvhd, zero timescale —
+    * returns None; a curation pipeline quarantines the asset.
+    */
+  def parseMp4(b: Array[Byte]): Option[VideoHeader] = {
+    if (b.length < 16) return None
+    var moov: Option[(Int, Int)] = None
+    if (!walkBoxes(b, 0, b.length) { (t, s, e) =>
+      if (t == "moov" && moov.isEmpty) moov = Some((s, e))
+    }) return None
+    val (ms, me) = moov.getOrElse(return None)
+    var durationMs = -1L
+    var dims: Option[(Int, Int)] = None
+    var nTracks = 0
+    var ok = true
+    if (!walkBoxes(b, ms, me) { (t, s, e) =>
+      if (t == "mvhd") {
+        val v = if (e > s) u8(b, s) else -1
+        // v0: vf(4) ctime(4) mtime(4) timescale(4) duration(4)
+        // v1: vf(4) ctime(8) mtime(8) timescale(4) duration(8)
+        if (v == 0 && e - s >= 20) {
+          val ts = be32(b, s + 12).toLong
+          if (ts > 0) durationMs = be32(b, s + 16).toLong * 1000L / ts
+          else ok = false
+        } else if (v == 1 && e - s >= 32) {
+          val ts = be32(b, s + 20).toLong
+          val dur = (be32(b, s + 24).toLong << 32) | (be32(b, s + 28).toLong & 0xffffffffL)
+          if (ts > 0) durationMs = dur * 1000L / ts else ok = false
+        } else ok = false
+      } else if (t == "trak") {
+        nTracks += 1
+        if (!walkBoxes(b, s, e) { (tt, ts2, te) =>
+          if (tt == "tkhd") {
+            val v = if (te > ts2) u8(b, ts2) else -1
+            // width offset in the tkhd payload: v0 76, v1 88 (16.16)
+            val off = if (v == 0) 76 else if (v == 1) 88 else -1
+            if (off > 0 && te - ts2 >= off + 8) {
+              val w = be32(b, ts2 + off) >>> 16
+              val h = be32(b, ts2 + off + 4) >>> 16
+              if (w > 0 && h > 0 && dims.isEmpty) dims = Some((w, h))
+            } else ok = false
+          }
+        }) ok = false
+      }
+    }) return None
+    if (!ok || durationMs < 0) return None
+    dims.map { case (w, h) => VideoHeader("mp4", durationMs, w, h, nTracks) }
+  }
+
   // ------------------------------------------------------- synthesizers
 
   /** A structurally-valid PNG prefix (signature + IHDR + CRC filler +
@@ -143,6 +231,68 @@ object MediaCodec {
     }
     out.write(payload, 0, payload.length)
     out.toByteArray
+  }
+
+  /** A structurally-valid MP4: ftyp + moov(mvhd + one trak/tkhd per
+    * track) + mdat(payload). `tracks` are (width, height) pairs — use
+    * (0, 0) for an audio-like track. `version` selects the mvhd/tkhd
+    * box version (0: 32-bit times, 1: 64-bit) so the parser's both
+    * branches are exercisable; dims are written 16.16 fixed point.
+    */
+  def mp4Header(timescale: Int, duration: Long, tracks: Seq[(Int, Int)],
+      payload: Array[Byte] = Array.empty, version: Int = 0): Array[Byte] = {
+    require(version == 0 || version == 1, s"mp4 box version $version")
+    val out = new java.io.ByteArrayOutputStream()
+    // ftyp: major brand + minor version only
+    writeBe32(out, 16)
+    "ftyp".foreach(c => out.write(c.toInt))
+    "isom".foreach(c => out.write(c.toInt))
+    writeBe32(out, 0)
+    val mvhdPayload = if (version == 0) 100 else 112
+    val tkhdPayload = if (version == 0) 84 else 96
+    val trakSize = 8 + 8 + tkhdPayload
+    writeBe32(out, 8 + 8 + mvhdPayload + tracks.size * trakSize) // moov
+    "moov".foreach(c => out.write(c.toInt))
+    writeBe32(out, 8 + mvhdPayload) // mvhd
+    "mvhd".foreach(c => out.write(c.toInt))
+    out.write(version); out.write(0); out.write(0); out.write(0) // flags
+    val writeTime: Long => Unit =
+      if (version == 0) t => writeBe32(out, t.toInt)
+      else t => { writeBe32(out, (t >>> 32).toInt); writeBe32(out, t.toInt) }
+    writeTime(0); writeTime(0) // ctime, mtime
+    writeBe32(out, timescale)
+    writeTime(duration)
+    writeBe32(out, 0x00010000) // rate 1.0
+    out.write(1); out.write(0) // volume 1.0
+    (1 to 10).foreach(_ => out.write(0)) // reserved
+    writeMatrix(out)
+    (1 to 24).foreach(_ => out.write(0)) // pre_defined
+    writeBe32(out, tracks.size + 1) // next_track_ID
+    tracks.zipWithIndex.foreach { case ((w, h), ti) =>
+      writeBe32(out, trakSize)
+      "trak".foreach(c => out.write(c.toInt))
+      writeBe32(out, 8 + tkhdPayload)
+      "tkhd".foreach(c => out.write(c.toInt))
+      out.write(version); out.write(0); out.write(0); out.write(3) // enabled
+      writeTime(0); writeTime(0) // ctime, mtime
+      writeBe32(out, ti + 1) // track_ID
+      writeBe32(out, 0) // reserved
+      writeTime(duration)
+      (1 to 8).foreach(_ => out.write(0)) // reserved
+      (1 to 8).foreach(_ => out.write(0)) // layer/altgroup/volume/reserved
+      writeMatrix(out)
+      writeBe32(out, w << 16); writeBe32(out, h << 16) // 16.16
+    }
+    writeBe32(out, 8 + payload.length) // mdat
+    "mdat".foreach(c => out.write(c.toInt))
+    out.write(payload, 0, payload.length)
+    out.toByteArray
+  }
+
+  private def writeMatrix(o: java.io.ByteArrayOutputStream): Unit = {
+    // identity: 0x00010000, 0, 0 / 0, 0x00010000, 0 / 0, 0, 0x40000000
+    val m = Seq(0x00010000, 0, 0, 0, 0x00010000, 0, 0, 0, 0x40000000)
+    m.foreach(writeBe32(o, _))
   }
 
   private def writeBe32(o: java.io.ByteArrayOutputStream, v: Int): Unit = {

@@ -26,6 +26,13 @@ final case class ImageAsset(asset_id: Long, media: Array[Byte])
 final case class ImageDims(asset_id: Long, fmt: String, width: Long,
     height: Long, channels: Long)
 
+/** A video asset: opaque MP4 container bytes only. */
+final case class VideoAsset(asset_id: Long, media: Array[Byte])
+
+/** Box-walk-decoded video metadata ([[MediaCodec.parseMp4]]). */
+final case class VideoMeta(asset_id: Long, fmt: String, duration_ms: Long,
+    width: Long, height: Long, n_tracks: Long)
+
 /** Decoded per-asset features (the output of the decode stub). */
 final case class MediaFeatures(
     asset_id: Long,
@@ -140,6 +147,51 @@ object Multimodal {
         MediaCodec.decodeHeader(a.media).map(hdr =>
           ImageDims(a.asset_id, hdr.fmt, hdr.width.toLong,
             hdr.height.toLong, hdr.channels.toLong))
+      }
+    }
+  }
+
+  /** Video assets with REAL container bytes: each document becomes a
+    * structurally-valid MP4 (ftyp + moov/mvhd/tkhd + mdat) whose boxes
+    * encode duration and track dims derived from (doc_id, n_chars);
+    * docs at doc_id % 4 == 0 carry a second, zero-dim (audio-like)
+    * track, docs at doc_id % 2 == 0 write version-1 (64-bit time)
+    * boxes, and docs at doc_id % 91 == 0 are TRUNCATED mid-header — the
+    * planted corruption the decode stage must quarantine. Downstream
+    * sees only the binary column; everything must come out of the box
+    * walk.
+    *
+    * The duration contract keeps the oracle integer-exact: timescale
+    * 600, duration (1 + doc_id % 240) × 60 units → duration_ms =
+    * (1 + doc_id % 240) × 100 exactly.
+    */
+  def videoAssets(spark: SparkSession, docs: DataFrame): Dataset[VideoAsset] = {
+    import spark.implicits._
+    docs.select(col("doc_id"), widthExpr.as("w"), heightExpr.as("h"),
+      encode(col("text"), "UTF-8").as("payload"))
+      .as[(Long, Long, Long, Array[Byte])]
+      .map { case (id, wL, hL, payload) =>
+        val tracks =
+          if (id % 4 == 0) Seq((wL.toInt, hL.toInt), (0, 0))
+          else Seq((wL.toInt, hL.toInt))
+        val bytes = MediaCodec.mp4Header(timescale = 600,
+          duration = (1 + id % 240) * 60, tracks = tracks,
+          payload = payload, version = (id % 2).toInt)
+        VideoAsset(id, if (id % 91 == 0) bytes.take(20) else bytes)
+      }
+  }
+
+  /** Partition-batched MP4 metadata decode: box-walk each asset into
+    * (duration_ms, width, height, n_tracks). Unparseable containers are
+    * DROPPED (quarantine), mirroring [[decodeImageDims]].
+    */
+  def decodeVideoMeta(assets: Dataset[VideoAsset]): Dataset[VideoMeta] = {
+    import assets.sparkSession.implicits._
+    assets.mapPartitions { batch =>
+      batch.flatMap { a =>
+        MediaCodec.parseMp4(a.media).map(hdr =>
+          VideoMeta(a.asset_id, hdr.fmt, hdr.durationMs, hdr.width.toLong,
+            hdr.height.toLong, hdr.nTracks.toLong))
       }
     }
   }

@@ -27,6 +27,19 @@ object MultimodalQ {
       Multimodal.imageAssets(spark, Tables(spark, dir, "documents")))
       .toDF()
 
+  /** Real MP4 metadata decode: synthesize ISO-BMFF container bytes per
+    * document (incl. version-1 boxes, a second audio-like track and
+    * planted truncation), then recover (duration_ms, width, height,
+    * n_tracks) by WALKING the boxes ([[graft.multimodal.MediaCodec]]).
+    * The oracle recomputes the expected metadata from the document
+    * table and EXCLUDES the corrupted ids — hash-match proves both the
+    * parse round-trip and the quarantine.
+    */
+  def videoMeta(spark: SparkSession, dir: String): DataFrame =
+    Multimodal.decodeVideoMeta(
+      Multimodal.videoAssets(spark, Tables(spark, dir, "documents")))
+      .toDF()
+
   def frameSample(spark: SparkSession, dir: String): DataFrame =
     Multimodal.sampleFrames(
       Multimodal.assetsFromDocuments(spark, Tables(spark, dir, "documents")),

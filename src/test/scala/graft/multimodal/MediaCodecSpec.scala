@@ -82,4 +82,78 @@ class MediaCodecSpec extends AnyFunSuite {
     val badCt = MediaCodec.pngHeader(4, 4, colorType = 5)
     assert(MediaCodec.decodeHeader(badCt).isEmpty)
   }
+
+  // ------------------------------------------------------------- MP4
+
+  // a hand-laid-out (not synthesized) minimal MP4: ftyp(16) +
+  // moov(8 + mvhd(108) + trak(100)) + mdat(8) — v0 boxes, timescale
+  // 1000, duration 2500 (=> 2500 ms), one 320x240 track. Pinned so the
+  // parser is tested against the SPEC layout, not the synthesizer's.
+  private val realMp4: Array[Byte] = {
+    val o = new java.io.ByteArrayOutputStream()
+    def be32(v: Int): Unit = { o.write(v >>> 24); o.write((v >>> 16) & 0xff)
+      o.write((v >>> 8) & 0xff); o.write(v & 0xff) }
+    def tag(s: String): Unit = s.foreach(c => o.write(c.toInt))
+    be32(16); tag("ftyp"); tag("isom"); be32(0)
+    be32(8 + 108 + 100); tag("moov")
+    be32(108); tag("mvhd"); be32(0) // version 0 + flags
+    be32(0); be32(0) // ctime mtime
+    be32(1000); be32(2500) // timescale, duration
+    be32(0x00010000); o.write(1); o.write(0) // rate, volume
+    (1 to 10).foreach(_ => o.write(0))
+    Seq(0x00010000, 0, 0, 0, 0x00010000, 0, 0, 0, 0x40000000).foreach(be32)
+    (1 to 24).foreach(_ => o.write(0))
+    be32(2) // next track id
+    be32(100); tag("trak")
+    be32(92); tag("tkhd"); be32(3) // version 0 + enabled flags
+    be32(0); be32(0); be32(1); be32(0); be32(2500) // times, id, res, dur
+    (1 to 16).foreach(_ => o.write(0)) // reserved + layer/alt/vol/res
+    Seq(0x00010000, 0, 0, 0, 0x00010000, 0, 0, 0, 0x40000000).foreach(be32)
+    be32(320 << 16); be32(240 << 16)
+    be32(8); tag("mdat")
+    o.toByteArray
+  }
+
+  test("parses a hand-laid-out MP4 (pinned spec layout, not synthesized)") {
+    assert(MediaCodec.parseMp4(realMp4) ==
+      Some(MediaCodec.VideoHeader("mp4", 2500L, 320, 240, 1)))
+  }
+
+  test("mp4 synthesize -> parse round-trips both box versions") {
+    for (v <- Seq(0, 1)) {
+      val b = MediaCodec.mp4Header(timescale = 600, duration = 1800,
+        tracks = Seq((640, 480)), version = v)
+      assert(MediaCodec.parseMp4(b) ==
+        Some(MediaCodec.VideoHeader("mp4", 3000L, 640, 480, 1)), s"v$v")
+    }
+    // duration floors (integer ms): 100 units at timescale 600 -> 166 ms
+    val f = MediaCodec.mp4Header(600, 100, Seq((8, 8)))
+    assert(MediaCodec.parseMp4(f).get.durationMs == 166L)
+  }
+
+  test("mp4 zero-dim (audio) tracks are counted but never pick the dims") {
+    val b = MediaCodec.mp4Header(600, 600, Seq((0, 0), (1920, 1080), (0, 0)))
+    assert(MediaCodec.parseMp4(b) ==
+      Some(MediaCodec.VideoHeader("mp4", 1000L, 1920, 1080, 3)))
+  }
+
+  test("mp4 corruption returns None, never throws") {
+    assert(MediaCodec.parseMp4(Array.empty[Byte]).isEmpty)
+    assert(MediaCodec.parseMp4(realMp4.take(20)).isEmpty) // truncated moov
+    assert(MediaCodec.parseMp4("definitely not an mp4 container".getBytes).isEmpty)
+    // box size smaller than its own header
+    val badSize = realMp4.clone(); badSize(19) = 4 // moov size -> 4
+    assert(MediaCodec.parseMp4(badSize).isEmpty)
+    // box size past the end of the file
+    val overrun = realMp4.clone(); overrun(16) = 0x7f.toByte
+    assert(MediaCodec.parseMp4(overrun).isEmpty)
+    // zero timescale
+    val zeroTs = MediaCodec.mp4Header(0, 100, Seq((4, 4)))
+    assert(MediaCodec.parseMp4(zeroTs).isEmpty)
+    // no video track at all -> None (no dims to report)
+    val audioOnly = MediaCodec.mp4Header(600, 600, Seq((0, 0)))
+    assert(MediaCodec.parseMp4(audioOnly).isEmpty)
+    // ftyp-only file: no moov
+    assert(MediaCodec.parseMp4(realMp4.take(16)).isEmpty)
+  }
 }
