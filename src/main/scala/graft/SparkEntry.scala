@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 import graft.etl.{Enricher, PosGenerator, RetailPipeline}
-import graft.queries.{AnnQ, CatalogQ, Core, DedupQ, EventsQ, GraphQ, MultimodalQ, ProfileQ, SampleQ, SearchQ, SketchQ, TextQ}
+import graft.queries.{AnnQ, CatalogQ, Core, DedupQ, EventsQ, GraphQ, LinkQ, MultimodalQ, ProfileQ, SampleQ, SearchQ, SketchQ, TextQ}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -372,6 +372,16 @@ object SparkEntry {
     // weak supervision — seed-clamped label propagation over the
     // cosine similarity graph (integer-exact => fully oracled)
     "q_label_prop" -> GraphQ.labelProp,
+    // graph centrality — integer fixed-point PageRank over the cosine
+    // similarity graph (all-BIGINT arithmetic => fully oracled, rounds
+    // unrolled as CTEs)
+    "q_pagerank" -> GraphQ.pageRank,
+    // record linkage — blocked fuzzy entity-resolution join (first-token
+    // + length-band blocking, exact levenshtein<=1 verify)
+    "q_fuzzy_join" -> LinkQ.fuzzyJoin,
+    // corpus reweighting — DSIR-style importance scores (target-vs-raw
+    // bigram-LM log ratio per doc; 6dp-DECIMAL exact contract)
+    "q_dsir_weights" -> TextQ.dsirWeights,
     // content-hash deterministic train/val/test split assignment
     "q_split_assign" -> TextQ.splitAssign,
     // leakage-safe split — near-dup clusters move to one split together
@@ -1913,6 +1923,128 @@ object SparkEntry {
         |SELECT id AS vec_id, coalesce(seed, -1) AS seed_label,
         | coalesce(label, -1) AS label
         |FROM l2""".stripMargin,
+    // integer fixed-point PageRank: base = 1e9/N, share = pr div deg,
+    // pr' = (15*base) div 100 + (85*inflow) div 100 — all BIGINT, three
+    // rounds unrolled (DuckDB // is integer division)
+    "q_pagerank" ->
+      """WITH e AS (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+        |), p AS (
+        |  SELECT a.vec_id AS a_id, b.vec_id AS b_id
+        |  FROM e a JOIN e b ON a.vec_id < b.vec_id
+        |   AND list_cosine_similarity(a.v, b.v) >= 0.25
+        |), sym AS (
+        |  SELECT a_id AS src, b_id AS dst FROM p
+        |  UNION ALL
+        |  SELECT b_id AS src, a_id AS dst FROM p
+        |), deg AS (
+        |  SELECT src, count(*) AS deg FROM sym GROUP BY 1
+        |), c AS (
+        |  SELECT 1000000000 // count(*) AS base FROM embeddings
+        |), r0 AS (
+        |  SELECT vec_id AS node, base AS pr FROM embeddings, c
+        |), i1 AS (
+        |  SELECT sym.dst AS node, sum(r.pr // d.deg) AS inflow
+        |  FROM r0 r JOIN deg d ON d.src = r.node JOIN sym ON sym.src = r.node
+        |  GROUP BY 1
+        |), r1 AS (
+        |  SELECT v.vec_id AS node,
+        |   (15 * c.base) // 100 + (coalesce(i.inflow, 0) * 85) // 100 AS pr
+        |  FROM embeddings v CROSS JOIN c LEFT JOIN i1 i ON i.node = v.vec_id
+        |), i2 AS (
+        |  SELECT sym.dst AS node, sum(r.pr // d.deg) AS inflow
+        |  FROM r1 r JOIN deg d ON d.src = r.node JOIN sym ON sym.src = r.node
+        |  GROUP BY 1
+        |), r2 AS (
+        |  SELECT v.vec_id AS node,
+        |   (15 * c.base) // 100 + (coalesce(i.inflow, 0) * 85) // 100 AS pr
+        |  FROM embeddings v CROSS JOIN c LEFT JOIN i2 i ON i.node = v.vec_id
+        |), i3 AS (
+        |  SELECT sym.dst AS node, sum(r.pr // d.deg) AS inflow
+        |  FROM r2 r JOIN deg d ON d.src = r.node JOIN sym ON sym.src = r.node
+        |  GROUP BY 1
+        |), r3 AS (
+        |  SELECT v.vec_id AS node,
+        |   (15 * c.base) // 100 + (coalesce(i.inflow, 0) * 85) // 100 AS pr
+        |  FROM embeddings v CROSS JOIN c LEFT JOIN i3 i ON i.node = v.vec_id
+        |)
+        |SELECT node AS vec_id, CAST(pr AS BIGINT) AS pr FROM r3""".stripMargin,
+    // blocked fuzzy join: the corruption, the (first-token, length-band)
+    // blocking AND the levenshtein verify all replayed; levenshtein is
+    // the same unit-cost edit distance in both engines
+    "q_fuzzy_join" ->
+      """WITH l AS (
+        |  SELECT min(p_partkey) AS a_id, p_name AS na FROM part GROUP BY p_name
+        |), r AS (
+        |  SELECT p_partkey + 100000 AS b_id,
+        |   CASE CAST(p_partkey % 3 AS INTEGER)
+        |     WHEN 0 THEN substr(p_name, 1, CAST(length(p_name) - 1 AS INTEGER))
+        |     WHEN 1 THEN substr(p_name, 1, CAST(length(p_name) - 2 AS INTEGER))
+        |     ELSE p_name END AS nb
+        |  FROM part
+        |), cand AS (
+        |  SELECT l.a_id, r.b_id, l.na, r.nb
+        |  FROM l JOIN r
+        |   ON split_part(l.na, ' ', 1) = split_part(r.nb, ' ', 1)
+        |   AND abs(length(l.na) - length(r.nb)) <= 1
+        |), pairs AS (
+        |  SELECT a_id, b_id, CAST(levenshtein(na, nb) AS BIGINT) AS dist
+        |  FROM cand WHERE levenshtein(na, nb) <= 1
+        |), best AS (
+        |  SELECT b_id, a_id, dist,
+        |   row_number() OVER (PARTITION BY b_id ORDER BY dist, a_id) AS rn
+        |  FROM pairs
+        |)
+        |SELECT b_id, a_id AS match_id, dist FROM best WHERE rn = 1""".stripMargin,
+    // DSIR importance weights: two add-1 bigram LMs (target slice vs the
+    // rest) under the q_lm_score 6dp-round-then-DECIMAL contract; the
+    // per-doc score is an exact decimal-difference sum over one division
+    "q_dsir_weights" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |   string_split(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' ') AS toks
+        |  FROM documents
+        |), g AS (
+        |  SELECT doc_id,
+        |   unnest(list_transform(range(1, len(toks)), i -> toks[i] || ' ' || toks[i+1])) AS bigram
+        |  FROM d
+        |), g2 AS (
+        |  SELECT doc_id, bigram, string_split(bigram, ' ')[1] AS prev FROM g
+        |), cbt AS (
+        |  SELECT bigram, count(*) AS cb_t FROM g2 WHERE doc_id % 10 = 3 GROUP BY 1
+        |), cpt AS (
+        |  SELECT prev, count(*) AS cp_t FROM g2 WHERE doc_id % 10 = 3 GROUP BY 1
+        |), cbr AS (
+        |  SELECT bigram, count(*) AS cb_r FROM g2 WHERE doc_id % 10 <> 3 GROUP BY 1
+        |), cpr AS (
+        |  SELECT prev, count(*) AS cp_r FROM g2 WHERE doc_id % 10 <> 3 GROUP BY 1
+        |), vt AS (
+        |  SELECT count(DISTINCT t) AS v_t FROM (
+        |    SELECT unnest(toks) AS t FROM d WHERE doc_id % 10 = 3)
+        |), vr AS (
+        |  SELECT count(DISTINCT t) AS v_r FROM (
+        |    SELECT unnest(toks) AS t FROM d WHERE doc_id % 10 <> 3)
+        |), s AS (
+        |  SELECT g2.doc_id,
+        |   CAST(round(ln(CAST(coalesce(cbt.cb_t, 0) + 1 AS DOUBLE)
+        |     / CAST(coalesce(cpt.cp_t, 0) + vt.v_t AS DOUBLE)), 6)
+        |     AS DECIMAL(18,6)) AS lp_t,
+        |   CAST(round(ln(CAST(cbr.cb_r + 1 AS DOUBLE)
+        |     / CAST(cpr.cp_r + vr.v_r AS DOUBLE)), 6)
+        |     AS DECIMAL(18,6)) AS lp_r
+        |  FROM g2
+        |  LEFT JOIN cbt USING (bigram)
+        |  LEFT JOIN cpt USING (prev)
+        |  JOIN cbr USING (bigram)
+        |  JOIN cpr USING (prev), vt, vr
+        |  WHERE g2.doc_id % 10 <> 3
+        |), a AS (
+        |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+        |   CAST(sum(lp_t - lp_r) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS log_ratio
+        |  FROM s GROUP BY 1
+        |)
+        |SELECT doc_id, n_bigrams, log_ratio, log_ratio >= -0.15 AS keep
+        |FROM a""".stripMargin,
     "q_split_assign" ->
       s"""WITH d AS (
         |  SELECT doc_id, $splitKeySql AS h_mod

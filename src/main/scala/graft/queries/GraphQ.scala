@@ -37,4 +37,23 @@ object GraphQ {
         coalesce(col("seed_label"), lit(-1)).as("seed_label"),
         coalesce(col("label"), lit(-1)).as("label"))
   }
+
+  /** q_pagerank: integer fixed-point PageRank over the cosine ≥ 0.25
+    * similarity graph, 3 rounds — the centrality signal a curation
+    * pipeline uses to pick authoritative cluster representatives and
+    * de-weight isolated spam. All-integer arithmetic
+    * ([[graft.ops.PageRank]]), so the oracle unrolls the rounds as
+    * CTEs and hash-matches exactly, like q_label_prop.
+    */
+  def pageRank(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables(spark, dir, "embeddings")
+    val pairs = Dedup.cosinePairsBlocked(emb, "vec_id", "embedding",
+        threshold = 0.25)
+      .select(col("a_id"), col("b_id"))
+    val edges = pairs.select(col("a_id").as("src"), col("b_id").as("dst"))
+      .unionByName(pairs.select(col("b_id").as("src"), col("a_id").as("dst")))
+      .localCheckpoint()
+    graft.ops.PageRank.ranks(emb, "vec_id", edges, rounds = 3)
+      .select(col("node").as("vec_id"), col("pr"))
+  }
 }

@@ -226,6 +226,74 @@ object TextQ {
       .select("doc_id", "n_bigrams", "avg_logp", "ppl", "keep")
   }
 
+  /** DSIR-style importance weighting (Xie et al. 2023, "Data Selection
+    * for Language Models via Importance Resampling" — the bigram-LM
+    * instantiation): score every raw-corpus document by
+    * log p_target(doc) − log p_raw(doc), where the TARGET LM trains on
+    * the pinned target slice (doc_id % 10 == 3, the "domain sample")
+    * and the RAW LM on the rest. Documents whose n-gram distribution
+    * resembles the target score high and are kept for the
+    * domain-focused mix; the weight is the per-bigram average log
+    * ratio, so lengths do not bias the verdict.
+    *
+    * Exactness: both LMs use the add-1-smoothed 6dp-round-then-DECIMAL
+    * contract of [[lmScore]]; the per-doc score sums DECIMAL
+    * differences exactly and performs ONE double division, so the
+    * keep threshold compares bit-identical values in both engines.
+    * Unseen-in-target bigrams back off to the add-1 floor via
+    * coalesce(0) left joins.
+    *
+    * Scale shape: the bigram relation materializes once and feeds the
+    * two vocabulary-sized count tables and the scoring scan; scoring
+    * is two bigram-keyed joins + two prev-keyed joins — all map-side
+    * combinable aggregates and content-key shuffles, one corpus pass.
+    */
+  def dsirWeights(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(spark, dir, "documents")
+      .select(col("doc_id"), TextOps.tokens(col("text")).as("toks"))
+      .localCheckpoint()
+    // feeds target counts, raw counts AND the scoring scan: explode once
+    val grams = docs
+      .select(col("doc_id"), explode(TextOps.bigrams(col("toks"))).as("bigram"))
+      .withColumn("prev", split(col("bigram"), " ").getItem(0))
+      .localCheckpoint()
+    val isTarget = col("doc_id") % 10 === 3
+    val target = grams.filter(isTarget)
+    val raw = grams.filter(!isTarget)
+    val cbT = target.groupBy("bigram").agg(count(lit(1)).as("cb_t"))
+    val cpT = target.groupBy("prev").agg(count(lit(1)).as("cp_t"))
+    val cbR = raw.groupBy("bigram").agg(count(lit(1)).as("cb_r"))
+    val cpR = raw.groupBy("prev").agg(count(lit(1)).as("cp_r"))
+    val vT = docs.filter(isTarget).select(explode(col("toks")).as("t"))
+      .agg(count_distinct(col("t")).as("v_t"))
+    val vR = docs.filter(!isTarget).select(explode(col("toks")).as("t"))
+      .agg(count_distinct(col("t")).as("v_r"))
+    raw
+      .join(cbT, Seq("bigram"), "left")
+      .join(cpT, Seq("prev"), "left")
+      .join(cbR, "bigram") // a raw bigram is always in the raw LM
+      .join(cpR, "prev")
+      .crossJoin(broadcast(vT))
+      .crossJoin(broadcast(vR))
+      .withColumn("lp_t", round(log(
+        (coalesce(col("cb_t"), lit(0L)) + 1).cast("double") /
+          (coalesce(col("cp_t"), lit(0L)) + col("v_t")).cast("double")),
+        6).cast(DecimalType(18, 6)))
+      .withColumn("lp_r", round(log(
+        (col("cb_r") + 1).cast("double") /
+          (col("cp_r") + col("v_r")).cast("double")),
+        6).cast(DecimalType(18, 6)))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).cast("long").as("n_bigrams"),
+        sum(col("lp_t") - col("lp_r")).as("sdiff"))
+      // exact-decimal sum, then one IEEE division — bit-identical
+      // cross-engine, so the keep cut has no threshold-margin hazard
+      .withColumn("log_ratio",
+        col("sdiff").cast("double") / col("n_bigrams").cast("double"))
+      .withColumn("keep", col("log_ratio") >= lit(-0.15))
+      .select("doc_id", "n_bigrams", "log_ratio", "keep")
+  }
+
   /** Windowed PMI co-occurrence statistics — the word2vec/PPMI
     * preprocessing pass: unordered token pairs within a 3-token sliding
     * window, scored ln(p(a,b) / (p(a)·p(b))) with p(a,b) from the pair

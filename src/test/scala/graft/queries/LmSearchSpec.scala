@@ -50,6 +50,36 @@ class LmSearchSpec extends AnyFunSuite with SparkSpec {
     for ((id, e) <- expected) assert(got(id) == e, s"doc $id")
   }
 
+  test("dsirWeights matches a from-scratch two-LM importance recompute") {
+    val grams = docs.flatMap { case (id, ts) =>
+      ts.sliding(2).filter(_.size == 2).map(p => (id, p.mkString(" "), p.head))
+    }
+    val (tg, rg) = grams.partition(_._1 % 10 == 3)
+    val cbT = tg.groupBy(_._2).view.mapValues(_.size).toMap
+    val cpT = tg.groupBy(_._3).view.mapValues(_.size).toMap
+    val cbR = rg.groupBy(_._2).view.mapValues(_.size).toMap
+    val cpR = rg.groupBy(_._3).view.mapValues(_.size).toMap
+    val vT = docs.filter(_._1 % 10 == 3).flatMap(_._2).distinct.size
+    val vR = docs.filter(_._1 % 10 != 3).flatMap(_._2).distinct.size
+    val expected = rg.groupBy(_._1).map { case (id, gs) =>
+      val sdiff = gs.map { case (_, big, prev) =>
+        round6(math.log((cbT.getOrElse(big, 0) + 1).toDouble /
+          (cpT.getOrElse(prev, 0) + vT).toDouble)) -
+          round6(math.log((cbR(big) + 1).toDouble /
+            (cpR(prev) + vR).toDouble))
+      }.sum
+      val lr = sdiff.toDouble / gs.size.toDouble
+      id -> (gs.size.toLong, lr, lr >= -0.15)
+    }
+    val got = TextQ.dsirWeights(spark, dir).collect().map { r =>
+      r.getLong(0) -> (r.getLong(1), r.getDouble(2), r.getBoolean(3))
+    }.toMap
+    assert(got.size == expected.size && got.nonEmpty)
+    // the target slice itself is never scored
+    assert(got.keys.forall(_ % 10 != 3))
+    for ((id, e) <- expected) assert(got(id) == e, s"doc $id")
+  }
+
   test("bm25 matches a from-scratch Scala BM25 exactly (top-10)") {
     val terms = SearchQ.terms.toSet
     val n = docs.size
