@@ -376,6 +376,9 @@ object SparkEntry {
     // similarity graph (all-BIGINT arithmetic => fully oracled, rounds
     // unrolled as CTEs)
     "q_pagerank" -> GraphQ.pageRank,
+    // graph local density — exact per-node triangle counts via
+    // degree-oriented wedge counting (all-integer => fully oracled)
+    "q_triangles" -> GraphQ.triangles,
     // record linkage — blocked fuzzy entity-resolution join (first-token
     // + length-band blocking, exact levenshtein<=1 verify)
     "q_fuzzy_join" -> LinkQ.fuzzyJoin,
@@ -1923,6 +1926,42 @@ object SparkEntry {
         |SELECT id AS vec_id, coalesce(seed, -1) AS seed_label,
         | coalesce(label, -1) AS label
         |FROM l2""".stripMargin,
+    // degree-oriented triangle counting: orient each edge from the
+    // smaller (deg, id) endpoint, count closed (u->v1, u->v2, v1-v2)
+    // wedges — each triangle once — then explode to per-node counts
+    "q_triangles" ->
+      """WITH e AS (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+        |), p AS (
+        |  SELECT a.vec_id AS a_id, b.vec_id AS b_id
+        |  FROM e a JOIN e b ON a.vec_id < b.vec_id
+        |   AND list_cosine_similarity(a.v, b.v) >= 0.25
+        |), sym AS (
+        |  SELECT a_id AS src, b_id AS dst FROM p
+        |  UNION ALL
+        |  SELECT b_id, a_id FROM p
+        |), deg AS (
+        |  SELECT src, count(*) AS deg FROM sym GROUP BY 1
+        |), o AS (
+        |  SELECT
+        |   CASE WHEN (da.deg, p.a_id) < (db.deg, p.b_id)
+        |     THEN p.a_id ELSE p.b_id END AS u,
+        |   CASE WHEN (da.deg, p.a_id) < (db.deg, p.b_id)
+        |     THEN p.b_id ELSE p.a_id END AS v
+        |  FROM p JOIN deg da ON da.src = p.a_id JOIN deg db ON db.src = p.b_id
+        |), tri AS (
+        |  SELECT x.u, x.v AS v1, y.v AS v2
+        |  FROM o x JOIN o y ON x.u = y.u AND x.v < y.v
+        |  JOIN p ON p.a_id = least(x.v, y.v) AND p.b_id = greatest(x.v, y.v)
+        |), pern AS (
+        |  SELECT node, count(*) AS triangles FROM (
+        |    SELECT u AS node FROM tri
+        |    UNION ALL SELECT v1 FROM tri
+        |    UNION ALL SELECT v2 FROM tri)
+        |  GROUP BY 1
+        |)
+        |SELECT emb.vec_id, CAST(coalesce(pern.triangles, 0) AS BIGINT) AS triangles
+        |FROM embeddings emb LEFT JOIN pern ON pern.node = emb.vec_id""".stripMargin,
     // integer fixed-point PageRank: base = 1e9/N, share = pr div deg,
     // pr' = (15*base) div 100 + (85*inflow) div 100 — all BIGINT, three
     // rounds unrolled (DuckDB // is integer division)

@@ -38,6 +38,23 @@ object GraphQ {
         coalesce(col("label"), lit(-1)).as("label"))
   }
 
+  /** q_triangles: per-node exact triangle counts over the cosine ≥ 0.25
+    * similarity graph — the local-density signal separating clique-like
+    * template/boilerplate families (many triangles) from bridge
+    * documents (edges but no triangles). Degree-oriented wedge counting
+    * ([[graft.ops.TriangleCount]]) is all-integer, so the oracle
+    * replays orientation, wedge join and closure exactly.
+    */
+  def triangles(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables(spark, dir, "embeddings")
+    val edges = Dedup.cosinePairsBlocked(emb, "vec_id", "embedding",
+        threshold = 0.25)
+      .select(col("a_id"), col("b_id"))
+      .localCheckpoint()
+    graft.ops.TriangleCount.perNode(emb, "vec_id", edges)
+      .select(col("node").as("vec_id"), col("triangles"))
+  }
+
   /** q_pagerank: integer fixed-point PageRank over the cosine ≥ 0.25
     * similarity graph, 3 rounds — the centrality signal a curation
     * pipeline uses to pick authoritative cluster representatives and
