@@ -385,6 +385,9 @@ object SparkEntry {
     // corpus reweighting — DSIR-style importance scores (target-vs-raw
     // bigram-LM log ratio per doc; 6dp-DECIMAL exact contract)
     "q_dsir_weights" -> TextQ.dsirWeights,
+    // drift monitoring — per-source unigram KL + exact total variation
+    // vs the corpus distribution
+    "q_token_drift" -> TextQ.tokenDrift,
     // content-hash deterministic train/val/test split assignment
     "q_split_assign" -> TextQ.splitAssign,
     // leakage-safe split — near-dup clusters move to one split together
@@ -2035,6 +2038,44 @@ object SparkEntry {
         |  FROM pairs
         |)
         |SELECT b_id, a_id AS match_id, dist FROM best WHERE rn = 1""".stripMargin,
+    // per-source token drift: KL via 6dp-decimal weighted log ratios
+    // (one final division), TV exactly in integers over the common
+    // denominator n_s*n_c with the closed-form absent-token correction
+    "q_token_drift" ->
+      """WITH d AS (
+        |  SELECT source,
+        |   string_split(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' ') AS toks
+        |  FROM documents
+        |), tk AS (
+        |  SELECT source, unnest(toks) AS t FROM d
+        |), st AS (
+        |  SELECT source, t, count(*) AS c_st FROM tk GROUP BY 1, 2
+        |), ct AS (
+        |  SELECT t, CAST(sum(c_st) AS BIGINT) AS c_ct FROM st GROUP BY 1
+        |), ns AS (
+        |  SELECT source, CAST(sum(c_st) AS BIGINT) AS n_s FROM st GROUP BY 1
+        |), nc AS (
+        |  SELECT CAST(sum(c_ct) AS BIGINT) AS n_c FROM ct
+        |), j AS (
+        |  SELECT st.source, st.c_st, ct.c_ct, ns.n_s, nc.n_c,
+        |   CAST(round(ln(CAST(st.c_st * nc.n_c AS DOUBLE)
+        |     / CAST(ns.n_s * ct.c_ct AS DOUBLE)), 6) AS DECIMAL(18,6)) AS lr
+        |  FROM st JOIN ct USING (t) JOIN ns USING (source), nc
+        |), a AS (
+        |  SELECT source,
+        |   max(n_s) AS n_tokens,
+        |   CAST(count(*) AS BIGINT) AS distinct_tokens,
+        |   sum(CAST(c_st AS DECIMAL(18,0)) * lr) AS klnum,
+        |   CAST(sum(abs(c_st * n_c - c_ct * n_s)) AS BIGINT) AS tvpresent,
+        |   CAST(sum(c_ct) AS BIGINT) AS cct_sum,
+        |   max(n_c) AS n_c
+        |  FROM j GROUP BY 1
+        |)
+        |SELECT source, n_tokens, distinct_tokens,
+        | CAST(klnum AS DOUBLE) / CAST(n_tokens AS DOUBLE) AS kl,
+        | CAST(tvpresent + n_tokens * (n_c - cct_sum) AS DOUBLE)
+        |  / (CAST(2.0 AS DOUBLE) * CAST(n_tokens AS DOUBLE) * CAST(n_c AS DOUBLE)) AS tv
+        |FROM a""".stripMargin,
     // DSIR importance weights: two add-1 bigram LMs (target slice vs the
     // rest) under the q_lm_score 6dp-round-then-DECIMAL contract; the
     // per-doc score is an exact decimal-difference sum over one division

@@ -294,6 +294,65 @@ object TextQ {
       .select("doc_id", "n_bigrams", "log_ratio", "keep")
   }
 
+  /** Per-source token-distribution drift vs the whole corpus — the
+    * monitoring signal that catches a source whose content shifted
+    * (new crawl snapshot, scraper regression, injected spam) before it
+    * contaminates the training mix. Two divergences per source:
+    *
+    *  - KL(source ‖ corpus) = Σ_t (c_st/n_s)·ln(p_s(t)/p_c(t)),
+    *    restricted to tokens the source contains (absent tokens
+    *    contribute 0). Per-token log ratios go through the
+    *    6dp-round-then-DECIMAL contract and are weighted by INTEGER
+    *    counts, so the sum is an exact decimal; ONE double division by
+    *    n_s at the end keeps the value bit-identical cross-engine.
+    *  - Total variation = ½ Σ_t |p_s(t) − p_c(t)|, computed EXACTLY in
+    *    integers over the common denominator n_s·n_c:
+    *    Σ_{t∈source} |c_st·n_c − c_ct·n_s| plus the closed-form
+    *    correction n_s·(n_c − Σ_{t∈source} c_ct) for tokens the source
+    *    never emits — no pass over the full vocabulary per source.
+    *
+    * Scale shape: one explode pass → a (source, token) map-side-
+    * combinable count, a token-keyed join against the vocabulary-sized
+    * corpus counts, and a source-keyed final aggregate. Output is
+    * |sources| rows.
+    */
+  def tokenDrift(spark: SparkSession, dir: String): DataFrame = {
+    val toks = Tables(spark, dir, "documents")
+      .select(col("source"), explode(TextOps.tokens(col("text"))).as("t"))
+    val st = toks.groupBy("source", "t").agg(count(lit(1)).as("c_st"))
+      .localCheckpoint() // feeds corpus counts, source totals AND the join
+    val ct = st.groupBy("t").agg(sum(col("c_st")).as("c_ct"))
+    val ns = st.groupBy("source").agg(sum(col("c_st")).as("n_s"))
+    val nc = ct.agg(sum(col("c_ct")).as("n_c"))
+    st
+      .join(ct, "t")
+      .join(broadcast(ns), "source")
+      .crossJoin(broadcast(nc))
+      // ln((c_st·n_c)/(n_s·c_ct)) per token, 6dp-pinned, weighted by the
+      // integer count so the aggregate stays exact
+      .withColumn("lr", round(log(
+        (col("c_st") * col("n_c")).cast("double") /
+          (col("n_s") * col("c_ct")).cast("double")), 6)
+        .cast(DecimalType(18, 6)))
+      .groupBy("source")
+      .agg(
+        max(col("n_s")).as("n_tokens"),
+        count(lit(1)).cast("long").as("distinct_tokens"),
+        sum(col("c_st").cast(DecimalType(18, 0)) * col("lr")).as("klnum"),
+        sum(abs(col("c_st") * col("n_c") - col("c_ct") * col("n_s")))
+          .as("tvpresent"),
+        sum(col("c_ct")).as("cct_sum"),
+        max(col("n_c")).as("n_c"))
+      .withColumn("kl",
+        col("klnum").cast("double") / col("n_tokens").cast("double"))
+      .withColumn("tv",
+        (col("tvpresent") +
+          col("n_tokens") * (col("n_c") - col("cct_sum"))).cast("double") /
+          (lit(2.0) * col("n_tokens").cast("double") * col("n_c").cast("double")))
+      .select(col("source"), col("n_tokens"), col("distinct_tokens"),
+        col("kl"), col("tv"))
+  }
+
   /** Windowed PMI co-occurrence statistics — the word2vec/PPMI
     * preprocessing pass: unordered token pairs within a 3-token sliding
     * window, scored ln(p(a,b) / (p(a)·p(b))) with p(a,b) from the pair

@@ -80,6 +80,44 @@ class LmSearchSpec extends AnyFunSuite with SparkSpec {
     for ((id, e) <- expected) assert(got(id) == e, s"doc $id")
   }
 
+  test("tokenDrift matches a from-scratch two-divergence recompute") {
+    import org.apache.spark.sql.functions.col
+    val bySource: Map[String, Seq[String]] = graft.Tables(spark, dir, "documents")
+      .select(col("source"), col("text")).collect()
+      .map(r => (r.getString(0), toks(r.getString(1)))).toSeq
+      .groupBy(_._1).view.mapValues(_.flatMap(_._2)).toMap
+    val ct = bySource.values.flatten.toSeq.groupBy(identity).view
+      .mapValues(_.size.toLong).toMap
+    val nC = ct.values.sum
+    val expected = bySource.map { case (src, ts) =>
+      val st = ts.groupBy(identity).view.mapValues(_.size.toLong).toMap
+      val nS = ts.size.toLong
+      val klnum = st.map { case (t, cSt) =>
+        round6(math.log((cSt * nC).toDouble / (nS * ct(t)).toDouble)) * cSt
+      }.sum
+      val kl = klnum.toDouble / nS.toDouble
+      val tvPresent = st.map { case (t, cSt) =>
+        math.abs(cSt * nC - ct(t) * nS)
+      }.sum
+      // keysIterator, not keys: Set.map would dedup colliding counts
+      val cctSum = st.keysIterator.map(ct).sum
+      val tv = (tvPresent + nS * (nC - cctSum)).toDouble /
+        (2.0 * nS.toDouble * nC.toDouble)
+      src -> (nS, st.size.toLong, kl, tv)
+    }
+    val got = TextQ.tokenDrift(spark, dir).collect().map { r =>
+      r.getString(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3),
+        r.getDouble(4))
+    }.toMap
+    assert(got.size == expected.size && got.nonEmpty)
+    for ((src, e) <- expected) assert(got(src) == e, s"source $src")
+    // TV is a metric in [0,1]; a uniform corpus would make every KL 0 —
+    // assert the fixture actually drifts
+    assert(got.values.forall { case (_, _, kl, tv) =>
+      kl >= 0.0 - 1e-9 && tv >= 0.0 && tv <= 1.0 } &&
+      got.values.exists(_._4 > 0.0))
+  }
+
   test("bm25 matches a from-scratch Scala BM25 exactly (top-10)") {
     val terms = SearchQ.terms.toSet
     val n = docs.size
