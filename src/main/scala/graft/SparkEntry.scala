@@ -388,6 +388,9 @@ object SparkEntry {
     // drift monitoring — per-source unigram KL + exact total variation
     // vs the corpus distribution
     "q_token_drift" -> TextQ.tokenDrift,
+    // join-strategy diagnostic — per-key frequency skew profile from
+    // the compressed counts-of-counts distribution
+    "q_key_skew" -> ProfileQ.keySkew,
     // content-hash deterministic train/val/test split assignment
     "q_split_assign" -> TextQ.splitAssign,
     // leakage-safe split — near-dup clusters move to one split together
@@ -2038,6 +2041,53 @@ object SparkEntry {
         |  FROM pairs
         |)
         |SELECT b_id, a_id AS match_id, dist FROM best WHERE rn = 1""".stripMargin,
+    // per-key skew profile: counts per key, quantile_cont over the
+    // count distribution (== Spark frequency-weighted percentile),
+    // top-10 share with the same (c desc, k) tiebreak
+    "q_key_skew" ->
+      """WITH k1 AS (SELECT l_orderkey AS k, count(*) AS c FROM lineitem GROUP BY 1),
+        |k2 AS (SELECT l_partkey AS k, count(*) AS c FROM lineitem GROUP BY 1),
+        |k3 AS (SELECT l_suppkey AS k, count(*) AS c FROM lineitem GROUP BY 1),
+        |k4 AS (SELECT o_custkey AS k, count(*) AS c FROM orders GROUP BY 1),
+        |s1 AS (
+        |  SELECT 'l_orderkey' AS key_name, CAST(sum(c) AS BIGINT) AS n_rows,
+        |   CAST(count(*) AS BIGINT) AS n_keys, max(c) AS max_cnt,
+        |   quantile_cont(c, [0.5, 0.9, 0.99]) AS pcts,
+        |   (SELECT CAST(sum(c) AS BIGINT) FROM
+        |     (SELECT c FROM k1 ORDER BY c DESC, k LIMIT 10)) AS top10_rows
+        |  FROM k1
+        |), s2 AS (
+        |  SELECT 'l_partkey', CAST(sum(c) AS BIGINT),
+        |   CAST(count(*) AS BIGINT), max(c),
+        |   quantile_cont(c, [0.5, 0.9, 0.99]),
+        |   (SELECT CAST(sum(c) AS BIGINT) FROM
+        |     (SELECT c FROM k2 ORDER BY c DESC, k LIMIT 10))
+        |  FROM k2
+        |), s3 AS (
+        |  SELECT 'l_suppkey', CAST(sum(c) AS BIGINT),
+        |   CAST(count(*) AS BIGINT), max(c),
+        |   quantile_cont(c, [0.5, 0.9, 0.99]),
+        |   (SELECT CAST(sum(c) AS BIGINT) FROM
+        |     (SELECT c FROM k3 ORDER BY c DESC, k LIMIT 10))
+        |  FROM k3
+        |), s4 AS (
+        |  SELECT 'o_custkey', CAST(sum(c) AS BIGINT),
+        |   CAST(count(*) AS BIGINT), max(c),
+        |   quantile_cont(c, [0.5, 0.9, 0.99]),
+        |   (SELECT CAST(sum(c) AS BIGINT) FROM
+        |     (SELECT c FROM k4 ORDER BY c DESC, k LIMIT 10))
+        |  FROM k4
+        |), u AS (
+        |  SELECT * FROM s1 UNION ALL SELECT * FROM s2
+        |  UNION ALL SELECT * FROM s3 UNION ALL SELECT * FROM s4
+        |)
+        |SELECT key_name, n_rows, n_keys, max_cnt,
+        | CAST(n_rows AS DOUBLE) / CAST(n_keys AS DOUBLE) AS avg_cnt,
+        | pcts[1] AS p50, pcts[2] AS p90, pcts[3] AS p99,
+        | CAST(max_cnt AS DOUBLE)
+        |  / (CAST(n_rows AS DOUBLE) / CAST(n_keys AS DOUBLE)) AS skew,
+        | CAST(top10_rows AS DOUBLE) / CAST(n_rows AS DOUBLE) AS top10_share
+        |FROM u""".stripMargin,
     // per-source token drift: KL via 6dp-decimal weighted log ratios
     // (one final division), TV exactly in integers over the common
     // denominator n_s*n_c with the closed-form absent-token correction

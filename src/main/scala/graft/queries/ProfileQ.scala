@@ -136,6 +136,59 @@ object ProfileQ {
       .withColumn("decile", ntile(10).over(w).cast("long"))
   }
 
+  /** Per-join-key skew profile — the diagnostic run BEFORE choosing a
+    * join strategy: a key whose max/avg ratio explodes wants salting
+    * ([[graft.ops.SkewJoin]]) or an AQE skew split; a key with tiny NDV
+    * wants a broadcast of the other side. One summary row per analyzed
+    * key: row/key counts, max and interpolated p50/p90/p99 of the
+    * per-key frequency distribution, the max/avg skew factor, and the
+    * share of rows held by the 10 hottest keys.
+    *
+    * Scale shape per key: one map-side-combinable count shuffle on the
+    * key, then the frequency distribution is COMPRESSED to
+    * counts-of-counts (|distinct frequency values| rows — hundreds,
+    * data-size-independent) and percentiles come from Spark's
+    * frequency-weighted `percentile(c, p, n)` over that tiny frame —
+    * identical to the expanded multiset, with no global sort of keys.
+    * Top-10 hot keys ride a distributed TakeOrderedAndProject; their
+    * summed share is tie-invariant (equal counts sum equally whichever
+    * keys are picked).
+    */
+  def keySkew(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables(spark, dir, "lineitem")
+    val keys = Seq(
+      "l_orderkey" -> li, "l_partkey" -> li, "l_suppkey" -> li,
+      "o_custkey" -> Tables(spark, dir, "orders"))
+    keys.map { case (k, df) => keySkewOf(df, k) }.reduce(_ unionByName _)
+  }
+
+  /** The profile of one key column of one frame (see [[keySkew]]). */
+  private[queries] def keySkewOf(df: DataFrame, k: String): DataFrame = {
+    val kc = df.groupBy(col(k).as("k")).agg(count(lit(1)).as("c"))
+    val coc = kc.groupBy("c").agg(count(lit(1)).as("n"))
+    val top10 = kc.orderBy(col("c").desc, col("k")).limit(10)
+      .agg(sum(col("c")).as("top10_rows"))
+    coc.agg(
+      sum(col("c") * col("n")).as("n_rows"),
+      sum(col("n")).as("n_keys"),
+      max(col("c")).as("max_cnt"),
+      expr("percentile(c, array(0.5, 0.9, 0.99), n)").as("pcts"))
+      .crossJoin(top10)
+      .select(
+        lit(k).as("key_name"), col("n_rows"), col("n_keys"),
+        col("max_cnt"),
+        (col("n_rows").cast("double") / col("n_keys").cast("double"))
+          .as("avg_cnt"),
+        col("pcts").getItem(0).as("p50"),
+        col("pcts").getItem(1).as("p90"),
+        col("pcts").getItem(2).as("p99"),
+        (col("max_cnt").cast("double") /
+          (col("n_rows").cast("double") / col("n_keys").cast("double")))
+          .as("skew"),
+        (col("top10_rows").cast("double") / col("n_rows").cast("double"))
+          .as("top10_share"))
+  }
+
   /** The gate over any (event_id, event_type, value) frame. */
   private[queries] def outliersOf(events: DataFrame): DataFrame =
     // baseline and scoring delegate to AnomalyGate — the ONE definition

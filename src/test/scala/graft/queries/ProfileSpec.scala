@@ -57,4 +57,29 @@ class ProfileSpec extends AnyFunSuite with SparkSpec {
     assert(got.map(_._1).toSet == Set(100L),
       "the live group's spike must still be flagged")
   }
+
+  test("keySkewOf: planted hot key dominates every skew signal") {
+    import spark.implicits._
+    // key 0 holds 80 rows; keys 1..20 hold 1 row each → n=100, keys=21
+    val rows = (Seq.fill(80)(0L) ++ (1L to 20L)).map(Tuple1(_))
+      .toDF("k")
+    val r = ProfileQ.keySkewOf(rows, "k").collect().head
+    assert(r.getString(0) == "k")
+    assert(r.getLong(1) == 100L && r.getLong(2) == 21L)
+    assert(r.getLong(3) == 80L) // max_cnt
+    assert(r.getDouble(5) == 1.0) // p50 of counts: the long tail of 1s
+    assert(r.getDouble(8) == 80.0 / (100.0 / 21.0)) // skew = max/avg
+    // top-10 = hot key + nine singletons = 89 of 100 rows
+    assert(r.getDouble(9) == 0.89)
+  }
+
+  test("keySkewOf: uniform keys report skew exactly 1") {
+    import spark.implicits._
+    val rows = (0L until 60L).map(i => Tuple1(i % 12)).toDF("k")
+    val r = ProfileQ.keySkewOf(rows, "k").collect().head
+    assert(r.getLong(1) == 60L && r.getLong(2) == 12L)
+    assert(r.getLong(3) == 5L && r.getDouble(8) == 1.0)
+    assert(r.getDouble(5) == 5.0 && r.getDouble(6) == 5.0 &&
+      r.getDouble(7) == 5.0)
+  }
 }
