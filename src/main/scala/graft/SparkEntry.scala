@@ -132,6 +132,9 @@ object SparkEntry {
     "q_set_ops" -> Core.setOps,
     // exact interpolated percentiles per group
     "q_percentiles" -> Core.percentiles,
+    // co-located join — both sides bucketed on the join key at write
+    // time, SortMergeJoin plans with zero ShuffleExchange
+    "q_bucketed_join" -> Core.bucketedJoin,
     // sketches — HLL distinct + approx percentiles (rows-only:
     // engine-specific sketches; SketchQSpec bounds the error)
     "q_approx_distinct" -> SketchQ.approxDistinct,
@@ -684,6 +687,13 @@ object SparkEntry {
         | quantile_cont(o_totalprice, 0.9) AS p90,
         | count(*) AS n
         |FROM orders GROUP BY 1""".stripMargin,
+    // the bucketed layout changes the PLAN, never the answer: the
+    // oracle is the plain join
+    "q_bucketed_join" ->
+      """SELECT c_nationkey AS nation, CAST(count(*) AS BIGINT) AS n_orders,
+        | CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |GROUP BY 1""".stripMargin,
     "q_not_null_checks" ->
       """SELECT column_name, nulls, nulls = 0 AS pass FROM (
         |  SELECT 'o_orderkey' AS column_name, CAST(SUM(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS nulls FROM orders

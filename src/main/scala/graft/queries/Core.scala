@@ -340,6 +340,24 @@ object Core {
       .distinct()
   }
 
+  /** q_bucketed_join: the co-located join — orders and customer are
+    * bucketed on their join key at write time
+    * ([[graft.ops.Bucketing]]), so the SortMergeJoin itself plans with
+    * ZERO ShuffleExchange (BucketingSpec pins that plan): the shuffle
+    * was paid once by the layout job, not per query. The MERGE hint
+    * keeps the demonstration deterministic (a stats-based broadcast
+    * would also skip the exchange, but for the other reason).
+    * Aggregation above the join shuffles |nations| rows — negligible.
+    */
+  def bucketedJoin(spark: SparkSession, dir: String): DataFrame = {
+    val (o, c) = graft.ops.Bucketing.bucketedOrdersCustomer(spark, dir)
+    o.hint("merge").join(c, col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_nationkey").as("nation"))
+      .agg(
+        count(lit(1)).as("n_orders"),
+        sum(dec(col("o_totalprice"))).cast("double").as("revenue"))
+  }
+
   // -------------------------------------------------------------------
   // Exact percentiles per group — `percentile` uses the standard
   // (n−1)p linear interpolation, the same formula as DuckDB's
