@@ -122,13 +122,14 @@ object MediaCodec {
     var i = from
     while (i < until) {
       if (i + 8 > until) return false
-      val size = be32(b, i)
+      // size is UNSIGNED 32-bit: mask, or a 2 GiB+ box reads negative
+      val size = be32(b, i).toLong & 0xffffffffL
       if (size == 1) return false // 64-bit largesize: not in this corpus
-      val end = if (size == 0) until else i + size
+      val end = if (size == 0) until.toLong else i + size
       if (size != 0 && size < 8) return false
       if (end > until) return false
-      f(boxType(b, i + 4), i + 8, end)
-      i = end
+      f(boxType(b, i + 4), i + 8, end.toInt)
+      i = end.toInt
     }
     true
   }
@@ -156,13 +157,18 @@ object MediaCodec {
         val v = if (e > s) u8(b, s) else -1
         // v0: vf(4) ctime(4) mtime(4) timescale(4) duration(4)
         // v1: vf(4) ctime(8) mtime(8) timescale(4) duration(8)
+        // timescale and v0 duration are UNSIGNED 32-bit — mask before
+        // widening, or a 6.6 h+ recording (duration >= 2^31) reads
+        // negative and a valid asset is misquarantined
         if (v == 0 && e - s >= 20) {
-          val ts = be32(b, s + 12).toLong
-          if (ts > 0) durationMs = be32(b, s + 16).toLong * 1000L / ts
+          val ts = be32(b, s + 12).toLong & 0xffffffffL
+          if (ts > 0)
+            durationMs = (be32(b, s + 16).toLong & 0xffffffffL) * 1000L / ts
           else ok = false
         } else if (v == 1 && e - s >= 32) {
-          val ts = be32(b, s + 20).toLong
-          val dur = (be32(b, s + 24).toLong << 32) | (be32(b, s + 28).toLong & 0xffffffffL)
+          val ts = be32(b, s + 20).toLong & 0xffffffffL
+          val dur = ((be32(b, s + 24).toLong & 0xffffffffL) << 32) |
+            (be32(b, s + 28).toLong & 0xffffffffL)
           if (ts > 0) durationMs = dur * 1000L / ts else ok = false
         } else ok = false
       } else if (t == "trak") {

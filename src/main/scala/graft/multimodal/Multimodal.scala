@@ -155,8 +155,8 @@ object Multimodal {
     * structurally-valid MP4 (ftyp + moov/mvhd/tkhd + mdat) whose boxes
     * encode duration and track dims derived from (doc_id, n_chars);
     * docs at doc_id % 4 == 0 carry a second, zero-dim (audio-like)
-    * track, docs at doc_id % 2 == 0 write version-1 (64-bit time)
-    * boxes, and docs at doc_id % 91 == 0 are TRUNCATED mid-header — the
+    * track, ODD doc_ids write version-1 (64-bit time) boxes (version
+    * = doc_id % 2), and docs at doc_id % 91 == 0 are TRUNCATED mid-header — the
     * planted corruption the decode stage must quarantine. Downstream
     * sees only the binary column; everything must come out of the box
     * walk.

@@ -23,23 +23,37 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 object Bucketing {
 
+  private val builtTables =
+    new java.util.concurrent.ConcurrentHashMap[String, (String, Int)]()
+
   /** Ensure `name` exists as a bucketed+sorted managed table of
     * `build`'s frame in the dataset's bucket database; returns the
-    * fully-qualified table name. Build-once per (JVM, dataDir).
+    * fully-qualified table name. Build-once per (JVM, dataDir); the
+    * database has ONE managed dir all its tables live under (a
+    * per-table artifact dir would be a decoy — managed table files
+    * always land under the database location). Re-requesting a built
+    * table with a different key or bucket count fails loudly instead
+    * of silently serving the stale layout.
     */
   def ensureBucketed(spark: SparkSession, dataDir: String, name: String,
       key: String, nBuckets: Int)(build: => DataFrame): String = {
     require(nBuckets > 0, s"nBuckets must be positive: $nBuckets")
     val db = s"graft_b_${StageArtifacts.pathIdent(dataDir)}"
-    val table = s"$db.$name"
-    StageArtifacts.ensure(dataDir, s"bucketed-$name") { dir =>
+    StageArtifacts.ensure(dataDir, "bucket-db") { dir =>
       spark.sql(s"CREATE DATABASE IF NOT EXISTS $db LOCATION '$dir'")
+    }
+    val table = s"$db.$name"
+    val spec = builtTables.computeIfAbsent(table, { _ =>
       build.write
         .bucketBy(nBuckets, key)
         .sortBy(key)
         .mode("overwrite")
         .saveAsTable(table)
-    }
+      (key, nBuckets)
+    })
+    require(spec == ((key, nBuckets)),
+      s"bucketed table $table already built with (key, buckets) = $spec; " +
+        s"requested ($key, $nBuckets) — pick a different table name")
     table
   }
 

@@ -64,12 +64,14 @@ object GraphQ {
     */
   def pageRank(spark: SparkSession, dir: String): DataFrame = {
     val emb = Tables(spark, dir, "embeddings")
+    // checkpoint the PAIR scan before the symmetric union — each union
+    // branch would otherwise re-run the dominant all-pairs stage
     val pairs = Dedup.cosinePairsBlocked(emb, "vec_id", "embedding",
         threshold = 0.25)
       .select(col("a_id"), col("b_id"))
+      .localCheckpoint()
     val edges = pairs.select(col("a_id").as("src"), col("b_id").as("dst"))
       .unionByName(pairs.select(col("b_id").as("src"), col("a_id").as("dst")))
-      .localCheckpoint()
     graft.ops.PageRank.ranks(emb, "vec_id", edges, rounds = 3)
       .select(col("node").as("vec_id"), col("pr"))
   }

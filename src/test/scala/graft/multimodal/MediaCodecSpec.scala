@@ -126,6 +126,13 @@ class MediaCodecSpec extends AnyFunSuite {
       assert(MediaCodec.parseMp4(b) ==
         Some(MediaCodec.VideoHeader("mp4", 3000L, 640, 480, 1)), s"v$v")
     }
+    // u32 fields are UNSIGNED: a v0 duration past 2^31 (a ~6.6 h
+    // recording at MPEG's 90 kHz timescale) must parse positive, not
+    // sign-extend to a misquarantine
+    val long0 = MediaCodec.mp4Header(90000, 0x80000000L, Seq((640, 480)))
+    assert(MediaCodec.parseMp4(long0) ==
+      Some(MediaCodec.VideoHeader("mp4", 0x80000000L * 1000L / 90000L,
+        640, 480, 1)))
     // duration floors (integer ms): 100 units at timescale 600 -> 166 ms
     val f = MediaCodec.mp4Header(600, 100, Seq((8, 8)))
     assert(MediaCodec.parseMp4(f).get.durationMs == 166L)

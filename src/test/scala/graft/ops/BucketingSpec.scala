@@ -53,4 +53,16 @@ class BucketingSpec extends AnyFunSuite with SparkSpec {
     assert(t1 == t2 && builds == 1)
     assert(spark.table(t1).count() > 0)
   }
+
+  test("ensureBucketed refuses a layout-spec change for a built table") {
+    Bucketing.ensureBucketed(spark, dir, "spec_probe", "o_custkey", 4) {
+      graft.Tables(spark, dir, "orders").select(col("o_custkey"))
+    }
+    val e = intercept[IllegalArgumentException] {
+      Bucketing.ensureBucketed(spark, dir, "spec_probe", "o_custkey", 8) {
+        graft.Tables(spark, dir, "orders").select(col("o_custkey"))
+      }
+    }
+    assert(e.getMessage.contains("already built"))
+  }
 }
