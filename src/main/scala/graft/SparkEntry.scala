@@ -504,6 +504,10 @@ object SparkEntry {
     // quarantined; oracle recomputes + excludes, so hash-match proves
     // parse AND quarantine
     "q_video_meta" -> MultimodalQ.videoMeta,
+    // multimodal — REAL WAV chunk walk: RIFF/fmt /data parsed back to
+    // PCM stream parameters + duration, junk chunks skipped, corrupted
+    // containers quarantined; oracle recomputes + excludes
+    "q_audio_meta" -> MultimodalQ.audioMeta,
   )
 
   /** DuckDB oracle SQL per query. Money math goes through DECIMAL(18,2) in
@@ -2304,6 +2308,18 @@ object SparkEntry {
         | CAST(16 + n_chars % 64 AS BIGINT) AS width,
         | CAST(16 + (n_chars * 7) % 64 AS BIGINT) AS height,
         | CAST(CASE WHEN doc_id % 4 = 0 THEN 2 ELSE 1 END AS BIGINT) AS n_tracks
+        |FROM documents WHERE doc_id % 91 <> 0""".stripMargin,
+    // the WAV metadata the chunk walk must recover; duration contract:
+    // 8 kHz, 8*(1 + id % 125) samples -> exactly (1 + id % 125) ms.
+    // doc_id % 91 = 0 rows are the planted truncation -> quarantined
+    "q_audio_meta" ->
+      """SELECT doc_id AS asset_id, 'wav' AS fmt,
+        | CAST(1 + doc_id % 125 AS BIGINT) AS duration_ms,
+        | CAST(8000 AS BIGINT) AS sample_rate,
+        | CAST(1 + doc_id % 2 AS BIGINT) AS channels,
+        | CAST(CASE WHEN doc_id % 3 = 0 THEN 8 ELSE 16 END AS BIGINT)
+        |   AS bits_per_sample,
+        | CAST(8 * (1 + doc_id % 125) AS BIGINT) AS n_samples
         |FROM documents WHERE doc_id % 91 <> 0""".stripMargin,
     "q_frame_sample" ->
       """WITH a AS (

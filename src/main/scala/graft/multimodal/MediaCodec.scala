@@ -191,6 +191,73 @@ object MediaCodec {
     dims.map { case (w, h) => VideoHeader("mp4", durationMs, w, h, nTracks) }
   }
 
+  // ------------------------------------------------------------- WAV
+
+  /** Parsed WAV (RIFF/WAVE) audio metadata: PCM stream parameters from
+    * the `fmt ` chunk plus sample count derived from the `data` chunk
+    * size; duration is floor(nSamples · 1000 / sampleRate) ms.
+    */
+  final case class AudioHeader(fmt: String, durationMs: Long,
+      sampleRate: Int, channels: Int, bitsPerSample: Int, nSamples: Long)
+
+  private def le16(b: Array[Byte], i: Int): Int = u8(b, i) | (u8(b, i + 1) << 8)
+  private def le32(b: Array[Byte], i: Int): Int =
+    u8(b, i) | (u8(b, i + 1) << 8) | (u8(b, i + 2) << 16) | (u8(b, i + 3) << 24)
+
+  /** WAV metadata extraction (RIFF spec; multimedia file formats are
+    * little-endian, unlike ISO BMFF): verify the RIFF/WAVE magic, then
+    * walk the chunk list — id(4) + size(4) + payload, payloads padded
+    * to even offsets — taking the FIRST `fmt ` and `data` chunks and
+    * SKIPPING everything else (LIST/INFO, cue, junk: real encoders
+    * emit them, so a fixed-offset read is wrong). Validation: the
+    * format tag must be 1 (integer PCM), rate/channels positive, bits
+    * a multiple of 8, and the redundant fields (blockAlign, byteRate)
+    * CONSISTENT — an inconsistent header is corruption, not a value to
+    * silently prefer one side of. The data size must be a whole number
+    * of frames. Any violation, truncation, or missing chunk → None;
+    * the curation pipeline quarantines the asset.
+    */
+  def parseWav(b: Array[Byte]): Option[AudioHeader] = {
+    if (b.length < 12) return None
+    if (boxType(b, 0) != "RIFF" || boxType(b, 8) != "WAVE") return None
+    // RIFF size covers everything after its own 8-byte header; a size
+    // pointing past the buffer means truncation
+    val riffEnd = 8L + (le32(b, 4).toLong & 0xffffffffL)
+    if (riffEnd > b.length) return None
+    val until = riffEnd.toInt
+    var fmtChunk: Option[(Int, Int)] = None
+    var dataSize = -1L
+    var i = 12
+    while (i < until) {
+      if (i + 8 > until) return None
+      val size = le32(b, i + 4).toLong & 0xffffffffL
+      val end = i + 8 + size
+      if (end > until) return None
+      boxType(b, i) match {
+        case "fmt " if fmtChunk.isEmpty => fmtChunk = Some((i + 8, end.toInt))
+        case "data" if dataSize < 0 => dataSize = size
+        case _ => // unknown chunk: skip
+      }
+      i = (end + (size & 1L)).toInt // chunks are word-aligned: odd pads 1
+    }
+    val (fs, fe) = fmtChunk.getOrElse(return None)
+    if (dataSize < 0 || fe - fs < 16) return None
+    val formatTag = le16(b, fs)
+    val channels = le16(b, fs + 2)
+    val sampleRate = le32(b, fs + 4)
+    val byteRate = le32(b, fs + 8)
+    val blockAlign = le16(b, fs + 12)
+    val bits = le16(b, fs + 14)
+    if (formatTag != 1 || channels <= 0 || sampleRate <= 0 ||
+      bits <= 0 || bits % 8 != 0) return None
+    if (blockAlign != channels * bits / 8) return None
+    if (byteRate != sampleRate * blockAlign) return None
+    if (dataSize % blockAlign != 0) return None
+    val nSamples = dataSize / blockAlign
+    Some(AudioHeader("wav", nSamples * 1000L / sampleRate, sampleRate,
+      channels, bits, nSamples))
+  }
+
   // ------------------------------------------------------- synthesizers
 
   /** A structurally-valid PNG prefix (signature + IHDR + CRC filler +
@@ -293,6 +360,51 @@ object MediaCodec {
     "mdat".foreach(c => out.write(c.toInt))
     out.write(payload, 0, payload.length)
     out.toByteArray
+  }
+
+  /** A structurally-valid PCM WAV: RIFF/WAVE + optional odd-sized
+    * `LIST` junk chunk (so the parser must walk AND word-align, not
+    * read fixed offsets) + `fmt ` + `data` with nSamples·blockAlign
+    * deterministic filler bytes. blockAlign/byteRate are derived
+    * consistently; corruption is synthesized by the CALLER (truncation,
+    * or parameters that violate the consistency rules).
+    */
+  def wavHeader(sampleRate: Int, channels: Int, bitsPerSample: Int,
+      nSamples: Long, junkChunk: Boolean = false,
+      fill: Byte = 0): Array[Byte] = {
+    val blockAlign = channels * bitsPerSample / 8
+    val dataSize = (nSamples * blockAlign).toInt
+    val junk = if (junkChunk) 8 + 5 + 1 else 0 // odd payload + pad byte
+    val out = new java.io.ByteArrayOutputStream()
+    "RIFF".foreach(c => out.write(c.toInt))
+    writeLe32(out, 4 + junk + (8 + 16) + (8 + dataSize))
+    "WAVE".foreach(c => out.write(c.toInt))
+    if (junkChunk) {
+      "LIST".foreach(c => out.write(c.toInt))
+      writeLe32(out, 5) // odd size: exercises the pad-byte rule
+      "INFOx".foreach(c => out.write(c.toInt))
+      out.write(0) // pad to even
+    }
+    "fmt ".foreach(c => out.write(c.toInt))
+    writeLe32(out, 16)
+    writeLe16(out, 1) // PCM
+    writeLe16(out, channels)
+    writeLe32(out, sampleRate)
+    writeLe32(out, sampleRate * blockAlign)
+    writeLe16(out, blockAlign)
+    writeLe16(out, bitsPerSample)
+    "data".foreach(c => out.write(c.toInt))
+    writeLe32(out, dataSize)
+    (0 until dataSize).foreach(_ => out.write(fill))
+    out.toByteArray
+  }
+
+  private def writeLe32(o: java.io.ByteArrayOutputStream, v: Int): Unit = {
+    o.write(v & 0xff); o.write((v >>> 8) & 0xff)
+    o.write((v >>> 16) & 0xff); o.write((v >>> 24) & 0xff)
+  }
+  private def writeLe16(o: java.io.ByteArrayOutputStream, v: Int): Unit = {
+    o.write(v & 0xff); o.write((v >>> 8) & 0xff)
   }
 
   private def writeMatrix(o: java.io.ByteArrayOutputStream): Unit = {

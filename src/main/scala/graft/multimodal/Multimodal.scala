@@ -33,6 +33,14 @@ final case class VideoAsset(asset_id: Long, media: Array[Byte])
 final case class VideoMeta(asset_id: Long, fmt: String, duration_ms: Long,
     width: Long, height: Long, n_tracks: Long)
 
+/** An audio asset: opaque WAV container bytes only. */
+final case class AudioAsset(asset_id: Long, media: Array[Byte])
+
+/** Chunk-walk-decoded audio metadata ([[MediaCodec.parseWav]]). */
+final case class AudioMeta(asset_id: Long, fmt: String, duration_ms: Long,
+    sample_rate: Long, channels: Long, bits_per_sample: Long,
+    n_samples: Long)
+
 /** Decoded per-asset features (the output of the decode stub). */
 final case class MediaFeatures(
     asset_id: Long,
@@ -192,6 +200,44 @@ object Multimodal {
         MediaCodec.parseMp4(a.media).map(hdr =>
           VideoMeta(a.asset_id, hdr.fmt, hdr.durationMs, hdr.width.toLong,
             hdr.height.toLong, hdr.nTracks.toLong))
+      }
+    }
+  }
+
+  /** Audio assets with REAL container bytes: each document becomes a
+    * structurally-valid PCM WAV whose `fmt `/`data` chunks encode
+    * stream parameters derived from doc_id — 8 kHz, 8·(1 + id % 125)
+    * samples (so duration_ms = 1 + id % 125 EXACTLY), 1 + id % 2
+    * channels, 8-bit where id % 3 == 0 else 16-bit. id % 5 == 0 docs
+    * carry an odd-sized LIST junk chunk before `fmt ` (the parser must
+    * chunk-walk and word-align), and id % 91 == 0 docs are TRUNCATED
+    * mid-header — the planted corruption the decode stage must
+    * quarantine. Downstream sees only the binary column.
+    */
+  def audioAssets(spark: SparkSession, docs: DataFrame): Dataset[AudioAsset] = {
+    import spark.implicits._
+    docs.select(col("doc_id")).as[Long].map { id =>
+      val bytes = MediaCodec.wavHeader(sampleRate = 8000,
+        channels = 1 + (id % 2).toInt,
+        bitsPerSample = if (id % 3 == 0) 8 else 16,
+        nSamples = 8L * (1 + id % 125),
+        junkChunk = id % 5 == 0,
+        fill = (id & 0x7f).toByte)
+      AudioAsset(id, if (id % 91 == 0) bytes.take(20) else bytes)
+    }
+  }
+
+  /** Partition-batched WAV metadata decode: chunk-walk each asset into
+    * stream parameters + duration. Unparseable containers are DROPPED
+    * (quarantine), mirroring [[decodeImageDims]]/[[decodeVideoMeta]].
+    */
+  def decodeAudioMeta(assets: Dataset[AudioAsset]): Dataset[AudioMeta] = {
+    import assets.sparkSession.implicits._
+    assets.mapPartitions { batch =>
+      batch.flatMap { a =>
+        MediaCodec.parseWav(a.media).map(hdr =>
+          AudioMeta(a.asset_id, hdr.fmt, hdr.durationMs, hdr.sampleRate.toLong,
+            hdr.channels.toLong, hdr.bitsPerSample.toLong, hdr.nSamples))
       }
     }
   }

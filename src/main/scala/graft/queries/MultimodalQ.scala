@@ -40,6 +40,11 @@ object MultimodalQ {
       Multimodal.videoAssets(spark, Tables(spark, dir, "documents")))
       .toDF()
 
+  def audioMeta(spark: SparkSession, dir: String): DataFrame =
+    Multimodal.decodeAudioMeta(
+      Multimodal.audioAssets(spark, Tables(spark, dir, "documents")))
+      .toDF()
+
   def frameSample(spark: SparkSession, dir: String): DataFrame =
     Multimodal.sampleFrames(
       Multimodal.assetsFromDocuments(spark, Tables(spark, dir, "documents")),

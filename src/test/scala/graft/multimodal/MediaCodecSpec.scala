@@ -163,4 +163,73 @@ class MediaCodecSpec extends AnyFunSuite {
     // ftyp-only file: no moov
     assert(MediaCodec.parseMp4(realMp4.take(16)).isEmpty)
   }
+
+  // ------------------------------------------------------------- WAV
+
+  // a hand-laid-out (not synthesized) minimal PCM WAV: RIFF/WAVE +
+  // fmt (16: PCM, 2ch, 8000 Hz, 16-bit) + data(8 = 2 frames). Pinned
+  // so the parser is tested against the SPEC layout (little-endian!),
+  // not the synthesizer's.
+  private val realWav: Array[Byte] = {
+    val o = new java.io.ByteArrayOutputStream()
+    def le32(v: Int): Unit = { o.write(v & 0xff); o.write((v >>> 8) & 0xff)
+      o.write((v >>> 16) & 0xff); o.write(v >>> 24) }
+    def le16(v: Int): Unit = { o.write(v & 0xff); o.write((v >>> 8) & 0xff) }
+    def tag(s: String): Unit = s.foreach(c => o.write(c.toInt))
+    tag("RIFF"); le32(4 + 24 + 16); tag("WAVE")
+    tag("fmt "); le32(16)
+    le16(1); le16(2) // PCM, 2 channels
+    le32(8000); le32(8000 * 4) // sample rate, byte rate
+    le16(4); le16(16) // block align, bits
+    tag("data"); le32(8)
+    (1 to 8).foreach(o.write)
+    o.toByteArray
+  }
+
+  test("parses a hand-laid-out WAV (pinned spec layout, little-endian)") {
+    assert(MediaCodec.parseWav(realWav) ==
+      Some(MediaCodec.AudioHeader("wav", 0L, 8000, 2, 16, 2L)))
+  }
+
+  test("wav synthesize -> parse round-trips, with and without junk chunk") {
+    for (junk <- Seq(false, true)) {
+      val b = MediaCodec.wavHeader(sampleRate = 8000, channels = 1,
+        bitsPerSample = 16, nSamples = 4000, junkChunk = junk)
+      assert(MediaCodec.parseWav(b) ==
+        Some(MediaCodec.AudioHeader("wav", 500L, 8000, 1, 16, 4000L)),
+        s"junk=$junk")
+    }
+    // duration floors: 999 samples at 8 kHz -> 124 ms, not 125
+    val f = MediaCodec.wavHeader(8000, 1, 8, 999)
+    assert(MediaCodec.parseWav(f).get.durationMs == 124L)
+  }
+
+  test("wav corruption returns None, never throws") {
+    assert(MediaCodec.parseWav(Array.empty[Byte]).isEmpty)
+    assert(MediaCodec.parseWav(realWav.take(20)).isEmpty) // truncated fmt
+    assert(MediaCodec.parseWav("RIFFxxxxNOPE".getBytes).isEmpty)
+    // RIFF size pointing past the buffer = truncated file
+    val shortBuf = realWav.clone(); shortBuf(4) = 0x7f.toByte
+    assert(MediaCodec.parseWav(shortBuf).isEmpty)
+    // non-PCM format tag
+    val float = realWav.clone(); float(20) = 3 // IEEE float tag
+    assert(MediaCodec.parseWav(float).isEmpty)
+    // inconsistent blockAlign (2ch 16-bit must be 4)
+    val badAlign = realWav.clone(); badAlign(32) = 2
+    assert(MediaCodec.parseWav(badAlign).isEmpty)
+    // inconsistent byteRate
+    val badRate = realWav.clone(); badRate(28) = 1
+    assert(MediaCodec.parseWav(badRate).isEmpty)
+    // data size not a whole number of frames (8 -> 7)
+    val ragged = realWav.clone()
+    ragged(40) = 7; ragged(4) = (realWav(4) - 1).toByte
+    assert(MediaCodec.parseWav(ragged).isEmpty)
+    // zero sample rate
+    val zeroSr = realWav.clone()
+    zeroSr(24) = 0; zeroSr(25) = 0; zeroSr(28) = 0; zeroSr(29) = 0
+    assert(MediaCodec.parseWav(zeroSr).isEmpty)
+    // fmt-only file (RIFF size patched to match): no data chunk
+    val fmtOnly = realWav.take(36); fmtOnly(4) = 28
+    assert(MediaCodec.parseWav(fmtOnly).isEmpty)
+  }
 }

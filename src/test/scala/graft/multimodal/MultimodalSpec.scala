@@ -34,6 +34,24 @@ class MultimodalSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("audio decode recovers id-derived params; truncated assets quarantined") {
+    val docs = Tables(spark, dir, "documents")
+    val metas = Multimodal.decodeAudioMeta(
+      Multimodal.audioAssets(spark, docs)).collect().map(m => m.asset_id -> m).toMap
+    val ids = docs.select("doc_id").collect().map(_.getLong(0))
+    ids.foreach { id =>
+      if (id % 91 == 0) assert(!metas.contains(id), s"id=$id not quarantined")
+      else {
+        val m = metas(id)
+        assert(m.sample_rate == 8000L)
+        assert(m.channels == 1 + id % 2)
+        assert(m.bits_per_sample == (if (id % 3 == 0) 8L else 16L))
+        assert(m.n_samples == 8L * (1 + id % 125))
+        assert(m.duration_ms == 1 + id % 125) // 8 kHz: 8 samples per ms
+      }
+    }
+  }
+
   test("frame sampling: only video, every 4th frame, correct offsets") {
     val frames = Multimodal.sampleFrames(assets(), step = 4).collect()
     assert(frames.nonEmpty)
