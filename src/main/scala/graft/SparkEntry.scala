@@ -179,6 +179,10 @@ object SparkEntry {
     "q_funnel" -> EventsQ.funnel,
     // SCD type-2 dimension build from the click change stream
     "q_scd2" -> EventsQ.scd2,
+    // incremental SCD2 merge: persisted history + delta batch, only
+    // touched keys' open rows re-windowed; oracle is the FULL rebuild,
+    // so hash-match proves incremental ≡ full
+    "q_scd2_incremental" -> EventsQ.scd2Incremental,
     // S2 — deterministic seeded POS source (no oracle: engine-specific
     // murmur3 seeding; driver records rows-only)
     "q_pos_generate" -> ((s, _) => PosGenerator.transactions(s, "verify-run", "ok", 200)),
@@ -802,6 +806,26 @@ object SparkEntry {
         |UNION ALL
         |SELECT CAST(3 AS INTEGER), 'purchase', count(s3) FROM u3""".stripMargin,
     "q_scd2" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, CAST(floor(epoch(ts)) AS BIGINT) AS ts_s, value
+        |  FROM events WHERE event_type = 'click'
+        |), chg AS (
+        |  SELECT user_id, event_id, ts_s, value,
+        |   lag(value) OVER (PARTITION BY user_id ORDER BY ts_s, event_id) AS prev
+        |  FROM e
+        |), v AS (
+        |  SELECT user_id, event_id, ts_s, value FROM chg
+        |  WHERE prev IS NULL OR prev <> value
+        |)
+        |SELECT user_id,
+        | row_number() OVER (PARTITION BY user_id ORDER BY ts_s, event_id) AS version,
+        | value, ts_s AS valid_from_s,
+        | lead(ts_s) OVER (PARTITION BY user_id ORDER BY ts_s, event_id) AS valid_to_s,
+        | CASE WHEN lead(ts_s) OVER (PARTITION BY user_id ORDER BY ts_s, event_id) IS NULL
+        |   THEN 1 ELSE 0 END AS is_current
+        |FROM v""".stripMargin,
+    // the incremental merge must converge to the full rebuild exactly
+    "q_scd2_incremental" ->
       """WITH e AS (
         |  SELECT user_id, event_id, CAST(floor(epoch(ts)) AS BIGINT) AS ts_s, value
         |  FROM events WHERE event_type = 'click'
