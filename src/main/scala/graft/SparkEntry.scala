@@ -395,6 +395,10 @@ object SparkEntry {
     // drift monitoring — per-source unigram KL + exact total variation
     // vs the corpus distribution
     "q_token_drift" -> TextQ.tokenDrift,
+    // drift monitoring — embedding-space twin of q_token_drift: each
+    // label's centroid cosine vs the corpus mean, exact decimal sums
+    // end to end (cosine of sums ≡ cosine of means by scale invariance)
+    "q_embed_drift" -> ProfileQ.embedDrift,
     // join-strategy diagnostic — per-key frequency skew profile from
     // the compressed counts-of-counts distribution
     "q_key_skew" -> ProfileQ.keySkew,
@@ -2163,6 +2167,27 @@ object SparkEntry {
         | CAST(klnum AS DOUBLE) / CAST(n_tokens AS DOUBLE) AS kl,
         | CAST(tvpresent + n_tokens * (n_c - cct_sum) AS DOUBLE)
         |  / (CAST(2.0 AS DOUBLE) * CAST(n_tokens AS DOUBLE) * CAST(n_c AS DOUBLE)) AS tv
+        |FROM a""".stripMargin,
+    // embedding-centroid drift: exact DECIMAL(18,9) per-dim sums, the
+    // ONE double expression written identically to the Spark side
+    "q_embed_drift" ->
+      """WITH u AS (
+        |  SELECT label, t.i, CAST(e.embedding[t.i] AS DECIMAL(18,9)) AS x
+        |  FROM embeddings e, unnest(range(1, len(e.embedding) + 1)) AS t(i)
+        |), sl AS (
+        |  SELECT label, i, CAST(sum(x) AS DECIMAL(18,9)) AS s, count(*) AS n
+        |  FROM u GROUP BY 1, 2
+        |), sg AS (
+        |  SELECT i, CAST(sum(s) AS DECIMAL(18,9)) AS g FROM sl GROUP BY 1
+        |), a AS (
+        |  SELECT label, max(n) AS n_vecs,
+        |   sum(s * g) AS dot, sum(s * s) AS na2, sum(g * g) AS nb2
+        |  FROM sl JOIN sg USING (i) GROUP BY 1
+        |)
+        |SELECT label, CAST(n_vecs AS BIGINT) AS n_vecs,
+        | CAST(CAST(CAST(dot AS DOUBLE) /
+        |   (sqrt(CAST(na2 AS DOUBLE)) * sqrt(CAST(nb2 AS DOUBLE)))
+        |  AS DECIMAL(18,6)) AS DOUBLE) AS centroid_cosine
         |FROM a""".stripMargin,
     // DSIR importance weights: two add-1 bigram LMs (target slice vs the
     // rest) under the q_lm_score 6dp-round-then-DECIMAL contract; the

@@ -189,6 +189,55 @@ object ProfileQ {
           .as("top10_share"))
   }
 
+  /** Per-label embedding-centroid drift — the embedding-space twin of
+    * the token-distribution drift: how far each label group's mean
+    * vector points away from the corpus mean. A group whose centroid
+    * cosine falls is collapsing toward (or fleeing) the mixture — the
+    * signal that re-weighting or re-embedding is due before training.
+    *
+    * Cross-engine exactness (the [[graft.ann.Prototype]] contract,
+    * taken further): per-(label, dim) sums of DECIMAL(18,9)-cast
+    * elements are exact and addition-order-free; the global per-dim
+    * sums DERIVE from the label sums (no second corpus pass); and
+    * because cosine is scale-invariant, centroid cosine == cosine of
+    * the SUM vectors — so dot and norms² are computed entirely in
+    * decimals (18,9 × 18,9 → 37,18 products, no precision cap hit) and
+    * exactly one double expression, written identically in the oracle
+    * (`dot / (sqrt(na2) · sqrt(nb2))`), produces the score. The
+    * DECIMAL(18,9) down-casts bound |sum| < 1e9: unit-norm embeddings
+    * keep per-dim sums ≤ n_vecs, so this holds to ~1e9 rows per label;
+    * beyond that widen the scale allocation.
+    *
+    * Scale shape: one posexplode pass collapsed by a map-side-
+    * combinable (label, dim) partial aggregate (shuffle = |labels|·d
+    * rows), a broadcast join on the d-row global sums, |labels| rows
+    * out. The corpus is scanned once.
+    */
+  def embedDrift(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val base = Tables(spark, dir, "embeddings")
+      .select(col("label"), posexplode(
+        transform(col("embedding"), x => x.cast(DecimalType(18, 9))))
+        .as(Seq("i", "x")))
+    val sl = base.groupBy(col("label"), col("i"))
+      .agg(sum(col("x")).as("s0"), count(lit(1)).as("n"))
+      .select(col("label"), col("i"),
+        col("s0").cast(DecimalType(18, 9)).as("s"), col("n"))
+    val sg = sl.groupBy(col("i"))
+      .agg(sum(col("s")).cast(DecimalType(18, 9)).as("g"))
+    sl.join(broadcast(sg), "i")
+      .groupBy(col("label"))
+      .agg(
+        max(col("n")).as("n_vecs"), // n is the label count for every dim
+        sum(col("s") * col("g")).as("dot"),
+        sum(col("s") * col("s")).as("na2"),
+        sum(col("g") * col("g")).as("nb2"))
+      .select(col("label"), col("n_vecs"),
+        (col("dot").cast("double") /
+          (sqrt(col("na2").cast("double")) * sqrt(col("nb2").cast("double"))))
+          .cast(DecimalType(18, 6)).cast("double").as("centroid_cosine"))
+  }
+
   /** The gate over any (event_id, event_type, value) frame. */
   private[queries] def outliersOf(events: DataFrame): DataFrame =
     // baseline and scoring delegate to AnomalyGate — the ONE definition

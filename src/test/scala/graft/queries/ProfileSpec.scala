@@ -58,6 +58,44 @@ class ProfileSpec extends AnyFunSuite with SparkSpec {
       "the live group's spike must still be flagged")
   }
 
+  test("embedDrift matches a from-scratch exact-decimal recompute") {
+    import java.math.{BigDecimal => JBD, RoundingMode}
+    val emb = graft.Tables(spark, dir, "embeddings")
+      .select(col("label"), col("embedding")).collect()
+      .map(r => (r.getInt(0), r.getSeq[Float](1)))
+    val dim = emb.head._2.length
+    // per-(label, dim) exact sums of the DECIMAL(18,9)-cast elements;
+    // Spark casts double->decimal through the SHORTEST decimal repr
+    // (Double.toString), so the recompute must too
+    def d9(f: Float): JBD =
+      new JBD(java.lang.Double.toString(f.toDouble))
+        .setScale(9, RoundingMode.HALF_UP)
+    val byLabel = emb.groupBy(_._1).map { case (l, vs) =>
+      l -> (0 until dim).map(j =>
+        vs.map(v => d9(v._2(j))).reduce(_ add _)).toIndexedSeq
+    }
+    val global = (0 until dim).map(j =>
+      byLabel.values.map(_(j)).reduce(_ add _)).toIndexedSeq
+    def dot(a: IndexedSeq[JBD], b: IndexedSeq[JBD]): JBD =
+      (0 until dim).map(j => a(j).multiply(b(j))).reduce(_ add _)
+    val expected = byLabel.map { case (l, s) =>
+      val c = dot(s, global).doubleValue() /
+        (math.sqrt(dot(s, s).doubleValue()) *
+          math.sqrt(dot(global, global).doubleValue()))
+      l -> new JBD(java.lang.Double.toString(c))
+        .setScale(6, RoundingMode.HALF_UP).doubleValue()
+    }
+    val got = ProfileQ.embedDrift(spark, dir).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getDouble(2)))
+    assert(got.length == byLabel.size)
+    got.foreach { case (l, n, c) =>
+      assert(n == emb.count(_._1 == l).toLong)
+      assert(c == expected(l), s"label=$l")
+    }
+    // drift scores are non-degenerate: not every label at the same value
+    assert(got.map(_._3).distinct.length > 1)
+  }
+
   test("keySkewOf: planted hot key dominates every skew signal") {
     import spark.implicits._
     // key 0 holds 80 rows; keys 1..20 hold 1 row each → n=100, keys=21
