@@ -809,45 +809,10 @@ object SparkEntry {
         |SELECT CAST(2 AS INTEGER), 'click', count(s2) FROM u2
         |UNION ALL
         |SELECT CAST(3 AS INTEGER), 'purchase', count(s3) FROM u3""".stripMargin,
-    "q_scd2" ->
-      """WITH e AS (
-        |  SELECT user_id, event_id, CAST(floor(epoch(ts)) AS BIGINT) AS ts_s, value
-        |  FROM events WHERE event_type = 'click'
-        |), chg AS (
-        |  SELECT user_id, event_id, ts_s, value,
-        |   lag(value) OVER (PARTITION BY user_id ORDER BY ts_s, event_id) AS prev
-        |  FROM e
-        |), v AS (
-        |  SELECT user_id, event_id, ts_s, value FROM chg
-        |  WHERE prev IS NULL OR prev <> value
-        |)
-        |SELECT user_id,
-        | row_number() OVER (PARTITION BY user_id ORDER BY ts_s, event_id) AS version,
-        | value, ts_s AS valid_from_s,
-        | lead(ts_s) OVER (PARTITION BY user_id ORDER BY ts_s, event_id) AS valid_to_s,
-        | CASE WHEN lead(ts_s) OVER (PARTITION BY user_id ORDER BY ts_s, event_id) IS NULL
-        |   THEN 1 ELSE 0 END AS is_current
-        |FROM v""".stripMargin,
-    // the incremental merge must converge to the full rebuild exactly
-    "q_scd2_incremental" ->
-      """WITH e AS (
-        |  SELECT user_id, event_id, CAST(floor(epoch(ts)) AS BIGINT) AS ts_s, value
-        |  FROM events WHERE event_type = 'click'
-        |), chg AS (
-        |  SELECT user_id, event_id, ts_s, value,
-        |   lag(value) OVER (PARTITION BY user_id ORDER BY ts_s, event_id) AS prev
-        |  FROM e
-        |), v AS (
-        |  SELECT user_id, event_id, ts_s, value FROM chg
-        |  WHERE prev IS NULL OR prev <> value
-        |)
-        |SELECT user_id,
-        | row_number() OVER (PARTITION BY user_id ORDER BY ts_s, event_id) AS version,
-        | value, ts_s AS valid_from_s,
-        | lead(ts_s) OVER (PARTITION BY user_id ORDER BY ts_s, event_id) AS valid_to_s,
-        | CASE WHEN lead(ts_s) OVER (PARTITION BY user_id ORDER BY ts_s, event_id) IS NULL
-        |   THEN 1 ELSE 0 END AS is_current
-        |FROM v""".stripMargin,
+    "q_scd2" -> scd2RebuildSql,
+    // the incremental merge must converge to the full rebuild exactly:
+    // ONE bound SQL for both keys, so the oracles can never diverge
+    "q_scd2_incremental" -> scd2RebuildSql,
     "q_running_totals" ->
       """WITH e AS (
         |  SELECT event_id, user_id, ts, CAST(value AS DECIMAL(18,2)) AS val FROM events
@@ -2390,6 +2355,30 @@ object SparkEntry {
     * a `text` column in scope — shared by q_split_assign and
     * q_split_leakage_safe so the two split rules can't drift.
     */
+  /** Full SCD2 rebuild — the shared oracle of q_scd2 AND
+    * q_scd2_incremental (the incremental merge's contract IS
+    * equivalence to this rebuild).
+    */
+  private val scd2RebuildSql: String =
+    """WITH e AS (
+      |  SELECT user_id, event_id, CAST(floor(epoch(ts)) AS BIGINT) AS ts_s, value
+      |  FROM events WHERE event_type = 'click'
+      |), chg AS (
+      |  SELECT user_id, event_id, ts_s, value,
+      |   lag(value) OVER (PARTITION BY user_id ORDER BY ts_s, event_id) AS prev
+      |  FROM e
+      |), v AS (
+      |  SELECT user_id, event_id, ts_s, value FROM chg
+      |  WHERE prev IS NULL OR prev <> value
+      |)
+      |SELECT user_id,
+      | row_number() OVER (PARTITION BY user_id ORDER BY ts_s, event_id) AS version,
+      | value, ts_s AS valid_from_s,
+      | lead(ts_s) OVER (PARTITION BY user_id ORDER BY ts_s, event_id) AS valid_to_s,
+      | CASE WHEN lead(ts_s) OVER (PARTITION BY user_id ORDER BY ts_s, event_id) IS NULL
+      |   THEN 1 ELSE 0 END AS is_current
+      |FROM v""".stripMargin
+
   private val splitKeySql: String =
     """list_reduce(list_prepend(CAST(0 AS BIGINT),
       |     list_transform(string_split(

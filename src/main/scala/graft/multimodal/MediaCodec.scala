@@ -250,8 +250,12 @@ object MediaCodec {
     val bits = le16(b, fs + 14)
     if (formatTag != 1 || channels <= 0 || sampleRate <= 0 ||
       bits <= 0 || bits % 8 != 0) return None
-    if (blockAlign != channels * bits / 8) return None
-    if (byteRate != sampleRate * blockAlign) return None
+    // consistency products in Long: 16-bit channels × 16-bit bits (and
+    // 31-bit rate × 16-bit align) overflow Int, and a wrapped product
+    // matching a corrupt field would pass the check it should fail
+    if (blockAlign.toLong != channels.toLong * bits / 8) return None
+    if ((byteRate.toLong & 0xffffffffL) !=
+      sampleRate.toLong * blockAlign) return None
     if (dataSize % blockAlign != 0) return None
     val nSamples = dataSize / blockAlign
     Some(AudioHeader("wav", nSamples * 1000L / sampleRate, sampleRate,

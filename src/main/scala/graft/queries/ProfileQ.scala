@@ -223,6 +223,10 @@ object ProfileQ {
       .agg(sum(col("x")).as("s0"), count(lit(1)).as("n"))
       .select(col("label"), col("i"),
         col("s0").cast(DecimalType(18, 9)).as("s"), col("n"))
+      // feeds the global sums AND the scoring join: checkpoint makes
+      // the scan-once shape structural (tokenDrift's contract), not
+      // dependent on ReuseExchange firing
+      .localCheckpoint()
     val sg = sl.groupBy(col("i"))
       .agg(sum(col("s")).cast(DecimalType(18, 9)).as("g"))
     sl.join(broadcast(sg), "i")

@@ -231,5 +231,12 @@ class MediaCodecSpec extends AnyFunSuite {
     // fmt-only file (RIFF size patched to match): no data chunk
     val fmtOnly = realWav.take(36); fmtOnly(4) = 28
     assert(MediaCodec.parseWav(fmtOnly).isEmpty)
+    // 32-bit overflow bait: rate=2^30 (positive), blockAlign=4 makes
+    // rate*align wrap to 0 in Int arithmetic, "matching" byteRate=0 —
+    // the consistency check must compute in Long and quarantine
+    val ovfl = realWav.clone()
+    ovfl(24) = 0; ovfl(25) = 0; ovfl(26) = 0; ovfl(27) = 0x40.toByte
+    ovfl(28) = 0; ovfl(29) = 0; ovfl(30) = 0; ovfl(31) = 0
+    assert(MediaCodec.parseWav(ovfl).isEmpty)
   }
 }
