@@ -51,7 +51,19 @@ object Upsert {
     * needs the rewrite-and-swap.
     */
   def upsertParquet(spark: SparkSession, dir: String, updates: DataFrame,
-      keys: Seq[String], versionCol: String): Unit = {
+      keys: Seq[String], versionCol: String): Unit =
+    replaceParquet(spark, dir) {
+      case Some(base) => merge(base, updates, keys, versionCol)
+      case None => updates
+    }
+
+  /** The swap itself, factored for any merge discipline (last-write-wins
+    * upsert here, the SCD2 interval merge in [[graft.ops.Scd2]]):
+    * `mergeFn` receives the live table (None on first write) and
+    * returns the replacement.
+    */
+  def replaceParquet(spark: SparkSession, dir: String)
+      (mergeFn: Option[DataFrame] => DataFrame): Unit = {
     val fs = new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
     val target = new Path(dir)
     val tmp = new Path(dir + "__tmp")
@@ -62,9 +74,8 @@ object Upsert {
     // surviving copy below
     if (!fs.exists(target) && fs.exists(old) && !fs.rename(old, target))
       throw new RuntimeException(s"recovery failed: $old -> $target")
-    val merged =
-      if (fs.exists(target)) merge(spark.read.parquet(dir), updates, keys, versionCol)
-      else updates
+    val merged = mergeFn(
+      if (fs.exists(target)) Some(spark.read.parquet(dir)) else None)
     try merged.write.mode("overwrite").parquet(tmp.toString)
     catch {
       case e: Throwable =>

@@ -126,7 +126,7 @@ object EventsQ {
     * partitioning+ordering, so the sort-shuffle pays once.
     */
   def scd2(spark: SparkSession, dir: String): DataFrame =
-    scd2From(clickChanges(spark, dir))
+    graft.ops.Scd2.build(clickChanges(spark, dir)).drop("last_event_id")
 
   /** The click change stream: (user_id, event_id, ts_s, value). */
   private def clickChanges(spark: SparkSession, dir: String): DataFrame =
@@ -135,38 +135,18 @@ object EventsQ {
       .select(col("user_id"), col("event_id"),
         unix_timestamp(col("ts")).as("ts_s"), col("value"))
 
-  /** Full SCD2 build over a change frame (see [[scd2]] for semantics). */
-  private def scd2From(clicks: DataFrame): DataFrame = {
-    val byUser = Window.partitionBy(col("user_id"))
-      .orderBy(col("ts_s"), col("event_id"))
-    val changes = clicks
-      .withColumn("prev", lag(col("value"), 1).over(byUser))
-      .filter(col("prev").isNull || col("prev") =!= col("value"))
-    changes
-      .withColumn("version", row_number().over(byUser).cast("long"))
-      .withColumn("valid_to_s", lead(col("ts_s"), 1).over(byUser))
-      .select(col("user_id"), col("version"), col("value"),
-        col("ts_s").as("valid_from_s"), col("valid_to_s"),
-        when(col("valid_to_s").isNull, 1).otherwise(0).as("is_current"))
-  }
-
   def scd2Incremental(spark: SparkSession, dir: String): DataFrame =
     scd2Incremental(spark, dir, "2024-01-24", "scd2-history")
 
-  /** Incremental SCD2 merge — the warehouse CDC shape: apply a delta
-    * batch of changes to a PERSISTED history without re-windowing
-    * untouched keys. Keys absent from the delta pass through the merge
-    * by anti-join; for keys the delta touches, only their single OPEN
-    * version row re-enters the window — it becomes the seed the first
-    * delta row's duplicate-collapse compares against (valid because a
-    * type-2 open version's value always equals the key's last raw
-    * change value), closed rows pass through, and new versions number
-    * from the open version up. At 100 TB the windowed set is
-    * |delta| + one row per touched key, never the raw history; the
-    * touched-key semi/anti joins broadcast when the delta is small.
-    * The DuckDB oracle is the FULL rebuild over all clicks, so the
-    * hash-match IS the incremental ≡ full proof. The state artifact
-    * key includes the cut (same rationale as the incremental mart).
+  /** Incremental SCD2 merge — the warehouse CDC shape, delegated to
+    * the shared [[graft.ops.Scd2]] definition (the batch twin of the
+    * streaming scd2Sink): history-as-of-the-cut is a persisted
+    * artifact, the post-cut clicks are the delta, and
+    * [[graft.ops.Scd2.applyDelta]] re-windows only the touched keys'
+    * open rows. The DuckDB oracle is the FULL rebuild over all clicks,
+    * so the hash-match IS the incremental ≡ full proof. The state
+    * artifact key includes the cut (same rationale as the incremental
+    * mart).
     */
   def scd2Incremental(spark: SparkSession, dir: String,
       cutDate: String, artifactName: String): DataFrame = {
@@ -174,40 +154,12 @@ object EventsQ {
     val clicks = clickChanges(spark, dir)
     val statePath = graft.ops.StageArtifacts.ensure(
         dir, s"$artifactName-$cutDate") { out =>
-      scd2From(clicks.filter(col("ts_s") < cutS))
+      graft.ops.Scd2.build(clicks.filter(col("ts_s") < cutS))
         .write.mode("overwrite").parquet(out)
     }
-    val history = spark.read.parquet(statePath)
-    val delta = clicks.filter(col("ts_s") >= cutS)
-    val touched = delta.select(col("user_id")).distinct()
-    val untouched = history.join(touched, Seq("user_id"), "left_anti")
-    val touchedHist = history.join(touched, Seq("user_id"), "left_semi")
-    val closed = touchedHist.filter(col("is_current") === 0)
-      .drop("is_current")
-    // the open version re-enters the window as a seed row; its
-    // ts_s < cut <= every delta ts_s, so it always sorts first and the
-    // event_id tiebreak (-1, the real id is not in history) is inert
-    val seeds = touchedHist.filter(col("is_current") === 1)
-      .select(col("user_id"), lit(-1L).as("event_id"),
-        col("valid_from_s").as("ts_s"), col("value"),
-        col("version").as("base_version"))
-    val byUser = Window.partitionBy(col("user_id"))
-      .orderBy(col("ts_s"), col("event_id"))
-    val wholeKey = Window.partitionBy(col("user_id"))
-    val kept = seeds
-      .unionByName(delta.withColumn("base_version", lit(null).cast("long")))
-      .withColumn("prev", lag(col("value"), 1).over(byUser))
-      .filter(col("prev").isNull || col("prev") =!= col("value"))
-    val merged = kept
-      // delta-only keys have no seed: max() skips nulls -> base 1
-      .withColumn("base", coalesce(max(col("base_version")).over(wholeKey), lit(1L)))
-      .withColumn("version", col("base") + row_number().over(byUser) - lit(1))
-      .withColumn("valid_to_s", lead(col("ts_s"), 1).over(byUser))
-      .select(col("user_id"), col("version"), col("value"),
-        col("ts_s").as("valid_from_s"), col("valid_to_s"))
-    untouched.drop("is_current").unionByName(closed).unionByName(merged)
-      .withColumn("is_current",
-        when(col("valid_to_s").isNull, 1).otherwise(0))
+    graft.ops.Scd2.applyDelta(spark.read.parquet(statePath),
+        clicks.filter(col("ts_s") >= cutS))
+      .drop("last_event_id")
   }
 
   /** Cohort retention: users grouped by their FIRST-seen day (epoch-day

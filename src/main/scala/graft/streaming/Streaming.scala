@@ -197,6 +197,25 @@ object Streaming {
           batch, keys, versionCol)
       }
 
+  /** Streaming SCD2 sink: each micro-batch of change rows
+    * (user_id, event_id, ts_s, value) merges into the parquet type-2
+    * history at `stateDir` via the SAME [[graft.ops.Scd2]] definition
+    * the batch q_scd2/q_scd2_incremental queries use — first batch
+    * builds, later batches [[graft.ops.Scd2.applyDelta]]. foreachBatch
+    * is at-least-once: the per-key (valid_from_s, last_event_id)
+    * watermark inside applyDelta makes a redelivered batch a no-op, so
+    * delivery converges (the upsertSink contract, for interval
+    * histories). State swaps by the crash-safe rename
+    * ([[graft.etl.Upsert.replaceParquet]]).
+    */
+  def scd2Sink(changes: DataFrame, stateDir: String)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    changes.writeStream
+      .outputMode(OutputMode.Append())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        graft.ops.Scd2.mergeIntoParquet(batch.sparkSession, stateDir, batch)
+      }
+
   /** Streaming quantized-ANN SERVING — the foreachBatch pattern composed
     * with the int8 serving path ([[graft.ann.Quantize]]): each
     * micro-batch of float query vectors is quantized

@@ -19,6 +19,9 @@ final case class Fact(run_id: String, txn_id: String, v: Double,
 
 final case class Doc(doc_id: Long, text: String)
 
+final case class Chg(user_id: Long, event_id: Long, ts_s: Long,
+    value: Double)
+
 final case class QVec(vec_id: Long, embedding: Array[Float])
 
 class StreamingSpec extends AnyFunSuite with SparkSpec {
@@ -218,6 +221,38 @@ class StreamingSpec extends AnyFunSuite with SparkSpec {
     val rows = spark.read.parquet(wh)
       .collect().map(r => (r.getAs[String]("txn_id"), r.getAs[Double]("v"))).toSet
     assert(rows == Set(("a", 9.0), ("b", 2.0)))
+  }
+
+  test("scd2Sink: streamed history == batch rebuild, idempotent under redelivery") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val state = java.nio.file.Files.createTempDirectory("stream_scd2")
+      .toString + "/dim"
+    val b1 = Seq(Chg(1, 1, 10, 1.0), Chg(1, 2, 20, 1.0), Chg(2, 3, 15, 5.0))
+    val b2 = Seq(Chg(1, 4, 30, 2.0), Chg(3, 5, 40, 7.0))
+    val in = MemoryStream[Chg]
+    val q = Streaming.scd2Sink(in.toDF(), state).start()
+    in.addData(b1: _*); q.processAllAvailable()
+    in.addData(b2: _*); q.processAllAvailable()
+    // "redelivery": batch 2 again, PLUS a stale row below user 1's open
+    // version — the per-key (ts, event_id) watermark must no-op all of it
+    in.addData(b2 :+ Chg(1, 1, 10, 9.0): _*); q.processAllAvailable()
+    q.stop()
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.select("user_id", "version", "value", "valid_from_s",
+        "valid_to_s", "is_current").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3),
+          Option(r.get(4)).map(_.asInstanceOf[Long]), r.getInt(5))).toSet
+    val streamed = canon(spark.read.parquet(state))
+    // the batch twin over the SAME change stream (duplicate-collapse of
+    // user 1's re-stated 1.0 included) — stream must equal batch exactly
+    val batch = canon(graft.ops.Scd2.build((b1 ++ b2).toDF()))
+    assert(streamed == batch)
+    assert(streamed == Set(
+      (1L, 1L, 1.0, 10L, Some(30L), 0), // dup 1.0 at ts 20 collapsed
+      (1L, 2L, 2.0, 30L, None, 1),
+      (2L, 1L, 5.0, 15L, None, 1),
+      (3L, 1L, 7.0, 40L, None, 1)))
   }
 
   test("nearDupDedupSink: streaming near-dup dedup vs the persisted index, idempotent under redelivery") {
