@@ -13,11 +13,15 @@ import org.apache.spark.sql.functions._
   *
   * Change frames are (user_id, event_id, ts_s, value); history rows are
   * (user_id, version, value, valid_from_s, valid_to_s, is_current,
-  * last_event_id) with half-open validity intervals
-  * [valid_from_s, valid_to_s) ordered by (ts_s, event_id).
-  * `last_event_id` — the id of the change that OPENED each version —
-  * is maintenance state: it gives [[applyDelta]] an exact per-key
-  * high-watermark, and query layers project it away.
+  * last_event_id, seen_ts_s, seen_event_id) with half-open validity
+  * intervals [valid_from_s, valid_to_s) ordered by (ts_s, event_id).
+  * The last three columns are maintenance state, projected away by the
+  * query layers: `last_event_id` is the id of the change that OPENED
+  * the version (it orders the merge seed), and `seen_ts_s`/
+  * `seen_event_id` on each key's OPEN row are the max (ts_s, event_id)
+  * the key has ever OBSERVED — strictly later than the open version's
+  * valid_from whenever duplicate re-statements collapsed, which is why
+  * the watermark must track observation, not the version boundary.
   */
 object Scd2 {
 
@@ -33,6 +37,12 @@ object Scd2 {
     */
   def build(changes: DataFrame): DataFrame = {
     val chg = changes
+      // the observation watermark, computed BEFORE duplicate-collapse:
+      // a collapsed re-statement advances what the key has seen even
+      // though it opens no version
+      .withColumn("wm",
+        max(struct(col("ts_s"), col("event_id")))
+          .over(Window.partitionBy(col("user_id"))))
       .withColumn("prev", lag(col("value"), 1).over(byUser))
       .filter(col("prev").isNull || col("prev") =!= col("value"))
     chg
@@ -41,7 +51,9 @@ object Scd2 {
       .select(col("user_id"), col("version"), col("value"),
         col("ts_s").as("valid_from_s"), col("valid_to_s"),
         when(col("valid_to_s").isNull, 1).otherwise(0).as("is_current"),
-        col("event_id").as("last_event_id"))
+        col("event_id").as("last_event_id"),
+        col("wm.ts_s").as("seen_ts_s"),
+        col("wm.event_id").as("seen_event_id"))
   }
 
   /** Incremental merge — the warehouse CDC shape: apply a delta batch
@@ -55,15 +67,17 @@ object Scd2 {
     * |delta| + one row per touched key, never the raw history, and the
     * touched-key semi/anti joins broadcast when the delta is small.
     *
-    * Idempotence watermark: each key's open version carries the
-    * (valid_from_s, last_event_id) identity of its opening change;
-    * delta rows at or before that identity are DROPPED. A redelivered
+    * Idempotence watermark: each key's open row carries the max
+    * (ts_s, event_id) the key has ever OBSERVED — including duplicate
+    * re-statements that collapsed without opening a version — and delta
+    * rows at or before that identity are DROPPED. A redelivered
     * micro-batch is therefore a no-op (at-least-once delivery
-    * converges), and the seed provably sorts first in its key's window.
-    * Late data below a key's open version is dropped by the same rule —
-    * standard watermark semantics, stated here on purpose: splicing a
-    * change UNDER existing versions would rewrite closed intervals,
-    * which is a rebuild, not a merge.
+    * converges), and the seed provably sorts first in its key's window
+    * (every passing row exceeds the watermark, which is at least the
+    * seed's identity). Late data below the watermark is dropped by the
+    * same rule — standard watermark semantics, stated on purpose:
+    * splicing a change under what the stream has already observed would
+    * rewrite settled intervals, which is a rebuild, not a merge.
     */
   def applyDelta(history: DataFrame, delta0: DataFrame): DataFrame = {
     val seeds0 = history.filter(col("is_current") === 1)
@@ -72,10 +86,16 @@ object Scd2 {
         col("version").as("base_version"))
     // watermarks pruned to the delta's keys FIRST (a broadcastable set)
     // so the |all keys|-sized open-version frame is only ever semi-joined
-    // against small sets, never shuffled whole into the left join
+    // against small sets, never shuffled whole into the left join. The
+    // watermark is the key's max OBSERVED (ts, event_id) — NOT the open
+    // version's valid_from: a collapsed re-statement advanced
+    // observation without opening a version, and a late row landing
+    // between the two would otherwise splice in as "current" when the
+    // stream has already seen a later value
     val touched0 = delta0.select(col("user_id")).distinct()
-    val wm = seeds0.select(col("user_id"), col("ts_s").as("wm_ts"),
-        col("event_id").as("wm_eid"))
+    val wm = history.filter(col("is_current") === 1)
+      .select(col("user_id"), col("seen_ts_s").as("wm_ts"),
+        col("seen_event_id").as("wm_eid"))
       .join(touched0, Seq("user_id"), "left_semi")
     val delta = delta0.join(wm, Seq("user_id"), "left")
       .filter(col("wm_ts").isNull || col("ts_s") > col("wm_ts") ||
@@ -90,6 +110,11 @@ object Scd2 {
     val wholeKey = Window.partitionBy(col("user_id"))
     val kept = seeds
       .unionByName(delta.withColumn("base_version", lit(null).cast("long")))
+      // the new observation watermark: every passing delta row exceeds
+      // the old one, so the max over seed ∪ passing delta is the max
+      // over everything the key has ever observed
+      .withColumn("wm", max(struct(col("ts_s"), col("event_id")))
+        .over(Window.partitionBy(col("user_id"))))
       .withColumn("prev", lag(col("value"), 1).over(byUser))
       .filter(col("prev").isNull || col("prev") =!= col("value"))
     val merged = kept
@@ -100,19 +125,27 @@ object Scd2 {
       .withColumn("valid_to_s", lead(col("ts_s"), 1).over(byUser))
       .select(col("user_id"), col("version"), col("value"),
         col("ts_s").as("valid_from_s"), col("valid_to_s"),
-        col("event_id").as("last_event_id"))
+        col("event_id").as("last_event_id"),
+        col("wm.ts_s").as("seen_ts_s"),
+        col("wm.event_id").as("seen_event_id"))
     untouched.drop("is_current").unionByName(closed).unionByName(merged)
       .withColumn("is_current",
         when(col("valid_to_s").isNull, 1).otherwise(0))
       .select(col("user_id"), col("version"), col("value"),
         col("valid_from_s"), col("valid_to_s"), col("is_current"),
-        col("last_event_id"))
+        col("last_event_id"), col("seen_ts_s"), col("seen_event_id"))
   }
 
   /** Merge a change batch into the parquet history at `dir` with the
     * crash-safe rename swap ([[graft.etl.Upsert.replaceParquet]]):
     * first batch builds, later batches merge. The streaming sink's
     * per-micro-batch body.
+    *
+    * I/O caveat: the COMPUTE is |delta| + touched keys, but plain
+    * parquet has no in-place update, so the swap REWRITES the whole
+    * history per batch — the upsertSink trade-off. On a real deployment
+    * the same [[applyDelta]] output feeds MERGE INTO on a table format
+    * (Delta/Iceberg) whose commit is row-level and truly atomic.
     */
   def mergeIntoParquet(spark: SparkSession, dir: String,
       changes: DataFrame): Unit =

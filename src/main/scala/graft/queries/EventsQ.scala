@@ -126,7 +126,8 @@ object EventsQ {
     * partitioning+ordering, so the sort-shuffle pays once.
     */
   def scd2(spark: SparkSession, dir: String): DataFrame =
-    graft.ops.Scd2.build(clickChanges(spark, dir)).drop("last_event_id")
+    graft.ops.Scd2.build(clickChanges(spark, dir))
+      .drop("last_event_id", "seen_ts_s", "seen_event_id")
 
   /** The click change stream: (user_id, event_id, ts_s, value). */
   private def clickChanges(spark: SparkSession, dir: String): DataFrame =
@@ -159,7 +160,7 @@ object EventsQ {
     }
     graft.ops.Scd2.applyDelta(spark.read.parquet(statePath),
         clicks.filter(col("ts_s") >= cutS))
-      .drop("last_event_id")
+      .drop("last_event_id", "seen_ts_s", "seen_event_id")
   }
 
   /** Cohort retention: users grouped by their FIRST-seen day (epoch-day

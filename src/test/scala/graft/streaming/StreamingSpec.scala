@@ -255,6 +255,31 @@ class StreamingSpec extends AnyFunSuite with SparkSpec {
       (3L, 1L, 7.0, 40L, None, 1)))
   }
 
+  test("scd2Sink: late row between a collapsed dup and its open version is dropped, not spliced") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val state = java.nio.file.Files.createTempDirectory("stream_scd2_late")
+      .toString + "/dim"
+    // ts 35 re-states 8.0 and collapses: the open version stays 8.0@30
+    // but the key has OBSERVED up to (35, 5)
+    val b1 = Seq(Chg(9, 4, 30, 8.0), Chg(9, 5, 35, 8.0))
+    val in = MemoryStream[Chg]
+    val q = Streaming.scd2Sink(in.toDF(), state).start()
+    in.addData(b1: _*); q.processAllAvailable()
+    // a late row at ts 32 is ABOVE the open version's valid_from but
+    // BELOW what the stream already observed: a valid_from watermark
+    // would splice it in as current (wrongly — the stream already saw
+    // 8.0 at 35); the observation watermark must drop it
+    in.addData(Chg(9, 6, 32, 3.0)); q.processAllAvailable()
+    q.stop()
+    val got = spark.read.parquet(state)
+      .select("user_id", "version", "value", "valid_from_s",
+        "valid_to_s", "is_current").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3),
+        Option(r.get(4)).map(_.asInstanceOf[Long]), r.getInt(5))).toSet
+    assert(got == Set((9L, 1L, 8.0, 30L, None, 1)))
+  }
+
   test("nearDupDedupSink: streaming near-dup dedup vs the persisted index, idempotent under redelivery") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
