@@ -169,6 +169,29 @@ class PlanSpec extends AnyFunSuite with SparkSpec {
     assert(p.contains("partial_count"), p) // map-side combine survives too
   }
 
+  test("embed_drift: one corpus pass, partial agg below the shuffle, global sums broadcast back") {
+    val p = plan("q_embed_drift")
+    // the embeddings parquet is scanned ONCE (the checkpoint pins the
+    // multi-consumer reuse structurally); label column only + vector
+    assert("Scan parquet".r.findAllIn(p).size == 1 ||
+      !p.contains("Scan parquet"), p.linesIterator.filter(_.contains("Scan parquet")).mkString("\n"))
+    // the (label, dim) aggregate combines map-side before shuffling
+    assert(p.contains("partial_sum"))
+    // the d-row global-sum side joins by broadcast, not shuffle
+    assert(p.contains("BroadcastHashJoin"))
+  }
+
+  test("scd2_incremental: history-side joins broadcast the key sets, windows stay key-partitioned") {
+    val p = plan("q_scd2_incremental")
+    // touched/untouched resolution must broadcast the small key set
+    // against the history, not shuffle the history per consumer
+    assert(p.contains("BroadcastHashJoin"))
+    // no per-key work collapses to a single partition
+    assert(!p.contains("SinglePartition"))
+    // windowed merge partitions by the dimension key
+    assert(p.contains("Window"))
+  }
+
   test("no query plan uses a cartesian product without broadcast") {
     for ((name, _) <- SparkEntry.queries) {
       val p = plan(name)
