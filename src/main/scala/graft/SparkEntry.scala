@@ -416,6 +416,11 @@ object SparkEntry {
     // the dashboard composed from the prebuilt text-cluster artifact
     // (same oracle; refresh pays joins only)
     "q_corpus_report_compose" -> DedupQ.corpusReportCompose,
+    // curation — cross-source contamination matrix: shared near-dup
+    // clusters + cross-pair counts per source pair (all-integer)
+    "q_cross_source_dups" -> DedupQ.crossSourceDups,
+    // the matrix composed from the prebuilt cluster artifact
+    "q_cross_source_dups_compose" -> DedupQ.crossSourceDupsCompose,
     // training-sequence packing (distributed two-phase prefix sum)
     "q_pack_sequences" -> TextQ.packSequences,
     // NO-SPLIT bin packing (bucket-local next-fit with sequential bin
@@ -527,6 +532,7 @@ object SparkEntry {
     // results from the prebuilt stage artifact IS the contract under test
     "q_split_leakage_safe_compose" -> oracleSqlBase("q_split_leakage_safe"),
     "q_corpus_report_compose" -> oracleSqlBase("q_corpus_report"),
+    "q_cross_source_dups_compose" -> oracleSqlBase("q_cross_source_dups"),
     "q_semdedup_compose" -> oracleSqlBase("q_semdedup"),
     "q_hard_negatives_compose" -> oracleSqlBase("q_hard_negatives"),
     "q_embed_clusters_staged" -> oracleSqlBase("q_embed_clusters"),
@@ -1845,6 +1851,33 @@ object SparkEntry {
         | CAST(count(*) FILTER (cl.doc_id = cl.cluster_id) AS BIGINT) AS n_canonical
         |FROM q JOIN cl ON cl.doc_id = q.doc_id
         |GROUP BY 1""".stripMargin,
+    // cross-source contamination: the same recursive closure, then an
+    // all-integer per-(cluster, source) count self-join
+    "q_cross_source_dups" ->
+      s"""WITH RECURSIVE p AS ($jaccardPairsSql),
+        |edges AS (
+        |  SELECT a_id AS s, b_id AS d FROM p
+        |  UNION ALL SELECT b_id, a_id FROM p
+        |),
+        |reach(s, d) AS (
+        |  SELECT doc_id, doc_id FROM documents
+        |  UNION
+        |  SELECT r.s, e.d FROM reach r JOIN edges e ON r.d = e.s
+        |),
+        |cl AS (
+        |  SELECT s AS doc_id, min(d) AS cluster_id FROM reach GROUP BY s
+        |),
+        |cs AS (
+        |  SELECT cl.cluster_id, d.source, count(*) AS cnt
+        |  FROM cl JOIN documents d USING (doc_id)
+        |  GROUP BY 1, 2
+        |)
+        |SELECT a.source AS source_a, b.source AS source_b,
+        | CAST(count(*) AS BIGINT) AS n_shared_clusters,
+        | CAST(sum(a.cnt * b.cnt) AS BIGINT) AS n_cross_pairs
+        |FROM cs a JOIN cs b
+        |  ON a.cluster_id = b.cluster_id AND a.source < b.source
+        |GROUP BY 1, 2""".stripMargin,
     // integrity gate: the plant replayed in SQL, then the three checks
     "q_integrity_check" ->
       """WITH t AS (

@@ -304,6 +304,51 @@ object DedupQ {
           .as("n_canonical"))
   }
 
+  /** Cross-source near-dup contamination matrix: for every unordered
+    * pair of sources, how many near-dup clusters contain documents from
+    * BOTH, and how many cross-source duplicate pairs that represents
+    * (Σ per shared cluster of cnt_a · cnt_b). The "which feed is
+    * scraping which" diagnostic a mix owner reads next to the per-source
+    * corpus report: a hot (a, b) cell means source b re-serves source
+    * a's pages and one of them should be down-weighted before training.
+    * Same-source duplication is deliberately NOT in this matrix — the
+    * corpus report's n_canonical already shows it per source.
+    *
+    * Scale shape: clusters ⋈ source is a doc_id-keyed join, the
+    * per-(cluster, source) count is map-side combinable, and the
+    * cluster-keyed self-join fans out at most |sources| rows per
+    * cluster; the matrix is ≤ |sources|² rows. All counts integer —
+    * hash-exact cross-engine.
+    */
+  def crossSourceDups(spark: SparkSession, dir: String): DataFrame =
+    crossSourceDupsFrom(Tables(spark, dir, "documents"),
+      Dedup.duplicateClusters(Tables(spark, dir, "documents"), "doc_id",
+        "text", n = 3, threshold = 0.8))
+
+  /** [[crossSourceDups]] composed from the prebuilt cluster artifact —
+    * same oracle; the matrix refresh pays joins, not the clustering.
+    */
+  def crossSourceDupsCompose(spark: SparkSession, dir: String): DataFrame =
+    crossSourceDupsFrom(Tables(spark, dir, "documents"),
+      textClustersFromArtifact(spark, dir))
+
+  private[queries] def crossSourceDupsFrom(docs: DataFrame,
+      clusters: DataFrame): DataFrame = {
+    val cs = docs.select(col("doc_id"), col("source"))
+      .join(clusters, "doc_id")
+      .groupBy(col("cluster_id"), col("source"))
+      .agg(count(lit(1)).as("cnt"))
+    val a = cs.select(col("cluster_id"), col("source").as("source_a"),
+      col("cnt").as("cnt_a"))
+    val b = cs.select(col("cluster_id"), col("source").as("source_b"),
+      col("cnt").as("cnt_b"))
+    a.join(b, Seq("cluster_id"))
+      .filter(col("source_a") < col("source_b"))
+      .groupBy(col("source_a"), col("source_b"))
+      .agg(count(lit(1)).as("n_shared_clusters"),
+        sum(col("cnt_a") * col("cnt_b")).as("n_cross_pairs"))
+  }
+
   /** Leakage-safe train/val/test split: near-duplicate documents MUST
     * land in the same split — a doc-level hash split (T10) puts two
     * 0.9-Jaccard copies of the same page in train and test, leaking the

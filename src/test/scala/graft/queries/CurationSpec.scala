@@ -13,6 +13,39 @@ class CurationSpec extends AnyFunSuite with SparkSpec {
 
   private val dir = "/root/testdata/sf0.001"
 
+  test("crossSourceDups: handcrafted clusters pin the matrix math") {
+    import spark.implicits._
+    // cluster 1: {a, a, b} -> (a,b) shares 1 cluster, 2*1 cross pairs
+    // cluster 2: {a, b, c} -> (a,b)+1 cluster/pair, (a,c) and (b,c) 1 each
+    // cluster 3: {a, a}    -> same-source only: NOT in the matrix
+    // cluster 4: {c}       -> singleton: no pairs
+    val docs = Seq(
+      (1L, "a"), (2L, "a"), (3L, "b"),
+      (4L, "a"), (5L, "b"), (6L, "c"),
+      (7L, "a"), (8L, "a"),
+      (9L, "c")).toDF("doc_id", "source")
+    val clusters = Seq(
+      (1L, 1L), (2L, 1L), (3L, 1L),
+      (4L, 4L), (5L, 4L), (6L, 4L),
+      (7L, 7L), (8L, 7L),
+      (9L, 9L)).toDF("doc_id", "cluster_id")
+    val got = DedupQ.crossSourceDupsFrom(docs, clusters).collect()
+      .map(r => ((r.getString(0), r.getString(1)),
+        (r.getLong(2), r.getLong(3)))).toMap
+    assert(got == Map(
+      ("a", "b") -> ((2L, 3L)), // clusters 1+2; pairs 2·1 + 1·1
+      ("a", "c") -> ((1L, 1L)),
+      ("b", "c") -> ((1L, 1L))))
+  }
+
+  test("crossSourceDupsCompose (prebuilt artifact) == crossSourceDups (inline)") {
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getLong(3))).toSet
+    val inline = rows(DedupQ.crossSourceDups(spark, dir))
+    assert(rows(DedupQ.crossSourceDupsCompose(spark, dir)) == inline)
+  }
+
   test("corpusFilterStaged (parquet artifact) == corpusFilter (inline)") {
     def rows(df: org.apache.spark.sql.DataFrame) =
       df.collect().map(r => (r.getLong(0), r.getBoolean(1), r.getBoolean(2),
