@@ -1071,27 +1071,15 @@ object SparkEntry {
     // leakage-safe split: the dedup-cluster closure joined to the
     // REPRESENTATIVE's content-hash split key
     "q_split_leakage_safe" ->
-      s"""WITH RECURSIVE p AS ($jaccardPairsSql),
-        |edges AS (
-        |  SELECT a_id AS s, b_id AS d FROM p
-        |  UNION ALL SELECT b_id, a_id FROM p
-        |),
-        |reach(s, d) AS (
-        |  SELECT doc_id, doc_id FROM documents
-        |  UNION
-        |  SELECT r.s, e.d FROM reach r JOIN edges e ON r.d = e.s
-        |),
-        |c AS (
-        |  SELECT s AS doc_id, min(d) AS cluster_id FROM reach GROUP BY s
-        |),
+      s"""WITH $textClosureSql,
         |h AS (
         |  SELECT doc_id AS cluster_id, $splitKeySql AS h_mod
         |  FROM documents
         |)
-        |SELECT c.doc_id, c.cluster_id, CAST(h.h_mod AS BIGINT) AS h_mod,
+        |SELECT cl.doc_id, cl.cluster_id, CAST(h.h_mod AS BIGINT) AS h_mod,
         | CASE WHEN h.h_mod < 90 THEN 'train'
         |      WHEN h.h_mod < 95 THEN 'val' ELSE 'test' END AS split
-        |FROM c JOIN h USING (cluster_id)""".stripMargin,
+        |FROM cl JOIN h USING (cluster_id)""".stripMargin,
     "q_substring_dups" ->
       """WITH d AS (
         |  SELECT doc_id,
@@ -1260,17 +1248,8 @@ object SparkEntry {
       s"""WITH p AS ($jaccardPairsSql)
         |SELECT * FROM p WHERE a_id % 7 = 0 OR b_id % 7 = 0""".stripMargin,
     "q_dedup_clusters" ->
-      s"""WITH RECURSIVE p AS ($jaccardPairsSql),
-        |edges AS (
-        |  SELECT a_id AS s, b_id AS d FROM p
-        |  UNION ALL SELECT b_id, a_id FROM p
-        |),
-        |reach(s, d) AS (
-        |  SELECT doc_id, doc_id FROM documents
-        |  UNION
-        |  SELECT r.s, e.d FROM reach r JOIN edges e ON r.d = e.s
-        |)
-        |SELECT s AS doc_id, min(d) AS cluster_id FROM reach GROUP BY s""".stripMargin,
+      s"""WITH $textClosureSql
+        |SELECT doc_id, cluster_id FROM cl""".stripMargin,
     "q_embed_near_dup" ->
       """WITH e AS (
         |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
@@ -1805,19 +1784,7 @@ object SparkEntry {
         |WHERE sd > 0.0 AND abs((CAST(b.x AS DOUBLE) - mean) / sd) > 3.0""".stripMargin,
     // corpus report: quality CTE + dedup closure + per-source rollup
     "q_corpus_report" ->
-      s"""WITH RECURSIVE p AS ($jaccardPairsSql),
-        |edges AS (
-        |  SELECT a_id AS s, b_id AS d FROM p
-        |  UNION ALL SELECT b_id, a_id FROM p
-        |),
-        |reach(s, d) AS (
-        |  SELECT doc_id, doc_id FROM documents
-        |  UNION
-        |  SELECT r.s, e.d FROM reach r JOIN edges e ON r.d = e.s
-        |),
-        |cl AS (
-        |  SELECT s AS doc_id, min(d) AS cluster_id FROM reach GROUP BY s
-        |),
+      s"""WITH $textClosureSql,
         |toks AS (
         |  SELECT doc_id, source,
         |   string_split(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' ') AS toks
@@ -1854,19 +1821,7 @@ object SparkEntry {
     // cross-source contamination: the same recursive closure, then an
     // all-integer per-(cluster, source) count self-join
     "q_cross_source_dups" ->
-      s"""WITH RECURSIVE p AS ($jaccardPairsSql),
-        |edges AS (
-        |  SELECT a_id AS s, b_id AS d FROM p
-        |  UNION ALL SELECT b_id, a_id FROM p
-        |),
-        |reach(s, d) AS (
-        |  SELECT doc_id, doc_id FROM documents
-        |  UNION
-        |  SELECT r.s, e.d FROM reach r JOIN edges e ON r.d = e.s
-        |),
-        |cl AS (
-        |  SELECT s AS doc_id, min(d) AS cluster_id FROM reach GROUP BY s
-        |),
+      s"""WITH $textClosureSql,
         |cs AS (
         |  SELECT cl.cluster_id, d.source, count(*) AS cnt
         |  FROM cl JOIN documents d USING (doc_id)
@@ -2455,6 +2410,28 @@ object SparkEntry {
       | min(ts_s) AS start_s, max(ts_s) AS end_s,
       | CAST(SUM(val) AS DOUBLE) AS total_value
       |FROM z GROUP BY 1, 2""".stripMargin
+
+  /** The recursive text near-dup closure — pairs → bidirectional edges →
+    * reachability → min-id component labels in CTE `cl` — interpolated
+    * (never copied) into every oracle consuming the cluster relation:
+    * q_dedup_clusters, q_split_leakage_safe, q_corpus_report,
+    * q_cross_source_dups. One definition, so the closure semantics can
+    * never silently diverge between sibling oracles.
+    */
+  private lazy val textClosureSql: String =
+    s"""RECURSIVE p AS ($jaccardPairsSql),
+      |edges AS (
+      |  SELECT a_id AS s, b_id AS d FROM p
+      |  UNION ALL SELECT b_id, a_id FROM p
+      |),
+      |reach(s, d) AS (
+      |  SELECT doc_id, doc_id FROM documents
+      |  UNION
+      |  SELECT r.s, e.d FROM reach r JOIN edges e ON r.d = e.s
+      |),
+      |cl AS (
+      |  SELECT s AS doc_id, min(d) AS cluster_id FROM reach GROUP BY s
+      |)""".stripMargin
 
   /** Exact 3-gram Jaccard pairs — the oracle for BOTH q_jaccard_pairs and
     * q_minhash_lsh (LSH + exact verification reproduces the exact result).

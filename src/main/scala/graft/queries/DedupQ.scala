@@ -148,8 +148,7 @@ object DedupQ {
     */
   def writeClusterArtifact(spark: SparkSession, dir: String,
       outPath: String): Unit =
-    Dedup.duplicateClusters(Tables(spark, dir, "documents"), "doc_id", "text",
-      n = 3, threshold = 0.8)
+    dedupClusters(spark, dir)
       .write.mode("overwrite").parquet(outPath)
 
   /** [[corpusFilter]] composed from the PERSISTED cluster artifact
@@ -226,8 +225,7 @@ object DedupQ {
   }
 
   private def clusterLabelsInline(spark: SparkSession, dir: String): DataFrame =
-    canonicalFrom(Dedup.duplicateClusters(Tables(spark, dir, "documents"),
-      "doc_id", "text", n = 3, threshold = 0.8))
+    canonicalFrom(dedupClusters(spark, dir))
 
   /** (doc_id, canonical) from a cluster-label relation: a doc is kept
     * iff it is its cluster's min-id representative.
@@ -270,9 +268,7 @@ object DedupQ {
     * aggregate; the report is |sources| rows.
     */
   def corpusReport(spark: SparkSession, dir: String): DataFrame =
-    corpusReportFrom(spark, dir,
-      Dedup.duplicateClusters(Tables(spark, dir, "documents"), "doc_id",
-        "text", n = 3, threshold = 0.8))
+    corpusReportFrom(spark, dir, dedupClusters(spark, dir))
 
   /** [[corpusReport]] composed from the prebuilt cluster artifact —
     * same oracle; the dashboard refresh pays only the joins, not the
@@ -322,8 +318,7 @@ object DedupQ {
     */
   def crossSourceDups(spark: SparkSession, dir: String): DataFrame =
     crossSourceDupsFrom(Tables(spark, dir, "documents"),
-      Dedup.duplicateClusters(Tables(spark, dir, "documents"), "doc_id",
-        "text", n = 3, threshold = 0.8))
+      dedupClusters(spark, dir))
 
   /** [[crossSourceDups]] composed from the prebuilt cluster artifact —
     * same oracle; the matrix refresh pays joins, not the clustering.
@@ -362,9 +357,7 @@ object DedupQ {
     * id-keyed shuffle over |docs|.
     */
   def splitLeakageSafe(spark: SparkSession, dir: String): DataFrame =
-    splitLeakageSafeFrom(spark, dir,
-      Dedup.duplicateClusters(Tables(spark, dir, "documents"), "doc_id",
-        "text", n = 3, threshold = 0.8))
+    splitLeakageSafeFrom(spark, dir, dedupClusters(spark, dir))
 
   /** [[splitLeakageSafe]] composed from the prebuilt cluster artifact —
     * same oracle; re-cutting a split pays one id-keyed join, not the

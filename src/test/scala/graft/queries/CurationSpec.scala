@@ -43,6 +43,8 @@ class CurationSpec extends AnyFunSuite with SparkSpec {
       df.collect().map(r => (r.getString(0), r.getString(1), r.getLong(2),
         r.getLong(3))).toSet
     val inline = rows(DedupQ.crossSourceDups(spark, dir))
+    // non-vacuous: the planted near-dups must actually cross sources
+    assert(inline.nonEmpty)
     assert(rows(DedupQ.crossSourceDupsCompose(spark, dir)) == inline)
   }
 
