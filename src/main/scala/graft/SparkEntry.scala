@@ -339,6 +339,9 @@ object SparkEntry {
     "q_repetition" -> TextQ.repetition,
     // text analysis — tf×(N/df) rarity-weighted top terms per document
     "q_top_terms" -> TextQ.topTerms,
+    // text analysis — vocabulary coverage curve: corpus-token share of
+    // the top-k types (tokenizer-vocab sizing; all-integer to the end)
+    "q_vocab_coverage" -> TextQ.vocabCoverage,
     // text analysis — bigram-LM mean log-prob scoring (perplexity filter)
     "q_lm_score" -> TextQ.lmScore,
     // text quality — character-distribution entropy (gibberish signal;
@@ -1528,6 +1531,23 @@ object SparkEntry {
         |)
         |SELECT doc_id, "rank", token, tf, df, score
         |FROM ranked WHERE "rank" <= 5""".stripMargin,
+    // vocab coverage: cumulative type-frequency share at k boundaries,
+    // (count DESC, token) total order so the k-th cut is deterministic
+    "q_vocab_coverage" ->
+      """WITH tok AS (
+        |  SELECT unnest(string_split(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' ')) AS t
+        |  FROM documents
+        |), c AS (
+        |  SELECT t, count(*) AS c FROM tok GROUP BY 1
+        |), r AS (
+        |  SELECT CAST(row_number() OVER (ORDER BY c DESC, t) AS BIGINT) AS k,
+        |   CAST(SUM(c) OVER (ORDER BY c DESC, t
+        |     ROWS UNBOUNDED PRECEDING) AS BIGINT) AS covered_tokens
+        |  FROM c
+        |), tot AS (SELECT CAST(sum(c) AS BIGINT) AS total_tokens FROM c)
+        |SELECT k, covered_tokens, total_tokens,
+        | CAST(covered_tokens AS DOUBLE) / CAST(total_tokens AS DOUBLE) AS coverage
+        |FROM r, tot WHERE k IN (5, 10, 20)""".stripMargin,
     "q_lm_score" ->
       """WITH d AS (
         |  SELECT doc_id,

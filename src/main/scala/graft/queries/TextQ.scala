@@ -1,6 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 
@@ -538,5 +539,40 @@ object TextQ {
       .orderBy(col("rank")).collect()
       .map(r => (r.getString(1), r.getString(2))).toSeq
     graft.text.Bpe.encodeStats(docs, "doc_id", "text", merges)
+  }
+
+  /** Vocabulary coverage curve — what fraction of all corpus tokens the
+    * top-k most frequent types cover, at k = 5 / 10 / 20
+    * (the synthetic corpus has a 31-type vocabulary; at real scale the
+    * interesting boundaries are 1e3–1e5 and only `ks` changes). The stat
+    * behind tokenizer-vocab sizing and stopword-list choice: a corpus
+    * whose top-1000 types cover 95% of tokens tokenizes very
+    * differently from one where they cover 40%.
+    *
+    * Scale shape: one tokenize pass into a map-side-combinable type
+    * count (the vocabulary-sized shuffle every T-family query pays),
+    * then distributed top-k (TakeOrderedAndProject — k is bounded, the
+    * full vocabulary is never globally sorted); the cumulative window
+    * runs over ≤ max-k rows. All integer until the one final division;
+    * ties ordered (count DESC, token) so the k-th boundary is
+    * deterministic cross-engine.
+    */
+  def vocabCoverage(spark: SparkSession, dir: String): DataFrame = {
+    val ks = Seq(5, 10, 20).map(_.toLong)
+    val counts = Tables(spark, dir, "documents")
+      .select(explode(TextOps.tokens(col("text"))).as("t"))
+      .groupBy(col("t")).agg(count(lit(1)).as("c"))
+      .localCheckpoint() // feeds the total AND the top-k
+    val total = counts.agg(sum(col("c")).as("total_tokens"))
+    val byFreq = Window.orderBy(col("c").desc, col("t"))
+    counts.orderBy(col("c").desc, col("t")).limit(ks.max.toInt)
+      .withColumn("k", row_number().over(byFreq).cast("long"))
+      .withColumn("covered_tokens", sum(col("c")).over(
+        byFreq.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .filter(col("k").isin(ks: _*))
+      .crossJoin(broadcast(total))
+      .select(col("k"), col("covered_tokens"), col("total_tokens"),
+        (col("covered_tokens").cast("double") /
+          col("total_tokens").cast("double")).as("coverage"))
   }
 }

@@ -135,4 +135,28 @@ class TextOpsSpec extends AnyFunSuite with SparkSpec {
       .collect().head.getSeq[String](0)
     assert(short == Seq("x y"))
   }
+
+  test("vocabCoverage matches a driver-side scalar recompute") {
+    val dir = "/root/testdata/sf0.001"
+    val toks = graft.Tables(spark, dir, "documents")
+      .select(explode(TextOps.tokens(col("text"))).as("t"))
+      .collect().map(_.getString(0))
+    val counts = toks.groupBy(identity).view.mapValues(_.length.toLong)
+      .toSeq.sortBy { case (t, c) => (-c, t) }
+    val total = toks.length.toLong
+    val expected = Seq(5, 10, 20).map(k =>
+      k.toLong -> counts.take(k).map(_._2).sum).toMap
+    val got = graft.queries.TextQ.vocabCoverage(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(got.length == 3)
+    got.foreach { case (k, cov, tot, share) =>
+      assert(tot == total)
+      assert(cov == expected(k), s"k=$k")
+      assert(share == cov.toDouble / total.toDouble)
+    }
+    // the curve is strictly increasing and ends below 1 (vocab > 20)
+    val shares = got.sortBy(_._1).map(_._4).toSeq
+    assert(shares == shares.sorted && shares.distinct.length == 3)
+    assert(shares.last < 1.0)
+  }
 }
