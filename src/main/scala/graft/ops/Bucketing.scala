@@ -23,8 +23,28 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 object Bucketing {
 
+  /** Per-table build memo. The CHM only ever holds cheap slot
+    * construction inside `computeIfAbsent`; the Spark write runs under
+    * the SLOT's monitor, so a long build serializes per table without
+    * pinning the map bin (unrelated tables hashing to the same bin
+    * proceed). A failed build leaves `spec` unset — the retry re-enters
+    * and its `mode("overwrite")` replaces any partial table.
+    */
+  private final class BuildSlot {
+    private var spec: Option[(String, Int)] = None
+    def ensure(key: String, nBuckets: Int)(run: => Unit): (String, Int) =
+      synchronized {
+        spec.getOrElse {
+          run
+          val s = (key, nBuckets)
+          spec = Some(s)
+          s
+        }
+      }
+  }
+
   private val builtTables =
-    new java.util.concurrent.ConcurrentHashMap[String, (String, Int)]()
+    new java.util.concurrent.ConcurrentHashMap[String, BuildSlot]()
 
   /** Ensure `name` exists as a bucketed+sorted managed table of
     * `build`'s frame in the dataset's bucket database; returns the
@@ -43,14 +63,14 @@ object Bucketing {
       spark.sql(s"CREATE DATABASE IF NOT EXISTS $db LOCATION '$dir'")
     }
     val table = s"$db.$name"
-    val spec = builtTables.computeIfAbsent(table, { _ =>
+    val slot = builtTables.computeIfAbsent(table, _ => new BuildSlot)
+    val spec = slot.ensure(key, nBuckets) {
       build.write
         .bucketBy(nBuckets, key)
         .sortBy(key)
         .mode("overwrite")
         .saveAsTable(table)
-      (key, nBuckets)
-    })
+    }
     require(spec == ((key, nBuckets)),
       s"bucketed table $table already built with (key, buckets) = $spec; " +
         s"requested ($key, $nBuckets) — pick a different table name")

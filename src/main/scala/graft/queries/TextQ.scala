@@ -332,15 +332,23 @@ object TextQ {
       // ln((c_st·n_c)/(n_s·c_ct)) per token, 6dp-pinned, weighted by the
       // integer count so the aggregate stays exact
       .withColumn("lr", round(log(
-        (col("c_st") * col("n_c")).cast("double") /
-          (col("n_s") * col("c_ct")).cast("double")), 6)
+        (col("c_st").cast(DecimalType(19, 0)) *
+          col("n_c").cast(DecimalType(19, 0))).cast("double") /
+          (col("n_s").cast(DecimalType(19, 0)) *
+            col("c_ct").cast(DecimalType(19, 0))).cast("double")), 6)
         .cast(DecimalType(18, 6)))
       .groupBy("source")
       .agg(
         max(col("n_s")).as("n_tokens"),
         count(lit(1)).cast("long").as("distinct_tokens"),
         sum(col("c_st").cast(DecimalType(18, 0)) * col("lr")).as("klnum"),
-        sum(abs(col("c_st") * col("n_c") - col("c_ct") * col("n_s")))
+        // cross-products in DECIMAL: c_st·n_c at the 100 TB scale this
+        // scaladoc targets (n_c ~ 1e13+) would silently wrap a Long
+        // multiply; (19,0)×(19,0) → DECIMAL(38,0) stays exact to 1e38
+        sum(abs(col("c_st").cast(DecimalType(19, 0)) *
+            col("n_c").cast(DecimalType(19, 0)) -
+            col("c_ct").cast(DecimalType(19, 0)) *
+            col("n_s").cast(DecimalType(19, 0))))
           .as("tvpresent"),
         sum(col("c_ct")).as("cct_sum"),
         max(col("n_c")).as("n_c"))
@@ -348,7 +356,9 @@ object TextQ {
         col("klnum").cast("double") / col("n_tokens").cast("double"))
       .withColumn("tv",
         (col("tvpresent") +
-          col("n_tokens") * (col("n_c") - col("cct_sum"))).cast("double") /
+          col("n_tokens").cast(DecimalType(19, 0)) *
+            (col("n_c") - col("cct_sum")).cast(DecimalType(19, 0)))
+          .cast("double") /
           (lit(2.0) * col("n_tokens").cast("double") * col("n_c").cast("double")))
       .select(col("source"), col("n_tokens"), col("distinct_tokens"),
         col("kl"), col("tv"))

@@ -202,8 +202,10 @@ object Streaming {
     * history at `stateDir` via the SAME [[graft.ops.Scd2]] definition
     * the batch q_scd2/q_scd2_incremental queries use — first batch
     * builds, later batches [[graft.ops.Scd2.applyDelta]]. foreachBatch
-    * is at-least-once: the per-key (valid_from_s, last_event_id)
-    * watermark inside applyDelta makes a redelivered batch a no-op, so
+    * is at-least-once: the per-key (seen_ts_s, seen_event_id)
+    * OBSERVATION watermark inside applyDelta (not valid_from — collapsed
+    * duplicates advance observation without advancing valid_from)
+    * makes a redelivered batch a no-op, so
     * delivery converges (the upsertSink contract, for interval
     * histories). State swaps by the crash-safe rename
     * ([[graft.etl.Upsert.replaceParquet]]).

@@ -171,10 +171,15 @@ class PlanSpec extends AnyFunSuite with SparkSpec {
 
   test("embed_drift: one corpus pass, partial agg below the shuffle, global sums broadcast back") {
     val p = plan("q_embed_drift")
-    // the embeddings parquet is scanned ONCE (the checkpoint pins the
-    // multi-consumer reuse structurally); label column only + vector
-    assert("Scan parquet".r.findAllIn(p).size == 1 ||
-      !p.contains("Scan parquet"), p.linesIterator.filter(_.contains("Scan parquet")).mkString("\n"))
+    // the embeddings parquet is scanned ONCE — during the
+    // localCheckpoint's materialization, so the executed plan must show
+    // ZERO parquet scans (a parquet node here would be a second corpus
+    // pass) and exactly the checkpoint's two consumers reading the
+    // (label, dim)-sized ExistingRDD. Counted exactly so a renamed scan
+    // node can't make the pin pass vacuously.
+    val scanLines = p.linesIterator.filter(_.contains("Scan")).mkString("\n")
+    assert("Scan parquet".r.findAllIn(p).isEmpty, scanLines)
+    assert("Scan ExistingRDD".r.findAllIn(p).size == 2, scanLines)
     // the (label, dim) aggregate combines map-side before shuffling
     assert(p.contains("partial_sum"))
     // the d-row global-sum side joins by broadcast, not shuffle
