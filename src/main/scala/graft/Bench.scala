@@ -23,7 +23,13 @@ import org.apache.spark.sql.SparkSession
   *    report a misleadingly low median), falling back to the fail-time
   *    median when every run failed so a broken query still shows a
   *    number next to its error;
-  *  - SPARK_GRAFT_ONLY=q_a,q_b restricts the run (local iteration aid).
+  *  - SPARK_GRAFT_ONLY=q_a,q_b restricts the run (local iteration aid);
+  *  - the big JSON line also carries, per query: "samples" (per-sample
+  *    wall seconds in run order), "cpu" (per-sample process-CPU
+  *    seconds) and "rows" (result count) — the self-diagnosing triple
+  *    the r6 driver-vs-builder band blowout demanded (BENCH_NOTES r7):
+  *    contention shows wall≫cpu, a clock anomaly breaks the cpu/wall
+  *    ≤ ncores invariant, and rows proves the work actually ran.
   */
 object Bench {
   private def jsonEsc(s: String): String =
@@ -66,26 +72,58 @@ object Bench {
     val spreads = scala.collection.mutable.LinkedHashMap.empty[String, Double]
     val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
     val failedRuns = scala.collection.mutable.LinkedHashMap.empty[String, Double]
+    // Per-sample wall times IN RUN ORDER (not sorted): the r6 post-mortems
+    // needed to distinguish "first sample pays JIT/page-cache warm-up"
+    // from "all samples slow" and the median+spread alone can't — a
+    // (20, 3, 3) and a (3, 13, 20) query report identical medians but
+    // mean opposite things for regression detection.
+    val sampleLog =
+      scala.collection.mutable.LinkedHashMap.empty[String, Seq[Double]]
+    // Per-sample PROCESS CPU seconds and last-sample row counts: the r6
+    // driver bench swung ±13x against two controlled boxes WITH ZERO
+    // code or plan change, in both directions — numbers that wall time
+    // alone cannot explain or even attribute. cpu/wall separates
+    // external contention (wall up, cpu flat) from a clock/VM anomaly
+    // (cpu/wall above the core count, or cpu missing work) — and the
+    // row count proves the query did the work its plan says (a
+    // 0.44s wall for a query whose plan needs ~180 core-seconds is
+    // only possible if the work didn't happen).
+    val cpuLog =
+      scala.collection.mutable.LinkedHashMap.empty[String, Seq[Double]]
+    val rowsLog = scala.collection.mutable.LinkedHashMap.empty[String, Long]
+    val osBean = java.lang.management.ManagementFactory.getOperatingSystemMXBean
+      match {
+        case b: com.sun.management.OperatingSystemMXBean => Some(b)
+        case _ => None
+      }
     names.foreach { name =>
       val samples = (1 to runs).map { _ =>
         System.gc() // fence: don't bill the previous query's garbage here
+        val c0 = osBean.map(_.getProcessCpuTime).getOrElse(0L)
         val t0 = System.nanoTime()
         val ok =
-          try { SparkEntry.queries(name)(spark, sfDir).count(); true }
+          try {
+            rowsLog(name) = SparkEntry.queries(name)(spark, sfDir).count()
+            true
+          }
           catch {
             case e: Throwable =>
               errors(name) = s"${e.getClass.getName}: " +
                 Option(e.getMessage).getOrElse("").take(300)
               false
           }
-        ((System.nanoTime() - t0) / 1e9, ok)
+        val wall = (System.nanoTime() - t0) / 1e9
+        val cpu = osBean.map(b => (b.getProcessCpuTime - c0) / 1e9).getOrElse(-1.0)
+        (wall, cpu, ok)
       }
+      sampleLog(name) = samples.map(_._1)
+      cpuLog(name) = samples.map(_._2)
       // median over SUCCESSFUL samples only: an intermittent failure's
       // fast-fail wall time must not report a misleadingly low median
       // (the errors + failed_runs maps still flag it). A query that
       // failed EVERY run keeps its fail-time median so a broken query
       // can never masquerade as absent.
-      val good = samples.collect { case (t, true) => t }.sorted
+      val good = samples.collect { case (t, _, true) => t }.sorted
       val use = if (good.nonEmpty) good else samples.map(_._1).sorted
       times(name) = use(use.size / 2) // median (upper on even n)
       spreads(name) = use.last - use.head
@@ -94,6 +132,16 @@ object Bench {
     }
     def obj(m: scala.collection.Map[String, Double]) =
       m.map { case (k, v) => s"\"$k\":$v" }.mkString("{", ",", "}")
+    // Round to ms: full-precision doubles triple the line length for
+    // noise digits, and the driver's capture already truncates long lines.
+    def sampleObj(m: scala.collection.Map[String, Seq[Double]]) =
+      m.map { case (k, vs) =>
+        s"\"$k\":[${vs.map(v => f"$v%.3f").mkString(",")}]"
+      }.mkString("{", ",", "}")
+    val samplesJson = sampleObj(sampleLog)
+    val cpuJson = sampleObj(cpuLog)
+    val rowsJson = rowsLog.map { case (k, v) => s"\"$k\":$v" }
+      .mkString("{", ",", "}")
     val errs = errors.map { case (k, v) => s"\"$k\":\"${jsonEsc(v)}\"" }
       .mkString("{", ",", "}")
     val total = times.values.sum
@@ -106,7 +154,7 @@ object Bench {
       .map { case (k, v) => s"\"$k\":$v" }.mkString("{", ",", "}")
     val summary = s"""{"metric":"summary","value":$total,"unit":"sec","n_queries":${times.size},"n_errors":${errors.size},"top5":$top5,"sf":"$sfDir"}"""
     println(summary)
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":${obj(times)},"spread":${obj(spreads)},"runs":$runs,"errors":$errs,"failed_runs":${obj(failedRuns)},"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":${obj(times)},"spread":${obj(spreads)},"samples":$samplesJson,"cpu":$cpuJson,"rows":$rowsJson,"runs":$runs,"errors":$errs,"failed_runs":${obj(failedRuns)},"sf":"$sfDir"}""")
     println(summary)
     spark.stop()
   }

@@ -183,8 +183,10 @@ object SparkEntry {
     // touched keys' open rows re-windowed; oracle is the FULL rebuild,
     // so hash-match proves incremental ≡ full
     "q_scd2_incremental" -> EventsQ.scd2Incremental,
-    // S2 — deterministic seeded POS source (no oracle: engine-specific
-    // murmur3 seeding; driver records rows-only)
+    // S2 — deterministic seeded POS source; oracle = the frozen
+    // pinned-VALUES capture (PosPinned — Spark's murmur3 has no SQL
+    // replay, but the output is a constant, so the pin hash-gates
+    // generator drift)
     "q_pos_generate" -> ((s, _) => PosGenerator.transactions(s, "verify-run", "ok", 200)),
     // S1/S2 — DataSource V2 connector form of the POS source (rows-only)
     "q_pos_source" -> ((s, _) => s.read.format("graft-pos")
@@ -426,6 +428,9 @@ object SparkEntry {
     "q_cross_source_dups_compose" -> DedupQ.crossSourceDupsCompose,
     // training-sequence packing (distributed two-phase prefix sum)
     "q_pack_sequences" -> TextQ.packSequences,
+    // training-shard export flagship — pack, shard, write size-bounded
+    // partitioned files, manifest aggregated from reading the files back
+    "q_export_manifest" -> TextQ.exportManifest,
     // NO-SPLIT bin packing (bucket-local next-fit with sequential bin
     // state — each doc whole in one fixed-capacity bin)
     "q_pack_bins" -> TextQ.packBins,
@@ -481,6 +486,13 @@ object SparkEntry {
     // IVF-PQ residual-ADC serving over the pinned fixture (routing +
     // residual encode + qcdot/LUT scoring replayed by the oracle)
     "q_ann_ivfpq_fixture" -> AnnQ.ivfPqFixtureTopK,
+    // IVF cell-routing serving over the pinned fixture — the real
+    // ivfProbeIndexed path (route table, isin pruning, per-cell rank);
+    // oracle replays routing + ranking exactly
+    "q_ann_ivf_fixture" -> AnnQ.ivfFixtureTopK,
+    // MMR greedy loop over pinned integer relevances/vectors — oracle
+    // replays the k selection steps as unrolled CTEs
+    "q_ann_mmr_fixture" -> AnnQ.mmrFixtureTopK,
     // embedding-quality eval — nearest-class-centroid confusion matrix
     // (exact-decimal prototypes => fully oracled)
     "q_prototype_eval" -> ((s, dir) => graft.ann.Prototype.confusion(
@@ -524,6 +536,15 @@ object SparkEntry {
     // PCM stream parameters + duration, junk chunks skipped, corrupted
     // containers quarantined; oracle recomputes + excludes
     "q_audio_meta" -> MultimodalQ.audioMeta,
+    // multimodal — REAL pixel-level PNG decode (CRC verify + zlib
+    // inflate + unfilter of all 5 filter types) → 64-bit dHash; oracle
+    // recomputes the hash straight from the pixel formula, so
+    // hash-match proves the full codec round-trip; truncation + CRC
+    // corruption rows prove the quarantine
+    "q_image_phash" -> MultimodalQ.imagePhash,
+    // multimodal — image near-dup pairs: banded pHash candidates +
+    // exact Hamming verify (the dedup family's image member)
+    "q_image_phash_pairs" -> MultimodalQ.imagePhashPairs,
   )
 
   /** DuckDB oracle SQL per query. Money math goes through DECIMAL(18,2) in
@@ -645,6 +666,14 @@ object SparkEntry {
     "q_count_canary" ->
       """SELECT 'orders_1995_plus' AS canary, count(*) AS n, count(*) >= 10 AS pass
         |FROM orders WHERE CAST(o_orderdate AS DATE) >= DATE '1995-01-01'""".stripMargin,
+    // the generator's deterministic output, frozen as pinned VALUES
+    // (tools/gen_pos_oracle.py): a mismatch means generator drift
+    "q_pos_generate" ->
+      s"""SELECT * FROM ${graft.etl.PosPinned.valuesSql}""",
+    // the DSv2 connector's own deterministic derivation (plain-Scala
+    // murmur3, partition-independent), frozen the same way
+    "q_pos_source" ->
+      s"""SELECT * FROM ${graft.etl.PosSourcePinned.valuesSql}""",
     // the converged warehouse state after base upsert + (redelivered)
     // update batch: rows with orderkey % 700 = 0 carry the doubled price
     "q_warehouse_agg" ->
@@ -1246,6 +1275,48 @@ object SparkEntry {
         | neighbor_id, round(c, 6) AS cosine
         |FROM f
         |QUALIFY rank <= 5""".stripMargin,
+    // IVF routing replay over the pinned fixture: cells ranked by raw
+    // query·centroid dot (desc, cluster asc — integer dots, exact),
+    // candidates = assignments in the top-nProbe cells, cosine ranking
+    // with the same expression tree as Ann.probeCells
+    "q_ann_ivf_fixture" ->
+      s"""WITH v(vec_id, emb) AS (VALUES
+        |  ${graft.ann.PqFixture.corpusValuesSql}
+        |), ct(cluster, centroid) AS (VALUES
+        |  ${graft.ann.PqFixture.centroidsValuesSql}
+        |), asg(vec_id, cluster) AS (VALUES
+        |  ${graft.ann.PqFixture.assignmentsValuesSql}
+        |), q AS (
+        |  SELECT vec_id AS query_id, emb AS qv,
+        |   sqrt(list_dot_product(emb, emb)) AS nq
+        |  FROM v WHERE vec_id < 3
+        |), rt AS (
+        |  SELECT query_id, cluster FROM (
+        |    SELECT q.query_id, ct.cluster,
+        |     row_number() OVER (PARTITION BY q.query_id
+        |       ORDER BY list_dot_product(q.qv, ct.centroid) DESC, ct.cluster)
+        |       AS rn
+        |    FROM q CROSS JOIN ct) WHERE rn <= 2
+        |), f AS (
+        |  SELECT rt.query_id, a.vec_id AS neighbor_id,
+        |   list_dot_product(vv.emb, q.qv)
+        |     / (sqrt(list_dot_product(vv.emb, vv.emb)) * q.nq) AS c
+        |  FROM rt
+        |  JOIN asg a ON a.cluster = rt.cluster AND a.vec_id <> rt.query_id
+        |  JOIN v vv ON vv.vec_id = a.vec_id
+        |  JOIN q ON q.query_id = rt.query_id
+        |)
+        |SELECT query_id,
+        | CAST(row_number() OVER (PARTITION BY query_id
+        |   ORDER BY c DESC, neighbor_id) AS BIGINT) AS rank,
+        | neighbor_id, round(c, 6) AS cosine
+        |FROM f
+        |QUALIFY rank <= 5""".stripMargin,
+    // MMR greedy replay: k selection steps unrolled as CTEs (the
+    // graph-oracle pattern), score = 0.25·rel − 0.75·max cos over the
+    // selected set, argmax with smaller-id tiebreak — every term exact
+    // or correctly-rounded-identical across engines
+    "q_ann_mmr_fixture" -> mmrFixtureOracleSql,
     // the exact pair relation restricted to pairs touching the batch
     "q_incremental_dedup" ->
       s"""WITH p AS ($jaccardPairsSql)
@@ -1454,25 +1525,41 @@ object SparkEntry {
         | (CASE WHEN total_2grams > 0 THEN round(1.0 - CAST(distinct_2grams AS DOUBLE) / CAST(total_2grams AS DOUBLE), 6) ELSE 0.0 END) > 0.2 AS repetitive
         |FROM r""".stripMargin,
     "q_pack_sequences" ->
-      """WITH d AS (
-        |  SELECT doc_id,
-        |   string_split(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' ') AS ws,
-        |   list_reduce(list_prepend(CAST(0 AS BIGINT),
-        |     list_transform(string_split(
-        |       trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ''),
-        |       c -> CAST(ascii(c) AS BIGINT))),
-        |     (a, b) -> (a * 31 + b) % 1000000007) AS okey
-        |  FROM documents
-        |), c AS (
-        |  SELECT doc_id, CAST(len(ws) AS BIGINT) AS n_tokens,
-        |   coalesce(CAST(SUM(len(ws)) OVER (ORDER BY okey, doc_id
-        |     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT), 0) AS tok_offset
-        |  FROM d
-        |)
+      s"""WITH $packTapeSql
         |SELECT doc_id, n_tokens, tok_offset,
         | CAST(tok_offset // 512 AS BIGINT) AS seq_id,
         | CAST(tok_offset % 512 AS BIGINT) AS offset_in_seq
         |FROM c""".stripMargin,
+    // the shard manifest recomputed straight from the documents table
+    // (tape cumsum -> seq -> shard -> per-(shard, source) rollup); the
+    // engine reaches the same rows only through write -> partitioned
+    // size-bounded files -> read-back, so hash-match proves the export
+    // round-trip
+    "q_export_manifest" ->
+      s"""WITH $packTapeSql,
+        |m AS (
+        |  SELECT c.doc_id, c.n_tokens,
+        |   CAST(tok_offset // 512 AS BIGINT) AS seq_id,
+        |   CAST((tok_offset // 512) // 16 AS BIGINT) AS shard_id,
+        |   doc.source
+        |  FROM c JOIN documents doc ON doc.doc_id = c.doc_id
+        |), ps AS (
+        |  SELECT shard_id, source, CAST(count(*) AS BIGINT) AS src_docs,
+        |   CAST(sum(n_tokens) AS BIGINT) AS src_tokens,
+        |   min(seq_id) AS src_first, max(seq_id) AS src_last
+        |  FROM m GROUP BY 1, 2
+        |), r AS (
+        |  SELECT *, row_number() OVER (PARTITION BY shard_id
+        |    ORDER BY src_docs DESC, source) AS rn
+        |  FROM ps
+        |)
+        |SELECT shard_id, CAST(sum(src_docs) AS BIGINT) AS n_docs,
+        | CAST(count(*) AS BIGINT) AS n_sources,
+        | CAST(sum(src_tokens) AS BIGINT) AS n_tokens,
+        | min(src_first) AS first_seq, max(src_last) AS last_seq,
+        | max(CASE WHEN rn = 1 THEN source END) AS top_source,
+        | CAST(max(CASE WHEN rn = 1 THEN src_docs END) AS BIGINT) AS top_source_docs
+        |FROM r GROUP BY shard_id""".stripMargin,
     // bucket-local next-fit replayed SEQUENTIALLY by a recursive CTE:
     // okey/bucket/order are the engine's exact formulas (width 15625001
     // = ceil(1000000007/64)); bin advances when the fill would exceed
@@ -2343,6 +2430,35 @@ object SparkEntry {
         |   AS bits_per_sample,
         | CAST(8 * (1 + doc_id % 125) AS BIGINT) AS n_samples
         |FROM documents WHERE doc_id % 91 <> 0""".stripMargin,
+    // the dHash recomputed from the pixel formula (the engine reaches it
+    // only through the full PNG codec round-trip); corrupted ids excluded
+    "q_image_phash" ->
+      s"""WITH $phashHashSql
+        |SELECT asset_id, phash_hi, phash_lo FROM phash""".stripMargin,
+    // banded candidates + exact Hamming verify, replayed on the oracle
+    // hashes with the SAME band rule (the contract is the algorithm,
+    // not an all-pairs ideal)
+    "q_image_phash_pairs" ->
+      s"""WITH $phashHashSql,
+        |bands AS (
+        |  SELECT asset_id, b.range AS band,
+        |    CASE b.range WHEN 0 THEN phash_lo % 65536 WHEN 1 THEN phash_lo // 65536
+        |                 WHEN 2 THEN phash_hi % 65536 ELSE phash_hi // 65536 END AS v
+        |  FROM phash, range(4) b
+        |),
+        |cand AS (
+        |  SELECT DISTINCT a.asset_id AS a_id, c.asset_id AS b_id
+        |  FROM bands a JOIN bands c
+        |    ON a.band = c.band AND a.v = c.v AND a.asset_id < c.asset_id
+        |)
+        |SELECT cand.a_id, cand.b_id,
+        |  CAST(bit_count(xor(ha.phash_hi, hb.phash_hi))
+        |     + bit_count(xor(ha.phash_lo, hb.phash_lo)) AS BIGINT) AS hamming
+        |FROM cand
+        |JOIN phash ha ON ha.asset_id = cand.a_id
+        |JOIN phash hb ON hb.asset_id = cand.b_id
+        |WHERE bit_count(xor(ha.phash_hi, hb.phash_hi))
+        |    + bit_count(xor(ha.phash_lo, hb.phash_lo)) <= 10""".stripMargin,
     "q_frame_sample" ->
       """WITH a AS (
         |  SELECT doc_id AS asset_id,
@@ -2451,6 +2567,112 @@ object SparkEntry {
       |),
       |cl AS (
       |  SELECT s AS doc_id, min(d) AS cluster_id FROM reach GROUP BY s
+      |)""".stripMargin
+
+  /** The concat-tape packing replay — tokenize + rolling-hash order key
+    * (CTE `d`), then the global exclusive token cumsum (CTE `c`) —
+    * shared by q_pack_sequences and q_export_manifest so the tape
+    * semantics can never drift between the packer and the exporter.
+    */
+  private lazy val packTapeSql: String =
+    """d AS (
+      |  SELECT doc_id,
+      |   string_split(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' ') AS ws,
+      |   list_reduce(list_prepend(CAST(0 AS BIGINT),
+      |     list_transform(string_split(
+      |       trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ''),
+      |       c -> CAST(ascii(c) AS BIGINT))),
+      |     (a, b) -> (a * 31 + b) % 1000000007) AS okey
+      |  FROM documents
+      |), c AS (
+      |  SELECT doc_id, CAST(len(ws) AS BIGINT) AS n_tokens,
+      |   coalesce(CAST(SUM(len(ws)) OVER (ORDER BY okey, doc_id
+      |     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT), 0) AS tok_offset
+      |  FROM d
+      |)""".stripMargin
+
+  /** The MMR greedy loop unrolled as CTEs: step i scores every
+    * not-yet-selected candidate as λ·rel − (1−λ)·max_{s∈p(i−1)}
+    * cos(d, s) and picks the argmax (score desc, doc_id asc — the
+    * [[graft.ann.Mmr.rerank]] tiebreak). λ = 0.25 and 1−λ = 0.75 are
+    * exactly representable; cosines use the same expression tree as the
+    * Scala loop (dot / (sqrt·sqrt) over pinned integers), so every
+    * selection compares identical doubles in both engines.
+    */
+  private lazy val mmrFixtureOracleSql: String = {
+    val k = graft.ann.MmrFixture.k
+    val steps = (2 to k).map { i =>
+      s"""s$i AS (
+        |  SELECT c.doc_id, CAST(0.25 AS DOUBLE) * c.rel
+        |    - CAST(0.75 AS DOUBLE) * (
+        |      SELECT max(list_dot_product(a.emb, b.emb)
+        |        / (sqrt(list_dot_product(a.emb, a.emb))
+        |           * sqrt(list_dot_product(b.emb, b.emb))))
+        |      FROM p${i - 1} JOIN v a ON a.vec_id = c.doc_id
+        |      JOIN v b ON b.vec_id = p${i - 1}.doc_id
+        |    ) AS score
+        |  FROM c WHERE c.doc_id NOT IN (SELECT doc_id FROM p${i - 1})
+        |  ORDER BY score DESC, c.doc_id LIMIT 1
+        |), p$i AS (
+        |  SELECT doc_id FROM p${i - 1} UNION ALL SELECT doc_id FROM s$i
+        |)""".stripMargin
+    }.mkString(",\n")
+    val ranks = (1 to k).map(i =>
+      s"SELECT $i AS rank, doc_id, score FROM s$i").mkString("\n  UNION ALL ")
+    s"""WITH v(vec_id, emb) AS (VALUES
+      |  ${graft.ann.PqFixture.corpusValuesSql}
+      |), c(doc_id, rel) AS (VALUES
+      |  ${graft.ann.MmrFixture.candidatesValuesSql}
+      |), s1 AS (
+      |  SELECT doc_id, CAST(0.25 AS DOUBLE) * rel AS score FROM c
+      |  ORDER BY score DESC, doc_id LIMIT 1
+      |), p1 AS (SELECT doc_id FROM s1),
+      |$steps
+      |SELECT CAST(r.rank AS BIGINT) AS rank, r.doc_id,
+      | CAST(c.rel AS DOUBLE) AS relevance, round(r.score, 6) AS mmr_score
+      |FROM (
+      |  $ranks) r
+      |JOIN c ON c.doc_id = r.doc_id
+      |ORDER BY r.rank""".stripMargin
+  }
+
+  /** The per-document 64-bit dHash recomputed straight from the pixel
+    * formula ([[graft.multimodal.Multimodal.blockValue]] — the ONE
+    * definition this SQL mirrors), ending in CTE `phash(asset_id,
+    * phash_hi, phash_lo)` — interpolated into q_image_phash and
+    * q_image_phash_pairs. The engine side reaches the same numbers only
+    * through the full PNG encode → CRC verify → inflate → unfilter →
+    * block-mean pipeline, so a hash match proves the codec round-trip;
+    * the corrupted ids (91: truncated, 97: CRC-flipped) are excluded
+    * here exactly as the decoder quarantines them.
+    */
+  private lazy val phashHashSql: String =
+    """docs AS (
+      |  SELECT doc_id FROM documents WHERE doc_id % 91 <> 0 AND doc_id % 97 <> 0
+      |),
+      |grid AS (
+      |  SELECT d.doc_id, bx.range AS bx, by.range AS by,
+      |    ((((d.doc_id // 4) * 72 + by.range * 9 + bx.range) % 509)
+      |      * (((d.doc_id // 4) * 72 + by.range * 9 + bx.range) % 509)
+      |      * (((d.doc_id // 4) * 72 + by.range * 9 + bx.range) % 509) % 509
+      |     + CASE WHEN (bx.range + by.range * 9 + d.doc_id) % 23 = 0
+      |            THEN (d.doc_id % 4) * 8 ELSE 0 END) % 256 AS p
+      |  FROM docs d, range(9) bx, range(8) by
+      |),
+      |bits AS (
+      |  SELECT g1.doc_id, CAST(g1.by * 8 + g1.bx AS BIGINT) AS pos,
+      |    CASE WHEN g2.p > g1.p THEN 1 ELSE 0 END AS bit
+      |  FROM grid g1 JOIN grid g2
+      |    ON g2.doc_id = g1.doc_id AND g2.by = g1.by AND g2.bx = g1.bx + 1
+      |  WHERE g1.bx < 8
+      |),
+      |phash AS (
+      |  SELECT doc_id AS asset_id,
+      |    CAST(SUM(CASE WHEN pos >= 32
+      |      THEN bit * (1::BIGINT << CAST(pos - 32 AS INTEGER)) ELSE 0 END) AS BIGINT) AS phash_hi,
+      |    CAST(SUM(CASE WHEN pos < 32
+      |      THEN bit * (1::BIGINT << CAST(pos AS INTEGER)) ELSE 0 END) AS BIGINT) AS phash_lo
+      |  FROM bits GROUP BY doc_id
       |)""".stripMargin
 
   /** Exact 3-gram Jaccard pairs — the oracle for BOTH q_jaccard_pairs and

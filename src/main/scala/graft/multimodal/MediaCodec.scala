@@ -262,6 +262,185 @@ object MediaCodec {
       channels, bits, nSamples))
   }
 
+  // ------------------------------------------------- PNG pixel codec
+
+  /** A decoded 8-bit grayscale image: `px(y * width + x)` is the pixel
+    * value 0–255 (stored as a signed byte; mask with `& 0xff`).
+    */
+  final case class PixelImage(width: Int, height: Int, px: Array[Byte])
+
+  /** Paeth predictor (PNG spec §9.4): the neighbor (left, up, upleft)
+    * closest to left + up − upleft, ties broken left, up, upleft.
+    */
+  private def paeth(a: Int, b: Int, c: Int): Int = {
+    val p = a + b - c
+    val pa = math.abs(p - a); val pb = math.abs(p - b); val pc = math.abs(p - c)
+    if (pa <= pb && pa <= pc) a else if (pb <= pc) b else c
+  }
+
+  private def chunkCrc(chunkType: String, payload: Array[Byte],
+      from: Int, len: Int): Int = {
+    val crc = new java.util.zip.CRC32()
+    chunkType.foreach(c => crc.update(c.toInt))
+    crc.update(payload, from, len)
+    crc.getValue.toInt
+  }
+
+  private def writeChunk(o: java.io.ByteArrayOutputStream, chunkType: String,
+      payload: Array[Byte], from: Int = 0, len: Int = -1): Unit = {
+    val n = if (len < 0) payload.length else len
+    writeBe32(o, n)
+    chunkType.foreach(c => o.write(c.toInt))
+    o.write(payload, from, n)
+    writeBe32(o, chunkCrc(chunkType, payload, from, n))
+  }
+
+  /** Encode an 8-bit GRAYSCALE image as a complete, spec-conformant PNG
+    * (RFC 2083): signature, IHDR, zlib-deflated filtered scanlines split
+    * across multiple IDAT chunks (512-byte slices — a conformant reader
+    * MUST concatenate IDATs before inflating, so a single-IDAT shortcut
+    * in the decoder would fail its own synthesizer), IEND, real CRC-32
+    * on every chunk. `filterForRow` picks the per-row filter type 0–4 —
+    * the encoder applies the filter FORWARD so the decoder's unfilter
+    * path for every type is exercised by round-trip.
+    */
+  def pngGray(w: Int, h: Int, pixel: (Int, Int) => Int,
+      filterForRow: Int => Int = _ => 0): Array[Byte] = {
+    require(w > 0 && h > 0, s"pngGray ${w}x$h")
+    val raw = new Array[Byte](h * (w + 1)) // filter byte + w samples per row
+    var y = 0
+    while (y < h) {
+      val f = filterForRow(y)
+      require(f >= 0 && f <= 4, s"filter $f")
+      val rowOff = y * (w + 1)
+      raw(rowOff) = f.toByte
+      var x = 0
+      while (x < w) {
+        val cur = pixel(x, y) & 0xff
+        val left = if (x > 0) pixel(x - 1, y) & 0xff else 0
+        val up = if (y > 0) pixel(x, y - 1) & 0xff else 0
+        val upLeft = if (x > 0 && y > 0) pixel(x - 1, y - 1) & 0xff else 0
+        val filtered = f match {
+          case 0 => cur
+          case 1 => cur - left
+          case 2 => cur - up
+          case 3 => cur - (left + up) / 2
+          case 4 => cur - paeth(left, up, upLeft)
+        }
+        raw(rowOff + 1 + x) = filtered.toByte
+        x += 1
+      }
+      y += 1
+    }
+    val deflater = new java.util.zip.Deflater()
+    deflater.setInput(raw); deflater.finish()
+    val zBuf = new java.io.ByteArrayOutputStream()
+    val tmp = new Array[Byte](4096)
+    while (!deflater.finished())
+      zBuf.write(tmp, 0, deflater.deflate(tmp))
+    deflater.end()
+    val z = zBuf.toByteArray
+    val out = new java.io.ByteArrayOutputStream()
+    PngSig.foreach(out.write)
+    val ihdr = new java.io.ByteArrayOutputStream()
+    writeBe32(ihdr, w); writeBe32(ihdr, h)
+    ihdr.write(8) // bit depth
+    ihdr.write(0) // color type 0: grayscale
+    ihdr.write(0); ihdr.write(0); ihdr.write(0) // compression/filter/interlace
+    writeChunk(out, "IHDR", ihdr.toByteArray)
+    var off = 0
+    while (off < z.length) {
+      val n = math.min(512, z.length - off)
+      writeChunk(out, "IDAT", z, off, n)
+      off += n
+    }
+    writeChunk(out, "IEND", Array.empty)
+    out.toByteArray
+  }
+
+  /** Full pixel-level PNG decode for 8-bit grayscale, pure JVM: chunk
+    * walk with CRC-32 verification on every chunk (unlike the
+    * header-only [[parsePng]] — a pixel consumer must reject bit rot),
+    * IDAT concatenation, zlib inflate ([[java.util.zip.Inflater]]), and
+    * per-row unfiltering of all five PNG filter types. Returns None on
+    * ANY structural defect — bad signature, non-gray8 format (this
+    * corpus synthesizes none), CRC mismatch, truncated/corrupt deflate
+    * stream, wrong decompressed size, unknown filter type — so a
+    * curation pipeline quarantines the asset rather than training on
+    * garbage pixels.
+    */
+  def decodePngPixels(b: Array[Byte]): Option[PixelImage] = {
+    if (b.length < 8) return None
+    var i = 0
+    while (i < 8) { if (u8(b, i) != PngSig(i)) return None; i += 1 }
+    var w = -1; var h = -1
+    val idat = new java.io.ByteArrayOutputStream()
+    var sawIend = false
+    var pos = 8
+    while (pos + 12 <= b.length && !sawIend) {
+      val len = be32(b, pos)
+      if (len < 0 || pos + 12 + len > b.length) return None
+      val t = boxType(b, pos + 4)
+      val crc = new java.util.zip.CRC32()
+      crc.update(b, pos + 4, 4 + len)
+      if (crc.getValue.toInt != be32(b, pos + 8 + len)) return None
+      t match {
+        case "IHDR" =>
+          if (len != 13) return None
+          w = be32(b, pos + 8); h = be32(b, pos + 12)
+          if (w <= 0 || h <= 0) return None
+          // bit depth 8, color 0 (gray), no compression/filter/interlace
+          // variants: everything else is outside this decoder's contract
+          if (u8(b, pos + 16) != 8 || u8(b, pos + 17) != 0 ||
+            u8(b, pos + 18) != 0 || u8(b, pos + 19) != 0 ||
+            u8(b, pos + 20) != 0) return None
+        case "IDAT" => idat.write(b, pos + 8, len)
+        case "IEND" => sawIend = true
+        case _ => // ancillary chunk: skip
+      }
+      pos += 12 + len
+    }
+    if (!sawIend || w < 0) return None
+    val raw = new Array[Byte](h * (w + 1))
+    val inflater = new java.util.zip.Inflater()
+    inflater.setInput(idat.toByteArray)
+    try {
+      var got = 0
+      while (got < raw.length && !inflater.finished()) {
+        val n = inflater.inflate(raw, got, raw.length - got)
+        if (n == 0 && inflater.needsInput()) return None // truncated stream
+        got += n
+      }
+      if (got != raw.length || !inflater.finished()) return None
+    } catch {
+      case _: java.util.zip.DataFormatException => return None
+    } finally inflater.end()
+    val px = new Array[Byte](w * h)
+    var y = 0
+    while (y < h) {
+      val f = u8(raw, y * (w + 1))
+      var x = 0
+      while (x < w) {
+        val v = u8(raw, y * (w + 1) + 1 + x)
+        val left = if (x > 0) u8(px, y * w + x - 1) else 0
+        val up = if (y > 0) u8(px, (y - 1) * w + x) else 0
+        val upLeft = if (x > 0 && y > 0) u8(px, (y - 1) * w + x - 1) else 0
+        val rec = f match {
+          case 0 => v
+          case 1 => v + left
+          case 2 => v + up
+          case 3 => v + (left + up) / 2
+          case 4 => v + paeth(left, up, upLeft)
+          case _ => return None
+        }
+        px(y * w + x) = rec.toByte
+        x += 1
+      }
+      y += 1
+    }
+    Some(PixelImage(w, h, px))
+  }
+
   // ------------------------------------------------------- synthesizers
 
   /** A structurally-valid PNG prefix (signature + IHDR + CRC filler +

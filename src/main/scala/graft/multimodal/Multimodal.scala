@@ -41,6 +41,14 @@ final case class AudioMeta(asset_id: Long, fmt: String, duration_ms: Long,
     sample_rate: Long, channels: Long, bits_per_sample: Long,
     n_samples: Long)
 
+/** Per-asset 64-bit perceptual difference hash (dHash), split into two
+  * 32-bit halves held in BIGINTs: sign-free in both engines, and the
+  * band math for near-dup candidate generation stays simple integer
+  * div/mod. Bit `by*8+bx` compares horizontally-adjacent cells of the
+  * 9×8 block-mean grid.
+  */
+final case class ImagePhash(asset_id: Long, phash_hi: Long, phash_lo: Long)
+
 /** Decoded per-asset features (the output of the decode stub). */
 final case class MediaFeatures(
     asset_id: Long,
@@ -240,6 +248,151 @@ object Multimodal {
             hdr.channels.toLong, hdr.bitsPerSample.toLong, hdr.nSamples))
       }
     }
+  }
+
+  // --------------------------------------- pixel decode + image near-dup
+
+  /** The ONE definition of the synthetic pixel content, mirrored by the
+    * q_image_phash / q_image_phash_pairs oracles in SparkEntry: the
+    * image is 36×32 gray8, constant over 4×4 blocks, and block (bx, by)
+    * of document d has value ((m³ mod 509) + perturbation) mod 256 with
+    * m = ((d/4)·72 + by·9 + bx) mod 509. The d/4 group key makes every
+    * 4 consecutive docs share a base image; the perturbation (+8·(d%4)
+    * on blocks where (bx + by·9 + d) ≡ 0 mod 23) gives group members
+    * small pixel diffs — the near-duplicate structure the pHash pairing
+    * must recover. m is reduced mod 509 BEFORE cubing so the product
+    * stays < 2³⁰ at any corpus size (the unreduced cube overflows a
+    * signed 64-bit integer once doc_id reaches ~10⁷).
+    */
+  private[multimodal] def blockValue(d: Long, bx: Int, by: Int): Int = {
+    val m = ((d / 4) * 72 + by * 9 + bx) % 509
+    val pert = if ((bx + by * 9 + d) % 23 == 0) (d % 4) * 8 else 0L
+    (((m * m * m) % 509 + pert) % 256).toInt
+  }
+
+  private[multimodal] val PhashW = 36
+  private[multimodal] val PhashH = 32
+
+  /** Image assets with FULL pixel content: each document becomes a
+    * complete spec-conformant PNG ([[MediaCodec.pngGray]] — real
+    * deflate stream, per-row filter cycling through all five types,
+    * CRC-32 on every chunk, multi-IDAT). Planted corruption the decode
+    * stage must quarantine: doc_id % 91 == 0 truncated mid-stream,
+    * doc_id % 97 == 0 carries a flipped byte inside the final IDAT
+    * chunk (caught only by CRC verification — a parser that skips CRCs
+    * would train on garbage pixels).
+    */
+  def phashImageAssets(spark: SparkSession, docs: DataFrame): Dataset[ImageAsset] = {
+    import spark.implicits._
+    docs.select(col("doc_id")).as[Long].map { id =>
+      val bytes = MediaCodec.pngGray(PhashW, PhashH,
+        (x, y) => blockValue(id, x / 4, y / 4),
+        y => ((id + y) % 5).toInt)
+      val out =
+        if (id % 91 == 0) bytes.take(40)
+        else if (id % 97 == 0) {
+          val c = bytes.clone()
+          c(c.length - 20) = (c(c.length - 20) ^ 0x5a).toByte
+          c
+        } else bytes
+      ImageAsset(id, out)
+    }
+  }
+
+  /** 64-bit dHash from decoded pixels: mean over each cell of the 9×8
+    * grid (cell = width/9 × height/8, integer floor mean), then bit
+    * `by*8+bx` = 1 iff cell (bx+1, by) is brighter than (bx, by).
+    * Returns None when the image is too small to grid (quarantine).
+    */
+  private[multimodal] def dHash(img: MediaCodec.PixelImage): Option[(Long, Long)] = {
+    val cw = img.width / 9
+    val ch = img.height / 8
+    if (cw <= 0 || ch <= 0) return None
+    val grid = Array.ofDim[Long](9, 8)
+    var bx = 0
+    while (bx < 9) {
+      var by = 0
+      while (by < 8) {
+        var s = 0L
+        var y = by * ch
+        while (y < (by + 1) * ch) {
+          var x = bx * cw
+          while (x < (bx + 1) * cw) { s += img.px(y * img.width + x) & 0xff; x += 1 }
+          y += 1
+        }
+        grid(bx)(by) = s / (cw * ch)
+        by += 1
+      }
+      bx += 1
+    }
+    var hi = 0L; var lo = 0L
+    var by = 0
+    while (by < 8) {
+      bx = 0
+      while (bx < 8) {
+        if (grid(bx + 1)(by) > grid(bx)(by)) {
+          val pos = by * 8 + bx
+          if (pos >= 32) hi |= 1L << (pos - 32) else lo |= 1L << pos
+        }
+        bx += 1
+      }
+      by += 1
+    }
+    Some((hi, lo))
+  }
+
+  /** Partition-batched pixel decode + perceptual hash: full PNG decode
+    * ([[MediaCodec.decodePngPixels]] — CRC verify, inflate, unfilter)
+    * then [[dHash]] over the recovered pixels. Undecodable assets are
+    * DROPPED (quarantine), mirroring [[decodeImageDims]]. The media
+    * column is read exactly once, in this stage; everything downstream
+    * (pairing, clustering) works on the 16-byte hash — the 100 TB shape
+    * where the petabyte media column never reaches a shuffle.
+    */
+  def decodePhash(assets: Dataset[ImageAsset]): Dataset[ImagePhash] = {
+    import assets.sparkSession.implicits._
+    assets.mapPartitions { batch =>
+      batch.flatMap { a =>
+        MediaCodec.decodePngPixels(a.media).flatMap(dHash(_)).map {
+          case (hi, lo) => ImagePhash(a.asset_id, hi, lo)
+        }
+      }
+    }
+  }
+
+  /** Image near-duplicate pairs by banded pHash: split each 64-bit hash
+    * into 4 × 16-bit bands, equi-join on (band, value) to generate
+    * candidates — the same LSH-banding shape as the MinHash text path,
+    * NEVER all-pairs — then verify each candidate exactly with
+    * bit_count(xor) ≤ maxHamming over the full hash. Candidate
+    * generation is a content-key shuffle (16-bit band values); the
+    * verify join ships only (id, hi, lo). The banding is honestly
+    * approximate: a pair whose every band is hit by a flipped bit is
+    * missed, and the oracle replays the SAME candidate rule so the
+    * contract is the algorithm, not an all-pairs ideal.
+    */
+  def phashPairs(hashes: DataFrame, maxHamming: Int): DataFrame = {
+    val bands = hashes.select(col("asset_id"),
+      posexplode(array(
+        col("phash_lo").bitwiseAND(lit(65535L)),
+        shiftright(col("phash_lo"), 16),
+        col("phash_hi").bitwiseAND(lit(65535L)),
+        shiftright(col("phash_hi"), 16))).as(Seq("band", "v")))
+    val cand = bands.select(col("asset_id").as("a_id"), col("band"), col("v"))
+      .join(bands.select(col("asset_id").as("b_id"), col("band"), col("v")),
+        Seq("band", "v"))
+      .filter(col("a_id") < col("b_id"))
+      .select("a_id", "b_id").distinct()
+    val ha = hashes.select(col("asset_id").as("a_id"),
+      col("phash_hi").as("a_hi"), col("phash_lo").as("a_lo"))
+    val hb = hashes.select(col("asset_id").as("b_id"),
+      col("phash_hi").as("b_hi"), col("phash_lo").as("b_lo"))
+    cand.join(ha, "a_id").join(hb, "b_id")
+      .withColumn("hamming",
+        (bit_count(col("a_hi").bitwiseXOR(col("b_hi"))) +
+          bit_count(col("a_lo").bitwiseXOR(col("b_lo")))).cast("long"))
+      .filter(col("hamming") <= maxHamming)
+      .select(col("a_id"), col("b_id"), col("hamming"))
   }
 
   /** Frame sampling for video assets: every `step`-th frame index with

@@ -249,6 +249,36 @@ object AnnQ {
       kNeighbors = 5, nProbe = 2)
   }
 
+  /** q_ann_ivf_fixture: the ROUTING twin of [[pqFixtureTopK]] — the real
+    * persisted-index probe path ([[graft.ann.Ann.ivfProbeIndexed]],
+    * unchanged: driver-side route table, isin cell pruning, per-cell
+    * rank join) over pinned integer centroids and assignments. Every
+    * routing dot and cosine is exact arithmetic, so DuckDB replays cell
+    * choice (raw dot desc, cluster asc), candidate membership, ranking
+    * and the rounded cosine — closing the "trust the spec" gap on the
+    * q_ann_ivf* family's cell-routing serve math.
+    */
+  def ivfFixtureTopK(spark: SparkSession, dir: String): DataFrame = {
+    val fx = graft.ann.PqFixture
+    val corpus = fx.corpusDf(spark)
+    Ann.ivfProbeIndexed(corpus, fx.assignmentsDf(spark),
+      fx.centroidsDf(spark), corpus.filter(col("vec_id") < 3),
+      "vec_id", "embedding", k = 5, nProbe = 2)
+  }
+
+  /** q_ann_mmr_fixture: the GREEDY-LOOP twin of q_ann_mmr — the real
+    * [[graft.ann.Mmr.rerank]] (unchanged) over pinned integer
+    * relevances and the fixture corpus' integer vectors, λ = 0.25
+    * (exactly representable, as is 1−λ). DuckDB replays the k selection
+    * steps as unrolled CTEs; the pinned duplicates (ids 0/9, 1/10,
+    * 2/11 share vectors) force the redundancy term to visibly reorder
+    * the selection vs pure relevance.
+    */
+  def mmrFixtureTopK(spark: SparkSession, dir: String): DataFrame =
+    graft.ann.Mmr.rerank(spark, graft.ann.MmrFixture.candidatesDf(spark),
+      graft.ann.PqFixture.corpusDf(spark), "vec_id", "embedding",
+      k = graft.ann.MmrFixture.k, lambda = graft.ann.MmrFixture.lambda)
+
   /** q_hard_negatives: for each query vector, the top-5 most-similar
     * vectors that are NOT in its near-dup cluster — the hard-negative
     * mining step of contrastive embedding training (a near-duplicate is

@@ -45,6 +45,31 @@ object MultimodalQ {
       Multimodal.audioAssets(spark, Tables(spark, dir, "documents")))
       .toDF()
 
+  /** q_image_phash: full pixel-level decode (CRC verify + inflate +
+    * unfilter, [[graft.multimodal.MediaCodec.decodePngPixels]]) of real
+    * synthesized PNGs, then a 64-bit dHash over the recovered pixels.
+    * The oracle recomputes the hash from the pixel formula directly —
+    * a hash match proves the encode→decode round-trip is lossless AND
+    * the block-mean/comparison math is right, while the planted
+    * truncation + CRC corruption rows prove the quarantine (they are
+    * absent from both sides).
+    */
+  def imagePhash(spark: SparkSession, dir: String): DataFrame =
+    Multimodal.decodePhash(
+      Multimodal.phashImageAssets(spark, Tables(spark, dir, "documents")))
+      .toDF()
+
+  /** q_image_phash_pairs: image near-duplicate pairs — banded pHash
+    * candidate generation + exact Hamming verify ≤ 10, the image-modality
+    * member of the dedup family (same band/verify shape as MinHash-LSH).
+    */
+  def imagePhashPairs(spark: SparkSession, dir: String): DataFrame =
+    Multimodal.phashPairs(
+      Multimodal.decodePhash(
+        Multimodal.phashImageAssets(spark, Tables(spark, dir, "documents")))
+        .toDF(),
+      maxHamming = 10)
+
   def frameSample(spark: SparkSession, dir: String): DataFrame =
     Multimodal.sampleFrames(
       Multimodal.assetsFromDocuments(spark, Tables(spark, dir, "documents")),

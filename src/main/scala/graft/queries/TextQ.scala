@@ -126,6 +126,25 @@ object TextQ {
     graft.text.Packing.packSequences(
       Tables(spark, dir, "documents"), "doc_id", "text", seqLen = 512L)
 
+  /** q_export_manifest: the training-shard EXPORT flagship — the corpus
+    * packed onto the 512-token tape, cut into 16-sequence shards,
+    * WRITTEN as size-bounded partitioned parquet (the actual deliverable
+    * of a training-data pipeline), and the manifest aggregated from
+    * reading the files back ([[graft.ops.Export]]). Rebuilds the export
+    * every call (this query times the full export); the manifest math is
+    * all-integer, so the oracle recomputes it straight from the
+    * documents table — a hash match proves tape → shard → file → read
+    * round-trips exactly.
+    */
+  def exportManifest(spark: SparkSession, dir: String): DataFrame = {
+    val stage = graft.ops.StageArtifacts.refresh(dir, "export") { o =>
+      graft.ops.Export.writeShards(Tables(spark, dir, "documents"),
+        seqLen = 512L, seqsPerShard = 16L, maxRecordsPerFile = 5000,
+        s"$o/shards")
+    }
+    graft.ops.Export.manifestOf(spark.read.parquet(s"$stage/shards"))
+  }
+
   /** No-split bin packing over the corpus: 512-token-capacity bins,
     * each document whole in one bin (see
     * [[graft.text.Packing.packBinsNoSplit]]).

@@ -83,6 +83,96 @@ class MediaCodecSpec extends AnyFunSuite {
     assert(MediaCodec.decodeHeader(badCt).isEmpty)
   }
 
+  // --------------------------------------------------- PNG pixel codec
+
+  // A complete 6×4 gray8 PNG produced by an INDEPENDENT encoder
+  // (Python zlib + hand-built chunks; filters 0,1,2,3 across the four
+  // rows), pinned byte-for-byte: the Scala decoder must recover the
+  // exact pixels from bytes it did not produce, so a symmetric
+  // encode/decode bug cannot cancel out.
+  private val realPng6x4: Array[Byte] = Array(
+    0x89, 0x50, 0x4e, 0x47, 0x0d, 0x0a, 0x1a, 0x0a, 0x00, 0x00, 0x00, 0x0d,
+    0x49, 0x48, 0x44, 0x52, 0x00, 0x00, 0x00, 0x06, 0x00, 0x00, 0x00, 0x04,
+    0x08, 0x00, 0x00, 0x00, 0x00, 0x88, 0x6f, 0x11, 0x9f, 0x00, 0x00, 0x00,
+    0x1d, 0x49, 0x44, 0x41, 0x54, 0x78, 0x9c, 0x63, 0xe0, 0x35, 0x0a, 0xaf,
+    0x59, 0x78, 0x8c, 0x31, 0x43, 0x15, 0x04, 0x98, 0xa2, 0xc1, 0x80, 0x79,
+    0xef, 0x01, 0x07, 0x20, 0x00, 0x00, 0x6f, 0xeb, 0x08, 0x40, 0x87, 0xc1,
+    0xdd, 0x7e, 0x00, 0x00, 0x00, 0x00, 0x49, 0x45, 0x4e, 0x44, 0xae, 0x42,
+    0x60, 0x82).map(_.toByte)
+
+  // pixel(x, y) = (x*37 + y*91 + 13) % 256, row-major
+  private val realPng6x4Pixels: Array[Int] = Array(
+    13, 50, 87, 124, 161, 198, 104, 141, 178, 215, 252, 33, 195, 232, 13,
+    50, 87, 124, 30, 67, 104, 141, 178, 215)
+
+  test("pixel-decodes an independently-encoded PNG (pinned bytes)") {
+    val img = MediaCodec.decodePngPixels(realPng6x4).get
+    assert(img.width == 6 && img.height == 4)
+    assert(img.px.map(_ & 0xff).toSeq == realPng6x4Pixels.toSeq)
+  }
+
+  test("pngGray encode -> decode round-trips exact pixels, all 5 filters") {
+    def pix(x: Int, y: Int): Int = (x * x * 7 + y * 31 + x * y) % 256
+    val b = MediaCodec.pngGray(23, 17, pix, y => y % 5)
+    val img = MediaCodec.decodePngPixels(b).get
+    assert(img.width == 23 && img.height == 17)
+    for (y <- 0 until 17; x <- 0 until 23)
+      assert((img.px(y * 23 + x) & 0xff) == pix(x, y), s"($x,$y)")
+  }
+
+  test("pngGray splits large streams across IDATs; decoder concatenates") {
+    // incompressible-ish pixels so the deflate stream exceeds one
+    // 512-byte IDAT slice — a decoder that inflates only the first
+    // IDAT fails here
+    def pix(x: Int, y: Int): Int = (x * 131 + y * 197 + (x * y * 89) % 251) % 256
+    val b = MediaCodec.pngGray(64, 64, pix)
+    var count = 0
+    for (i <- 0 until b.length - 3)
+      if (b(i) == 'I' && b(i + 1) == 'D' && b(i + 2) == 'A' && b(i + 3) == 'T')
+        count += 1
+    assert(count >= 2, s"expected multi-IDAT, got $count")
+    val img = MediaCodec.decodePngPixels(b).get
+    for (y <- 0 until 64; x <- 0 until 64)
+      assert((img.px(y * 64 + x) & 0xff) == pix(x, y), s"($x,$y)")
+  }
+
+  private def patchCrc(b: Array[Byte], chunkStart: Int): Unit = {
+    // recompute a chunk's CRC after the test mutates its payload
+    def be32(i: Int): Int = ((b(i) & 0xff) << 24) | ((b(i + 1) & 0xff) << 16) |
+      ((b(i + 2) & 0xff) << 8) | (b(i + 3) & 0xff)
+    val len = be32(chunkStart)
+    val crc = new java.util.zip.CRC32()
+    crc.update(b, chunkStart + 4, 4 + len)
+    val v = crc.getValue.toInt
+    b(chunkStart + 8 + len) = (v >>> 24).toByte
+    b(chunkStart + 9 + len) = (v >>> 16).toByte
+    b(chunkStart + 10 + len) = (v >>> 8).toByte
+    b(chunkStart + 11 + len) = v.toByte
+  }
+
+  test("pixel decode quarantines corruption: truncation, CRC, size lie, color type") {
+    val good = MediaCodec.pngGray(8, 8, (x, y) => (x + y * 8) % 256)
+    assert(MediaCodec.decodePngPixels(good).isDefined)
+    // truncated mid-IDAT
+    assert(MediaCodec.decodePngPixels(good.take(40)).isEmpty)
+    // single flipped byte in the IDAT payload -> CRC mismatch
+    val flipped = good.clone()
+    flipped(flipped.length - 20) = (flipped(flipped.length - 20) ^ 0x5a).toByte
+    assert(MediaCodec.decodePngPixels(flipped).isEmpty)
+    // IHDR claims twice the height (CRC patched to pass): the inflated
+    // stream is then too short — the size check must catch the lie
+    val tall = good.clone()
+    tall(23) = 16.toByte // height low byte (8 -> 16)
+    patchCrc(tall, 8)
+    assert(MediaCodec.decodePngPixels(tall).isEmpty)
+    // non-gray8 containers are outside the decoder's contract
+    assert(MediaCodec.decodePngPixels(
+      MediaCodec.pngHeader(4, 4, colorType = 2)).isEmpty)
+    // never throws on garbage
+    assert(MediaCodec.decodePngPixels("garbage".getBytes).isEmpty)
+    assert(MediaCodec.decodePngPixels(Array.empty[Byte]).isEmpty)
+  }
+
   // ------------------------------------------------------------- MP4
 
   // a hand-laid-out (not synthesized) minimal MP4: ftyp(16) +

@@ -52,6 +52,60 @@ class MultimodalSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("phash pipeline: codec round-trip == direct formula; corruption quarantined") {
+    val docs = Tables(spark, dir, "documents")
+    val hashes = Multimodal.decodePhash(
+      Multimodal.phashImageAssets(spark, docs)).collect()
+      .map(h => h.asset_id -> h).toMap
+    // differential: the full encode -> CRC verify -> inflate -> unfilter
+    // -> block-mean path must equal the dHash computed STRAIGHT from the
+    // pixel formula (no codec involved)
+    def directHash(d: Long): (Long, Long) = {
+      val grid = Array.tabulate(9, 8)((bx, by) =>
+        Multimodal.blockValue(d, bx, by).toLong)
+      var hi = 0L; var lo = 0L
+      for (by <- 0 until 8; bx <- 0 until 8)
+        if (grid(bx + 1)(by) > grid(bx)(by)) {
+          val pos = by * 8 + bx
+          if (pos >= 32) hi |= 1L << (pos - 32) else lo |= 1L << pos
+        }
+      (hi, lo)
+    }
+    val ids = docs.select("doc_id").collect().map(_.getLong(0))
+    ids.foreach { id =>
+      if (id % 91 == 0 || id % 97 == 0)
+        assert(!hashes.contains(id), s"id=$id not quarantined")
+      else {
+        val h = hashes(id)
+        assert((h.phash_hi, h.phash_lo) == directHash(id), s"id=$id")
+        assert(h.phash_hi >= 0 && h.phash_hi < (1L << 32))
+        assert(h.phash_lo >= 0 && h.phash_lo < (1L << 32))
+      }
+    }
+  }
+
+  test("phash pairs recover the planted near-dup groups, verified by Hamming") {
+    val docs = Tables(spark, dir, "documents")
+    val pairs = Multimodal.phashPairs(
+      Multimodal.decodePhash(
+        Multimodal.phashImageAssets(spark, docs)).toDF(),
+      maxHamming = 10).collect()
+      .map(r => (r.getAs[Long]("a_id"), r.getAs[Long]("b_id"),
+        r.getAs[Long]("hamming")))
+    assert(pairs.nonEmpty)
+    // every pair is ordered, within threshold, and from the same
+    // doc_id/4 planted group (cross-group hashes differ by ~32 bits)
+    pairs.foreach { case (a, b, ham) =>
+      assert(a < b)
+      assert(ham >= 0 && ham <= 10)
+      assert(a / 4 == b / 4, s"cross-group pair ($a,$b) ham=$ham")
+    }
+    // the planted structure is actually recovered: most 4-doc groups
+    // yield pairs (members differ only by the small perturbation)
+    val groups = pairs.map(_._1 / 4).distinct.length
+    assert(groups > 50, s"only $groups groups recovered")
+  }
+
   test("frame sampling: only video, every 4th frame, correct offsets") {
     val frames = Multimodal.sampleFrames(assets(), step = 4).collect()
     assert(frames.nonEmpty)
