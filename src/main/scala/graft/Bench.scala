@@ -27,9 +27,14 @@ import org.apache.spark.sql.SparkSession
   *  - the big JSON line also carries, per query: "samples" (per-sample
   *    wall seconds in run order), "cpu" (per-sample process-CPU
   *    seconds) and "rows" (result count) — the self-diagnosing triple
-  *    the r6 driver-vs-builder band blowout demanded (BENCH_NOTES r7):
-  *    contention shows wall≫cpu, a clock anomaly breaks the cpu/wall
-  *    ≤ ncores invariant, and rows proves the work actually ran.
+  *    the r6 driver-vs-builder band blowout demanded (BENCH_NOTES r7/r8
+  *    post-mortem): contention shows wall≫cpu, a clock anomaly breaks
+  *    the cpu/wall ≤ ncores invariant, and rows proves the work
+  *    actually ran;
+  *  - the full JSON line is ALSO written to `target/bench.json`
+  *    (override: SPARK_GRAFT_BENCH_OUT) — stdout tail capture truncated
+  *    the per-query map out of BENCH_r07.json entirely, so the file,
+  *    not stdout, is the artifact of record.
   */
 object Bench {
   private def jsonEsc(s: String): String =
@@ -153,9 +158,19 @@ object Bench {
     val top5 = times.toSeq.sortBy(-_._2).take(5)
       .map { case (k, v) => s"\"$k\":$v" }.mkString("{", ",", "}")
     val summary = s"""{"metric":"summary","value":$total,"unit":"sec","n_queries":${times.size},"n_errors":${errors.size},"top5":$top5,"sf":"$sfDir"}"""
+    val full = s"""{"metric":"total","value":$total,"unit":"sec","queries":${obj(times)},"spread":${obj(spreads)},"samples":$samplesJson,"cpu":$cpuJson,"rows":$rowsJson,"runs":$runs,"errors":$errs,"failed_runs":${obj(failedRuns)},"sf":"$sfDir"}"""
     println(summary)
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":${obj(times)},"spread":${obj(spreads)},"samples":$samplesJson,"cpu":$cpuJson,"rows":$rowsJson,"runs":$runs,"errors":$errs,"failed_runs":${obj(failedRuns)},"sf":"$sfDir"}""")
+    println(full)
     println(summary)
+    // The stdout line is at the mercy of the driver's tail capture, which
+    // has truncated it in BOTH directions across rounds (r4 tail, r5 head,
+    // r7 lost the whole per-query map → "parsed": null). The file is the
+    // artifact of record: full precision, never truncated, and the
+    // BENCH_NOTES post-mortems read their samples/cpu/rows from it.
+    val outPath = java.nio.file.Paths.get(
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "target/bench.json"))
+    Option(outPath.getParent).foreach(java.nio.file.Files.createDirectories(_))
+    java.nio.file.Files.writeString(outPath, full + "\n")
     spark.stop()
   }
 }

@@ -547,6 +547,36 @@ object SparkEntry {
     "q_image_phash_pairs" -> MultimodalQ.imagePhashPairs,
   )
 
+  /** Queries that carry NO DuckDB oracle BY DESIGN — each is approximate
+    * or engine-seeded (float k-means, seeded LSH planes, sketches, BPE
+    * training) so no SQL engine replays it bit-for-bit. The value names
+    * the coverage that stands in for the missing oracle: a hash-matched
+    * fixture twin (same serve-path code over pinned integer artifacts)
+    * and/or the differential spec that pins its math. EntrySpec asserts
+    * this registry is EXACTLY `queries.keySet -- oracleSql.keySet`, so a
+    * new query missing its oracle fails the suite instead of silently
+    * joining the "approximate" pile, and [[Verify]] dumps the registry
+    * as `expected_no_oracle.json` so the driver's ledger can tell
+    * "no oracle by design, twinned" from "oracle missing".
+    */
+  val expectedNoOracle: Map[String, String] = Map(
+    "q_ann_ivf" -> "fixture twin q_ann_ivf_fixture (hash-match); AnnSpec pins recall vs q_ann_topk + determinism",
+    "q_ann_ivf_indexed" -> "fixture twin q_ann_ivf_fixture; AnnSpec pins saved-index probe ≡ fresh build",
+    "q_ann_ivf_probe" -> "fixture twin q_ann_ivf_fixture; AnnSpec pins probe ≡ fresh q_ann_ivf",
+    "q_ann_ivf_quant" -> "hash-matched q_ann_topk_quant covers code ranking; AnnSpec pins cell-routing identity with the float probe",
+    "q_ann_ivfpq" -> "fixture twin q_ann_ivfpq_fixture (hash-match); IvfPqSpec pins ADC ≡ reconstructed-dot + determinism",
+    "q_ann_ivfpq_probe" -> "fixture twin q_ann_ivfpq_fixture; IvfPqSpec pins probe ≡ rebuild",
+    "q_ann_lsh" -> "fixture twin q_ann_lsh_fixture (hash-match); AnnSpec pins recall vs q_ann_topk",
+    "q_ann_mmr" -> "fixture twin q_ann_mmr_fixture (hash-match); MmrSpec pins the greedy selection",
+    "q_ann_pq" -> "fixture twin q_ann_pq_fixture (hash-match); PqSpec pins ADC ≡ reconstructed-dot + recall + determinism",
+    "q_ann_pq_probe" -> "fixture twin q_ann_pq_fixture; PqSpec pins probe ≡ rebuild",
+    "q_approx_distinct" -> "sketch by design; SketchQSpec pins HLL estimate within 5% of exact distinct per group",
+    "q_approx_percentiles" -> "sketch by design; SketchQSpec pins approx percentiles within 2% of exact per group",
+    "q_bpe_encode" -> "BpeSpec pins encode round-trip + merge-for-merge determinism vs a from-scratch reference",
+    "q_bpe_train" -> "BpeSpec pins merge-for-merge training vs a from-scratch driver reference",
+    "q_simhash_pairs" -> "fixture twin q_simhash_fixture (hash-match); DedupSpec pins band/verify shape",
+  )
+
   /** DuckDB oracle SQL per query. Money math goes through DECIMAL(18,2) in
     * both engines (exact, order-independent) then DOUBLE on output; integer
     * SUMs are cast to BIGINT because DuckDB widens them to HUGEINT.

@@ -42,6 +42,12 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    // by-design oracle-less registry (name → fixture twin / spec): lets
+    // the driver's ledger tell "approximate by design, twinned" from
+    // "missing oracle" (EntrySpec enforces the set matches exactly)
+    val expected = SparkEntry.expectedNoOracle
+      .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
+    Files.writeString(Paths.get(s"$outDir/expected_no_oracle.json"), expected)
     spark.stop()
   }
 }

@@ -347,9 +347,24 @@ object Ann {
     // silently degrading the bucket join to a full cross product
     val d = if (dim > 0) dim
     else corpus.select(size(col(vecCol))).head().getInt(0)
+    lshNeighborsPlanes(corpus, queries, idCol, vecCol, k,
+      (0 until tables).map(t => planes(seed + t, bitsPerTable, d)))
+  }
+
+  /** [[lshNeighbors]] with an EXPLICIT plane tensor [table][bit][dim] —
+    * the ONE definition of the bucket/candidate/re-rank serve path,
+    * which the seeded production form above delegates to and the
+    * q_ann_lsh_fixture oracle replays over pinned integer planes
+    * (integer dots are exact in DOUBLE, so bucket signs, candidate
+    * membership, cosines and ranking all hash-match DuckDB).
+    */
+  def lshNeighborsPlanes(corpus: DataFrame, queries: DataFrame,
+      idCol: String, vecCol: String, k: Int,
+      planeTensor: Seq[Seq[Seq[Double]]]): DataFrame = {
+    val tables = planeTensor.size
+    val bitsPerTable = planeTensor.head.size
     // plane tensor [table][bit][dim] as a single literal
-    val planeLit = typedlit((0 until tables).map(t =>
-      planes(seed + t, bitsPerTable, d)))
+    val planeLit = typedlit(planeTensor)
     def withBuckets(df: DataFrame, id: String): DataFrame = {
       // explode the table axis first: v materializes at the Generate
       // node, then each output row computes one bucket (bits × dim fold)

@@ -269,6 +269,12 @@ object MediaCodec {
     */
   final case class PixelImage(width: Int, height: Int, px: Array[Byte])
 
+  /** Decode-side pixel budget (64 Mpx ≈ 64 MB gray8): dimensions any
+    * larger in a CURATION corpus are corruption or abuse, and the cap is
+    * what keeps a crafted IHDR from OOMing an executor.
+    */
+  private val MaxDecodePixels: Long = 1L << 26
+
   /** Paeth predictor (PNG spec §9.4): the neighbor (left, up, upleft)
     * closest to left + up − upleft, ties broken left, up, upleft.
     */
@@ -379,7 +385,10 @@ object MediaCodec {
     var pos = 8
     while (pos + 12 <= b.length && !sawIend) {
       val len = be32(b, pos)
-      if (len < 0 || pos + 12 + len > b.length) return None
+      // bound-check in Long: a corrupt length near 2^31 is positive as a
+      // signed Int but overflows pos + 12 + len, which would let the CRC
+      // update below read out of bounds instead of quarantining
+      if (len < 0 || len.toLong > b.length.toLong - 12 - pos) return None
       val t = boxType(b, pos + 4)
       val crc = new java.util.zip.CRC32()
       crc.update(b, pos + 4, 4 + len)
@@ -389,6 +398,11 @@ object MediaCodec {
           if (len != 13) return None
           w = be32(b, pos + 8); h = be32(b, pos + 12)
           if (w <= 0 || h <= 0) return None
+          // a CRC-valid crafted IHDR with huge dims must quarantine, not
+          // overflow h*(w+1) / w*h or allocate gigabytes before the IDAT
+          // stream can contradict it
+          if (w.toLong * h > MaxDecodePixels ||
+            (w.toLong + 1L) * h > Int.MaxValue) return None
           // bit depth 8, color 0 (gray), no compression/filter/interlace
           // variants: everything else is outside this decoder's contract
           if (u8(b, pos + 16) != 8 || u8(b, pos + 17) != 0 ||

@@ -62,12 +62,19 @@ object MultimodalQ {
   /** q_image_phash_pairs: image near-duplicate pairs — banded pHash
     * candidate generation + exact Hamming verify ≤ 10, the image-modality
     * member of the dedup family (same band/verify shape as MinHash-LSH).
+    *
+    * The decoded hash frame is localCheckpoint'ed before pairing: the
+    * band self-join plus the two verify joins consume it up to 4×, and
+    * without the barrier each consumer re-runs the full PNG decode (CRC
+    * verify + inflate + unfilter per asset) — the one stage that reads
+    * the media column must run exactly once. The checkpoint holds 24
+    * bytes per asset, negligible against the decode it saves.
     */
   def imagePhashPairs(spark: SparkSession, dir: String): DataFrame =
     Multimodal.phashPairs(
       Multimodal.decodePhash(
         Multimodal.phashImageAssets(spark, Tables(spark, dir, "documents")))
-        .toDF(),
+        .toDF().localCheckpoint(),
       maxHamming = 10)
 
   def frameSample(spark: SparkSession, dir: String): DataFrame =

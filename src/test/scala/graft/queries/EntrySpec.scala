@@ -19,4 +19,40 @@ class EntrySpec extends AnyFunSuite with SparkSpec {
     val orphans = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
     assert(orphans.isEmpty, s"oracles without queries: $orphans")
   }
+
+  test("expectedNoOracle is EXACTLY the oracle-less query set") {
+    val actual = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
+    val expected = SparkEntry.expectedNoOracle.keySet
+    assert(actual -- expected === Set.empty,
+      s"queries missing an oracle WITHOUT a registered justification: " +
+        s"${actual -- expected} — add an oracleSql entry, or register " +
+        "the approximate-by-design justification in expectedNoOracle")
+    assert(expected -- actual === Set.empty,
+      s"stale expectedNoOracle entries (query now oracled or gone): " +
+        s"${expected -- actual}")
+  }
+
+  test("every expectedNoOracle justification names real coverage") {
+    // the registry's point is a VERIFIABLE pointer: a named fixture twin
+    // must be a registered, ORACLED query, and a named spec must exist
+    // as a test source file — otherwise the justification is prose.
+    val twinRe = "q_[a-z0-9_]+".r
+    val specRe = "[A-Z][A-Za-z0-9]*Spec".r
+    SparkEntry.expectedNoOracle.foreach { case (name, why) =>
+      val twins = twinRe.findAllIn(why).toSet - name
+      val specs = specRe.findAllIn(why).toSet
+      assert(twins.nonEmpty || specs.nonEmpty,
+        s"$name: justification names neither a twin query nor a spec")
+      twins.filter(_.endsWith("_fixture")).foreach { t =>
+        assert(SparkEntry.oracleSql.contains(t),
+          s"$name: named fixture twin $t is not an oracled query")
+      }
+      specs.foreach { s =>
+        val found = java.nio.file.Files.walk(
+          java.nio.file.Paths.get("src/test/scala/graft"))
+          .anyMatch(p => p.getFileName.toString == s"$s.scala")
+        assert(found, s"$name: named spec $s.scala not found under src/test")
+      }
+    }
+  }
 }
