@@ -493,6 +493,9 @@ object SparkEntry {
     // MMR greedy loop over pinned integer relevances/vectors — oracle
     // replays the k selection steps as unrolled CTEs
     "q_ann_mmr_fixture" -> AnnQ.mmrFixtureTopK,
+    // LSH bucket/candidate/re-rank serving over pinned integer planes —
+    // oracle replays bucket signs, the (table,bucket) join and ranking
+    "q_ann_lsh_fixture" -> AnnQ.lshFixtureTopK,
     // embedding-quality eval — nearest-class-centroid confusion matrix
     // (exact-decimal prototypes => fully oracled)
     "q_prototype_eval" -> ((s, dir) => graft.ann.Prototype.confusion(
@@ -1347,6 +1350,43 @@ object SparkEntry {
     // selected set, argmax with smaller-id tiebreak — every term exact
     // or correctly-rounded-identical across engines
     "q_ann_mmr_fixture" -> mmrFixtureOracleSql,
+    // LSH serve-path replay over the pinned fixture: per-(row, table)
+    // bucket = OR of sign bits (integer plane·vector dots, exact),
+    // candidates share any table's full bucket with a query (self
+    // excluded, distinct), then the same exact-cosine ranking as the
+    // other ANN fixtures
+    "q_ann_lsh_fixture" ->
+      s"""WITH v(vec_id, emb) AS (VALUES
+        |  ${graft.ann.PqFixture.corpusValuesSql}
+        |), pl(tbl, bit, plane) AS (VALUES
+        |  ${graft.ann.LshFixture.planesValuesSql}
+        |), b AS (
+        |  SELECT v.vec_id, pl.tbl,
+        |   CAST(sum(CASE WHEN list_dot_product(v.emb, pl.plane) >= 0
+        |     THEN CAST(1 AS BIGINT) << pl.bit ELSE 0 END) AS BIGINT) AS bucket
+        |  FROM v CROSS JOIN pl GROUP BY 1, 2
+        |), q AS (
+        |  SELECT vec_id AS query_id, emb AS qv,
+        |   sqrt(list_dot_product(emb, emb)) AS nq
+        |  FROM v WHERE vec_id < 3
+        |), cand AS (
+        |  SELECT DISTINCT qb.vec_id AS query_id, cb.vec_id AS neighbor_id
+        |  FROM b cb JOIN b qb ON cb.tbl = qb.tbl AND cb.bucket = qb.bucket
+        |  WHERE qb.vec_id < 3 AND cb.vec_id <> qb.vec_id
+        |), f AS (
+        |  SELECT cand.query_id, cand.neighbor_id,
+        |   list_dot_product(vv.emb, q.qv)
+        |     / (sqrt(list_dot_product(vv.emb, vv.emb)) * q.nq) AS c
+        |  FROM cand
+        |  JOIN v vv ON vv.vec_id = cand.neighbor_id
+        |  JOIN q ON q.query_id = cand.query_id
+        |)
+        |SELECT query_id,
+        | CAST(row_number() OVER (PARTITION BY query_id
+        |   ORDER BY c DESC, neighbor_id) AS BIGINT) AS rank,
+        | neighbor_id, round(c, 6) AS cosine
+        |FROM f
+        |QUALIFY rank <= ${graft.ann.LshFixture.k}""".stripMargin,
     // the exact pair relation restricted to pairs touching the batch
     "q_incremental_dedup" ->
       s"""WITH p AS ($jaccardPairsSql)

@@ -1,7 +1,8 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.functions.expr
+import org.apache.spark.sql.functions.{col, expr}
+import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
 
 /** Loader for the driver-generated testdata tables (TESTDATA.md).
   *
@@ -15,10 +16,10 @@ object Tables {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
-  /** Session configs every graft session needs. `nanosAsLong` because the
-    * events table stores TIMESTAMP(NANOS), which Spark's parquet reader
-    * rejects as a timestamp type; we read it as a nanos long and normalize
-    * below.
+  /** Session configs every graft session needs. `nanosAsLong` so that an
+    * events table stored as TIMESTAMP(NANOS) — which Spark's parquet reader
+    * otherwise rejects — reads as a nanos long; harmless when the physical
+    * type is already micros. The loader below dispatches on the actual type.
     */
   val sessionConfs: Map[String, String] = Map(
     "spark.sql.legacy.parquet.nanosAsLong" -> "true",
@@ -29,9 +30,24 @@ object Tables {
   def apply(spark: SparkSession, dir: String, name: String): DataFrame = {
     val df = spark.read.parquet(s"$dir/$name.parquet")
     if (name == "events")
-      // nanos-long → microsecond TimestampType (floor; matches DuckDB's
-      // nanosecond→micro truncation for post-epoch data).
-      df.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      // The driver has generated `ts` under two physical layouts across
+      // regens: TIMESTAMP(NANOS) (read as a nanos long via `nanosAsLong`)
+      // and timestamp[us]. Dispatch on the type actually read so a regen
+      // can't break every events-table consumer.
+      df.schema("ts").dataType match {
+        case LongType =>
+          // nanos-long → microsecond TimestampType (floor; matches DuckDB's
+          // nanosecond→micro truncation for post-epoch data).
+          df.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+        case TimestampNTZType =>
+          // no-TZ micros; session TZ is pinned to UTC so wall-clock == instant.
+          df.withColumn("ts", col("ts").cast(TimestampType))
+        case TimestampType => df
+        case other =>
+          throw new IllegalArgumentException(
+            s"events.ts: unsupported physical type $other; expected nanos " +
+              "long, timestamp, or timestamp_ntz")
+      }
     else df
   }
 }

@@ -18,13 +18,22 @@ object Verify {
     val spark = b.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+    // Every registered query must leave an explicit artifact: either its
+    // parquet output or an _ERROR marker. A silent absence (r8: 17 queries
+    // vanished from the correctness ledger) must be impossible.
+    val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
     SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
-        System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        val msg = s"${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(500)}"
+        System.err.println(s"[verify] $name failed: $msg")
+        errors(name) = msg
+        val d = new java.io.File(s"$outDir/$name")
+        d.mkdirs()
+        Files.writeString(Paths.get(s"$outDir/$name/_ERROR"), msg)
       }
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
@@ -48,6 +57,10 @@ object Verify {
     val expected = SparkEntry.expectedNoOracle
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/expected_no_oracle.json"), expected)
+    // failed-query ledger (name → exception summary); empty object when green
+    val errJson = errors.map { case (k, v) => s"${q(k)}: ${q(v)}" }
+      .mkString("{", ",", "}")
+    Files.writeString(Paths.get(s"$outDir/errors.json"), errJson)
     spark.stop()
   }
 }

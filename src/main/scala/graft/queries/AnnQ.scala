@@ -279,6 +279,23 @@ object AnnQ {
       graft.ann.PqFixture.corpusDf(spark), "vec_id", "embedding",
       k = graft.ann.MmrFixture.k, lambda = graft.ann.MmrFixture.lambda)
 
+  /** q_ann_lsh_fixture: the BUCKET/CANDIDATE/RE-RANK twin of q_ann_lsh
+    * — the real [[graft.ann.Ann.lshNeighborsPlanes]] (unchanged; the
+    * seeded production path delegates to it) over the PINNED integer
+    * plane tensor of [[graft.ann.LshFixture]]. Integer plane·vector
+    * dots are exact in DOUBLE, so DuckDB replays bucket signs, the
+    * (table, bucket) candidate join, self-exclusion, exact cosines and
+    * the (cosine desc, neighbor_id) ranking — a hash match proves the
+    * whole LSH serve path, closing the last trust-the-spec gap in the
+    * ANN family.
+    */
+  def lshFixtureTopK(spark: SparkSession, dir: String): DataFrame = {
+    val fx = graft.ann.LshFixture
+    val corpus = fx.corpusDf(spark)
+    Ann.lshNeighborsPlanes(corpus, corpus.filter(col("vec_id") < 3),
+      "vec_id", "embedding", k = fx.k, planeTensor = fx.planeTensor)
+  }
+
   /** q_hard_negatives: for each query vector, the top-5 most-similar
     * vectors that are NOT in its near-dup cluster — the hard-negative
     * mining step of contrastive embedding training (a near-duplicate is

@@ -61,4 +61,48 @@ class SourceSemanticsSpec extends AnyFunSuite with SparkSpec {
       spark.createDataset(Seq(json))(org.apache.spark.sql.Encoders.STRING))
     assert(parsed.select("exception").head().getString(0).contains("rm -rf"))
   }
+
+  // The driver has regenerated events.parquet under different physical `ts`
+  // layouts across rounds (TIMESTAMP(NANOS) read as a nanos long in r1-r7;
+  // timestamp[us] from r8). Tables must normalize ALL of them to the same
+  // TimestampType instants — r8 shipped a schema-blind normalization and 17
+  // event-time queries broke when the layout changed.
+  test("events ts normalization: nanos-long, ntz-micros and tz layouts all agree") {
+    import org.apache.spark.sql.types._
+    val micros = Seq(1700000000000000L, 1700000123456789L, 0L)
+    def writeAndLoad(dir: String, schema: StructType,
+        rows: Seq[org.apache.spark.sql.Row]): org.apache.spark.sql.DataFrame = {
+      spark.createDataFrame(
+        spark.sparkContext.parallelize(rows, 1), schema)
+        .write.mode("overwrite").parquet(s"$dir/events.parquet")
+      graft.Tables(spark, dir, "events")
+    }
+    def instants(df: org.apache.spark.sql.DataFrame): Seq[Long] = {
+      assert(df.schema("ts").dataType == TimestampType,
+        s"normalized type was ${df.schema("ts").dataType}")
+      df.select(unix_micros(col("ts"))).collect().map(_.getLong(0)).toSeq.sorted
+    }
+    val base = Files.createTempDirectory("events-ts").toString
+    // layout 1: nanos stored as a plain long (what nanosAsLong delivers
+    // for TIMESTAMP(NANOS) physical data)
+    val asLong = writeAndLoad(s"$base/l1",
+      StructType(Seq(StructField("ts", LongType))),
+      micros.map(u => org.apache.spark.sql.Row(u * 1000L)))
+    // layout 2: timestamp_ntz micros (the r8 regen layout)
+    val asNtz = writeAndLoad(s"$base/l2",
+      StructType(Seq(StructField("ts", TimestampNTZType))),
+      micros.map(u => org.apache.spark.sql.Row(
+        java.time.LocalDateTime.ofEpochSecond(
+          u / 1000000L, ((u % 1000000L) * 1000L).toInt, java.time.ZoneOffset.UTC))))
+    // layout 3: session-TZ timestamp (passes through untouched)
+    val asTz = writeAndLoad(s"$base/l3",
+      StructType(Seq(StructField("ts", TimestampType))),
+      micros.map(u => org.apache.spark.sql.Row(
+        java.sql.Timestamp.from(java.time.Instant.ofEpochSecond(
+          u / 1000000L, (u % 1000000L) * 1000L)))))
+    val expected = micros.sorted
+    assert(instants(asLong) == expected)
+    assert(instants(asNtz) == expected)
+    assert(instants(asTz) == expected)
+  }
 }
