@@ -442,13 +442,22 @@ object Dedup {
     // canonical edge orientation throughout: (u = bigger id, v = smaller)
     var cur = pairs.select(col("b_id").as("u"), col("a_id").as("v"))
       .localCheckpoint()
-    var changed = 1L
+    var curCount = cur.count()
+    var changed = true
     var iter = 0
-    while (changed > 0 && iter < maxIters) {
+    while (changed && iter < maxIters) {
       val next = smallStar(largeStar(cur)).localCheckpoint()
-      changed = next.except(cur).unionAll(cur.except(next)).count()
+      // Exact set-equality at the cost of ONE count (no shuffle, over the
+      // just-materialized checkpoint) on non-final iterations: smallStar
+      // output is distinct, so |next| == |cur| plus next \ cur == ∅ ⇒ the
+      // sets are equal. The previous two-sided except + union paid two
+      // anti-join shuffles EVERY round — pure overhead on the tiny
+      // post-contraction edge sets (BENCH_NOTES r9).
+      val nextCount = next.count()
+      changed = nextCount != curCount || !next.except(cur).isEmpty
       org.apache.spark.sql.graft.CheckpointUtils.release(cur)
       cur = next
+      curCount = nextCount
       iter += 1
     }
     cur
