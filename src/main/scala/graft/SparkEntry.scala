@@ -437,6 +437,10 @@ object SparkEntry {
     // dedup/text — the composed corpus-curation verdict (flagship of the
     // training-data extension layer)
     "q_corpus_filter" -> DedupQ.corpusFilter,
+    // curation verdict with the IMAGE near-dup canonical bit conjoined
+    // (D17 pHash clusters feed the keep decision; undecodable assets
+    // fail image_ok) — the multimodal twin of q_corpus_filter
+    "q_corpus_filter_mm" -> DedupQ.corpusFilterMm,
     // the same verdict composed from the PERSISTED cluster-label stage
     // artifact (parquet write + read-back) — the artifact-per-stage
     // shape a 100 TB curation run uses; shares the inline twin's oracle
@@ -2395,6 +2399,7 @@ object SparkEntry {
     "q_corpus_filter" -> corpusFilterSql,
     "q_corpus_filter_staged" -> corpusFilterSql,
     "q_corpus_filter_staged_compose" -> corpusFilterSql,
+    "q_corpus_filter_mm" -> corpusFilterMmSql,
     "q_ann_topk" ->
       """WITH e AS (
         |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
@@ -2729,10 +2734,18 @@ object SparkEntry {
       |            THEN (d.doc_id % 4) * 8 ELSE 0 END) % 256 AS p
       |  FROM docs d, range(9) bx, range(8) by
       |),
+      |lum AS (
+      |  SELECT doc_id, bx, by,
+      |    CASE WHEN (doc_id // 4) % 5 IN (2, 4)
+      |         THEN (77 * p + 150 * ((p + 31) % 256)
+      |               + 29 * ((p + 97) % 256)) // 256
+      |         ELSE p END AS p
+      |  FROM grid
+      |),
       |bits AS (
       |  SELECT g1.doc_id, CAST(g1.by * 8 + g1.bx AS BIGINT) AS pos,
       |    CASE WHEN g2.p > g1.p THEN 1 ELSE 0 END AS bit
-      |  FROM grid g1 JOIN grid g2
+      |  FROM lum g1 JOIN lum g2
       |    ON g2.doc_id = g1.doc_id AND g2.by = g1.by AND g2.bx = g1.bx + 1
       |  WHERE g1.bx < 8
       |),
@@ -2773,7 +2786,11 @@ object SparkEntry {
     * inline (q_corpus_filter) and stage-artifact
     * (q_corpus_filter_staged) forms must reproduce.
     */
-  private val corpusFilterSql: String =
+  /** The corpus-filter CTE chain (through `canon`) shared by the
+    * text-only verdict oracle and the multimodal twin, which appends
+    * image-cluster CTEs before the final conjunction.
+    */
+  private val corpusFilterCtes: String =
     """WITH RECURSIVE d AS (
       |  SELECT doc_id,
       |   string_split(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' ') AS toks
@@ -2823,8 +2840,58 @@ object SparkEntry {
       |  SELECT rr.s, e.dd FROM reach rr JOIN edges e ON rr.dd = e.s
       |), canon AS (
       |  SELECT s AS doc_id, min(dd) = s AS canonical FROM reach GROUP BY s
-      |)
+      |)""".stripMargin
+
+  private val corpusFilterSql: String =
+    s"""$corpusFilterCtes
       |SELECT dc.doc_id, q.quality_ok, r.not_repetitive, dc.not_contaminated, canon.canonical,
       | (q.quality_ok AND r.not_repetitive AND dc.not_contaminated AND canon.canonical) AS keep
       |FROM dc JOIN q USING (doc_id) JOIN r USING (doc_id) JOIN canon USING (doc_id)""".stripMargin
+
+  /** The MULTIMODAL curation verdict oracle: the text CTEs plus the
+    * image near-dup closure (pHash bands → Hamming ≤ 10 pairs →
+    * connected components → min-id canonical). `image_ok` is false for
+    * undecodable (quarantined) assets — they have no row in `phash` —
+    * and for non-canonical members of an image cluster.
+    */
+  private lazy val corpusFilterMmSql: String =
+    s"""$corpusFilterCtes,
+      |$phashHashSql,
+      |ibands AS (
+      |  SELECT asset_id, b.range AS band,
+      |    CASE b.range WHEN 0 THEN phash_lo % 65536 WHEN 1 THEN phash_lo // 65536
+      |                 WHEN 2 THEN phash_hi % 65536 ELSE phash_hi // 65536 END AS v
+      |  FROM phash, range(4) b
+      |),
+      |ipairs AS (
+      |  SELECT DISTINCT a.asset_id AS a_id, c.asset_id AS b_id
+      |  FROM ibands a JOIN ibands c ON a.band = c.band AND a.v = c.v
+      |    AND a.asset_id < c.asset_id
+      |),
+      |ihits AS (
+      |  SELECT ip.a_id, ip.b_id
+      |  FROM ipairs ip
+      |  JOIN phash ha ON ha.asset_id = ip.a_id
+      |  JOIN phash hb ON hb.asset_id = ip.b_id
+      |  WHERE bit_count(xor(ha.phash_hi, hb.phash_hi))
+      |      + bit_count(xor(ha.phash_lo, hb.phash_lo)) <= 10
+      |),
+      |iedges AS (
+      |  SELECT a_id AS s, b_id AS dd FROM ihits
+      |  UNION ALL SELECT b_id, a_id FROM ihits
+      |),
+      |ireach(s, dd) AS (
+      |  SELECT asset_id, asset_id FROM phash
+      |  UNION
+      |  SELECT rr.s, e.dd FROM ireach rr JOIN iedges e ON rr.dd = e.s
+      |),
+      |icanon AS (
+      |  SELECT s AS doc_id, min(dd) = s AS img_canonical FROM ireach GROUP BY s
+      |)
+      |SELECT dc.doc_id, q.quality_ok, r.not_repetitive, dc.not_contaminated, canon.canonical,
+      | coalesce(icanon.img_canonical, FALSE) AS image_ok,
+      | (q.quality_ok AND r.not_repetitive AND dc.not_contaminated AND canon.canonical
+      |  AND coalesce(icanon.img_canonical, FALSE)) AS keep
+      |FROM dc JOIN q USING (doc_id) JOIN r USING (doc_id) JOIN canon USING (doc_id)
+      |LEFT JOIN icanon USING (doc_id)""".stripMargin
 }

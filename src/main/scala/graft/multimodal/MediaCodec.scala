@@ -311,21 +311,45 @@ object MediaCodec {
     * path for every type is exercised by round-trip.
     */
   def pngGray(w: Int, h: Int, pixel: (Int, Int) => Int,
+      filterForRow: Int => Int = _ => 0): Array[Byte] =
+    pngEncode(w, h, colorType = 0, (x, y, _) => pixel(x, y), filterForRow)
+
+  /** [[pngGray]]'s color generalization: encode 8-bit truecolor
+    * (`colorType` 2, RGB) or truecolor+alpha (6, RGBA) from a
+    * per-(x, y, channel) sample function — same real deflate stream,
+    * per-row filters, multi-IDAT and CRC-32 as the grayscale form. PNG
+    * filters operate BYTEWISE with "left" meaning `bpp` bytes back
+    * (spec §9.2), which is exactly what the decoder must reverse — so
+    * round-tripping color assets exercises the bpp-aware unfilter path.
+    */
+  def pngColor(w: Int, h: Int, colorType: Int,
+      sample: (Int, Int, Int) => Int,
       filterForRow: Int => Int = _ => 0): Array[Byte] = {
-    require(w > 0 && h > 0, s"pngGray ${w}x$h")
-    val raw = new Array[Byte](h * (w + 1)) // filter byte + w samples per row
+    require(colorType == 2 || colorType == 6, s"colorType $colorType")
+    pngEncode(w, h, colorType, sample, filterForRow)
+  }
+
+  private def pngEncode(w: Int, h: Int, colorType: Int,
+      sample: (Int, Int, Int) => Int,
+      filterForRow: Int => Int): Array[Byte] = {
+    require(w > 0 && h > 0, s"pngEncode ${w}x$h")
+    val bpp = pngChannels(colorType).get // bit depth 8: bytes == channels
+    val stride = w * bpp + 1 // filter byte + w*bpp samples per row
+    val raw = new Array[Byte](h * stride)
+    def s(x: Int, y: Int, c: Int): Int = sample(x, y, c) & 0xff
     var y = 0
     while (y < h) {
       val f = filterForRow(y)
       require(f >= 0 && f <= 4, s"filter $f")
-      val rowOff = y * (w + 1)
+      val rowOff = y * stride
       raw(rowOff) = f.toByte
-      var x = 0
-      while (x < w) {
-        val cur = pixel(x, y) & 0xff
-        val left = if (x > 0) pixel(x - 1, y) & 0xff else 0
-        val up = if (y > 0) pixel(x, y - 1) & 0xff else 0
-        val upLeft = if (x > 0 && y > 0) pixel(x - 1, y - 1) & 0xff else 0
+      var i = 0
+      while (i < w * bpp) {
+        val x = i / bpp; val c = i % bpp
+        val cur = s(x, y, c)
+        val left = if (x > 0) s(x - 1, y, c) else 0
+        val up = if (y > 0) s(x, y - 1, c) else 0
+        val upLeft = if (x > 0 && y > 0) s(x - 1, y - 1, c) else 0
         val filtered = f match {
           case 0 => cur
           case 1 => cur - left
@@ -333,8 +357,8 @@ object MediaCodec {
           case 3 => cur - (left + up) / 2
           case 4 => cur - paeth(left, up, upLeft)
         }
-        raw(rowOff + 1 + x) = filtered.toByte
-        x += 1
+        raw(rowOff + 1 + i) = filtered.toByte
+        i += 1
       }
       y += 1
     }
@@ -351,7 +375,7 @@ object MediaCodec {
     val ihdr = new java.io.ByteArrayOutputStream()
     writeBe32(ihdr, w); writeBe32(ihdr, h)
     ihdr.write(8) // bit depth
-    ihdr.write(0) // color type 0: grayscale
+    ihdr.write(colorType)
     ihdr.write(0); ihdr.write(0); ihdr.write(0) // compression/filter/interlace
     writeChunk(out, "IHDR", ihdr.toByteArray)
     var off = 0
@@ -364,22 +388,29 @@ object MediaCodec {
     out.toByteArray
   }
 
-  /** Full pixel-level PNG decode for 8-bit grayscale, pure JVM: chunk
-    * walk with CRC-32 verification on every chunk (unlike the
-    * header-only [[parsePng]] — a pixel consumer must reject bit rot),
-    * IDAT concatenation, zlib inflate ([[java.util.zip.Inflater]]), and
-    * per-row unfiltering of all five PNG filter types. Returns None on
-    * ANY structural defect — bad signature, non-gray8 format (this
-    * corpus synthesizes none), CRC mismatch, truncated/corrupt deflate
-    * stream, wrong decompressed size, unknown filter type — so a
-    * curation pipeline quarantines the asset rather than training on
-    * garbage pixels.
+  /** Full pixel-level PNG decode for 8-bit grayscale (color type 0),
+    * truecolor (2) and truecolor+alpha (6), pure JVM: chunk walk with
+    * CRC-32 verification on every chunk (unlike the header-only
+    * [[parsePng]] — a pixel consumer must reject bit rot), IDAT
+    * concatenation, zlib inflate ([[java.util.zip.Inflater]]),
+    * bpp-aware per-row unfiltering of all five PNG filter types
+    * ("left" is bpp bytes back, spec §9.2), and reduction of color
+    * pixels to 8-bit luma with the INTEGER BT.601-shaped weights
+    * `(77·R + 150·G + 29·B) >> 8` — the weights sum to exactly 256, so
+    * a gray image stored as RGB round-trips bit-identically and the
+    * formula replays exactly in any SQL engine (the q_image_phash
+    * oracle). Alpha is ignored (assets are treated as opaque). Returns
+    * None on ANY structural defect — bad signature, unsupported format
+    * (bit depth ≠ 8, palette/gray+alpha color types, interlace), CRC
+    * mismatch, truncated/corrupt deflate stream, wrong decompressed
+    * size, unknown filter type — so a curation pipeline quarantines the
+    * asset rather than training on garbage pixels.
     */
   def decodePngPixels(b: Array[Byte]): Option[PixelImage] = {
     if (b.length < 8) return None
     var i = 0
     while (i < 8) { if (u8(b, i) != PngSig(i)) return None; i += 1 }
-    var w = -1; var h = -1
+    var w = -1; var h = -1; var bpp = -1
     val idat = new java.io.ByteArrayOutputStream()
     var sawIend = false
     var pos = 8
@@ -398,16 +429,21 @@ object MediaCodec {
           if (len != 13) return None
           w = be32(b, pos + 8); h = be32(b, pos + 12)
           if (w <= 0 || h <= 0) return None
-          // a CRC-valid crafted IHDR with huge dims must quarantine, not
-          // overflow h*(w+1) / w*h or allocate gigabytes before the IDAT
-          // stream can contradict it
-          if (w.toLong * h > MaxDecodePixels ||
-            (w.toLong + 1L) * h > Int.MaxValue) return None
-          // bit depth 8, color 0 (gray), no compression/filter/interlace
+          // bit depth 8, color 0/2/6, no compression/filter/interlace
           // variants: everything else is outside this decoder's contract
-          if (u8(b, pos + 16) != 8 || u8(b, pos + 17) != 0 ||
-            u8(b, pos + 18) != 0 || u8(b, pos + 19) != 0 ||
-            u8(b, pos + 20) != 0) return None
+          bpp = u8(b, pos + 17) match {
+            case 0 => 1 // gray8
+            case 2 => 3 // RGB8
+            case 6 => 4 // RGBA8
+            case _ => return None
+          }
+          if (u8(b, pos + 16) != 8 || u8(b, pos + 18) != 0 ||
+            u8(b, pos + 19) != 0 || u8(b, pos + 20) != 0) return None
+          // a CRC-valid crafted IHDR with huge dims must quarantine, not
+          // overflow h*(w*bpp+1) / w*h or allocate gigabytes before the
+          // IDAT stream can contradict it
+          if (w.toLong * h > MaxDecodePixels ||
+            (w.toLong * bpp + 1L) * h > Int.MaxValue) return None
         case "IDAT" => idat.write(b, pos + 8, len)
         case "IEND" => sawIend = true
         case _ => // ancillary chunk: skip
@@ -415,7 +451,8 @@ object MediaCodec {
       pos += 12 + len
     }
     if (!sawIend || w < 0) return None
-    val raw = new Array[Byte](h * (w + 1))
+    val stride = w * bpp + 1
+    val raw = new Array[Byte](h * stride)
     val inflater = new java.util.zip.Inflater()
     inflater.setInput(idat.toByteArray)
     try {
@@ -429,16 +466,20 @@ object MediaCodec {
     } catch {
       case _: java.util.zip.DataFormatException => return None
     } finally inflater.end()
+    // bytewise unfilter over two reconstructed-row buffers (filters
+    // reference raw channel bytes, not luma), then per-pixel luma fold
     val px = new Array[Byte](w * h)
+    val prev = new Array[Int](w * bpp)
+    val curRow = new Array[Int](w * bpp)
     var y = 0
     while (y < h) {
-      val f = u8(raw, y * (w + 1))
-      var x = 0
-      while (x < w) {
-        val v = u8(raw, y * (w + 1) + 1 + x)
-        val left = if (x > 0) u8(px, y * w + x - 1) else 0
-        val up = if (y > 0) u8(px, (y - 1) * w + x) else 0
-        val upLeft = if (x > 0 && y > 0) u8(px, (y - 1) * w + x - 1) else 0
+      val f = u8(raw, y * stride)
+      var i = 0
+      while (i < w * bpp) {
+        val v = u8(raw, y * stride + 1 + i)
+        val left = if (i >= bpp) curRow(i - bpp) else 0
+        val up = if (y > 0) prev(i) else 0
+        val upLeft = if (y > 0 && i >= bpp) prev(i - bpp) else 0
         val rec = f match {
           case 0 => v
           case 1 => v + left
@@ -447,9 +488,21 @@ object MediaCodec {
           case 4 => v + paeth(left, up, upLeft)
           case _ => return None
         }
-        px(y * w + x) = rec.toByte
+        curRow(i) = rec & 0xff
+        i += 1
+      }
+      var x = 0
+      while (x < w) {
+        val l =
+          if (bpp == 1) curRow(x)
+          else {
+            val o = x * bpp
+            (77 * curRow(o) + 150 * curRow(o + 1) + 29 * curRow(o + 2)) >> 8
+          }
+        px(y * w + x) = l.toByte
         x += 1
       }
+      System.arraycopy(curRow, 0, prev, 0, w * bpp)
       y += 1
     }
     Some(PixelImage(w, h, px))

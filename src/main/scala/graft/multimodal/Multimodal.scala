@@ -254,7 +254,9 @@ object Multimodal {
 
   /** The ONE definition of the synthetic pixel content, mirrored by the
     * q_image_phash / q_image_phash_pairs oracles in SparkEntry: the
-    * image is 36×32 gray8, constant over 4×4 blocks, and block (bx, by)
+    * image is 36×32 (gray8, or RGB8/RGBA8 per [[pngColorType]] with
+    * channels from [[channelValue]]), constant over 4×4 blocks, and
+    * block (bx, by)
     * of document d has value ((m³ mod 509) + perturbation) mod 256 with
     * m = ((d/4)·72 + by·9 + bx) mod 509. The d/4 group key makes every
     * 4 consecutive docs share a base image; the perturbation (+8·(d%4)
@@ -282,12 +284,41 @@ object Multimodal {
     * chunk (caught only by CRC verification — a parser that skips CRCs
     * would train on garbage pixels).
     */
+  /** Which PNG color type document `d`'s asset uses — decided per
+    * 4-doc GROUP (d/4) so near-dup group members share a type and the
+    * planted small-diff pairing survives the color transform: groups
+    * ≡ 2 mod 5 are RGB8, ≡ 4 mod 5 are RGBA8, the rest gray8.
+    */
+  private[multimodal] def pngColorType(d: Long): Int =
+    ((d / 4) % 5) match { case 2 => 2; case 4 => 6; case _ => 0 }
+
+  /** Channel value for color assets: R = v, G = (v+31) mod 256,
+    * B = (v+97) mod 256, A = (v+d) mod 256 — distinct per channel (the
+    * luma fold is non-trivial) yet pure integer formulas, so the
+    * decoder's `(77R + 150G + 29B) >> 8` luma replays exactly in the
+    * q_image_phash oracle. Alpha varies with d but never affects the
+    * hash — pinning that the decoder treats assets as opaque.
+    */
+  private[multimodal] def channelValue(d: Long, v: Int, c: Int): Int = c match {
+    case 0 => v
+    case 1 => (v + 31) % 256
+    case 2 => (v + 97) % 256
+    case _ => ((v + d) % 256).toInt
+  }
+
   def phashImageAssets(spark: SparkSession, docs: DataFrame): Dataset[ImageAsset] = {
     import spark.implicits._
     docs.select(col("doc_id")).as[Long].map { id =>
-      val bytes = MediaCodec.pngGray(PhashW, PhashH,
-        (x, y) => blockValue(id, x / 4, y / 4),
-        y => ((id + y) % 5).toInt)
+      val colorType = pngColorType(id)
+      val bytes =
+        if (colorType == 0)
+          MediaCodec.pngGray(PhashW, PhashH,
+            (x, y) => blockValue(id, x / 4, y / 4),
+            y => ((id + y) % 5).toInt)
+        else
+          MediaCodec.pngColor(PhashW, PhashH, colorType,
+            (x, y, c) => channelValue(id, blockValue(id, x / 4, y / 4), c),
+            y => ((id + y) % 5).toInt)
       val out =
         if (id % 91 == 0) bytes.take(40)
         else if (id % 97 == 0) {

@@ -138,6 +138,30 @@ object DedupQ {
     corpusVerdict(spark, dir,
       clusterLabelsInline(spark, dir))
 
+  /** The MULTIMODAL curation verdict — [[corpusFilter]] with the image
+    * near-dup canonical bit conjoined: a document keeps only if its
+    * image asset decodes (CRC-verified pixel decode; corrupt assets
+    * fail) AND it is the min-id representative of its pHash Hamming ≤ 10
+    * cluster ([[graft.multimodal.Multimodal.phashPairs]] banded
+    * candidates + the shared star-contraction). The text and image
+    * near-dup machineries stay independent stages joined on doc_id —
+    * at 100 TB each is its own artifact and the verdict is a co-
+    * partitioned conjunction, same as the text-only form.
+    */
+  def corpusFilterMm(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(spark, dir, "documents")
+    val hashes = graft.multimodal.Multimodal.decodePhash(
+      graft.multimodal.Multimodal.phashImageAssets(spark, docs)).toDF()
+    val pairs = graft.multimodal.Multimodal.phashPairs(hashes, maxHamming = 10)
+      .select(col("a_id"), col("b_id"))
+    val img = Dedup.clusterLabels(hashes.select(col("asset_id")), "asset_id", pairs)
+      .select(col("doc_id"), (col("doc_id") === col("cluster_id")).as("image_ok"))
+    corpusVerdict(spark, dir, clusterLabelsInline(spark, dir))
+      .join(img, Seq("doc_id"), "left")
+      .withColumn("image_ok", coalesce(col("image_ok"), lit(false)))
+      .withColumn("keep", col("keep") && col("image_ok"))
+  }
+
   /** The cluster-label STAGE ARTIFACT: the expensive curation stage
     * (MinHash banding + star contraction) materialized once as parquet.
     * At 100 TB curation runs stage-wise — each expensive stage writes an

@@ -165,12 +165,64 @@ class MediaCodecSpec extends AnyFunSuite {
     tall(23) = 16.toByte // height low byte (8 -> 16)
     patchCrc(tall, 8)
     assert(MediaCodec.decodePngPixels(tall).isEmpty)
-    // non-gray8 containers are outside the decoder's contract
+    // palette/gray+alpha containers are outside the decoder's contract
+    // (2 and 6 ARE in contract since the color extension; 3 never is)
     assert(MediaCodec.decodePngPixels(
-      MediaCodec.pngHeader(4, 4, colorType = 2)).isEmpty)
+      MediaCodec.pngHeader(4, 4, colorType = 3)).isEmpty)
     // never throws on garbage
     assert(MediaCodec.decodePngPixels("garbage".getBytes).isEmpty)
     assert(MediaCodec.decodePngPixels(Array.empty[Byte]).isEmpty)
+  }
+
+  // A complete 5×3 RGB8 PNG produced by an INDEPENDENT encoder (Python
+  // zlib + hand-built chunks; filters 0,1,2 across the three rows),
+  // pinned byte-for-byte. R=(x·41+y·17+5)%256, G=(x·29+y·83+11)%256,
+  // B=(x·59+y·7+23)%256.
+  private val realPngRgb5x3: Array[Byte] = Array(
+    0x89, 0x50, 0x4e, 0x47, 0x0d, 0x0a, 0x1a, 0x0a, 0x00, 0x00, 0x00, 0x0d,
+    0x49, 0x48, 0x44, 0x52, 0x00, 0x00, 0x00, 0x05, 0x00, 0x00, 0x00, 0x03,
+    0x08, 0x02, 0x00, 0x00, 0x00, 0xd4, 0x54, 0x52, 0xaf, 0x00, 0x00, 0x00,
+    0x26, 0x49, 0x44, 0x41, 0x54, 0x78, 0x9c, 0x63, 0x60, 0xe5, 0x16, 0xd7,
+    0xd3, 0x08, 0x0a, 0x77, 0xed, 0x6d, 0x48, 0x3a, 0xb1, 0xb2, 0x9e, 0x99,
+    0x51, 0x2c, 0x4e, 0x4e, 0x53, 0xd6, 0x1a, 0x8e, 0x98, 0x04, 0x83, 0xd9,
+    0x91, 0x11, 0x00, 0x06, 0x6b, 0x09, 0x7e, 0x36, 0x0d, 0x8c, 0xaa, 0x00,
+    0x00, 0x00, 0x00, 0x49, 0x45, 0x4e, 0x44, 0xae, 0x42, 0x60, 0x82)
+    .map(_.toByte)
+
+  // (77·R + 150·G + 29·B) >> 8 per pixel, row-major
+  private val realPngRgb5x3Luma: Array[Int] = Array(
+    10, 46, 82, 118, 125, 65, 101, 137, 173, 180, 119, 155, 191, 77, 84)
+
+  test("pixel-decodes an independently-encoded RGB PNG to luma (pinned bytes)") {
+    val img = MediaCodec.decodePngPixels(realPngRgb5x3).get
+    assert(img.width == 5 && img.height == 3)
+    assert(img.px.map(_ & 0xff).toSeq == realPngRgb5x3Luma.toSeq)
+  }
+
+  test("pngColor RGB/RGBA encode -> decode round-trips exact luma, all 5 filters") {
+    def ch(x: Int, y: Int, c: Int): Int =
+      (x * 37 + y * 91 + c * 53 + 13) % 256
+    def luma(x: Int, y: Int): Int =
+      (77 * ch(x, y, 0) + 150 * ch(x, y, 1) + 29 * ch(x, y, 2)) >> 8
+    for (ct <- Seq(2, 6)) {
+      val b = MediaCodec.pngColor(23, 17, ct, ch, y => y % 5)
+      val img = MediaCodec.decodePngPixels(b).get
+      assert(img.width == 23 && img.height == 17)
+      for (y <- 0 until 17; x <- 0 until 23)
+        assert((img.px(y * 23 + x) & 0xff) == luma(x, y), s"ct=$ct ($x,$y)")
+    }
+    // alpha never reaches the luma: same RGB, different A, same pixels
+    val a0 = MediaCodec.pngColor(9, 7, 6, (x, y, c) =>
+      if (c == 3) 0 else ch(x, y, c))
+    val a1 = MediaCodec.pngColor(9, 7, 6, (x, y, c) =>
+      if (c == 3) (x * y + 200) % 256 else ch(x, y, c))
+    assert(MediaCodec.decodePngPixels(a0).get.px.toSeq ==
+      MediaCodec.decodePngPixels(a1).get.px.toSeq)
+    // gray stored as RGB round-trips bit-identically (weights sum to 256)
+    val grayAsRgb = MediaCodec.pngColor(9, 7, 2, (x, y, _) => ch(x, y, 0))
+    val gray = MediaCodec.pngGray(9, 7, (x, y) => ch(x, y, 0))
+    assert(MediaCodec.decodePngPixels(grayAsRgb).get.px.toSeq ==
+      MediaCodec.decodePngPixels(gray).get.px.toSeq)
   }
 
   // ------------------------------------------------------------- MP4

@@ -61,8 +61,14 @@ class MultimodalSpec extends AnyFunSuite with SparkSpec {
     // -> block-mean path must equal the dHash computed STRAIGHT from the
     // pixel formula (no codec involved)
     def directHash(d: Long): (Long, Long) = {
+      // mirror the color-group luma transform (alpha never participates)
+      def lumaOf(v: Int): Long =
+        if (Multimodal.pngColorType(d) == 0) v.toLong
+        else (77 * Multimodal.channelValue(d, v, 0) +
+          150 * Multimodal.channelValue(d, v, 1) +
+          29 * Multimodal.channelValue(d, v, 2)).toLong >> 8
       val grid = Array.tabulate(9, 8)((bx, by) =>
-        Multimodal.blockValue(d, bx, by).toLong)
+        lumaOf(Multimodal.blockValue(d, bx, by)))
       var hi = 0L; var lo = 0L
       for (by <- 0 until 8; bx <- 0 until 8)
         if (grid(bx + 1)(by) > grid(bx)(by)) {

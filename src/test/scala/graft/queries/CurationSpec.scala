@@ -95,4 +95,23 @@ class CurationSpec extends AnyFunSuite with SparkSpec {
     // and the guarantee is non-vacuous: some multi-member cluster exists
     assert(rows.groupBy(_._2).exists(_._2.length > 1))
   }
+
+  test("corpusFilterMm: image canonicality conjoined, non-vacuously") {
+    val mm = DedupQ.corpusFilterMm(spark, dir).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Boolean]("image_ok"), r.getAs[Boolean]("keep"))).toMap
+    val txt = DedupQ.corpusFilter(spark, dir).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Boolean]("keep")).toMap
+    assert(mm.keySet == txt.keySet)
+    // keep is EXACTLY the text verdict AND the image bit
+    for ((id, (imgOk, keep)) <- mm)
+      assert(keep == (txt(id) && imgOk), s"doc $id")
+    // quarantined assets (undecodable PNGs) must fail image_ok
+    for (id <- mm.keys if id % 91 == 0 || id % 97 == 0)
+      assert(!mm(id)._1, s"quarantined doc $id has image_ok")
+    // the image term flips at least one otherwise-kept verdict
+    assert(mm.exists { case (id, (_, keep)) => txt(id) && !keep })
+    // and does not kill everything: some doc survives the full verdict
+    assert(mm.exists(_._2._2))
+  }
 }
