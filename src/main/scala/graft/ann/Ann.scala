@@ -361,6 +361,8 @@ object Ann {
   def lshNeighborsPlanes(corpus: DataFrame, queries: DataFrame,
       idCol: String, vecCol: String, k: Int,
       planeTensor: Seq[Seq[Seq[Double]]]): DataFrame = {
+    require(planeTensor.nonEmpty && planeTensor.head.nonEmpty,
+      "planeTensor must have at least one table of at least one plane")
     val tables = planeTensor.size
     val bitsPerTable = planeTensor.head.size
     // plane tensor [table][bit][dim] as a single literal

@@ -69,6 +69,14 @@ object MultimodalQ {
     * verify + inflate + unfilter per asset) — the one stage that reads
     * the media column must run exactly once. The checkpoint holds 24
     * bytes per asset, negligible against the decode it saves.
+    *
+    * Cluster caveat: localCheckpoint blocks are UNREPLICATED and truncate
+    * lineage, so an executor loss mid-query fails the query instead of
+    * recomputing (and the checkpoint is eager — the decode runs at
+    * DataFrame construction). Right trade for the local bench; on a real
+    * cluster the hash frame is exactly what [[graft.ops.StageArtifacts]]
+    * persists as a parquet stage artifact, which both amortizes the
+    * decode across consumers AND survives executor loss.
     */
   def imagePhashPairs(spark: SparkSession, dir: String): DataFrame =
     Multimodal.phashPairs(

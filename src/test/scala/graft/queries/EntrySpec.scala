@@ -48,9 +48,17 @@ class EntrySpec extends AnyFunSuite with SparkSpec {
           s"$name: named fixture twin $t is not an oracled query")
       }
       specs.foreach { s =>
-        val found = java.nio.file.Files.walk(
-          java.nio.file.Paths.get("src/test/scala/graft"))
-          .anyMatch(p => p.getFileName.toString == s"$s.scala")
+        // resolve against user.dir so a non-repo-root test JVM fails
+        // with a clear message, and close the walk stream (file-handle
+        // leak per assertion otherwise)
+        val root = java.nio.file.Paths.get(
+          sys.props("user.dir"), "src", "test", "scala", "graft")
+        assert(java.nio.file.Files.isDirectory(root),
+          s"test source root $root not found — run tests from the repo root")
+        val walk = java.nio.file.Files.walk(root)
+        val found =
+          try walk.anyMatch(p => p.getFileName.toString == s"$s.scala")
+          finally walk.close()
         assert(found, s"$name: named spec $s.scala not found under src/test")
       }
     }

@@ -115,7 +115,7 @@ def cross_check(df, scenario="ok"):
     field hashes, Scala variant for the seed) and must match the dump
     BEFORE the capture is written."""
     for _, r in df.iterrows():
-        m = re.fullmatch(r"(.+)-txn-(\d{6})", r.txn_id)
+        m = re.fullmatch(r"(.+)-txn-(\d{6,})", r.txn_id)
         if not m:
             raise SystemExit(f"unparseable txn_id {r.txn_id!r}")
         run_id, row_id = m.group(1), int(m.group(2))
@@ -140,14 +140,14 @@ def cross_check(df, scenario="ok"):
     print(f"cross-check OK: {len(df)} rows match the independent murmur3 replay")
 
 
-def main(dump_dir: str, obj: str = "PosPinned") -> None:
+def main(dump_dir: str, obj: str = "PosPinned", scenario: str = "ok") -> None:
     files = glob.glob(f"{dump_dir}/*.parquet")
     if not files:
         raise SystemExit(f"no parquet under {dump_dir}")
     con = duckdb.connect()
     df = con.execute(
         f"SELECT * FROM read_parquet({files!r}) ORDER BY txn_id").df()
-    cross_check(df)
+    cross_check(df, scenario)
 
     def q(s):
         return "'" + str(s).replace("'", "''") + "'"
@@ -185,4 +185,9 @@ object {obj} {{
 
 
 if __name__ == "__main__":
-    main(sys.argv[1], sys.argv[2] if len(sys.argv) > 2 else "PosPinned")
+    # usage: gen_pos_oracle.py <dump_dir> [ObjectName] [scenario]
+    # the scenario must match the one the dump was captured under -- the
+    # generator seed folds it in, so replaying "ok" against a drift/dupe
+    # capture hard-fails the cross-check even when the capture is valid
+    main(sys.argv[1], sys.argv[2] if len(sys.argv) > 2 else "PosPinned",
+         sys.argv[3] if len(sys.argv) > 3 else "ok")
