@@ -37,17 +37,7 @@ import org.apache.spark.sql.SparkSession
   *    not stdout, is the artifact of record.
   */
 object Bench {
-  private def jsonEsc(s: String): String =
-    s.flatMap {
-      case '\\' => "\\\\"
-      case '"' => "\\\""
-      case '\n' => "\\n"
-      case '\r' => "\\r"
-      case '\t' => "\\t"
-      // any other control char would break the single-line JSON contract
-      case c if c < 0x20 => f"\\u${c.toInt}%04x"
-      case c => c.toString
-    }
+  private def jsonEsc(s: String): String = Json.esc(s)
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -71,7 +61,11 @@ object Bench {
     val only = sys.env.get("SPARK_GRAFT_ONLY")
       .map(_.split(",").map(_.trim).toSet)
     val runs = sys.env.getOrElse("SPARK_GRAFT_RUNS", "3").toInt.max(1)
-    val names = SparkEntry.queries.keys.toSeq.sorted
+    // build the registry ONCE: SparkEntry.queries is a def, and calling
+    // it inside the timed window would bill Map construction + closure
+    // allocation (and its garbage) to every sample of every query
+    val registry = SparkEntry.queries
+    val names = registry.keys.toSeq.sorted
       .filter(n => only.forall(_.contains(n)))
     val times = scala.collection.mutable.LinkedHashMap.empty[String, Double]
     val spreads = scala.collection.mutable.LinkedHashMap.empty[String, Double]
@@ -108,7 +102,7 @@ object Bench {
         val t0 = System.nanoTime()
         val ok =
           try {
-            rowsLog(name) = SparkEntry.queries(name)(spark, sfDir).count()
+            rowsLog(name) = registry(name)(spark, sfDir).count()
             true
           }
           catch {
@@ -139,9 +133,14 @@ object Bench {
       m.map { case (k, v) => s"\"$k\":$v" }.mkString("{", ",", "}")
     // Round to ms: full-precision doubles triple the line length for
     // noise digits, and the driver's capture already truncates long lines.
+    // Locale.ROOT: the f-interpolator formats under the JVM default
+    // locale, and a comma-decimal locale (de_DE …) would emit "1,234"
+    // inside the arrays — unparseable JSON in all three artifacts
+    def ms(v: Double): String =
+      String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
     def sampleObj(m: scala.collection.Map[String, Seq[Double]]) =
       m.map { case (k, vs) =>
-        s"\"$k\":[${vs.map(v => f"$v%.3f").mkString(",")}]"
+        s"\"$k\":[${vs.map(ms).mkString(",")}]"
       }.mkString("{", ",", "}")
     val samplesJson = sampleObj(sampleLog)
     val cpuJson = sampleObj(cpuLog)
@@ -157,8 +156,9 @@ object Bench {
     // expensive-query ranking survive either truncation direction.
     val top5 = times.toSeq.sortBy(-_._2).take(5)
       .map { case (k, v) => s"\"$k\":$v" }.mkString("{", ",", "}")
-    val summary = s"""{"metric":"summary","value":$total,"unit":"sec","n_queries":${times.size},"n_errors":${errors.size},"top5":$top5,"sf":"$sfDir"}"""
-    val full = s"""{"metric":"total","value":$total,"unit":"sec","queries":${obj(times)},"spread":${obj(spreads)},"samples":$samplesJson,"cpu":$cpuJson,"rows":$rowsJson,"runs":$runs,"errors":$errs,"failed_runs":${obj(failedRuns)},"sf":"$sfDir"}"""
+    val sfJson = Json.str(sfDir)
+    val summary = s"""{"metric":"summary","value":$total,"unit":"sec","n_queries":${times.size},"n_errors":${errors.size},"top5":$top5,"sf":$sfJson}"""
+    val full = s"""{"metric":"total","value":$total,"unit":"sec","queries":${obj(times)},"spread":${obj(spreads)},"samples":$samplesJson,"cpu":$cpuJson,"rows":$rowsJson,"runs":$runs,"errors":$errs,"failed_runs":${obj(failedRuns)},"sf":$sfJson}"""
     println(summary)
     println(full)
     println(summary)

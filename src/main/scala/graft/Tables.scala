@@ -36,9 +36,12 @@ object Tables {
       // can't break every events-table consumer.
       df.schema("ts").dataType match {
         case LongType =>
-          // nanos-long → microsecond TimestampType (floor; matches DuckDB's
-          // nanosecond→micro truncation for post-epoch data).
-          df.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+          // nanos-long → microsecond TimestampType. FLOOR division (via
+          // pmod), not `div`: `div` truncates toward zero, so a pre-epoch
+          // nano timestamp would land 1 µs above DuckDB's floor-based
+          // conversion and silently fail every events hash-match oracle.
+          df.withColumn("ts",
+            expr("timestamp_micros((ts - pmod(ts, 1000)) div 1000)"))
         case TimestampNTZType =>
           // no-TZ micros; session TZ is pinned to UTC so wall-clock == instant.
           df.withColumn("ts", col("ts").cast(TimestampType))

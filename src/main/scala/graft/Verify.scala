@@ -8,7 +8,7 @@ object Verify {
     val (sfDir, outDir) = (args(0), args(1))
     // optional third arg: comma-separated query-name filter (dev preflight
     // of a few queries without dumping all of them; the driver passes 2 args)
-    val only = args.lift(2).map(_.split(",").toSet)
+    val only = args.lift(2).map(_.split(",").map(_.trim).toSet)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val b = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -25,29 +25,29 @@ object Verify {
     SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
+      // clear any prior run's artifact FIRST: a query that fails during
+      // analysis (before write's own overwrite-delete runs) must not
+      // leave last round's parquet sitting next to a fresh _ERROR marker
+      val dir = new java.io.File(s"$outDir/$name")
+      if (dir.exists()) {
+        java.nio.file.Files.walk(dir.toPath)
+          .sorted(java.util.Comparator.reverseOrder())
+          .forEach(p => { java.nio.file.Files.delete(p); () })
+      }
+      // repartition(1), not coalesce(1): coalesce folds into the plan and
+      // collapses the whole preceding narrow chain to one task; the
+      // shuffle keeps upstream parallelism and the artifact is identical
+      try fn(spark, sfDir).repartition(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
         val msg = s"${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(500)}"
         System.err.println(s"[verify] $name failed: $msg")
         errors(name) = msg
-        val d = new java.io.File(s"$outDir/$name")
-        d.mkdirs()
+        dir.mkdirs()
         Files.writeString(Paths.get(s"$outDir/$name/_ERROR"), msg)
       }
     }
-    // JSON string escape: backslash, quote, and ALL control chars (<0x20)
-    // — a tab or CR in builder-authored SQL would otherwise make the
-    // driver's json.load fail and silently zero the round's correctness.
-    def q(s: String): String = "\"" + s.flatMap {
-      case '"'  => "\\\""
-      case '\\' => "\\\\"
-      case '\n' => "\\n"
-      case '\r' => "\\r"
-      case '\t' => "\\t"
-      case c if c < ' ' => f"\\u${c.toInt}%04x"
-      case c => c.toString
-    } + "\""
+    def q(s: String): String = Json.str(s)
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)

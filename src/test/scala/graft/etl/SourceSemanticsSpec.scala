@@ -69,7 +69,8 @@ class SourceSemanticsSpec extends AnyFunSuite with SparkSpec {
   // event-time queries broke when the layout changed.
   test("events ts normalization: nanos-long, ntz-micros and tz layouts all agree") {
     import org.apache.spark.sql.types._
-    val micros = Seq(1700000000000000L, 1700000123456789L, 0L)
+    val micros = Seq(1700000000000000L, 1700000123456789L, 0L,
+      -1700000123456789L) // pre-epoch: floor-div, not truncate-toward-zero
     def writeAndLoad(dir: String, schema: StructType,
         rows: Seq[org.apache.spark.sql.Row]): org.apache.spark.sql.DataFrame = {
       spark.createDataFrame(
@@ -93,16 +94,26 @@ class SourceSemanticsSpec extends AnyFunSuite with SparkSpec {
       StructType(Seq(StructField("ts", TimestampNTZType))),
       micros.map(u => org.apache.spark.sql.Row(
         java.time.LocalDateTime.ofEpochSecond(
-          u / 1000000L, ((u % 1000000L) * 1000L).toInt, java.time.ZoneOffset.UTC))))
+          Math.floorDiv(u, 1000000L),
+          (Math.floorMod(u, 1000000L) * 1000L).toInt,
+          java.time.ZoneOffset.UTC))))
     // layout 3: session-TZ timestamp (passes through untouched)
     val asTz = writeAndLoad(s"$base/l3",
       StructType(Seq(StructField("ts", TimestampType))),
       micros.map(u => org.apache.spark.sql.Row(
         java.sql.Timestamp.from(java.time.Instant.ofEpochSecond(
-          u / 1000000L, (u % 1000000L) * 1000L)))))
+          Math.floorDiv(u, 1000000L),
+          Math.floorMod(u, 1000000L) * 1000L)))))
     val expected = micros.sorted
     assert(instants(asLong) == expected)
     assert(instants(asNtz) == expected)
     assert(instants(asTz) == expected)
+    // nanos NOT divisible by 1000: -1500 ns is in [-2 µs, -1 µs) so the
+    // floor lands at -2 µs (truncation toward zero would claim -1 µs,
+    // diverging from DuckDB's conversion on every pre-epoch event)
+    val odd = writeAndLoad(s"$base/l4",
+      StructType(Seq(StructField("ts", LongType))),
+      Seq(org.apache.spark.sql.Row(-1500L), org.apache.spark.sql.Row(1500L)))
+    assert(instants(odd) == Seq(-2L, 1L))
   }
 }
