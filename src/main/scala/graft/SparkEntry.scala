@@ -309,6 +309,9 @@ object SparkEntry {
     // dedup — exact-substring pairs (verbatim 16-token runs, boilerplate
     // windows shed at df>64 by contract)
     "q_substring_dups" -> DedupQ.substringDups,
+    // exact maximal shared verbatim runs (suffix-array-class result via
+    // aligned-window chaining; longest run + run count per pair)
+    "q_substring_runs" -> DedupQ.substringRuns,
     // dedup — SimHash hamming<=3 pairs (rows-only: engine-specific bits)
     "q_simhash_pairs" -> DedupQ.simhashPairs,
     // dedup — SimHash over the pinned fixture corpus (hash-match oracle:
@@ -1169,6 +1172,37 @@ object SparkEntry {
         |)
         |SELECT doc_a, doc_b, CAST(count(*) AS BIGINT) AS n_shared
         |FROM p GROUP BY 1, 2""".stripMargin,
+    // exact maximal-run replay: positioned windows, df-pruned content
+    // join, gaps-and-islands chaining per (pair, diagonal) — identical
+    // integer window functions in both engines
+    "q_substring_runs" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |   string_split(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' ') AS toks
+        |  FROM documents
+        |), w AS (
+        |  SELECT doc_id, i AS pos, array_to_string(toks[i:i+15], ' ') AS win
+        |  FROM d, unnest(generate_series(1, len(toks) - 15)) AS t(i)
+        |), keep AS (
+        |  SELECT win FROM w GROUP BY win
+        |  HAVING count(DISTINCT doc_id) BETWEEN 2 AND 64
+        |), m AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |   a.pos AS pos_a, a.pos - b.pos AS diag
+        |  FROM w a JOIN keep USING (win) JOIN w b USING (win)
+        |  WHERE a.doc_id < b.doc_id
+        |), g AS (
+        |  SELECT doc_a, doc_b, diag, pos_a,
+        |   pos_a - row_number() OVER (PARTITION BY doc_a, doc_b, diag
+        |     ORDER BY pos_a) AS grp
+        |  FROM m
+        |), runs AS (
+        |  SELECT doc_a, doc_b, diag, grp, count(*) + 15 AS run_len
+        |  FROM g GROUP BY 1, 2, 3, 4
+        |)
+        |SELECT doc_a, doc_b, CAST(max(run_len) AS BIGINT) AS max_run,
+        | CAST(count(*) AS BIGINT) AS n_runs
+        |FROM runs GROUP BY 1, 2""".stripMargin,
     // pair/hamming relation over the pinned fixture fingerprints — pure
     // 64-bit integer arithmetic both engines share (xor + popcount)
     "q_simhash_fixture" ->

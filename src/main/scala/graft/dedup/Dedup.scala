@@ -131,6 +131,65 @@ object Dedup {
       .agg(count(lit(1)).cast("long").as("n_shared"))
   }
 
+  /** EXACT maximal shared verbatim runs per document pair — the
+    * suffix-array-class upgrade over [[substringPairs]]'s shared-window
+    * COUNT: for each pair, the length in tokens of the LONGEST verbatim
+    * common token run (≥ `w`) and the number of distinct maximal runs.
+    *
+    * Method: w-token windows annotated with their POSITION are the run
+    * anchors — two docs share a verbatim run of exactly L ≥ w tokens
+    * iff they share L−w+1 window matches at consecutive positions on
+    * one alignment diagonal (pos_a − pos_b). Chaining is the classic
+    * gaps-and-islands grouping (pos_a − row_number per (pair, diag)),
+    * so max_run = max chain·1 + w − 1 is EXACT for every run ≥ w — the
+    * result a suffix-array scan would report, without materializing a
+    * distributed suffix array (log-rounds of prefix-doubling shuffles
+    * over the full token stream). Windows with document frequency >
+    * `maxDf` are shed as boilerplate by contract (same shedding as
+    * [[substringPairs]]): a run containing such a window is split or
+    * dropped — the trade that keeps hub pages from exploding the join
+    * at corpus scale.
+    *
+    * Scale shape: one window explode (w× token inflation, the same cost
+    * [[substringPairs]] already pays), a content-key equi-join (shuffle
+    * scales with surviving window occurrences, never doc×doc), then one
+    * window function keyed (pair, diagonal) whose input is only the
+    * MATCHED anchors. Reference analog: the reference has no substring
+    * operator; this serves the Lee-et-al-style training-data dedup the
+    * extension mandate names.
+    */
+  def substringRuns(df: DataFrame, idCol: String, textCol: String,
+      w: Int = 16, maxDf: Int = 64): DataFrame = {
+    val toks = TextOps.tokens(col(textCol))
+    val wins = df
+      .filter(size(toks) >= w)
+      .select(col(idCol).as("doc"),
+        posexplode(transform(
+          sequence(lit(1), size(toks) - (w - 1)),
+          i => array_join(slice(toks, i, lit(w)), " "))).as(Seq("pos", "win")))
+      .localCheckpoint()
+    // doc frequency (distinct docs, not occurrences: a doc-internal
+    // repeat must not shed a window only two docs share)
+    val keep = wins.groupBy(col("win"))
+      .agg(countDistinct(col("doc")).as("wdf"))
+      .filter(col("wdf") >= 2 && col("wdf") <= maxDf)
+      .select("win").localCheckpoint()
+    val pruned = wins.join(keep, "win")
+    val matches = pruned.as("x").join(pruned.as("y"), "win")
+      .filter(col("x.doc") < col("y.doc"))
+      .select(col("x.doc").as("doc_a"), col("y.doc").as("doc_b"),
+        col("x.pos").as("pos_a"), (col("x.pos") - col("y.pos")).as("diag"))
+    val byDiag = Window.partitionBy(col("doc_a"), col("doc_b"), col("diag"))
+      .orderBy(col("pos_a"))
+    matches
+      .withColumn("grp", col("pos_a") - row_number().over(byDiag))
+      .groupBy(col("doc_a"), col("doc_b"), col("diag"), col("grp"))
+      .agg((count(lit(1)) + (w - 1)).as("run_len"))
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(max(col("run_len")).cast("long").as("max_run"),
+        count(lit(1)).cast("long").as("n_runs"))
+  }
+
   /** Exact-Jaccard verification of candidate pairs against the exploded
     * (doc, shingle) relation — the single definition both candidate
     * generators ([[jaccardPairs]], [[minhashLshPairs]]) must share so

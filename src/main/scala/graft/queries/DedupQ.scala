@@ -38,6 +38,15 @@ object DedupQ {
     Dedup.substringPairs(Tables(spark, dir, "documents"), "doc_id", "text",
       w = 16, maxDf = 64)
 
+  /** EXACT maximal shared-run lengths per pair ([[Dedup.substringRuns]]):
+    * the longest verbatim common token run ≥ 16 and the count of maximal
+    * runs — what a suffix-array dedup scan reports, via aligned-window
+    * chaining.
+    */
+  def substringRuns(spark: SparkSession, dir: String): DataFrame =
+    Dedup.substringRuns(Tables(spark, dir, "documents"), "doc_id", "text",
+      w = 16, maxDf = 64)
+
   /** MinHash(128) + LSH(32 bands × 4) with exact verification — must
     * reproduce [[jaccardPairs]] exactly (shared oracle).
     */

@@ -201,6 +201,34 @@ class DedupSpec extends AnyFunSuite with SparkSpec {
     assert(got == Map((1, 2) -> 1L, (3, 4) -> 2L))
   }
 
+  test("substringRuns: exact maximal run lengths via diagonal chaining") {
+    def words(prefix: String, n: Int) =
+      (1 to n).map(i => s"$prefix$i").mkString(" ")
+    val run16 = words("shared", 16)
+    val run23 = words("long", 23) // one 23-token maximal run = 8 windows
+    val d = docs(
+      // pair (1,2): exactly one 16-run AND one 23-run, at DIFFERENT
+      // offsets in each doc (different diagonals chain independently)
+      1 -> s"${words("a", 5)} $run16 ${words("b", 9)} $run23",
+      2 -> s"$run23 ${words("c", 12)} $run16",
+      // pair (3,4): the same 23-run only
+      3 -> s"${words("e", 7)} $run23",
+      4 -> s"$run23 ${words("f", 7)}",
+      // 5 shares nothing long enough
+      5 -> s"${words("g", 40)}")
+    val got = Dedup.substringRuns(d, "doc_id", "text", w = 16, maxDf = 64)
+      .collect()
+      .map(r => (r.getInt(0), r.getInt(1)) ->
+        (r.getAs[Long]("max_run"), r.getAs[Long]("n_runs"))).toMap
+    // run23 appears in docs 1,2,3,4 → df 4 ≤ 64, survives; the maximal
+    // run is 23 tokens (8 chained windows), runs don't merge across
+    // diagonals, and the 16-run reports exactly 16
+    assert(got((1, 2)) == (23L, 2L), s"got ${got.get((1, 2))}")
+    assert(got((3, 4)) == (23L, 1L))
+    assert(got((1, 3))._1 == 23L)
+    assert(!got.keySet.exists(p => p._1 == 5 || p._2 == 5))
+  }
+
   test("substringPairs: boilerplate windows above maxDf are shed") {
     val boiler = (1 to 16).map(i => s"license$i").mkString(" ")
     // 4 docs all share the boilerplate run; maxDf=3 sheds it entirely
