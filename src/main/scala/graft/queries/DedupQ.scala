@@ -159,8 +159,13 @@ object DedupQ {
     */
   def corpusFilterMm(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables(spark, dir, "documents")
+    // checkpoint barrier: the band join + verify joins + cluster-label
+    // id side consume the hash frame up to 5×, and each would re-run
+    // the full PNG decode without it (same rationale as
+    // MultimodalQ.imagePhashPairs; 24 bytes/asset held)
     val hashes = graft.multimodal.Multimodal.decodePhash(
       graft.multimodal.Multimodal.phashImageAssets(spark, docs)).toDF()
+      .localCheckpoint()
     val pairs = graft.multimodal.Multimodal.phashPairs(hashes, maxHamming = 10)
       .select(col("a_id"), col("b_id"))
     val img = Dedup.clusterLabels(hashes.select(col("asset_id")), "asset_id", pairs)
