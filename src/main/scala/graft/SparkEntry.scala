@@ -444,6 +444,9 @@ object SparkEntry {
     // (D17 pHash clusters feed the keep decision; undecodable assets
     // fail image_ok) — the multimodal twin of q_corpus_filter
     "q_corpus_filter_mm" -> DedupQ.corpusFilterMm,
+    // the mm verdict composed from BOTH persisted cluster artifacts
+    // (text + image) — the serving shape; same oracle as inline
+    "q_corpus_filter_mm_compose" -> DedupQ.corpusFilterMmCompose,
     // the same verdict composed from the PERSISTED cluster-label stage
     // artifact (parquet write + read-back) — the artifact-per-stage
     // shape a 100 TB curation run uses; shares the inline twin's oracle
@@ -2434,6 +2437,7 @@ object SparkEntry {
     "q_corpus_filter_staged" -> corpusFilterSql,
     "q_corpus_filter_staged_compose" -> corpusFilterSql,
     "q_corpus_filter_mm" -> corpusFilterMmSql,
+    "q_corpus_filter_mm_compose" -> corpusFilterMmSql,
     "q_ann_topk" ->
       """WITH e AS (
         |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings

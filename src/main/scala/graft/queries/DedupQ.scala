@@ -157,24 +157,55 @@ object DedupQ {
     * at 100 TB each is its own artifact and the verdict is a co-
     * partitioned conjunction, same as the text-only form.
     */
-  def corpusFilterMm(spark: SparkSession, dir: String): DataFrame = {
-    val docs = Tables(spark, dir, "documents")
-    // checkpoint barrier: the band join + verify joins + cluster-label
-    // id side consume the hash frame up to 5×, and each would re-run
-    // the full PNG decode without it (same rationale as
-    // MultimodalQ.imagePhashPairs; 24 bytes/asset held)
+  def corpusFilterMm(spark: SparkSession, dir: String): DataFrame =
+    mmVerdict(corpusVerdict(spark, dir, clusterLabelsInline(spark, dir)),
+      imageClusterLabels(spark, dir))
+
+  /** [[corpusFilterMm]] COMPOSED from the two persisted cluster
+    * artifacts (text near-dup labels + image pHash labels) — the
+    * serving shape: at 100 TB both clustering passes are built once per
+    * corpus version and every verdict refresh pays only doc_id-keyed
+    * joins. Same oracle as the inline twin; CurationSpec pins the
+    * differential.
+    */
+  def corpusFilterMmCompose(spark: SparkSession, dir: String): DataFrame = {
+    val imgStage = graft.ops.StageArtifacts.ensure(dir, "curation-img") { out =>
+      imageClusterLabels(spark, dir)
+        .write.mode("overwrite").parquet(s"$out/image_clusters")
+    }
+    mmVerdict(
+      corpusVerdict(spark, dir, canonicalFrom(textClustersFromArtifact(spark, dir))),
+      spark.read.parquet(s"$imgStage/image_clusters"))
+  }
+
+  /** Image pHash cluster labels over the DECODABLE assets (quarantined
+    * docs absent): banded candidates + Hamming ≤ 10 verify + the shared
+    * star contraction. The checkpoint barrier keeps the PNG decode to
+    * one run — the band join, two verify joins and the label id-side
+    * would each re-decode without it (same rationale as
+    * MultimodalQ.imagePhashPairs; 24 bytes/asset held).
+    */
+  private def imageClusterLabels(spark: SparkSession, dir: String): DataFrame = {
     val hashes = graft.multimodal.Multimodal.decodePhash(
-      graft.multimodal.Multimodal.phashImageAssets(spark, docs)).toDF()
+      graft.multimodal.Multimodal.phashImageAssets(
+        spark, Tables(spark, dir, "documents"))).toDF()
       .localCheckpoint()
     val pairs = graft.multimodal.Multimodal.phashPairs(hashes, maxHamming = 10)
       .select(col("a_id"), col("b_id"))
-    val img = Dedup.clusterLabels(hashes.select(col("asset_id")), "asset_id", pairs)
-      .select(col("doc_id"), (col("doc_id") === col("cluster_id")).as("image_ok"))
-    corpusVerdict(spark, dir, clusterLabelsInline(spark, dir))
-      .join(img, Seq("doc_id"), "left")
+    Dedup.clusterLabels(hashes.select(col("asset_id")), "asset_id", pairs)
+  }
+
+  /** The mm conjunction: text verdict ∧ image_ok (doc decodes AND is
+    * its image cluster's min-id representative). One definition for the
+    * inline and composed twins.
+    */
+  private def mmVerdict(base: DataFrame, imgLabels: DataFrame): DataFrame =
+    base
+      .join(imgLabels.select(col("doc_id"),
+        (col("doc_id") === col("cluster_id")).as("image_ok")),
+        Seq("doc_id"), "left")
       .withColumn("image_ok", coalesce(col("image_ok"), lit(false)))
       .withColumn("keep", col("keep") && col("image_ok"))
-  }
 
   /** The cluster-label STAGE ARTIFACT: the expensive curation stage
     * (MinHash banding + star contraction) materialized once as parquet.

@@ -113,5 +113,11 @@ class CurationSpec extends AnyFunSuite with SparkSpec {
     assert(mm.exists { case (id, (_, keep)) => txt(id) && !keep })
     // and does not kill everything: some doc survives the full verdict
     assert(mm.exists(_._2._2))
+    // the composed form (both cluster stages read from parquet
+    // artifacts) is row-identical to the inline form
+    val composed = DedupQ.corpusFilterMmCompose(spark, dir).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Boolean]("image_ok"), r.getAs[Boolean]("keep"))).toMap
+    assert(composed == mm)
   }
 }
