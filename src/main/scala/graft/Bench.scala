@@ -52,11 +52,27 @@ object Bench {
     // Untimed warm-up: JVM/codegen/broadcast/parquet-reader bootstrap
     // otherwise lands on whichever query runs first (~5s of fixed cost).
     locally {
-      import org.apache.spark.sql.functions.{broadcast, col, hash}
+      import org.apache.spark.sql.functions._
       val r = Tables(spark, sfDir, "region")
       r.join(broadcast(Tables(spark, sfDir, "nation")),
         col("r_regionkey") === col("n_regionkey")).count()
       spark.range(100).select(hash(col("id"))).count()
+      // window function + HOF + shuffle aggregate on a 25-row frame:
+      // the r8 post-mortem traced the first-sample storms to cold
+      // whole-stage codegen of exactly these operator classes (the
+      // compiler itself JITs on the first big generated class) —
+      // warming them here instead of inside whichever heavy query runs
+      // first keeps medians comparable when the query mix shifts
+      val n = Tables(spark, sfDir, "nation")
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("n_regionkey")).orderBy(col("n_nationkey"))
+      n.select(col("n_regionkey"), col("n_nationkey"),
+          transform(sequence(lit(1), lit(4)), i => i * col("n_nationkey")).as("arr"))
+        .withColumn("s", aggregate(col("arr"), lit(0L), (a, x) => a + x))
+        .withColumn("rn", row_number().over(w))
+        .groupBy(col("n_regionkey"))
+        .agg(sum(col("s")).as("t"), max(col("rn")).as("m"))
+        .count()
     }
     val only = sys.env.get("SPARK_GRAFT_ONLY")
       .map(_.split(",").map(_.trim).toSet)
