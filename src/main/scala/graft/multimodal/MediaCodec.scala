@@ -325,7 +325,8 @@ object MediaCodec {
   def pngColor(w: Int, h: Int, colorType: Int,
       sample: (Int, Int, Int) => Int,
       filterForRow: Int => Int = _ => 0): Array[Byte] = {
-    require(colorType == 2 || colorType == 6, s"colorType $colorType")
+    require(colorType == 2 || colorType == 4 || colorType == 6,
+      s"colorType $colorType")
     pngEncode(w, h, colorType, sample, filterForRow)
   }
 
@@ -389,7 +390,8 @@ object MediaCodec {
   }
 
   /** Full pixel-level PNG decode for 8-bit grayscale (color type 0),
-    * truecolor (2) and truecolor+alpha (6), pure JVM: chunk walk with
+    * truecolor (2), gray+alpha (4) and truecolor+alpha (6), pure JVM:
+    * chunk walk with
     * CRC-32 verification on every chunk (unlike the header-only
     * [[parsePng]] — a pixel consumer must reject bit rot), IDAT
     * concatenation, zlib inflate ([[java.util.zip.Inflater]]),
@@ -399,9 +401,10 @@ object MediaCodec {
     * `(77·R + 150·G + 29·B) >> 8` — the weights sum to exactly 256, so
     * a gray image stored as RGB round-trips bit-identically and the
     * formula replays exactly in any SQL engine (the q_image_phash
-    * oracle). Alpha is ignored (assets are treated as opaque). Returns
+    * oracle); gray+alpha luma is the gray channel itself. Alpha is
+    * ignored (assets are treated as opaque). Returns
     * None on ANY structural defect — bad signature, unsupported format
-    * (bit depth ≠ 8, palette/gray+alpha color types, interlace), CRC
+    * (bit depth ≠ 8, palette color type, interlace), CRC
     * mismatch, truncated/corrupt deflate stream, wrong decompressed
     * size, unknown filter type — so a curation pipeline quarantines the
     * asset rather than training on garbage pixels.
@@ -434,8 +437,9 @@ object MediaCodec {
           bpp = u8(b, pos + 17) match {
             case 0 => 1 // gray8
             case 2 => 3 // RGB8
+            case 4 => 2 // gray8 + alpha
             case 6 => 4 // RGBA8
-            case _ => return None
+            case _ => return None // palette needs a PLTE path: quarantine
           }
           if (u8(b, pos + 16) != 8 || u8(b, pos + 18) != 0 ||
             u8(b, pos + 19) != 0 || u8(b, pos + 20) != 0) return None
@@ -495,6 +499,7 @@ object MediaCodec {
       while (x < w) {
         val l =
           if (bpp == 1) curRow(x)
+          else if (bpp == 2) curRow(x * 2) // gray+alpha: luma IS the gray channel
           else {
             val o = x * bpp
             (77 * curRow(o) + 150 * curRow(o + 1) + 29 * curRow(o + 2)) >> 8

@@ -223,6 +223,12 @@ class MediaCodecSpec extends AnyFunSuite {
     val gray = MediaCodec.pngGray(9, 7, (x, y) => ch(x, y, 0))
     assert(MediaCodec.decodePngPixels(grayAsRgb).get.px.toSeq ==
       MediaCodec.decodePngPixels(gray).get.px.toSeq)
+    // gray+alpha (type 4): luma is the gray channel, alpha ignored —
+    // identical pixels to the plain-gray encoding, all 5 filters
+    val grayA = MediaCodec.pngColor(9, 7, 4, (x, y, c) =>
+      if (c == 1) (x * 3 + y * 5) % 256 else ch(x, y, 0), y => y % 5)
+    assert(MediaCodec.decodePngPixels(grayA).get.px.toSeq ==
+      MediaCodec.decodePngPixels(gray).get.px.toSeq)
   }
 
   // ------------------------------------------------------------- MP4

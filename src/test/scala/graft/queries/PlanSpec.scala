@@ -153,6 +153,20 @@ class PlanSpec extends AnyFunSuite with SparkSpec {
     assert(!p.contains("SinglePartition"), p)
   }
 
+  test("substring_runs: checkpointed window relation, key-partitioned chaining") {
+    val p = plan("q_substring_runs")
+    // window building + df pruning live behind the localCheckpoint
+    // barriers — serve-time never re-tokenizes or re-explodes
+    assert(!p.contains("regexp_replace"), p)
+    assert(!p.contains("Generate"), p)
+    // the diagonal-chaining window is partitioned on (pair, diag),
+    // never a global sort: a SinglePartition here would serialize the
+    // run assembly of the whole corpus through one task
+    assert(!p.contains("SinglePartition"), p)
+    // run-length and per-pair aggregates map-side combine
+    assert(p.contains("partial_count"), p)
+  }
+
   test("ann_ivfpq: cell-pruned codes-only scan, broadcast routes, partial top-k") {
     // pinned for VERDICT r6 "What's wrong #1": the driver bench showed
     // 24.7 s vs 7.8–9.6 s on two controlled boxes with no code change.
