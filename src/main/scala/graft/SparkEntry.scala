@@ -447,6 +447,9 @@ object SparkEntry {
     // the mm verdict composed from BOTH persisted cluster artifacts
     // (text + image) — the serving shape; same oracle as inline
     "q_corpus_filter_mm_compose" -> DedupQ.corpusFilterMmCompose,
+    // per-source curation dashboard with the image columns (canonical /
+    // undecodable counts) — the multimodal twin of q_corpus_report
+    "q_corpus_report_mm" -> DedupQ.corpusReportMm,
     // the same verdict composed from the PERSISTED cluster-label stage
     // artifact (parquet write + read-back) — the artifact-per-stage
     // shape a 100 TB curation run uses; shares the inline twin's oracle
@@ -2003,38 +2006,29 @@ object SparkEntry {
     // corpus report: quality CTE + dedup closure + per-source rollup
     "q_corpus_report" ->
       s"""WITH $textClosureSql,
-        |toks AS (
-        |  SELECT doc_id, source,
-        |   string_split(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' ') AS toks
-        |  FROM documents
-        |), sig AS (
-        |  SELECT doc_id, source,
-        |   CAST(len(toks) AS BIGINT) AS n_tokens,
-        |   round(CAST(len(list_filter(toks, t -> list_contains(
-        |     ['the','a','an','and','of','to','in','is','it','for'], t))) AS DOUBLE)
-        |     / CAST(len(toks) AS DOUBLE), 6) AS stop_ratio,
-        |   round(CAST(len(list_distinct(toks)) AS DOUBLE)
-        |     / CAST(len(toks) AS DOUBLE), 6) AS diversity,
-        |   round(least(CAST(len(toks) AS DOUBLE) / 50.0, 1.0), 6) AS length_signal
-        |  FROM toks
-        |), q AS (
-        |  SELECT doc_id, source, n_tokens,
-        |   CAST(0.4 AS DECIMAL(2,1)) * CAST(length_signal AS DECIMAL(9,6))
-        |    + CAST(0.3 AS DECIMAL(2,1)) * CAST(diversity AS DECIMAL(9,6))
-        |    + CAST(0.3 AS DECIMAL(2,1)) * (CAST(1.0 AS DECIMAL(2,1)) - CAST(stop_ratio AS DECIMAL(9,6)))
-        |     AS qd,
-        |   (CAST(CAST(0.4 AS DECIMAL(2,1)) * CAST(length_signal AS DECIMAL(9,6))
-        |    + CAST(0.3 AS DECIMAL(2,1)) * CAST(diversity AS DECIMAL(9,6))
-        |    + CAST(0.3 AS DECIMAL(2,1)) * (CAST(1.0 AS DECIMAL(2,1)) - CAST(stop_ratio AS DECIMAL(9,6)))
-        |     AS DOUBLE) >= 0.5 AND n_tokens >= 10) AS keep
-        |  FROM sig
-        |)
+        |$reportQualityCtes
         |SELECT q.source, count(*) AS n_docs,
         | CAST(sum(q.n_tokens) AS BIGINT) AS n_tokens,
         | CAST(sum(q.qd) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avg_quality,
         | CAST(count(*) FILTER (q.keep) AS BIGINT) AS n_keep,
         | CAST(count(*) FILTER (cl.doc_id = cl.cluster_id) AS BIGINT) AS n_canonical
         |FROM q JOIN cl ON cl.doc_id = q.doc_id
+        |GROUP BY 1""".stripMargin,
+    // the report with the image columns: canonical count over decodable
+    // assets (LEFT JOIN absence = undecodable, counted separately)
+    "q_corpus_report_mm" ->
+      s"""WITH $textClosureSql,
+        |$imageClosureCtes,
+        |$reportQualityCtes
+        |SELECT q.source, count(*) AS n_docs,
+        | CAST(sum(q.n_tokens) AS BIGINT) AS n_tokens,
+        | CAST(sum(q.qd) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avg_quality,
+        | CAST(count(*) FILTER (q.keep) AS BIGINT) AS n_keep,
+        | CAST(count(*) FILTER (cl.doc_id = cl.cluster_id) AS BIGINT) AS n_canonical,
+        | CAST(count(*) FILTER (icanon.img_canonical) AS BIGINT) AS n_img_canonical,
+        | CAST(count(*) FILTER (icanon.doc_id IS NULL) AS BIGINT) AS n_undecodable
+        |FROM q JOIN cl ON cl.doc_id = q.doc_id
+        |LEFT JOIN icanon ON icanon.doc_id = q.doc_id
         |GROUP BY 1""".stripMargin,
     // cross-source contamination: the same recursive closure, then an
     // all-integer per-(cluster, source) count self-join
@@ -2892,9 +2886,43 @@ object SparkEntry {
     * undecodable (quarantined) assets — they have no row in `phash` —
     * and for non-canonical members of an image cluster.
     */
-  private lazy val corpusFilterMmSql: String =
-    s"""$corpusFilterCtes,
-      |$phashHashSql,
+  /** The per-document quality/keep CTE chain (`toks`/`sig`/`q`) shared
+    * by the corpus-report oracles (text-only and multimodal).
+    */
+  private lazy val reportQualityCtes: String =
+    """toks AS (
+      |  SELECT doc_id, source,
+      |   string_split(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' ') AS toks
+      |  FROM documents
+      |), sig AS (
+      |  SELECT doc_id, source,
+      |   CAST(len(toks) AS BIGINT) AS n_tokens,
+      |   round(CAST(len(list_filter(toks, t -> list_contains(
+      |     ['the','a','an','and','of','to','in','is','it','for'], t))) AS DOUBLE)
+      |     / CAST(len(toks) AS DOUBLE), 6) AS stop_ratio,
+      |   round(CAST(len(list_distinct(toks)) AS DOUBLE)
+      |     / CAST(len(toks) AS DOUBLE), 6) AS diversity,
+      |   round(least(CAST(len(toks) AS DOUBLE) / 50.0, 1.0), 6) AS length_signal
+      |  FROM toks
+      |), q AS (
+      |  SELECT doc_id, source, n_tokens,
+      |   CAST(0.4 AS DECIMAL(2,1)) * CAST(length_signal AS DECIMAL(9,6))
+      |    + CAST(0.3 AS DECIMAL(2,1)) * CAST(diversity AS DECIMAL(9,6))
+      |    + CAST(0.3 AS DECIMAL(2,1)) * (CAST(1.0 AS DECIMAL(2,1)) - CAST(stop_ratio AS DECIMAL(9,6)))
+      |     AS qd,
+      |   (CAST(CAST(0.4 AS DECIMAL(2,1)) * CAST(length_signal AS DECIMAL(9,6))
+      |    + CAST(0.3 AS DECIMAL(2,1)) * CAST(diversity AS DECIMAL(9,6))
+      |    + CAST(0.3 AS DECIMAL(2,1)) * (CAST(1.0 AS DECIMAL(2,1)) - CAST(stop_ratio AS DECIMAL(9,6)))
+      |     AS DOUBLE) >= 0.5 AND n_tokens >= 10) AS keep
+      |  FROM sig
+      |)""".stripMargin
+
+  /** The image-cluster closure CTE block (pHash → bands → Hamming ≤ 10
+    * pairs → connected components → min-id canonical flag `icanon`),
+    * shared by the multimodal verdict and the multimodal report oracles.
+    */
+  private lazy val imageClosureCtes: String =
+    s"""$phashHashSql,
       |ibands AS (
       |  SELECT asset_id, b.range AS band,
       |    CASE b.range WHEN 0 THEN phash_lo % 65536 WHEN 1 THEN phash_lo // 65536
@@ -2925,7 +2953,11 @@ object SparkEntry {
       |),
       |icanon AS (
       |  SELECT s AS doc_id, min(dd) = s AS img_canonical FROM ireach GROUP BY s
-      |)
+      |)""".stripMargin
+
+  private lazy val corpusFilterMmSql: String =
+    s"""$corpusFilterCtes,
+      |$imageClosureCtes
       |SELECT dc.doc_id, q.quality_ok, r.not_repetitive, dc.not_contaminated, canon.canonical,
       | coalesce(icanon.img_canonical, FALSE) AS image_ok,
       | (q.quality_ok AND r.not_repetitive AND dc.not_contaminated AND canon.canonical

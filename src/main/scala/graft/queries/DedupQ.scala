@@ -346,8 +346,18 @@ object DedupQ {
   def corpusReportCompose(spark: SparkSession, dir: String): DataFrame =
     corpusReportFrom(spark, dir, textClustersFromArtifact(spark, dir))
 
+  /** The MULTIMODAL curation report — [[corpusReport]] plus the image
+    * columns a data owner signs off on: per source, how many documents
+    * are their image cluster's canonical representative and how many
+    * carry undecodable (quarantined) image assets. Same two id-keyed
+    * joins plus one more; the report stays |sources| rows.
+    */
+  def corpusReportMm(spark: SparkSession, dir: String): DataFrame =
+    corpusReportFrom(spark, dir, dedupClusters(spark, dir),
+      img = Some(imageClusterLabels(spark, dir)))
+
   private def corpusReportFrom(spark: SparkSession, dir: String,
-      clusters: DataFrame): DataFrame = {
+      clusters: DataFrame, img: Option[DataFrame] = None): DataFrame = {
     import org.apache.spark.sql.types.DecimalType
     val docs = Tables(spark, dir, "documents")
     val quality = TextQ.qualityScore(spark, dir)
@@ -356,17 +366,31 @@ object DedupQ {
         // 7th decimal): DECIMAL(10,7) round-trips the double losslessly,
         // making the average an exact-sum division — (9,6) would ROUND
         col("quality").cast(DecimalType(10, 7)).as("qd"), col("keep"))
-    docs.select(col("doc_id"), col("source"))
+    val base = docs.select(col("doc_id"), col("source"))
       .join(quality, "doc_id")
       .join(clusters, "doc_id")
-      .groupBy(col("source"))
-      .agg(count(lit(1)).as("n_docs"),
-        sum(col("n_tokens")).cast("long").as("n_tokens"),
-        (sum(col("qd")).cast("double") /
-          count(lit(1)).cast("double")).as("avg_quality"),
-        sum(col("keep").cast("long")).as("n_keep"),
-        sum((col("doc_id") === col("cluster_id")).cast("long"))
-          .as("n_canonical"))
+    val textAggs = Seq(
+      count(lit(1)).as("n_docs"),
+      sum(col("n_tokens")).cast("long").as("n_tokens"),
+      (sum(col("qd")).cast("double") /
+        count(lit(1)).cast("double")).as("avg_quality"),
+      sum(col("keep").cast("long")).as("n_keep"),
+      sum((col("doc_id") === col("cluster_id")).cast("long"))
+        .as("n_canonical"))
+    img match {
+      case None =>
+        base.groupBy(col("source")).agg(textAggs.head, textAggs.tail: _*)
+      case Some(labels) =>
+        // LEFT join: absence = undecodable (quarantined) asset
+        val aggs = textAggs ++ Seq(
+          sum(coalesce((col("img_cluster") === col("doc_id")).cast("long"),
+            lit(0L))).as("n_img_canonical"),
+          sum(col("img_cluster").isNull.cast("long")).as("n_undecodable"))
+        base
+          .join(labels.select(col("doc_id"),
+            col("cluster_id").as("img_cluster")), Seq("doc_id"), "left")
+          .groupBy(col("source")).agg(aggs.head, aggs.tail: _*)
+    }
   }
 
   /** Cross-source near-dup contamination matrix: for every unordered
