@@ -468,6 +468,9 @@ object SparkEntry {
     "q_ann_topk_quant" -> AnnQ.bruteTopKQuantized,
     // similarity search — sign-LSH bucketed top-k (rows-only: approximate)
     "q_ann_lsh" -> AnnQ.lshTopK,
+    // multi-probe LSH: 4x smaller corpus-side index, Hamming-1 query
+    // probing buys the recall back (rows-only; fixture twin oracled)
+    "q_ann_lsh_probe" -> AnnQ.lshProbeTopK,
     // similarity search — IVF coarse-quantized top-k (rows-only)
     "q_ann_ivf" -> AnnQ.ivfTopK,
     // similarity search — IVF via the PERSISTED index (build + parquet
@@ -509,6 +512,9 @@ object SparkEntry {
     // LSH bucket/candidate/re-rank serving over pinned integer planes —
     // oracle replays bucket signs, the (table,bucket) join and ranking
     "q_ann_lsh_fixture" -> AnnQ.lshFixtureTopK,
+    // the multi-probe expansion over the same pinned planes (oracle
+    // additionally replays the bucket-XOR probe set)
+    "q_ann_lsh_probe_fixture" -> AnnQ.lshProbeFixtureTopK,
     // embedding-quality eval — nearest-class-centroid confusion matrix
     // (exact-decimal prototypes => fully oracled)
     "q_prototype_eval" -> ((s, dir) => graft.ann.Prototype.confusion(
@@ -583,6 +589,7 @@ object SparkEntry {
     "q_ann_ivfpq" -> "fixture twin q_ann_ivfpq_fixture (hash-match); IvfPqSpec pins ADC ≡ reconstructed-dot + determinism",
     "q_ann_ivfpq_probe" -> "fixture twin q_ann_ivfpq_fixture; IvfPqSpec pins probe ≡ rebuild",
     "q_ann_lsh" -> "fixture twin q_ann_lsh_fixture (hash-match); AnnSpec pins recall vs q_ann_topk",
+    "q_ann_lsh_probe" -> "fixture twin q_ann_lsh_probe_fixture (hash-match); AnnSpec pins recall + probe-superset vs q_ann_lsh",
     "q_ann_mmr" -> "fixture twin q_ann_mmr_fixture (hash-match); MmrSpec pins the greedy selection",
     "q_ann_pq" -> "fixture twin q_ann_pq_fixture (hash-match); PqSpec pins ADC ≡ reconstructed-dot + recall + determinism",
     "q_ann_pq_probe" -> "fixture twin q_ann_pq_fixture; PqSpec pins probe ≡ rebuild",
@@ -1394,6 +1401,49 @@ object SparkEntry {
     // selected set, argmax with smaller-id tiebreak — every term exact
     // or correctly-rounded-identical across engines
     "q_ann_mmr_fixture" -> mmrFixtureOracleSql,
+    // multi-probe LSH replay: the same pinned planes/buckets, the query
+    // side expanded to its own bucket plus every single-bit XOR flip
+    // (probeBits = bitsPerTable = 3 → 4 probes per (query, table)),
+    // then the identical candidate join and exact-cosine ranking
+    "q_ann_lsh_probe_fixture" ->
+      s"""WITH v(vec_id, emb) AS (VALUES
+        |  ${graft.ann.PqFixture.corpusValuesSql}
+        |), pl(tbl, bit, plane) AS (VALUES
+        |  ${graft.ann.LshFixture.planesValuesSql}
+        |), b AS (
+        |  SELECT v.vec_id, pl.tbl,
+        |   CAST(sum(CASE WHEN list_dot_product(v.emb, pl.plane) >= 0
+        |     THEN CAST(1 AS BIGINT) << pl.bit ELSE 0 END) AS BIGINT) AS bucket
+        |  FROM v CROSS JOIN pl GROUP BY 1, 2
+        |), q AS (
+        |  SELECT vec_id AS query_id, emb AS qv,
+        |   sqrt(list_dot_product(emb, emb)) AS nq
+        |  FROM v WHERE vec_id < 3
+        |), qprobe AS (
+        |  SELECT qb.vec_id, qb.tbl,
+        |   CASE WHEN p.range = 0 THEN qb.bucket
+        |        ELSE xor(qb.bucket,
+        |          CAST(1 AS BIGINT) << CAST(p.range - 1 AS INTEGER)) END AS bucket
+        |  FROM b qb, range(${graft.ann.LshFixture.bitsPerTable + 1}) p
+        |  WHERE qb.vec_id < 3
+        |), cand AS (
+        |  SELECT DISTINCT qp.vec_id AS query_id, cb.vec_id AS neighbor_id
+        |  FROM b cb JOIN qprobe qp ON cb.tbl = qp.tbl AND cb.bucket = qp.bucket
+        |  WHERE cb.vec_id <> qp.vec_id
+        |), f AS (
+        |  SELECT cand.query_id, cand.neighbor_id,
+        |   list_dot_product(vv.emb, q.qv)
+        |     / (sqrt(list_dot_product(vv.emb, vv.emb)) * q.nq) AS c
+        |  FROM cand
+        |  JOIN v vv ON vv.vec_id = cand.neighbor_id
+        |  JOIN q ON q.query_id = cand.query_id
+        |)
+        |SELECT query_id,
+        | CAST(row_number() OVER (PARTITION BY query_id
+        |   ORDER BY c DESC, neighbor_id) AS BIGINT) AS rank,
+        | neighbor_id, round(c, 6) AS cosine
+        |FROM f
+        |QUALIFY rank <= ${graft.ann.LshFixture.k}""".stripMargin,
     // LSH serve-path replay over the pinned fixture: per-(row, table)
     // bucket = OR of sign bits (integer plane·vector dots, exact),
     // candidates share any table's full bucket with a query (self

@@ -351,6 +351,23 @@ object Ann {
       (0 until tables).map(t => planes(seed + t, bitsPerTable, d)))
   }
 
+  /** Multi-probe [[lshNeighbors]]: FEWER tables (default 8 vs 32) with
+    * Hamming-1 query-side probing — the corpus-side index cost drops 4×
+    * (the term that scales with corpus size) while probing recovers the
+    * recall the dropped tables provided. AnnSpec pins recall and the
+    * probe-superset property on the testdata.
+    */
+  def lshNeighborsMultiprobe(corpus: DataFrame, queries: DataFrame,
+      idCol: String, vecCol: String, k: Int,
+      tables: Int = 8, bitsPerTable: Int = 6, probeBits: Int = 6,
+      dim: Int = -1, seed: Long = 42L): DataFrame = {
+    val d = if (dim > 0) dim
+    else corpus.select(size(col(vecCol))).head().getInt(0)
+    lshNeighborsPlanes(corpus, queries, idCol, vecCol, k,
+      (0 until tables).map(t => planes(seed + t, bitsPerTable, d)),
+      probeBits = probeBits)
+  }
+
   /** [[lshNeighbors]] with an EXPLICIT plane tensor [table][bit][dim] —
     * the ONE definition of the bucket/candidate/re-rank serve path,
     * which the seeded production form above delegates to and the
@@ -360,9 +377,32 @@ object Ann {
     */
   def lshNeighborsPlanes(corpus: DataFrame, queries: DataFrame,
       idCol: String, vecCol: String, k: Int,
-      planeTensor: Seq[Seq[Seq[Double]]]): DataFrame = {
+      planeTensor: Seq[Seq[Seq[Double]]]): DataFrame =
+    lshNeighborsPlanes(corpus, queries, idCol, vecCol, k, planeTensor,
+      probeBits = 0)
+
+  /** [[lshNeighborsPlanes]] with MULTI-PROBE: the query side also
+    * probes, per table, every bucket at Hamming distance 1 from its own
+    * (the `probeBits` lowest sign bits flipped) — the standard
+    * multi-probe LSH trade (Lv et al., VLDB'07): a near-boundary query
+    * whose neighbor landed one sign-flip away is recovered WITHOUT
+    * adding tables, so the corpus-side cost (L bucket computations +
+    * index entries per row, the term that matters at 100 TB) stays
+    * fixed while recall rises; only the broadcast-side query rows
+    * multiply (×(probeBits+1), still queries-sized). `probeBits = 0`
+    * is exactly the single-probe path. Candidate membership stays a
+    * (table, bucket) equi-join; the exact re-rank is unchanged, so
+    * probing can only ADD true candidates — AnnSpec pins the superset
+    * and recall-monotonicity properties, and the pinned-plane fixture
+    * twin hash-matches the full probe expansion in DuckDB.
+    */
+  def lshNeighborsPlanes(corpus: DataFrame, queries: DataFrame,
+      idCol: String, vecCol: String, k: Int,
+      planeTensor: Seq[Seq[Seq[Double]]], probeBits: Int): DataFrame = {
     require(planeTensor.nonEmpty && planeTensor.head.nonEmpty,
       "planeTensor must have at least one table of at least one plane")
+    require(probeBits >= 0 && probeBits <= planeTensor.head.size,
+      s"probeBits $probeBits outside [0, ${planeTensor.head.size}]")
     val tables = planeTensor.size
     val bitsPerTable = planeTensor.head.size
     // plane tensor [table][bit][dim] as a single literal
@@ -388,7 +428,14 @@ object Ann {
     val qv = queries.select(col(idCol).as("query_id"),
       asDouble(col(vecCol)).as("v"))
     val cb = withBuckets(cv, "neighbor_id").drop("v")
-    val qb = withBuckets(qv, "query_id").drop("v")
+    val qb0 = withBuckets(qv, "query_id").drop("v")
+    // probe expansion (query side only): own bucket + each of the
+    // probeBits single-bit flips
+    val qb =
+      if (probeBits == 0) qb0
+      else qb0.withColumn("bucket", explode(array(
+        col("bucket") +: (0 until probeBits).map(b =>
+          col("bucket").bitwiseXOR(lit(1L << b))): _*)))
     val candidates = cb.join(broadcast(qb), Seq("table", "bucket"))
       .filter(col("neighbor_id") =!= col("query_id"))
       .select(col("query_id"), col("neighbor_id"))

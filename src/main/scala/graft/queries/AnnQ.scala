@@ -34,6 +34,17 @@ object AnnQ {
     Ann.lshNeighbors(corpus, queries, "vec_id", "embedding", k = 5)
   }
 
+  /** Multi-probe LSH top-5: 8 tables (4× smaller corpus-side index than
+    * q_ann_lsh's 32) with Hamming-1 query probing buying the recall
+    * back. Rows-only; AnnSpec pins recall + the probe-superset
+    * property; the pinned-plane fixture twin hash-matches the probe
+    * expansion.
+    */
+  def lshProbeTopK(spark: SparkSession, dir: String): DataFrame = {
+    val (corpus, queries) = corpusAndQueries(spark, dir)
+    Ann.lshNeighborsMultiprobe(corpus, queries, "vec_id", "embedding", k = 5)
+  }
+
   /** IVF approximate top-5 (16 cells, probe 4 → scans ~25% of the
     * corpus; measured 0.55 recall@5 on this weakly-clustered corpus —
     * the recall/scan-fraction dial is (nCentroids, nProbe)). Rows-only;
@@ -294,6 +305,21 @@ object AnnQ {
     val corpus = fx.corpusDf(spark)
     Ann.lshNeighborsPlanes(corpus, corpus.filter(col("vec_id") < 3),
       "vec_id", "embedding", k = fx.k, planeTensor = fx.planeTensor)
+  }
+
+  /** q_ann_lsh_probe_fixture: the MULTI-PROBE twin of
+    * [[lshFixtureTopK]] — the same pinned planes with every Hamming-1
+    * bucket probed (probeBits = bitsPerTable); DuckDB replays the
+    * probe expansion (bucket XOR each bit) plus the candidate join and
+    * ranking exactly, so the probing path is hash-match oracled, not
+    * just property-pinned.
+    */
+  def lshProbeFixtureTopK(spark: SparkSession, dir: String): DataFrame = {
+    val fx = graft.ann.LshFixture
+    val corpus = fx.corpusDf(spark)
+    Ann.lshNeighborsPlanes(corpus, corpus.filter(col("vec_id") < 3),
+      "vec_id", "embedding", k = fx.k, planeTensor = fx.planeTensor,
+      probeBits = fx.bitsPerTable)
   }
 
   /** q_hard_negatives: for each query vector, the top-5 most-similar

@@ -38,6 +38,30 @@ class AnnSpec extends AnyFunSuite with SparkSpec {
     assert(lsh.forall { case (qid, nid) => qid < 20 && qid != nid })
   }
 
+  test("multi-probe LSH: 4x fewer tables, recall holds; probing only adds candidates") {
+    val e = Tables(spark, dir, "embeddings")
+    val q = e.filter(col("vec_id") < 20)
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.select("query_id", "neighbor_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val brute = pairs(Ann.bruteForceTopK(e, q, "vec_id", "embedding", 5))
+    val probe = pairs(Ann.lshNeighborsMultiprobe(e, q, "vec_id", "embedding", 5))
+    val recall = (brute & probe).size.toDouble / brute.size
+    assert(recall >= 0.75, s"multiprobe recall=$recall")
+    // superset property on SHARED planes: with the same tensor, the
+    // probed candidate set contains the unprobed one, so unprobed hits
+    // that survive the exact re-rank can only be displaced by TRUER
+    // neighbors — recall is monotone in probeBits
+    val d = e.select(org.apache.spark.sql.functions.size(col("embedding")))
+      .head().getInt(0)
+    val tensor = (0 until 8).map(t => Ann.planes(42L + t, 6, d))
+    def hits(pb: Int) = pairs(Ann.lshNeighborsPlanes(e, q,
+      "vec_id", "embedding", 5, tensor, probeBits = pb))
+    val r0 = (brute & hits(0)).size
+    val r6 = (brute & hits(6)).size
+    assert(r6 >= r0, s"probing lost recall: $r6 < $r0")
+  }
+
   test("ivfNeighbors: recall@5 >= 0.5 probing 4/16 cells; deterministic") {
     val e = Tables(spark, dir, "embeddings")
     val q = e.filter(col("vec_id") < 20)
