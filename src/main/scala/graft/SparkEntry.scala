@@ -567,6 +567,12 @@ object SparkEntry {
     // multimodal — image near-dup pairs: banded pHash candidates +
     // exact Hamming verify (the dedup family's image member)
     "q_image_phash_pairs" -> MultimodalQ.imagePhashPairs,
+    // multimodal — audio fingerprints through the real WAV PCM codec
+    // round-trip (oracle recomputes from the sample formula)
+    "q_audio_ahash" -> MultimodalQ.audioAhash,
+    // audio near-dup pairs: the shared banded candidate + Hamming
+    // verify machinery over the audio fingerprints
+    "q_audio_ahash_pairs" -> MultimodalQ.audioAhashPairs,
   )
 
   /** Queries that carry NO DuckDB oracle BY DESIGN — each is approximate
@@ -2592,6 +2598,32 @@ object SparkEntry {
     "q_image_phash" ->
       s"""WITH $phashHashSql
         |SELECT asset_id, phash_hi, phash_lo FROM phash""".stripMargin,
+    "q_audio_ahash" ->
+      s"""WITH $ahashHashSql
+        |SELECT asset_id, ahash_hi, ahash_lo FROM ahash""".stripMargin,
+    // audio near-dup pairs: identical band replay as the image pairs,
+    // over the formula-derived audio hashes
+    "q_audio_ahash_pairs" ->
+      s"""WITH $ahashHashSql,
+        |bands AS (
+        |  SELECT asset_id, b.range AS band,
+        |    CASE b.range WHEN 0 THEN ahash_lo % 65536 WHEN 1 THEN ahash_lo // 65536
+        |                 WHEN 2 THEN ahash_hi % 65536 ELSE ahash_hi // 65536 END AS v
+        |  FROM ahash, range(4) b
+        |),
+        |cand AS (
+        |  SELECT DISTINCT a.asset_id AS a_id, c.asset_id AS b_id
+        |  FROM bands a JOIN bands c
+        |    ON a.band = c.band AND a.v = c.v AND a.asset_id < c.asset_id
+        |)
+        |SELECT cand.a_id, cand.b_id,
+        |  CAST(bit_count(xor(ha.ahash_hi, hb.ahash_hi))
+        |     + bit_count(xor(ha.ahash_lo, hb.ahash_lo)) AS BIGINT) AS hamming
+        |FROM cand
+        |JOIN ahash ha ON ha.asset_id = cand.a_id
+        |JOIN ahash hb ON hb.asset_id = cand.b_id
+        |WHERE bit_count(xor(ha.ahash_hi, hb.ahash_hi))
+        |    + bit_count(xor(ha.ahash_lo, hb.ahash_lo)) <= 10""".stripMargin,
     // banded candidates + exact Hamming verify, replayed on the oracle
     // hashes with the SAME band rule (the contract is the algorithm,
     // not an all-pairs ideal)
@@ -2803,6 +2835,40 @@ object SparkEntry {
     * the corrupted ids (91: truncated, 97: CRC-flipped) are excluded
     * here exactly as the decoder quarantines them.
     */
+  /** Audio fingerprint replay — mirrors [[graft.multimodal.Multimodal
+    * .sampleValue]]/[[graft.multimodal.Multimodal.aHash]]: per-frame
+    * Σ|sample| energies (all-integer, exact) then the delta-sign bit
+    * chain packed hi/lo. Shared by q_audio_ahash and its pairs twin.
+    */
+  private lazy val ahashHashSql: String =
+    """adocs AS (
+      |  SELECT doc_id FROM documents WHERE doc_id % 89 <> 0
+      |),
+      |aen AS (
+      |  SELECT d.doc_id, f.range AS f, sum(abs(
+      |    (((((d.doc_id // 4) * 97 + f.range * 32 + s.range) % 509)
+      |      * (((d.doc_id // 4) * 97 + f.range * 32 + s.range) % 509)
+      |      * (((d.doc_id // 4) * 97 + f.range * 32 + s.range) % 509)) % 509
+      |     + CASE WHEN (f.range * 32 + s.range + d.doc_id) % 37 = 0
+      |            THEN (d.doc_id % 4) * 16 ELSE 0 END) % 1024 - 512)) AS e
+      |  FROM adocs d, range(65) f, range(32) s
+      |  GROUP BY 1, 2
+      |),
+      |abit AS (
+      |  SELECT e1.doc_id, CAST(e1.f AS BIGINT) AS pos,
+      |    CASE WHEN e2.e > e1.e THEN 1 ELSE 0 END AS bit
+      |  FROM aen e1 JOIN aen e2 ON e2.doc_id = e1.doc_id AND e2.f = e1.f + 1
+      |  WHERE e1.f < 64
+      |),
+      |ahash AS (
+      |  SELECT doc_id AS asset_id,
+      |    CAST(SUM(CASE WHEN pos >= 32
+      |      THEN bit * (1::BIGINT << CAST(pos - 32 AS INTEGER)) ELSE 0 END) AS BIGINT) AS ahash_hi,
+      |    CAST(SUM(CASE WHEN pos < 32
+      |      THEN bit * (1::BIGINT << CAST(pos AS INTEGER)) ELSE 0 END) AS BIGINT) AS ahash_lo
+      |  FROM abit GROUP BY doc_id
+      |)""".stripMargin
+
   private lazy val phashHashSql: String =
     """docs AS (
       |  SELECT doc_id FROM documents WHERE doc_id % 91 <> 0 AND doc_id % 97 <> 0

@@ -654,6 +654,83 @@ object MediaCodec {
     out.toByteArray
   }
 
+  /** Encode 16-bit signed mono PCM as a complete WAV (RIFF + fmt +
+    * data, little-endian samples) — the audio twin of [[pngGray]]: a
+    * real container around real content bytes, so the decode path is
+    * exercised by round-trip rather than trusted.
+    */
+  def wavPcm16Mono(sampleRate: Int, nSamples: Int,
+      sample: Int => Int): Array[Byte] = {
+    require(sampleRate > 0 && nSamples >= 0, s"wavPcm16Mono $sampleRate/$nSamples")
+    val dataSize = nSamples * 2
+    val out = new java.io.ByteArrayOutputStream()
+    "RIFF".foreach(c => out.write(c.toInt))
+    writeLe32(out, 4 + (8 + 16) + (8 + dataSize))
+    "WAVE".foreach(c => out.write(c.toInt))
+    "fmt ".foreach(c => out.write(c.toInt))
+    writeLe32(out, 16)
+    writeLe16(out, 1) // PCM
+    writeLe16(out, 1) // mono
+    writeLe32(out, sampleRate)
+    writeLe32(out, sampleRate * 2)
+    writeLe16(out, 2) // block align
+    writeLe16(out, 16)
+    "data".foreach(c => out.write(c.toInt))
+    writeLe32(out, dataSize)
+    var s = 0
+    while (s < nSamples) {
+      val v = sample(s)
+      require(v >= -32768 && v <= 32767, s"sample $s out of s16 range: $v")
+      out.write(v & 0xff); out.write((v >>> 8) & 0xff)
+      s += 1
+    }
+    out.toByteArray
+  }
+
+  /** Decode a 16-bit signed mono PCM WAV to its sample array — the
+    * audio twin of [[decodePngPixels]]: RIFF/fmt/data chunk walk (odd
+    * sizes padded per spec), format contract enforced (PCM, 1 channel,
+    * 16 bits), and None on ANY structural defect — truncated container,
+    * data chunk whose declared size exceeds the available bytes, or an
+    * out-of-contract format — so a curation pipeline quarantines the
+    * asset instead of fingerprinting garbage.
+    */
+  def decodeWavPcm16Mono(b: Array[Byte]): Option[Array[Int]] = {
+    if (b.length < 12) return None
+    if (boxType(b, 0) != "RIFF" || boxType(b, 8) != "WAVE") return None
+    var pos = 12
+    var fmtOk = false
+    var samples: Array[Int] = null
+    while (pos + 8 <= b.length) {
+      val id = boxType(b, pos)
+      val size = le32(b, pos + 4)
+      if (size < 0 || size.toLong > b.length.toLong - 8 - pos) return None
+      id match {
+        case "fmt " =>
+          if (size < 16) return None
+          val codec = le16(b, pos + 8)
+          val channels = le16(b, pos + 10)
+          val bits = le16(b, pos + 22)
+          if (codec != 1 || channels != 1 || bits != 16) return None
+          fmtOk = true
+        case "data" =>
+          if (!fmtOk || size % 2 != 0) return None
+          val n = size / 2
+          val out = new Array[Int](n)
+          var i = 0
+          while (i < n) {
+            out(i) = (u8(b, pos + 8 + 2 * i) |
+              (u8(b, pos + 9 + 2 * i) << 8)).toShort.toInt
+            i += 1
+          }
+          samples = out
+        case _ => // LIST/JUNK etc: skip
+      }
+      pos += 8 + size + (size & 1) // odd chunk sizes pad to even
+    }
+    Option(samples)
+  }
+
   private def writeLe32(o: java.io.ByteArrayOutputStream, v: Int): Unit = {
     o.write(v & 0xff); o.write((v >>> 8) & 0xff)
     o.write((v >>> 16) & 0xff); o.write((v >>> 24) & 0xff)

@@ -49,6 +49,12 @@ final case class AudioMeta(asset_id: Long, fmt: String, duration_ms: Long,
   */
 final case class ImagePhash(asset_id: Long, phash_hi: Long, phash_lo: Long)
 
+/** Per-asset 64-bit audio fingerprint (frame-energy delta-sign chain),
+  * split hi/lo like [[ImagePhash]] so the banded pairing machinery is
+  * shared across modalities.
+  */
+final case class AudioAhash(asset_id: Long, ahash_hi: Long, ahash_lo: Long)
+
 /** Decoded per-asset features (the output of the decode stub). */
 final case class MediaFeatures(
     asset_id: Long,
@@ -424,6 +430,82 @@ object Multimodal {
           bit_count(col("a_lo").bitwiseXOR(col("b_lo")))).cast("long"))
       .filter(col("hamming") <= maxHamming)
       .select(col("a_id"), col("b_id"), col("hamming"))
+  }
+
+  // ------------------------------------------- audio content fingerprint
+
+  private[multimodal] val AhashFrames = 65
+  private[multimodal] val AhashFrameLen = 32
+
+  /** The ONE definition of the synthetic PCM content, mirrored by the
+    * q_audio_ahash oracles: sample `s` of document `d` is
+    * ((m³ mod 509 + perturbation) mod 1024) − 512 with
+    * m = ((d/4)·97 + s) mod 509 — the d/4 group key gives every 4
+    * consecutive docs the same base waveform, and the perturbation
+    * (+16·(d%4) on samples where (s + d) ≡ 0 mod 37) plants the
+    * small-diff near-dup structure the fingerprint pairing must
+    * recover. All-integer, so frame energies are exact in both engines.
+    */
+  private[multimodal] def sampleValue(d: Long, s: Int): Int = {
+    val m = ((d / 4) * 97 + s) % 509
+    val pert = if ((s + d) % 37 == 0) (d % 4) * 16 else 0L
+    ((((m * m * m) % 509 + pert) % 1024) - 512).toInt
+  }
+
+  /** Audio assets with FULL PCM content: each document becomes a
+    * complete 16-bit mono WAV ([[MediaCodec.wavPcm16Mono]] — real RIFF
+    * layout, real little-endian samples). Planted corruption the decode
+    * stage must quarantine: doc_id % 89 == 0 truncated mid-header.
+    */
+  def ahashAudioAssets(spark: SparkSession, docs: DataFrame): Dataset[AudioAsset] = {
+    import spark.implicits._
+    docs.select(col("doc_id")).as[Long].map { id =>
+      val bytes = MediaCodec.wavPcm16Mono(8000, AhashFrames * AhashFrameLen,
+        s => sampleValue(id, s))
+      AudioAsset(id, if (id % 89 == 0) bytes.take(30) else bytes)
+    }
+  }
+
+  /** 64-bit aHash from decoded samples: per-frame integer energy
+    * (Σ|sample| over [[AhashFrameLen]]-sample frames — exact in Long),
+    * then bit `f` = 1 iff frame f+1 is more energetic than frame f —
+    * the dHash delta-sign chain applied along time instead of space.
+    * None when the clip is shorter than the frame grid (quarantine).
+    */
+  private[multimodal] def aHash(samples: Array[Int]): Option[(Long, Long)] = {
+    val fl = AhashFrameLen
+    if (samples.length < AhashFrames * fl) return None
+    val e = Array.tabulate(AhashFrames) { f =>
+      var acc = 0L; var i = f * fl
+      while (i < (f + 1) * fl) { acc += math.abs(samples(i)); i += 1 }
+      acc
+    }
+    var hi = 0L; var lo = 0L
+    var f = 0
+    while (f < 64) {
+      if (e(f + 1) > e(f)) {
+        if (f >= 32) hi |= 1L << (f - 32) else lo |= 1L << f
+      }
+      f += 1
+    }
+    Some((hi, lo))
+  }
+
+  /** Partition-batched PCM decode + fingerprint: full WAV decode
+    * ([[MediaCodec.decodeWavPcm16Mono]] — chunk walk, format contract,
+    * sample decode) then [[aHash]]. Undecodable assets are DROPPED
+    * (quarantine). The media column is read exactly once, here;
+    * downstream ships 16 bytes per asset.
+    */
+  def decodeAhash(assets: Dataset[AudioAsset]): Dataset[AudioAhash] = {
+    import assets.sparkSession.implicits._
+    assets.mapPartitions { batch =>
+      batch.flatMap { a =>
+        MediaCodec.decodeWavPcm16Mono(a.media).flatMap(aHash).map {
+          case (hi, lo) => AudioAhash(a.asset_id, hi, lo)
+        }
+      }
+    }
   }
 
   /** Frame sampling for video assets: every `step`-th frame index with

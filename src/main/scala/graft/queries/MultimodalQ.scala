@@ -1,6 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.col
 
 import graft.Tables
 import graft.multimodal.Multimodal
@@ -83,6 +84,30 @@ object MultimodalQ {
       Multimodal.decodePhash(
         Multimodal.phashImageAssets(spark, Tables(spark, dir, "documents")))
         .toDF().localCheckpoint(),
+      maxHamming = 10)
+
+  /** q_audio_ahash: per-document 64-bit audio fingerprint through the
+    * REAL codec round-trip (PCM synth → WAV encode → chunk-walk decode
+    * → frame-energy delta-sign chain); the oracle recomputes the hash
+    * straight from the sample formula, so hash-match proves the audio
+    * codec path end-to-end. Truncated assets (doc_id % 89) quarantine.
+    */
+  def audioAhash(spark: SparkSession, dir: String): DataFrame =
+    Multimodal.decodeAhash(
+      Multimodal.ahashAudioAssets(spark, Tables(spark, dir, "documents")))
+      .toDF()
+
+  /** q_audio_ahash_pairs: audio near-duplicate pairs — the SAME banded
+    * candidate + Hamming-verify machinery as the image pairs
+    * ([[graft.multimodal.Multimodal.phashPairs]]), fed the audio
+    * fingerprints; the dedup family's audio member. Checkpointed for
+    * the same decode-once reason as the image twin.
+    */
+  def audioAhashPairs(spark: SparkSession, dir: String): DataFrame =
+    Multimodal.phashPairs(
+      audioAhash(spark, dir).select(col("asset_id"),
+        col("ahash_hi").as("phash_hi"), col("ahash_lo").as("phash_lo"))
+        .localCheckpoint(),
       maxHamming = 10)
 
   def frameSample(spark: SparkSession, dir: String): DataFrame =

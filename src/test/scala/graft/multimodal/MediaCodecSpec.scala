@@ -352,6 +352,44 @@ class MediaCodecSpec extends AnyFunSuite {
     assert(MediaCodec.parseWav(f).get.durationMs == 124L)
   }
 
+  // A complete 16-bit mono PCM WAV produced by an INDEPENDENT encoder
+  // (Python struct; odd-sized LIST chunk before fmt exercises the
+  // pad-byte rule), pinned byte-for-byte. sample(s) = s*37 - 80.
+  private val realWav6: Array[Byte] = Array(
+    0x52, 0x49, 0x46, 0x46, 0x30, 0x00, 0x00, 0x00, 0x57, 0x41, 0x56, 0x45,
+    0x4c, 0x49, 0x53, 0x54, 0x05, 0x00, 0x00, 0x00, 0x49, 0x4e, 0x46, 0x4f,
+    0x78, 0x00, 0x66, 0x6d, 0x74, 0x20, 0x10, 0x00, 0x00, 0x00, 0x01, 0x00,
+    0x01, 0x00, 0x40, 0x1f, 0x00, 0x00, 0x80, 0x3e, 0x00, 0x00, 0x02, 0x00,
+    0x10, 0x00, 0x64, 0x61, 0x74, 0x61, 0x0c, 0x00, 0x00, 0x00, 0xb0, 0xff,
+    0xd5, 0xff, 0xfa, 0xff, 0x1f, 0x00, 0x44, 0x00, 0x69, 0x00)
+    .map(_.toByte)
+
+  test("decodes an independently-encoded PCM WAV (pinned bytes, negative samples)") {
+    val s = MediaCodec.decodeWavPcm16Mono(realWav6).get
+    assert(s.toSeq == (0 until 6).map(_ * 37 - 80))
+  }
+
+  test("wavPcm16Mono encode -> decode round-trips exact samples") {
+    def v(s: Int): Int = ((s * 131 + 7) % 2048) - 1024
+    val b = MediaCodec.wavPcm16Mono(8000, 300, v)
+    val s = MediaCodec.decodeWavPcm16Mono(b).get
+    assert(s.length == 300)
+    assert(s.toSeq == (0 until 300).map(v))
+    // quarantine: truncation, stereo/8-bit formats, size lies
+    assert(MediaCodec.decodeWavPcm16Mono(b.take(30)).isEmpty)
+    assert(MediaCodec.decodeWavPcm16Mono(
+      MediaCodec.wavHeader(8000, channels = 2, bitsPerSample = 16,
+        nSamples = 4)).isEmpty)
+    assert(MediaCodec.decodeWavPcm16Mono(
+      MediaCodec.wavHeader(8000, channels = 1, bitsPerSample = 8,
+        nSamples = 4)).isEmpty)
+    // data-chunk size field (offset 40-43: RIFF hdr 12 + fmt 24 + id 4)
+    // claims ~2GB with 600 bytes left — the bound check must catch it
+    val lie = b.clone()
+    lie(40) = -1; lie(41) = -1; lie(42) = -1; lie(43) = 0x7f
+    assert(MediaCodec.decodeWavPcm16Mono(lie).isEmpty)
+  }
+
   test("wav corruption returns None, never throws") {
     assert(MediaCodec.parseWav(Array.empty[Byte]).isEmpty)
     assert(MediaCodec.parseWav(realWav.take(20)).isEmpty) // truncated fmt
