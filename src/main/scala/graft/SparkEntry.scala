@@ -3071,13 +3071,55 @@ object SparkEntry {
       |  SELECT s AS doc_id, min(dd) = s AS img_canonical FROM ireach GROUP BY s
       |)""".stripMargin
 
+  /** The audio-cluster closure (aHash → bands → Hamming ≤ 10 pairs →
+    * connected components → `aucanon`) — the audio twin of
+    * [[imageClosureCtes]], over the formula-replayed fingerprints.
+    */
+  private lazy val audioClosureCtes: String =
+    s"""$ahashHashSql,
+      |aubands AS (
+      |  SELECT asset_id, b.range AS band,
+      |    CASE b.range WHEN 0 THEN ahash_lo % 65536 WHEN 1 THEN ahash_lo // 65536
+      |                 WHEN 2 THEN ahash_hi % 65536 ELSE ahash_hi // 65536 END AS v
+      |  FROM ahash, range(4) b
+      |),
+      |aupairs AS (
+      |  SELECT DISTINCT a.asset_id AS a_id, c.asset_id AS b_id
+      |  FROM aubands a JOIN aubands c ON a.band = c.band AND a.v = c.v
+      |    AND a.asset_id < c.asset_id
+      |),
+      |auhits AS (
+      |  SELECT ap.a_id, ap.b_id
+      |  FROM aupairs ap
+      |  JOIN ahash ha ON ha.asset_id = ap.a_id
+      |  JOIN ahash hb ON hb.asset_id = ap.b_id
+      |  WHERE bit_count(xor(ha.ahash_hi, hb.ahash_hi))
+      |      + bit_count(xor(ha.ahash_lo, hb.ahash_lo)) <= 10
+      |),
+      |auedges AS (
+      |  SELECT a_id AS s, b_id AS dd FROM auhits
+      |  UNION ALL SELECT b_id, a_id FROM auhits
+      |),
+      |aureach(s, dd) AS (
+      |  SELECT asset_id, asset_id FROM ahash
+      |  UNION
+      |  SELECT rr.s, e.dd FROM aureach rr JOIN auedges e ON rr.dd = e.s
+      |),
+      |aucanon AS (
+      |  SELECT s AS doc_id, min(dd) = s AS au_canonical FROM aureach GROUP BY s
+      |)""".stripMargin
+
   private lazy val corpusFilterMmSql: String =
     s"""$corpusFilterCtes,
-      |$imageClosureCtes
+      |$imageClosureCtes,
+      |$audioClosureCtes
       |SELECT dc.doc_id, q.quality_ok, r.not_repetitive, dc.not_contaminated, canon.canonical,
       | coalesce(icanon.img_canonical, FALSE) AS image_ok,
+      | coalesce(aucanon.au_canonical, FALSE) AS audio_ok,
       | (q.quality_ok AND r.not_repetitive AND dc.not_contaminated AND canon.canonical
-      |  AND coalesce(icanon.img_canonical, FALSE)) AS keep
+      |  AND coalesce(icanon.img_canonical, FALSE)
+      |  AND coalesce(aucanon.au_canonical, FALSE)) AS keep
       |FROM dc JOIN q USING (doc_id) JOIN r USING (doc_id) JOIN canon USING (doc_id)
-      |LEFT JOIN icanon USING (doc_id)""".stripMargin
+      |LEFT JOIN icanon USING (doc_id)
+      |LEFT JOIN aucanon USING (doc_id)""".stripMargin
 }

@@ -148,18 +148,19 @@ object DedupQ {
       clusterLabelsInline(spark, dir))
 
   /** The MULTIMODAL curation verdict — [[corpusFilter]] with the image
-    * near-dup canonical bit conjoined: a document keeps only if its
-    * image asset decodes (CRC-verified pixel decode; corrupt assets
-    * fail) AND it is the min-id representative of its pHash Hamming ≤ 10
-    * cluster ([[graft.multimodal.Multimodal.phashPairs]] banded
-    * candidates + the shared star-contraction). The text and image
-    * near-dup machineries stay independent stages joined on doc_id —
-    * at 100 TB each is its own artifact and the verdict is a co-
-    * partitioned conjunction, same as the text-only form.
+    * AND audio near-dup canonical bits conjoined: a document keeps only
+    * if each media asset decodes (CRC-verified pixel decode / WAV
+    * format contract; corrupt assets fail) AND it is the min-id
+    * representative of its pHash/aHash Hamming ≤ 10 cluster
+    * ([[graft.multimodal.Multimodal.phashPairs]] banded candidates +
+    * the shared star-contraction, per modality). The text, image and
+    * audio near-dup machineries stay independent stages joined on
+    * doc_id — at 100 TB each is its own artifact and the verdict is a
+    * co-partitioned conjunction, same as the text-only form.
     */
   def corpusFilterMm(spark: SparkSession, dir: String): DataFrame =
     mmVerdict(corpusVerdict(spark, dir, clusterLabelsInline(spark, dir)),
-      imageClusterLabels(spark, dir))
+      imageClusterLabels(spark, dir), audioClusterLabels(spark, dir))
 
   /** [[corpusFilterMm]] COMPOSED from the two persisted cluster
     * artifacts (text near-dup labels + image pHash labels) — the
@@ -173,9 +174,14 @@ object DedupQ {
       imageClusterLabels(spark, dir)
         .write.mode("overwrite").parquet(s"$out/image_clusters")
     }
+    val audStage = graft.ops.StageArtifacts.ensure(dir, "curation-aud") { out =>
+      audioClusterLabels(spark, dir)
+        .write.mode("overwrite").parquet(s"$out/audio_clusters")
+    }
     mmVerdict(
       corpusVerdict(spark, dir, canonicalFrom(textClustersFromArtifact(spark, dir))),
-      spark.read.parquet(s"$imgStage/image_clusters"))
+      spark.read.parquet(s"$imgStage/image_clusters"),
+      spark.read.parquet(s"$audStage/audio_clusters"))
   }
 
   /** Image pHash cluster labels over the DECODABLE assets (quarantined
@@ -195,17 +201,39 @@ object DedupQ {
     Dedup.clusterLabels(hashes.select(col("asset_id")), "asset_id", pairs)
   }
 
-  /** The mm conjunction: text verdict ∧ image_ok (doc decodes AND is
-    * its image cluster's min-id representative). One definition for the
-    * inline and composed twins.
+  /** Audio aHash cluster labels over the DECODABLE assets — the audio
+    * twin of [[imageClusterLabels]]: banded fingerprint candidates +
+    * Hamming ≤ 10 verify + the shared star contraction.
     */
-  private def mmVerdict(base: DataFrame, imgLabels: DataFrame): DataFrame =
+  private def audioClusterLabels(spark: SparkSession, dir: String): DataFrame = {
+    val hashes = graft.multimodal.Multimodal.decodeAhash(
+      graft.multimodal.Multimodal.ahashAudioAssets(
+        spark, Tables(spark, dir, "documents"))).toDF()
+      .select(col("asset_id"), col("ahash_hi").as("phash_hi"),
+        col("ahash_lo").as("phash_lo"))
+      .localCheckpoint()
+    val pairs = graft.multimodal.Multimodal.phashPairs(hashes, maxHamming = 10)
+      .select(col("a_id"), col("b_id"))
+    Dedup.clusterLabels(hashes.select(col("asset_id")), "asset_id", pairs)
+  }
+
+  /** The mm conjunction: text verdict ∧ image_ok ∧ audio_ok (each
+    * media asset decodes AND is its modality cluster's min-id
+    * representative). One definition for the inline and composed twins.
+    */
+  private def mmVerdict(base: DataFrame, imgLabels: DataFrame,
+      audLabels: DataFrame): DataFrame =
     base
       .join(imgLabels.select(col("doc_id"),
         (col("doc_id") === col("cluster_id")).as("image_ok")),
         Seq("doc_id"), "left")
+      .join(audLabels.select(col("doc_id"),
+        (col("doc_id") === col("cluster_id")).as("audio_ok")),
+        Seq("doc_id"), "left")
       .withColumn("image_ok", coalesce(col("image_ok"), lit(false)))
-      .withColumn("keep", col("keep") && col("image_ok"))
+      .withColumn("audio_ok", coalesce(col("audio_ok"), lit(false)))
+      .withColumn("keep",
+        col("keep") && col("image_ok") && col("audio_ok"))
 
   /** The cluster-label STAGE ARTIFACT: the expensive curation stage
     * (MinHash banding + star contraction) materialized once as parquet.

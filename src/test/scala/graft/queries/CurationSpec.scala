@@ -96,28 +96,29 @@ class CurationSpec extends AnyFunSuite with SparkSpec {
     assert(rows.groupBy(_._2).exists(_._2.length > 1))
   }
 
-  test("corpusFilterMm: image canonicality conjoined, non-vacuously") {
-    val mm = DedupQ.corpusFilterMm(spark, dir).collect()
+  test("corpusFilterMm: image + audio canonicality conjoined, non-vacuously") {
+    def collectMm(df: org.apache.spark.sql.DataFrame) = df.collect()
       .map(r => r.getAs[Long]("doc_id") ->
-        (r.getAs[Boolean]("image_ok"), r.getAs[Boolean]("keep"))).toMap
+        (r.getAs[Boolean]("image_ok"), r.getAs[Boolean]("audio_ok"),
+          r.getAs[Boolean]("keep"))).toMap
+    val mm = collectMm(DedupQ.corpusFilterMm(spark, dir))
     val txt = DedupQ.corpusFilter(spark, dir).collect()
       .map(r => r.getAs[Long]("doc_id") -> r.getAs[Boolean]("keep")).toMap
     assert(mm.keySet == txt.keySet)
-    // keep is EXACTLY the text verdict AND the image bit
-    for ((id, (imgOk, keep)) <- mm)
-      assert(keep == (txt(id) && imgOk), s"doc $id")
-    // quarantined assets (undecodable PNGs) must fail image_ok
+    // keep is EXACTLY the text verdict AND the image AND audio bits
+    for ((id, (imgOk, audOk, keep)) <- mm)
+      assert(keep == (txt(id) && imgOk && audOk), s"doc $id")
+    // quarantined assets (undecodable PNGs / truncated WAVs) must fail
     for (id <- mm.keys if id % 91 == 0 || id % 97 == 0)
       assert(!mm(id)._1, s"quarantined doc $id has image_ok")
-    // the image term flips at least one otherwise-kept verdict
-    assert(mm.exists { case (id, (_, keep)) => txt(id) && !keep })
-    // and does not kill everything: some doc survives the full verdict
-    assert(mm.exists(_._2._2))
-    // the composed form (both cluster stages read from parquet
+    for (id <- mm.keys if id % 89 == 0)
+      assert(!mm(id)._2, s"quarantined doc $id has audio_ok")
+    // the media terms flip at least one otherwise-kept verdict
+    assert(mm.exists { case (id, (_, _, keep)) => txt(id) && !keep })
+    // and do not kill everything: some doc survives the full verdict
+    assert(mm.exists(_._2._3))
+    // the composed form (all three cluster stages read from parquet
     // artifacts) is row-identical to the inline form
-    val composed = DedupQ.corpusFilterMmCompose(spark, dir).collect()
-      .map(r => r.getAs[Long]("doc_id") ->
-        (r.getAs[Boolean]("image_ok"), r.getAs[Boolean]("keep"))).toMap
-    assert(composed == mm)
+    assert(collectMm(DedupQ.corpusFilterMmCompose(spark, dir)) == mm)
   }
 }
