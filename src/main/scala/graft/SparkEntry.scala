@@ -573,6 +573,14 @@ object SparkEntry {
     // audio near-dup pairs: the shared banded candidate + Hamming
     // verify machinery over the audio fingerprints
     "q_audio_ahash_pairs" -> MultimodalQ.audioAhashPairs,
+    // multimodal — video fingerprints through the real MP4 raw-luma
+    // codec round-trip (box walk + single-mdat frame payload decode;
+    // oracle recomputes from the frame formula) — completes the
+    // image/audio/video content-fingerprint matrix
+    "q_video_vhash" -> MultimodalQ.videoVhash,
+    // video near-dup pairs: the shared banded candidate + Hamming
+    // verify machinery over the video fingerprints
+    "q_video_vhash_pairs" -> MultimodalQ.videoVhashPairs,
   )
 
   /** Queries that carry NO DuckDB oracle BY DESIGN — each is approximate
@@ -2624,6 +2632,32 @@ object SparkEntry {
         |JOIN ahash hb ON hb.asset_id = cand.b_id
         |WHERE bit_count(xor(ha.ahash_hi, hb.ahash_hi))
         |    + bit_count(xor(ha.ahash_lo, hb.ahash_lo)) <= 10""".stripMargin,
+    "q_video_vhash" ->
+      s"""WITH $vhashHashSql
+        |SELECT asset_id, vhash_hi, vhash_lo FROM vhash""".stripMargin,
+    // video near-dup pairs: identical band replay as the image/audio
+    // pairs, over the formula-derived video hashes
+    "q_video_vhash_pairs" ->
+      s"""WITH $vhashHashSql,
+        |bands AS (
+        |  SELECT asset_id, b.range AS band,
+        |    CASE b.range WHEN 0 THEN vhash_lo % 65536 WHEN 1 THEN vhash_lo // 65536
+        |                 WHEN 2 THEN vhash_hi % 65536 ELSE vhash_hi // 65536 END AS v
+        |  FROM vhash, range(4) b
+        |),
+        |cand AS (
+        |  SELECT DISTINCT a.asset_id AS a_id, c.asset_id AS b_id
+        |  FROM bands a JOIN bands c
+        |    ON a.band = c.band AND a.v = c.v AND a.asset_id < c.asset_id
+        |)
+        |SELECT cand.a_id, cand.b_id,
+        |  CAST(bit_count(xor(ha.vhash_hi, hb.vhash_hi))
+        |     + bit_count(xor(ha.vhash_lo, hb.vhash_lo)) AS BIGINT) AS hamming
+        |FROM cand
+        |JOIN vhash ha ON ha.asset_id = cand.a_id
+        |JOIN vhash hb ON hb.asset_id = cand.b_id
+        |WHERE bit_count(xor(ha.vhash_hi, hb.vhash_hi))
+        |    + bit_count(xor(ha.vhash_lo, hb.vhash_lo)) <= 10""".stripMargin,
     // banded candidates + exact Hamming verify, replayed on the oracle
     // hashes with the SAME band rule (the contract is the algorithm,
     // not an all-pairs ideal)
@@ -2867,6 +2901,41 @@ object SparkEntry {
       |    CAST(SUM(CASE WHEN pos < 32
       |      THEN bit * (1::BIGINT << CAST(pos AS INTEGER)) ELSE 0 END) AS BIGINT) AS ahash_lo
       |  FROM abit GROUP BY doc_id
+      |)""".stripMargin
+
+  /** Video fingerprint replay — mirrors [[graft.multimodal.Multimodal
+    * .framePixel]]/[[graft.multimodal.Multimodal.vHash]]: per-frame
+    * Σ-luma energies (all-integer, exact) then the delta-sign bit chain
+    * packed hi/lo. Shared by q_video_vhash and its pairs twin, and by
+    * the mm-verdict video closure.
+    */
+  private lazy val vhashHashSql: String =
+    """vdocs AS (
+      |  SELECT doc_id FROM documents WHERE doc_id % 83 <> 0
+      |),
+      |ven AS (
+      |  SELECT d.doc_id, f.range AS f, sum(
+      |    (((((d.doc_id // 4) * 103 + f.range * 32 + s.range) % 509)
+      |      * (((d.doc_id // 4) * 103 + f.range * 32 + s.range) % 509)
+      |      * (((d.doc_id // 4) * 103 + f.range * 32 + s.range) % 509)) % 509
+      |     + CASE WHEN (f.range * 32 + s.range + d.doc_id) % 43 = 0
+      |            THEN (d.doc_id % 4) * 8 ELSE 0 END) % 256) AS e
+      |  FROM vdocs d, range(65) f, range(32) s
+      |  GROUP BY 1, 2
+      |),
+      |vbit AS (
+      |  SELECT e1.doc_id, CAST(e1.f AS BIGINT) AS pos,
+      |    CASE WHEN e2.e > e1.e THEN 1 ELSE 0 END AS bit
+      |  FROM ven e1 JOIN ven e2 ON e2.doc_id = e1.doc_id AND e2.f = e1.f + 1
+      |  WHERE e1.f < 64
+      |),
+      |vhash AS (
+      |  SELECT doc_id AS asset_id,
+      |    CAST(SUM(CASE WHEN pos >= 32
+      |      THEN bit * (1::BIGINT << CAST(pos - 32 AS INTEGER)) ELSE 0 END) AS BIGINT) AS vhash_hi,
+      |    CAST(SUM(CASE WHEN pos < 32
+      |      THEN bit * (1::BIGINT << CAST(pos AS INTEGER)) ELSE 0 END) AS BIGINT) AS vhash_lo
+      |  FROM vbit GROUP BY doc_id
       |)""".stripMargin
 
   private lazy val phashHashSql: String =

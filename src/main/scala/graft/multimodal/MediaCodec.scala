@@ -315,8 +315,8 @@ object MediaCodec {
     pngEncode(w, h, colorType = 0, (x, y, _) => pixel(x, y), filterForRow)
 
   /** [[pngGray]]'s color generalization: encode 8-bit truecolor
-    * (`colorType` 2, RGB) or truecolor+alpha (6, RGBA) from a
-    * per-(x, y, channel) sample function — same real deflate stream,
+    * (`colorType` 2, RGB), grayscale+alpha (4) or truecolor+alpha (6,
+    * RGBA) from a per-(x, y, channel) sample function — same real deflate stream,
     * per-row filters, multi-IDAT and CRC-32 as the grayscale form. PNG
     * filters operate BYTEWISE with "left" meaning `bpp` bytes back
     * (spec §9.2), which is exactly what the decoder must reverse — so
@@ -687,6 +687,73 @@ object MediaCodec {
     out.toByteArray
   }
 
+  // ----------------------------------------------- MP4 raw-luma codec
+
+  /** A decoded raw-luma video: frame `f`'s pixel `i` is
+    * `px(f * width * height + i)` — 8-bit gray, row-major within the
+    * frame (stored as a signed byte; mask with `& 0xff`).
+    */
+  final case class LumaVideo(width: Int, height: Int, nFrames: Int,
+      px: Array[Byte])
+
+  /** Encode raw 8-bit luma frames as a complete MP4 (ftyp + moov with
+    * real mvhd/tkhd boxes + ONE mdat holding nFrames·w·h gray8 bytes,
+    * frame-major) — the video twin of [[wavPcm16Mono]]/[[pngGray]]: a
+    * real container around real content bytes, so the decode path is
+    * exercised by round-trip rather than trusted. Timing metadata is
+    * 25 fps on the 600-unit timescale (24 units per frame), so the
+    * mvhd duration stays consistent with the frame count.
+    */
+  def mp4LumaVideo(w: Int, h: Int, nFrames: Int,
+      pixel: (Int, Int) => Int): Array[Byte] = {
+    require(w > 0 && h > 0 && nFrames > 0, s"mp4LumaVideo ${w}x$h x$nFrames")
+    val frameLen = w * h
+    val payload = new Array[Byte](nFrames * frameLen)
+    var f = 0
+    while (f < nFrames) {
+      var i = 0
+      while (i < frameLen) {
+        val v = pixel(f, i)
+        require(v >= 0 && v <= 255, s"pixel ($f,$i) out of gray8 range: $v")
+        payload(f * frameLen + i) = v.toByte
+        i += 1
+      }
+      f += 1
+    }
+    mp4Header(timescale = 600, duration = nFrames.toLong * 24,
+      tracks = Seq((w, h)), payload = payload)
+  }
+
+  /** Decode a raw-luma MP4 back to its frames — the video twin of
+    * [[decodePngPixels]]/[[decodeWavPcm16Mono]]: the full metadata box
+    * walk first ([[parseMp4]] — structural validation, video-track
+    * dims), then a top-level walk to the single `mdat`, whose payload
+    * must hold a WHOLE number of width·height gray8 frames. None on
+    * ANY structural defect — unparseable boxes, missing or ambiguous
+    * (second) mdat, ragged frame payload, a crafted container past the
+    * pixel budget — so a curation pipeline quarantines the asset
+    * instead of fingerprinting garbage frames.
+    */
+  def decodeMp4Luma(b: Array[Byte]): Option[LumaVideo] = {
+    val hdr = parseMp4(b).getOrElse(return None)
+    val w = hdr.width; val h = hdr.height
+    var mdat: Option[(Int, Int)] = None
+    var dup = false
+    if (!walkBoxes(b, 0, b.length) { (t, s, e) =>
+      if (t == "mdat") {
+        if (mdat.isDefined) dup = true else mdat = Some((s, e))
+      }
+    }) return None
+    if (dup) return None // ambiguous container: which payload is real?
+    val (ms, me) = mdat.getOrElse(return None)
+    val size = (me - ms).toLong
+    val frameLen = w.toLong * h
+    if (size == 0 || size % frameLen != 0) return None
+    if (size > MaxDecodePixels) return None // same budget as the PNG path
+    val n = (size / frameLen).toInt
+    Some(LumaVideo(w, h, n, java.util.Arrays.copyOfRange(b, ms, me)))
+  }
+
   /** Decode a 16-bit signed mono PCM WAV to its sample array — the
     * audio twin of [[decodePngPixels]]: RIFF/fmt/data chunk walk (odd
     * sizes padded per spec), format contract enforced (PCM, 1 channel,
@@ -714,7 +781,10 @@ object MediaCodec {
           if (codec != 1 || channels != 1 || bits != 16) return None
           fmtOk = true
         case "data" =>
-          if (!fmtOk || size % 2 != 0) return None
+          // a second 'data' chunk is an ambiguous container — reject like
+          // every other structural defect instead of letting it silently
+          // overwrite the first (the reject-on-defect contract)
+          if (!fmtOk || size % 2 != 0 || samples != null) return None
           val n = size / 2
           val out = new Array[Int](n)
           var i = 0

@@ -55,6 +55,12 @@ final case class ImagePhash(asset_id: Long, phash_hi: Long, phash_lo: Long)
   */
 final case class AudioAhash(asset_id: Long, ahash_hi: Long, ahash_lo: Long)
 
+/** Per-asset 64-bit video fingerprint (per-frame luma-energy delta-sign
+  * chain over decoded frames), split hi/lo like [[ImagePhash]] — the
+  * video member of the shared banded near-dup machinery.
+  */
+final case class VideoVhash(asset_id: Long, vhash_hi: Long, vhash_lo: Long)
+
 /** Decoded per-asset features (the output of the decode stub). */
 final case class MediaFeatures(
     asset_id: Long,
@@ -466,6 +472,22 @@ object Multimodal {
     }
   }
 
+  /** Pack a 65-entry energy sequence into the 64-bit delta-sign chain:
+    * bit `f` = 1 iff `e(f+1) > e(f)`, split hi/lo — the ONE packing
+    * shared by the audio ([[aHash]]) and video ([[vHash]]) fingerprints.
+    */
+  private def deltaSignPack(e: Array[Long]): (Long, Long) = {
+    var hi = 0L; var lo = 0L
+    var f = 0
+    while (f < 64) {
+      if (e(f + 1) > e(f)) {
+        if (f >= 32) hi |= 1L << (f - 32) else lo |= 1L << f
+      }
+      f += 1
+    }
+    (hi, lo)
+  }
+
   /** 64-bit aHash from decoded samples: per-frame integer energy
     * (Σ|sample| over [[AhashFrameLen]]-sample frames — exact in Long),
     * then bit `f` = 1 iff frame f+1 is more energetic than frame f —
@@ -480,15 +502,7 @@ object Multimodal {
       while (i < (f + 1) * fl) { acc += math.abs(samples(i)); i += 1 }
       acc
     }
-    var hi = 0L; var lo = 0L
-    var f = 0
-    while (f < 64) {
-      if (e(f + 1) > e(f)) {
-        if (f >= 32) hi |= 1L << (f - 32) else lo |= 1L << f
-      }
-      f += 1
-    }
-    Some((hi, lo))
+    Some(deltaSignPack(e))
   }
 
   /** Partition-batched PCM decode + fingerprint: full WAV decode
@@ -503,6 +517,78 @@ object Multimodal {
       batch.flatMap { a =>
         MediaCodec.decodeWavPcm16Mono(a.media).flatMap(aHash).map {
           case (hi, lo) => AudioAhash(a.asset_id, hi, lo)
+        }
+      }
+    }
+  }
+
+  // ------------------------------------------- video content fingerprint
+
+  private[multimodal] val VhashFrames = 65
+  private[multimodal] val VhashFrameW = 8
+  private[multimodal] val VhashFrameH = 4
+
+  /** The ONE definition of the synthetic frame content, mirrored by the
+    * q_video_vhash oracles: pixel `i` (row-major, 8×4 = 32 per frame) of
+    * frame `f` of document `d` is ((m³ mod 509 + perturbation) mod 256)
+    * with m = ((d/4)·103 + f·32 + i) mod 509 — the d/4 group key gives
+    * every 4 consecutive docs the same base footage, and the
+    * perturbation (+8·(d%4) on pixels where (f·32 + i + d) ≡ 0 mod 43)
+    * plants the small-diff near-dup structure the fingerprint pairing
+    * must recover. All-integer, so frame energies are exact in both
+    * engines — the [[sampleValue]] recipe applied to luma.
+    */
+  private[multimodal] def framePixel(d: Long, f: Int, i: Int): Int = {
+    val m = ((d / 4) * 103 + f * 32 + i) % 509
+    val pert = if ((f * 32 + i + d) % 43 == 0) (d % 4) * 8 else 0L
+    (((m * m * m) % 509 + pert) % 256).toInt
+  }
+
+  /** Video assets with FULL frame content: each document becomes a
+    * complete MP4 whose single mdat holds [[VhashFrames]] real raw-luma
+    * frames ([[MediaCodec.mp4LumaVideo]] — real ftyp/moov/mvhd/tkhd
+    * boxes around real content bytes). Planted corruption the decode
+    * stage must quarantine: doc_id % 83 == 0 truncated mid-header.
+    */
+  def vhashVideoAssets(spark: SparkSession, docs: DataFrame): Dataset[VideoAsset] = {
+    import spark.implicits._
+    docs.select(col("doc_id")).as[Long].map { id =>
+      val bytes = MediaCodec.mp4LumaVideo(VhashFrameW, VhashFrameH,
+        VhashFrames, (f, i) => framePixel(id, f, i))
+      VideoAsset(id, if (id % 83 == 0) bytes.take(25) else bytes)
+    }
+  }
+
+  /** 64-bit vHash from decoded frames: per-frame integer luma energy
+    * (Σ pixel over the width·height gray8 frame — exact in Long), then
+    * the shared delta-sign chain — [[aHash]]'s recipe along the frame
+    * axis. None when the clip is shorter than the 65-frame grid
+    * (quarantine).
+    */
+  private[multimodal] def vHash(v: MediaCodec.LumaVideo): Option[(Long, Long)] = {
+    val fl = v.width * v.height
+    if (v.nFrames < VhashFrames) return None
+    val e = Array.tabulate(VhashFrames) { f =>
+      var acc = 0L; var i = f * fl
+      while (i < (f + 1) * fl) { acc += v.px(i) & 0xff; i += 1 }
+      acc
+    }
+    Some(deltaSignPack(e))
+  }
+
+  /** Partition-batched MP4 decode + fingerprint: full raw-luma decode
+    * ([[MediaCodec.decodeMp4Luma]] — box walk, single-mdat contract,
+    * whole-frame payload check) then [[vHash]]. Undecodable assets are
+    * DROPPED (quarantine). The media column is read exactly once, here;
+    * downstream ships 16 bytes per asset — same 100 TB shape as the
+    * image and audio fingerprint stages.
+    */
+  def decodeVhash(assets: Dataset[VideoAsset]): Dataset[VideoVhash] = {
+    import assets.sparkSession.implicits._
+    assets.mapPartitions { batch =>
+      batch.flatMap { a =>
+        MediaCodec.decodeMp4Luma(a.media).flatMap(vHash).map {
+          case (hi, lo) => VideoVhash(a.asset_id, hi, lo)
         }
       }
     }

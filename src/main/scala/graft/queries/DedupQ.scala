@@ -222,8 +222,8 @@ object DedupQ {
     * representative). One definition for the inline and composed twins.
     */
   private def mmVerdict(base: DataFrame, imgLabels: DataFrame,
-      audLabels: DataFrame): DataFrame =
-    base
+      audLabels: DataFrame): DataFrame = {
+    val joined = base
       .join(imgLabels.select(col("doc_id"),
         (col("doc_id") === col("cluster_id")).as("image_ok")),
         Seq("doc_id"), "left")
@@ -234,6 +234,11 @@ object DedupQ {
       .withColumn("audio_ok", coalesce(col("audio_ok"), lit(false)))
       .withColumn("keep",
         col("keep") && col("image_ok") && col("audio_ok"))
+    // keep LAST, after the media bits — matching the oracle's column
+    // order for positional consumers of the parquet artifact
+    joined.select(base.columns.filterNot(_ == "keep").map(col) ++
+      Seq(col("image_ok"), col("audio_ok"), col("keep")): _*)
+  }
 
   /** The cluster-label STAGE ARTIFACT: the expensive curation stage
     * (MinHash banding + star contraction) materialized once as parquet.

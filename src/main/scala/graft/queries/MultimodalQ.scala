@@ -110,6 +110,32 @@ object MultimodalQ {
         .localCheckpoint(),
       maxHamming = 10)
 
+  /** q_video_vhash: per-document 64-bit video fingerprint through the
+    * REAL codec round-trip (luma-frame synth → MP4 encode → box-walk
+    * decode → per-frame energy delta-sign chain); the oracle recomputes
+    * the hash straight from the frame-pixel formula, so hash-match
+    * proves the video codec path end-to-end. Truncated assets
+    * (doc_id % 83) quarantine. Completes the modality matrix: every
+    * modality (image/audio/video) now has a content-level fingerprint.
+    */
+  def videoVhash(spark: SparkSession, dir: String): DataFrame =
+    Multimodal.decodeVhash(
+      Multimodal.vhashVideoAssets(spark, Tables(spark, dir, "documents")))
+      .toDF()
+
+  /** q_video_vhash_pairs: video near-duplicate pairs — the SAME banded
+    * candidate + Hamming-verify machinery as the image and audio pairs
+    * ([[graft.multimodal.Multimodal.phashPairs]]), fed the video
+    * fingerprints; the dedup family's video member. Checkpointed for
+    * the same decode-once reason as the image twin.
+    */
+  def videoVhashPairs(spark: SparkSession, dir: String): DataFrame =
+    Multimodal.phashPairs(
+      videoVhash(spark, dir).select(col("asset_id"),
+        col("vhash_hi").as("phash_hi"), col("vhash_lo").as("phash_lo"))
+        .localCheckpoint(),
+      maxHamming = 10)
+
   def frameSample(spark: SparkSession, dir: String): DataFrame =
     Multimodal.sampleFrames(
       Multimodal.assetsFromDocuments(spark, Tables(spark, dir, "documents")),

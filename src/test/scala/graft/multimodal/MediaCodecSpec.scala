@@ -312,6 +312,87 @@ class MediaCodecSpec extends AnyFunSuite {
     assert(MediaCodec.parseMp4(realMp4.take(16)).isEmpty)
   }
 
+  // ------------------------------------------------- MP4 raw-luma codec
+
+  // a hand-laid-out (not synthesized) raw-luma MP4: same v0 box layout
+  // as realMp4 but 2×2 track dims and an mdat holding 3 whole frames
+  // (12 gray8 bytes, value 10·f + i). Pinned against the SPEC layout so
+  // a symmetric encode/decode bug in the synthesizer cannot cancel out.
+  private val realLumaMp4: Array[Byte] = {
+    val o = new java.io.ByteArrayOutputStream()
+    def be32(v: Int): Unit = { o.write(v >>> 24); o.write((v >>> 16) & 0xff)
+      o.write((v >>> 8) & 0xff); o.write(v & 0xff) }
+    def tag(s: String): Unit = s.foreach(c => o.write(c.toInt))
+    be32(16); tag("ftyp"); tag("isom"); be32(0)
+    be32(8 + 108 + 100); tag("moov")
+    be32(108); tag("mvhd"); be32(0)
+    be32(0); be32(0)
+    be32(600); be32(72) // timescale, duration (3 frames at 24 units)
+    be32(0x00010000); o.write(1); o.write(0)
+    (1 to 10).foreach(_ => o.write(0))
+    Seq(0x00010000, 0, 0, 0, 0x00010000, 0, 0, 0, 0x40000000).foreach(be32)
+    (1 to 24).foreach(_ => o.write(0))
+    be32(2)
+    be32(100); tag("trak")
+    be32(92); tag("tkhd"); be32(3)
+    be32(0); be32(0); be32(1); be32(0); be32(72)
+    (1 to 16).foreach(_ => o.write(0))
+    Seq(0x00010000, 0, 0, 0, 0x00010000, 0, 0, 0, 0x40000000).foreach(be32)
+    be32(2 << 16); be32(2 << 16)
+    be32(8 + 12); tag("mdat")
+    for (f <- 0 until 3; i <- 0 until 4) o.write(10 * f + i)
+    o.toByteArray
+  }
+
+  test("decodes a hand-laid-out raw-luma MP4 (pinned spec layout)") {
+    val v = MediaCodec.decodeMp4Luma(realLumaMp4).get
+    assert(v.width == 2 && v.height == 2 && v.nFrames == 3)
+    assert(v.px.map(_ & 0xff).toSeq ==
+      (for (f <- 0 until 3; i <- 0 until 4) yield 10 * f + i))
+  }
+
+  test("mp4LumaVideo encode -> decode round-trips exact frames") {
+    def pix(f: Int, i: Int): Int = (f * 37 + i * 13 + 5) % 256
+    val b = MediaCodec.mp4LumaVideo(6, 4, 10, pix)
+    val v = MediaCodec.decodeMp4Luma(b).get
+    assert(v.width == 6 && v.height == 4 && v.nFrames == 10)
+    for (f <- 0 until 10; i <- 0 until 24)
+      assert((v.px(f * 24 + i) & 0xff) == pix(f, i), s"($f,$i)")
+    // frame count comes from the mdat payload, not trusted metadata
+    assert(MediaCodec.parseMp4(b).get.durationMs == 10 * 24 * 1000L / 600)
+  }
+
+  test("luma mp4 corruption quarantines: truncation, dup mdat, ragged/empty payload") {
+    val good = MediaCodec.mp4LumaVideo(2, 2, 3, (f, i) => 10 * f + i)
+    assert(MediaCodec.decodeMp4Luma(good).isDefined)
+    // truncated mid-header
+    assert(MediaCodec.decodeMp4Luma(good.take(25)).isEmpty)
+    // a SECOND mdat is an ambiguous container: which payload is real?
+    val dup = {
+      val o = new java.io.ByteArrayOutputStream()
+      o.write(good, 0, good.length)
+      Seq(0, 0, 0, 12).foreach(o.write)
+      "mdat".foreach(c => o.write(c.toInt))
+      (1 to 4).foreach(o.write)
+      o.toByteArray
+    }
+    assert(MediaCodec.decodeMp4Luma(dup).isEmpty)
+    // payload not a whole number of 2×2 frames
+    val ragged = MediaCodec.mp4Header(600, 72, Seq((2, 2)),
+      payload = Array.tabulate[Byte](13)(_.toByte))
+    assert(MediaCodec.decodeMp4Luma(ragged).isEmpty)
+    // empty mdat: zero frames is not a video
+    val empty = MediaCodec.mp4Header(600, 72, Seq((2, 2)))
+    assert(MediaCodec.decodeMp4Luma(empty).isEmpty)
+    // no video track at all (metadata walk already rejects)
+    val audioOnly = MediaCodec.mp4Header(600, 72, Seq((0, 0)),
+      payload = Array.tabulate[Byte](4)(_.toByte))
+    assert(MediaCodec.decodeMp4Luma(audioOnly).isEmpty)
+    // never throws on garbage
+    assert(MediaCodec.decodeMp4Luma("garbage".getBytes).isEmpty)
+    assert(MediaCodec.decodeMp4Luma(Array.empty[Byte]).isEmpty)
+  }
+
   // ------------------------------------------------------------- WAV
 
   // a hand-laid-out (not synthesized) minimal PCM WAV: RIFF/WAVE +
@@ -388,6 +469,17 @@ class MediaCodecSpec extends AnyFunSuite {
     val lie = b.clone()
     lie(40) = -1; lie(41) = -1; lie(42) = -1; lie(43) = 0x7f
     assert(MediaCodec.decodeWavPcm16Mono(lie).isEmpty)
+    // a SECOND data chunk is an ambiguous container — quarantine, never
+    // let the later chunk silently win
+    val dup = {
+      val o = new java.io.ByteArrayOutputStream()
+      o.write(b, 0, b.length)
+      "data".foreach(c => o.write(c.toInt))
+      Seq(2, 0, 0, 0).foreach(o.write)
+      o.write(1); o.write(2)
+      o.toByteArray
+    }
+    assert(MediaCodec.decodeWavPcm16Mono(dup).isEmpty)
   }
 
   test("wav corruption returns None, never throws") {

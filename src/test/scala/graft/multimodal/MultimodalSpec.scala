@@ -147,6 +147,40 @@ class MultimodalSpec extends AnyFunSuite with SparkSpec {
     assert(inGroup > 100, s"only $inGroup in-group audio pairs")
   }
 
+  test("video vhash: codec round-trip == direct formula; truncation quarantined") {
+    val docs = Tables(spark, dir, "documents")
+    val hashes = Multimodal.decodeVhash(
+      Multimodal.vhashVideoAssets(spark, docs)).collect()
+      .map(h => h.asset_id -> (h.vhash_hi, h.vhash_lo)).toMap
+    // differential: MP4 encode -> box-walk decode -> frame energies must
+    // equal the hash computed STRAIGHT from the frame-pixel formula
+    def directHash(d: Long): (Long, Long) = {
+      val fl = Multimodal.VhashFrameW * Multimodal.VhashFrameH
+      val e = Array.tabulate(Multimodal.VhashFrames)(f =>
+        (0 until fl).map(i => Multimodal.framePixel(d, f, i).toLong).sum)
+      var hi = 0L; var lo = 0L
+      for (f <- 0 until 64 if e(f + 1) > e(f))
+        if (f >= 32) hi |= 1L << (f - 32) else lo |= 1L << f
+      (hi, lo)
+    }
+    val ids = docs.select("doc_id").collect().map(_.getLong(0))
+    ids.foreach { id =>
+      if (id % 83 == 0) assert(!hashes.contains(id), s"id=$id not quarantined")
+      else assert(hashes(id) == directHash(id), s"id=$id")
+    }
+    // pairing recovers planted groups through the shared band machinery
+    val pairs = Multimodal.phashPairs(
+      Multimodal.decodeVhash(Multimodal.vhashVideoAssets(spark, docs)).toDF()
+        .select(org.apache.spark.sql.functions.col("asset_id"),
+          org.apache.spark.sql.functions.col("vhash_hi").as("phash_hi"),
+          org.apache.spark.sql.functions.col("vhash_lo").as("phash_lo")),
+      maxHamming = 10).collect()
+    assert(pairs.nonEmpty)
+    val inGroup = pairs.count(r =>
+      r.getAs[Long]("a_id") / 4 == r.getAs[Long]("b_id") / 4)
+    assert(inGroup > 100, s"only $inGroup in-group video pairs")
+  }
+
   test("frame sampling: only video, every 4th frame, correct offsets") {
     val frames = Multimodal.sampleFrames(assets(), step = 4).collect()
     assert(frames.nonEmpty)
