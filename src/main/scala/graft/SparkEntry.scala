@@ -440,16 +440,20 @@ object SparkEntry {
     // dedup/text — the composed corpus-curation verdict (flagship of the
     // training-data extension layer)
     "q_corpus_filter" -> DedupQ.corpusFilter,
-    // curation verdict with the IMAGE near-dup canonical bit conjoined
-    // (D17 pHash clusters feed the keep decision; undecodable assets
-    // fail image_ok) — the multimodal twin of q_corpus_filter
+    // curation verdict with the IMAGE, AUDIO and VIDEO near-dup
+    // canonical bits conjoined (pHash/aHash/vHash clusters feed the
+    // keep decision; undecodable assets fail their modality bit) — the
+    // multimodal twin of q_corpus_filter, full modality matrix
     "q_corpus_filter_mm" -> DedupQ.corpusFilterMm,
-    // the mm verdict composed from BOTH persisted cluster artifacts
-    // (text + image) — the serving shape; same oracle as inline
+    // the mm verdict composed from ALL FOUR persisted cluster artifacts
+    // (text + image + audio + video) — the serving shape; same oracle
     "q_corpus_filter_mm_compose" -> DedupQ.corpusFilterMmCompose,
     // per-source curation dashboard with the image columns (canonical /
     // undecodable counts) — the multimodal twin of q_corpus_report
     "q_corpus_report_mm" -> DedupQ.corpusReportMm,
+    // the mm dashboard composed from the SAME two persisted artifacts
+    // the composed verdict uses — the serving shape; same oracle
+    "q_corpus_report_mm_compose" -> DedupQ.corpusReportMmCompose,
     // the same verdict composed from the PERSISTED cluster-label stage
     // artifact (parquet write + read-back) — the artifact-per-stage
     // shape a 100 TB curation run uses; shares the inline twin's oracle
@@ -627,6 +631,7 @@ object SparkEntry {
     "q_semdedup_compose" -> oracleSqlBase("q_semdedup"),
     "q_hard_negatives_compose" -> oracleSqlBase("q_hard_negatives"),
     "q_embed_clusters_staged" -> oracleSqlBase("q_embed_clusters"),
+    "q_corpus_report_mm_compose" -> oracleSqlBase("q_corpus_report_mm"),
   )
 
   private lazy val oracleSqlBase: Map[String, String] = Map(
@@ -3178,17 +3183,59 @@ object SparkEntry {
       |  SELECT s AS doc_id, min(dd) = s AS au_canonical FROM aureach GROUP BY s
       |)""".stripMargin
 
+  /** The video-cluster closure (vHash → bands → Hamming ≤ 10 pairs →
+    * connected components → `vcanon`) — the video member of the
+    * modality-closure family, over the formula-replayed fingerprints.
+    */
+  private lazy val videoClosureCtes: String =
+    s"""$vhashHashSql,
+      |vbands AS (
+      |  SELECT asset_id, b.range AS band,
+      |    CASE b.range WHEN 0 THEN vhash_lo % 65536 WHEN 1 THEN vhash_lo // 65536
+      |                 WHEN 2 THEN vhash_hi % 65536 ELSE vhash_hi // 65536 END AS v
+      |  FROM vhash, range(4) b
+      |),
+      |vpairs AS (
+      |  SELECT DISTINCT a.asset_id AS a_id, c.asset_id AS b_id
+      |  FROM vbands a JOIN vbands c ON a.band = c.band AND a.v = c.v
+      |    AND a.asset_id < c.asset_id
+      |),
+      |vhits AS (
+      |  SELECT vp.a_id, vp.b_id
+      |  FROM vpairs vp
+      |  JOIN vhash ha ON ha.asset_id = vp.a_id
+      |  JOIN vhash hb ON hb.asset_id = vp.b_id
+      |  WHERE bit_count(xor(ha.vhash_hi, hb.vhash_hi))
+      |      + bit_count(xor(ha.vhash_lo, hb.vhash_lo)) <= 10
+      |),
+      |vedges AS (
+      |  SELECT a_id AS s, b_id AS dd FROM vhits
+      |  UNION ALL SELECT b_id, a_id FROM vhits
+      |),
+      |vreach(s, dd) AS (
+      |  SELECT asset_id, asset_id FROM vhash
+      |  UNION
+      |  SELECT rr.s, e.dd FROM vreach rr JOIN vedges e ON rr.dd = e.s
+      |),
+      |vcanon AS (
+      |  SELECT s AS doc_id, min(dd) = s AS vid_canonical FROM vreach GROUP BY s
+      |)""".stripMargin
+
   private lazy val corpusFilterMmSql: String =
     s"""$corpusFilterCtes,
       |$imageClosureCtes,
-      |$audioClosureCtes
+      |$audioClosureCtes,
+      |$videoClosureCtes
       |SELECT dc.doc_id, q.quality_ok, r.not_repetitive, dc.not_contaminated, canon.canonical,
       | coalesce(icanon.img_canonical, FALSE) AS image_ok,
       | coalesce(aucanon.au_canonical, FALSE) AS audio_ok,
+      | coalesce(vcanon.vid_canonical, FALSE) AS video_ok,
       | (q.quality_ok AND r.not_repetitive AND dc.not_contaminated AND canon.canonical
       |  AND coalesce(icanon.img_canonical, FALSE)
-      |  AND coalesce(aucanon.au_canonical, FALSE)) AS keep
+      |  AND coalesce(aucanon.au_canonical, FALSE)
+      |  AND coalesce(vcanon.vid_canonical, FALSE)) AS keep
       |FROM dc JOIN q USING (doc_id) JOIN r USING (doc_id) JOIN canon USING (doc_id)
       |LEFT JOIN icanon USING (doc_id)
-      |LEFT JOIN aucanon USING (doc_id)""".stripMargin
+      |LEFT JOIN aucanon USING (doc_id)
+      |LEFT JOIN vcanon USING (doc_id)""".stripMargin
 }

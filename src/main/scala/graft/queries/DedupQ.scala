@@ -147,41 +147,66 @@ object DedupQ {
     corpusVerdict(spark, dir,
       clusterLabelsInline(spark, dir))
 
-  /** The MULTIMODAL curation verdict — [[corpusFilter]] with the image
-    * AND audio near-dup canonical bits conjoined: a document keeps only
-    * if each media asset decodes (CRC-verified pixel decode / WAV
-    * format contract; corrupt assets fail) AND it is the min-id
-    * representative of its pHash/aHash Hamming ≤ 10 cluster
+  /** The MULTIMODAL curation verdict — [[corpusFilter]] with the image,
+    * audio AND video near-dup canonical bits conjoined: a document
+    * keeps only if each media asset decodes (CRC-verified pixel decode /
+    * WAV format contract / MP4 single-mdat frame payload; corrupt
+    * assets fail) AND it is the min-id representative of its
+    * pHash/aHash/vHash Hamming ≤ 10 cluster
     * ([[graft.multimodal.Multimodal.phashPairs]] banded candidates +
-    * the shared star-contraction, per modality). The text, image and
-    * audio near-dup machineries stay independent stages joined on
-    * doc_id — at 100 TB each is its own artifact and the verdict is a
-    * co-partitioned conjunction, same as the text-only form.
+    * the shared star-contraction, per modality). The four near-dup
+    * machineries stay independent stages joined on doc_id — at 100 TB
+    * each is its own artifact and the verdict is a co-partitioned
+    * conjunction, same as the text-only form.
     */
   def corpusFilterMm(spark: SparkSession, dir: String): DataFrame =
     mmVerdict(corpusVerdict(spark, dir, clusterLabelsInline(spark, dir)),
-      imageClusterLabels(spark, dir), audioClusterLabels(spark, dir))
+      imageClusterLabels(spark, dir), audioClusterLabels(spark, dir),
+      videoClusterLabels(spark, dir))
 
-  /** [[corpusFilterMm]] COMPOSED from the two persisted cluster
-    * artifacts (text near-dup labels + image pHash labels) — the
-    * serving shape: at 100 TB both clustering passes are built once per
-    * corpus version and every verdict refresh pays only doc_id-keyed
+  /** [[corpusFilterMm]] COMPOSED from the persisted cluster artifacts
+    * (text near-dup + image pHash + audio aHash + video vHash labels) —
+    * the serving shape: at 100 TB every clustering pass is built once
+    * per corpus version and every verdict refresh pays only doc_id-keyed
     * joins. Same oracle as the inline twin; CurationSpec pins the
     * differential.
     */
-  def corpusFilterMmCompose(spark: SparkSession, dir: String): DataFrame = {
-    val imgStage = graft.ops.StageArtifacts.ensure(dir, "curation-img") { out =>
+  def corpusFilterMmCompose(spark: SparkSession, dir: String): DataFrame =
+    mmVerdict(
+      corpusVerdict(spark, dir, canonicalFrom(textClustersFromArtifact(spark, dir))),
+      imageClustersFromArtifact(spark, dir),
+      audioClustersFromArtifact(spark, dir),
+      videoClustersFromArtifact(spark, dir))
+
+  /** The prebuilt IMAGE pHash cluster artifact (built at most once per
+    * JVM) — shared by the composed mm verdict and the composed mm
+    * report, exactly like the text artifact.
+    */
+  private def imageClustersFromArtifact(spark: SparkSession,
+      dir: String): DataFrame = {
+    val stage = graft.ops.StageArtifacts.ensure(dir, "curation-img") { out =>
       imageClusterLabels(spark, dir)
         .write.mode("overwrite").parquet(s"$out/image_clusters")
     }
-    val audStage = graft.ops.StageArtifacts.ensure(dir, "curation-aud") { out =>
+    spark.read.parquet(s"$stage/image_clusters")
+  }
+
+  private def audioClustersFromArtifact(spark: SparkSession,
+      dir: String): DataFrame = {
+    val stage = graft.ops.StageArtifacts.ensure(dir, "curation-aud") { out =>
       audioClusterLabels(spark, dir)
         .write.mode("overwrite").parquet(s"$out/audio_clusters")
     }
-    mmVerdict(
-      corpusVerdict(spark, dir, canonicalFrom(textClustersFromArtifact(spark, dir))),
-      spark.read.parquet(s"$imgStage/image_clusters"),
-      spark.read.parquet(s"$audStage/audio_clusters"))
+    spark.read.parquet(s"$stage/audio_clusters")
+  }
+
+  private def videoClustersFromArtifact(spark: SparkSession,
+      dir: String): DataFrame = {
+    val stage = graft.ops.StageArtifacts.ensure(dir, "curation-vid") { out =>
+      videoClusterLabels(spark, dir)
+        .write.mode("overwrite").parquet(s"$out/video_clusters")
+    }
+    spark.read.parquet(s"$stage/video_clusters")
   }
 
   /** Image pHash cluster labels over the DECODABLE assets (quarantined
@@ -217,27 +242,41 @@ object DedupQ {
     Dedup.clusterLabels(hashes.select(col("asset_id")), "asset_id", pairs)
   }
 
-  /** The mm conjunction: text verdict ∧ image_ok ∧ audio_ok (each
-    * media asset decodes AND is its modality cluster's min-id
+  /** Video vHash cluster labels over the DECODABLE assets — the video
+    * member of the modality matrix, same banded candidates + Hamming
+    * ≤ 10 verify + shared star contraction.
+    */
+  private def videoClusterLabels(spark: SparkSession, dir: String): DataFrame = {
+    val hashes = graft.multimodal.Multimodal.decodeVhash(
+      graft.multimodal.Multimodal.vhashVideoAssets(
+        spark, Tables(spark, dir, "documents"))).toDF()
+      .select(col("asset_id"), col("vhash_hi").as("phash_hi"),
+        col("vhash_lo").as("phash_lo"))
+      .localCheckpoint()
+    val pairs = graft.multimodal.Multimodal.phashPairs(hashes, maxHamming = 10)
+      .select(col("a_id"), col("b_id"))
+    Dedup.clusterLabels(hashes.select(col("asset_id")), "asset_id", pairs)
+  }
+
+  /** The mm conjunction: text verdict ∧ image_ok ∧ audio_ok ∧ video_ok
+    * (each media asset decodes AND is its modality cluster's min-id
     * representative). One definition for the inline and composed twins.
     */
   private def mmVerdict(base: DataFrame, imgLabels: DataFrame,
-      audLabels: DataFrame): DataFrame = {
-    val joined = base
-      .join(imgLabels.select(col("doc_id"),
-        (col("doc_id") === col("cluster_id")).as("image_ok")),
+      audLabels: DataFrame, vidLabels: DataFrame): DataFrame = {
+    def okBit(labels: DataFrame, name: String)(df: DataFrame): DataFrame =
+      df.join(labels.select(col("doc_id"),
+        (col("doc_id") === col("cluster_id")).as(name)),
         Seq("doc_id"), "left")
-      .join(audLabels.select(col("doc_id"),
-        (col("doc_id") === col("cluster_id")).as("audio_ok")),
-        Seq("doc_id"), "left")
-      .withColumn("image_ok", coalesce(col("image_ok"), lit(false)))
-      .withColumn("audio_ok", coalesce(col("audio_ok"), lit(false)))
+        .withColumn(name, coalesce(col(name), lit(false)))
+    val joined = okBit(vidLabels, "video_ok")(
+      okBit(audLabels, "audio_ok")(okBit(imgLabels, "image_ok")(base)))
       .withColumn("keep",
-        col("keep") && col("image_ok") && col("audio_ok"))
+        col("keep") && col("image_ok") && col("audio_ok") && col("video_ok"))
     // keep LAST, after the media bits — matching the oracle's column
     // order for positional consumers of the parquet artifact
     joined.select(base.columns.filterNot(_ == "keep").map(col) ++
-      Seq(col("image_ok"), col("audio_ok"), col("keep")): _*)
+      Seq(col("image_ok"), col("audio_ok"), col("video_ok"), col("keep")): _*)
   }
 
   /** The cluster-label STAGE ARTIFACT: the expensive curation stage
@@ -388,6 +427,16 @@ object DedupQ {
   def corpusReportMm(spark: SparkSession, dir: String): DataFrame =
     corpusReportFrom(spark, dir, dedupClusters(spark, dir),
       img = Some(imageClusterLabels(spark, dir)))
+
+  /** [[corpusReportMm]] COMPOSED from the same two persisted cluster
+    * artifacts the composed mm verdict uses (text near-dup labels +
+    * image pHash labels) — same oracle; the mm dashboard refresh pays
+    * only the doc_id-keyed joins, not the text MinHash + PNG-decode
+    * clustering passes it re-ran inline every call.
+    */
+  def corpusReportMmCompose(spark: SparkSession, dir: String): DataFrame =
+    corpusReportFrom(spark, dir, textClustersFromArtifact(spark, dir),
+      img = Some(imageClustersFromArtifact(spark, dir)))
 
   private def corpusReportFrom(spark: SparkSession, dir: String,
       clusters: DataFrame, img: Option[DataFrame] = None): DataFrame = {

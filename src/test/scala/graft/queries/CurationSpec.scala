@@ -96,29 +96,47 @@ class CurationSpec extends AnyFunSuite with SparkSpec {
     assert(rows.groupBy(_._2).exists(_._2.length > 1))
   }
 
-  test("corpusFilterMm: image + audio canonicality conjoined, non-vacuously") {
+  test("corpusFilterMm: image + audio + video canonicality conjoined, non-vacuously") {
     def collectMm(df: org.apache.spark.sql.DataFrame) = df.collect()
       .map(r => r.getAs[Long]("doc_id") ->
         (r.getAs[Boolean]("image_ok"), r.getAs[Boolean]("audio_ok"),
-          r.getAs[Boolean]("keep"))).toMap
+          r.getAs[Boolean]("video_ok"), r.getAs[Boolean]("keep"))).toMap
     val mm = collectMm(DedupQ.corpusFilterMm(spark, dir))
     val txt = DedupQ.corpusFilter(spark, dir).collect()
       .map(r => r.getAs[Long]("doc_id") -> r.getAs[Boolean]("keep")).toMap
     assert(mm.keySet == txt.keySet)
-    // keep is EXACTLY the text verdict AND the image AND audio bits
-    for ((id, (imgOk, audOk, keep)) <- mm)
-      assert(keep == (txt(id) && imgOk && audOk), s"doc $id")
-    // quarantined assets (undecodable PNGs / truncated WAVs) must fail
+    // keep is EXACTLY the text verdict AND the three modality bits
+    for ((id, (imgOk, audOk, vidOk, keep)) <- mm)
+      assert(keep == (txt(id) && imgOk && audOk && vidOk), s"doc $id")
+    // quarantined assets (undecodable PNGs / truncated WAVs / truncated
+    // MP4s) must fail their modality bit
     for (id <- mm.keys if id % 91 == 0 || id % 97 == 0)
       assert(!mm(id)._1, s"quarantined doc $id has image_ok")
     for (id <- mm.keys if id % 89 == 0)
       assert(!mm(id)._2, s"quarantined doc $id has audio_ok")
+    for (id <- mm.keys if id % 83 == 0)
+      assert(!mm(id)._3, s"quarantined doc $id has video_ok")
     // the media terms flip at least one otherwise-kept verdict
-    assert(mm.exists { case (id, (_, _, keep)) => txt(id) && !keep })
+    assert(mm.exists { case (id, (_, _, _, keep)) => txt(id) && !keep })
+    // ... and the VIDEO term specifically is non-vacuous: some doc
+    // passes text+image+audio yet fails on video alone (the planted
+    // video dups/corruption must do real work in the conjunction)
+    assert(mm.exists { case (id, (imgOk, audOk, vidOk, _)) =>
+      txt(id) && imgOk && audOk && !vidOk })
     // and do not kill everything: some doc survives the full verdict
-    assert(mm.exists(_._2._3))
-    // the composed form (all three cluster stages read from parquet
+    assert(mm.exists(_._2._4))
+    // the composed form (all four cluster stages read from parquet
     // artifacts) is row-identical to the inline form
     assert(collectMm(DedupQ.corpusFilterMmCompose(spark, dir)) == mm)
+  }
+
+  test("corpusReportMmCompose (prebuilt artifacts) == corpusReportMm (inline)") {
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getLong(4), r.getLong(5), r.getLong(6),
+        r.getLong(7))).toSet
+    val inline = rows(DedupQ.corpusReportMm(spark, dir))
+    assert(inline.nonEmpty)
+    assert(rows(DedupQ.corpusReportMmCompose(spark, dir)) == inline)
   }
 }
