@@ -4,6 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
+import graft.ops.Barrier.Ops
 import graft.dedup.Dedup
 
 /** Dedup queries over the `documents` and `embeddings` tables. The
@@ -220,7 +221,7 @@ object DedupQ {
     val hashes = graft.multimodal.Multimodal.decodePhash(
       graft.multimodal.Multimodal.phashImageAssets(
         spark, Tables(spark, dir, "documents"))).toDF()
-      .localCheckpoint()
+      .barrierOnce()
     val pairs = graft.multimodal.Multimodal.phashPairs(hashes, maxHamming = 10)
       .select(col("a_id"), col("b_id"))
     Dedup.clusterLabels(hashes.select(col("asset_id")), "asset_id", pairs)
@@ -236,7 +237,7 @@ object DedupQ {
         spark, Tables(spark, dir, "documents"))).toDF()
       .select(col("asset_id"), col("ahash_hi").as("phash_hi"),
         col("ahash_lo").as("phash_lo"))
-      .localCheckpoint()
+      .barrierOnce()
     val pairs = graft.multimodal.Multimodal.phashPairs(hashes, maxHamming = 10)
       .select(col("a_id"), col("b_id"))
     Dedup.clusterLabels(hashes.select(col("asset_id")), "asset_id", pairs)
@@ -252,7 +253,7 @@ object DedupQ {
         spark, Tables(spark, dir, "documents"))).toDF()
       .select(col("asset_id"), col("vhash_hi").as("phash_hi"),
         col("vhash_lo").as("phash_lo"))
-      .localCheckpoint()
+      .barrierOnce()
     val pairs = graft.multimodal.Multimodal.phashPairs(hashes, maxHamming = 10)
       .select(col("a_id"), col("b_id"))
     Dedup.clusterLabels(hashes.select(col("asset_id")), "asset_id", pairs)

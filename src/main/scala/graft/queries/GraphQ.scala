@@ -4,6 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
+import graft.ops.Barrier.Ops
 import graft.dedup.Dedup
 import graft.ops.LabelProp
 
@@ -31,7 +32,7 @@ object GraphQ {
     val edges = Dedup.cosinePairsBlocked(emb, "vec_id", "embedding",
         threshold = 0.25)
       .select(col("a_id"), col("b_id"))
-      .localCheckpoint()
+      .barrierOnce()
     LabelProp.propagate(seeds, edges, rounds = 2)
       .select(col("id").as("vec_id"),
         coalesce(col("seed_label"), lit(-1)).as("seed_label"),
@@ -50,7 +51,7 @@ object GraphQ {
     val edges = Dedup.cosinePairsBlocked(emb, "vec_id", "embedding",
         threshold = 0.25)
       .select(col("a_id"), col("b_id"))
-      .localCheckpoint()
+      .barrierOnce()
     graft.ops.TriangleCount.perNode(emb, "vec_id", edges)
       .select(col("node").as("vec_id"), col("triangles"))
   }
@@ -69,7 +70,7 @@ object GraphQ {
     val pairs = Dedup.cosinePairsBlocked(emb, "vec_id", "embedding",
         threshold = 0.25)
       .select(col("a_id"), col("b_id"))
-      .localCheckpoint()
+      .barrierOnce()
     val edges = pairs.select(col("a_id").as("src"), col("b_id").as("dst"))
       .unionByName(pairs.select(col("b_id").as("src"), col("a_id").as("dst")))
     graft.ops.PageRank.ranks(emb, "vec_id", edges, rounds = 3)

@@ -4,6 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions.col
 
 import graft.Tables
+import graft.ops.Barrier.Ops
 import graft.multimodal.Multimodal
 
 /** Multimodal queries: documents → fake media assets → decoded features /
@@ -64,26 +65,23 @@ object MultimodalQ {
     * candidate generation + exact Hamming verify ≤ 10, the image-modality
     * member of the dedup family (same band/verify shape as MinHash-LSH).
     *
-    * The decoded hash frame is localCheckpoint'ed before pairing: the
-    * band self-join plus the two verify joins consume it up to 4×, and
-    * without the barrier each consumer re-runs the full PNG decode (CRC
-    * verify + inflate + unfilter per asset) — the one stage that reads
-    * the media column must run exactly once. The checkpoint holds 24
-    * bytes per asset, negligible against the decode it saves.
-    *
-    * Cluster caveat: localCheckpoint blocks are UNREPLICATED and truncate
-    * lineage, so an executor loss mid-query fails the query instead of
-    * recomputing (and the checkpoint is eager — the decode runs at
-    * DataFrame construction). Right trade for the local bench; on a real
-    * cluster the hash frame is exactly what [[graft.ops.StageArtifacts]]
-    * persists as a parquet stage artifact, which both amortizes the
-    * decode across consumers AND survives executor loss.
+    * The decoded hash frame goes through the [[graft.ops.Barrier]]
+    * decode-once barrier before pairing: the band self-join plus the two
+    * verify joins consume it up to 4×, and without the barrier each
+    * consumer re-runs the full PNG decode (CRC verify + inflate +
+    * unfilter per asset) — the one stage that reads the media column
+    * must run exactly once. The materialized frame holds 24 bytes per
+    * asset, negligible against the decode it saves; on a cluster,
+    * `spark.graft.barrier.mode=replicated` (or `reliable`) makes the
+    * barrier survive executor loss, and the hash frame is also exactly
+    * what [[graft.ops.StageArtifacts]] persists as a parquet stage
+    * artifact when the decode should amortize across queries.
     */
   def imagePhashPairs(spark: SparkSession, dir: String): DataFrame =
     Multimodal.phashPairs(
       Multimodal.decodePhash(
         Multimodal.phashImageAssets(spark, Tables(spark, dir, "documents")))
-        .toDF().localCheckpoint(),
+        .toDF().barrierOnce(),
       maxHamming = 10)
 
   /** q_audio_ahash: per-document 64-bit audio fingerprint through the
@@ -107,7 +105,7 @@ object MultimodalQ {
     Multimodal.phashPairs(
       audioAhash(spark, dir).select(col("asset_id"),
         col("ahash_hi").as("phash_hi"), col("ahash_lo").as("phash_lo"))
-        .localCheckpoint(),
+        .barrierOnce(),
       maxHamming = 10)
 
   /** q_video_vhash: per-document 64-bit video fingerprint through the
@@ -133,7 +131,7 @@ object MultimodalQ {
     Multimodal.phashPairs(
       videoVhash(spark, dir).select(col("asset_id"),
         col("vhash_hi").as("phash_hi"), col("vhash_lo").as("phash_lo"))
-        .localCheckpoint(),
+        .barrierOnce(),
       maxHamming = 10)
 
   def frameSample(spark: SparkSession, dir: String): DataFrame =

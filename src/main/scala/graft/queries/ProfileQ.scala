@@ -4,6 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
+import graft.ops.Barrier.Ops
 
 /** Table-profiling queries — the ANALYZE-style statistics a cost-based
   * planner (and a data-quality gate) feeds on: per-column
@@ -226,7 +227,7 @@ object ProfileQ {
       // feeds the global sums AND the scoring join: checkpoint makes
       // the scan-once shape structural (tokenDrift's contract), not
       // dependent on ReuseExchange firing
-      .localCheckpoint()
+      .barrierOnce()
     val sg = sl.groupBy(col("i"))
       .agg(sum(col("s")).cast(DecimalType(18, 9)).as("g"))
     sl.join(broadcast(sg), "i")

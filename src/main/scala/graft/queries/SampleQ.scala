@@ -5,6 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Tables
+import graft.ops.Barrier.Ops
 import graft.text.TextOps
 
 /** Deterministic stratified sampling: per stratum (language), keep the
@@ -112,7 +113,7 @@ object SampleQ {
       .withColumn("bucket", least(
         floor((lit(1.0) - col("quality")) * buckets),
         lit(buckets - 1)).cast("int"))
-      .localCheckpoint()
+      .barrierOnce()
     val totals = q.groupBy(col("bucket")).agg(sum(col("n_tokens")).as("t"))
       .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
     val total = totals.valuesIterator.sum

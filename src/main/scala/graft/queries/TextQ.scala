@@ -6,6 +6,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 
 import graft.Tables
+import graft.ops.Barrier.Ops
 import graft.text.TextOps
 
 /** Text-analysis queries over the `documents` table. Each is a single
@@ -179,7 +180,7 @@ object TextQ {
     // columns per token and is collected once the result frame drops)
     val toks = docs.select(col("doc_id"),
       explode(TextOps.tokens(col("text"))).as("token"))
-      .localCheckpoint()
+      .barrierOnce()
     val tf = toks.groupBy(col("doc_id"), col("token"))
       .agg(count(lit(1)).as("tf"))
     val df_ = toks.select(col("doc_id"), col("token")).distinct()
@@ -218,7 +219,7 @@ object TextQ {
     val docs = Tables(spark, dir, "documents")
       .select(col("doc_id"), TextOps.tokens(col("text")).as("toks"))
       // feeds the gram relation AND the vocab scalar: tokenize once
-      .localCheckpoint()
+      .barrierOnce()
     val grams = docs
       .select(col("doc_id"), explode(TextOps.bigrams(col("toks"))).as("bigram"))
       .withColumn("prev", split(col("bigram"), " ").getItem(0))
@@ -271,12 +272,12 @@ object TextQ {
   def dsirWeights(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables(spark, dir, "documents")
       .select(col("doc_id"), TextOps.tokens(col("text")).as("toks"))
-      .localCheckpoint()
+      .barrierOnce()
     // feeds target counts, raw counts AND the scoring scan: explode once
     val grams = docs
       .select(col("doc_id"), explode(TextOps.bigrams(col("toks"))).as("bigram"))
       .withColumn("prev", split(col("bigram"), " ").getItem(0))
-      .localCheckpoint()
+      .barrierOnce()
     val isTarget = col("doc_id") % 10 === 3
     val target = grams.filter(isTarget)
     val raw = grams.filter(!isTarget)
@@ -340,7 +341,7 @@ object TextQ {
     val toks = Tables(spark, dir, "documents")
       .select(col("source"), explode(TextOps.tokens(col("text"))).as("t"))
     val st = toks.groupBy("source", "t").agg(count(lit(1)).as("c_st"))
-      .localCheckpoint() // feeds corpus counts, source totals AND the join
+      .barrierOnce() // feeds corpus counts, source totals AND the join
     val ct = st.groupBy("t").agg(sum(col("c_st")).as("c_ct"))
     val ns = st.groupBy("source").agg(sum(col("c_st")).as("n_s"))
     val nc = ct.agg(sum(col("c_ct")).as("n_c"))
@@ -397,14 +398,14 @@ object TextQ {
     val docs = Tables(spark, dir, "documents")
       .select(col("doc_id"), TextOps.tokens(col("text")).as("toks"))
       // feeds pair counts AND unigram counts: tokenize once
-      .localCheckpoint()
+      .barrierOnce()
     // grouped pair counts computed ONCE (the windowed explode is the
     // dominant cost); the scalar total derives from the grouped counts
     // — pinned so the count and total branches cannot re-explode
     val pairCounts = docs
       .select(explode(TextOps.cooccurrences(col("toks"), 3)).as("pair"))
       .groupBy("pair").agg(count(lit(1)).as("c_ab"))
-      .localCheckpoint()
+      .barrierOnce()
     val pairs = pairCounts
       .filter(col("c_ab") >= 5)
       .withColumn("tok_a", split(col("pair"), " ").getItem(0))
@@ -591,7 +592,7 @@ object TextQ {
     val counts = Tables(spark, dir, "documents")
       .select(explode(TextOps.tokens(col("text"))).as("t"))
       .groupBy(col("t")).agg(count(lit(1)).as("c"))
-      .localCheckpoint() // feeds the total AND the top-k
+      .barrierOnce() // feeds the total AND the top-k
     val total = counts.agg(sum(col("c")).as("total_tokens"))
     val byFreq = Window.orderBy(col("c").desc, col("t"))
     counts.orderBy(col("c").desc, col("t")).limit(ks.max.toInt)

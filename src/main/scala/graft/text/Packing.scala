@@ -5,6 +5,8 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{IntegerType, LongType, StructField, StructType}
 
+import graft.ops.Barrier.Ops
+
 /** Training-sequence packing: lay every document's tokens out on one
   * global concatenated tape (GPT-style concat-and-chunk packing) and
   * report, per document, its starting token offset and which
@@ -59,7 +61,7 @@ object Packing {
     // whole-corpus scan runs twice. The materialized frame is 4 narrow
     // columns per doc; it stays pinned until the result frame is dropped
     // and the ContextCleaner collects it.
-    val keyed = keyedByBucket(df, idCol, textCol, buckets).localCheckpoint()
+    val keyed = keyedByBucket(df, idCol, textCol, buckets).barrierOnce()
     // phase 1: per-bucket totals -> driver (O(buckets) longs), exclusive
     // running base per bucket
     val totals = keyed.groupBy("bucket").agg(sum(col("n_tokens")).as("t"))
