@@ -2958,7 +2958,7 @@ object SparkEntry {
       |),
       |lum AS (
       |  SELECT doc_id, bx, by,
-      |    CASE WHEN (doc_id // 4) % 5 IN (2, 4)
+      |    CASE WHEN (doc_id // 4) % 5 IN (1, 2, 4)
       |         THEN (77 * p + 150 * ((p + 31) % 256)
       |               + 29 * ((p + 97) % 256)) // 256
       |         ELSE p END AS p

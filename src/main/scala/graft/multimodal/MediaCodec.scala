@@ -330,9 +330,33 @@ object MediaCodec {
     pngEncode(w, h, colorType, sample, filterForRow)
   }
 
+  /** Palette PNG (colorType 3): scanlines carry 8-bit PALETTE INDICES
+    * (bpp = 1 — filters operate on the index bytes, spec §9.2) and a
+    * PLTE chunk of 1–256 RGB triples maps them to color. Same real
+    * deflate stream, per-row filters, multi-IDAT and CRC-32 as the
+    * other encoders; `palette(i)` is the (R, G, B) of index i and
+    * `index(x, y)` must stay within it.
+    */
+  def pngPalette(w: Int, h: Int, palette: Array[Array[Int]],
+      index: (Int, Int) => Int,
+      filterForRow: Int => Int = _ => 0): Array[Byte] = {
+    require(palette.nonEmpty && palette.length <= 256,
+      s"palette size ${palette.length}")
+    val plte = new Array[Byte](palette.length * 3)
+    for (i <- palette.indices) {
+      require(palette(i).length == 3, s"palette entry $i")
+      for (c <- 0 until 3) plte(3 * i + c) = (palette(i)(c) & 0xff).toByte
+    }
+    pngEncode(w, h, colorType = 3, (x, y, _) => {
+      val v = index(x, y)
+      require(v >= 0 && v < palette.length, s"index ($x,$y) = $v out of palette")
+      v
+    }, filterForRow, plte)
+  }
+
   private def pngEncode(w: Int, h: Int, colorType: Int,
       sample: (Int, Int, Int) => Int,
-      filterForRow: Int => Int): Array[Byte] = {
+      filterForRow: Int => Int, plte: Array[Byte] = null): Array[Byte] = {
     require(w > 0 && h > 0, s"pngEncode ${w}x$h")
     val bpp = pngChannels(colorType).get // bit depth 8: bytes == channels
     val stride = w * bpp + 1 // filter byte + w*bpp samples per row
@@ -379,6 +403,7 @@ object MediaCodec {
     ihdr.write(colorType)
     ihdr.write(0); ihdr.write(0); ihdr.write(0) // compression/filter/interlace
     writeChunk(out, "IHDR", ihdr.toByteArray)
+    if (plte != null) writeChunk(out, "PLTE", plte) // before IDAT (§4.1.2)
     var off = 0
     while (off < z.length) {
       val n = math.min(512, z.length - off)
@@ -390,8 +415,9 @@ object MediaCodec {
   }
 
   /** Full pixel-level PNG decode for 8-bit grayscale (color type 0),
-    * truecolor (2), gray+alpha (4) and truecolor+alpha (6), pure JVM:
-    * chunk walk with
+    * truecolor (2), palette (3 — PLTE triples folded to a luma LUT,
+    * out-of-range indices quarantined), gray+alpha (4) and
+    * truecolor+alpha (6), pure JVM: chunk walk with
     * CRC-32 verification on every chunk (unlike the header-only
     * [[parsePng]] — a pixel consumer must reject bit rot), IDAT
     * concatenation, zlib inflate ([[java.util.zip.Inflater]]),
@@ -414,7 +440,10 @@ object MediaCodec {
     var i = 0
     while (i < 8) { if (u8(b, i) != PngSig(i)) return None; i += 1 }
     var w = -1; var h = -1; var bpp = -1
+    var isPalette = false
+    var paletteLuma: Array[Byte] = null // (77R+150G+29B)>>8 per PLTE entry
     val idat = new java.io.ByteArrayOutputStream()
+    var sawIdat = false
     var sawIend = false
     var pos = 8
     while (pos + 12 <= b.length && !sawIend) {
@@ -432,14 +461,15 @@ object MediaCodec {
           if (len != 13) return None
           w = be32(b, pos + 8); h = be32(b, pos + 12)
           if (w <= 0 || h <= 0) return None
-          // bit depth 8, color 0/2/6, no compression/filter/interlace
+          // bit depth 8, color 0/2/3/4/6, no compression/filter/interlace
           // variants: everything else is outside this decoder's contract
           bpp = u8(b, pos + 17) match {
             case 0 => 1 // gray8
             case 2 => 3 // RGB8
+            case 3 => isPalette = true; 1 // palette index, PLTE required
             case 4 => 2 // gray8 + alpha
             case 6 => 4 // RGBA8
-            case _ => return None // palette needs a PLTE path: quarantine
+            case _ => return None
           }
           if (u8(b, pos + 16) != 8 || u8(b, pos + 18) != 0 ||
             u8(b, pos + 19) != 0 || u8(b, pos + 20) != 0) return None
@@ -448,13 +478,30 @@ object MediaCodec {
           // IDAT stream can contradict it
           if (w.toLong * h > MaxDecodePixels ||
             (w.toLong * bpp + 1L) * h > Int.MaxValue) return None
-        case "IDAT" => idat.write(b, pos + 8, len)
+        case "PLTE" if isPalette =>
+          // the index→color table: must precede IDAT (spec §4.1.2), be
+          // 1–256 whole RGB triples, and appear exactly once. Folded to
+          // the luma LUT immediately — the integer weights sum to 256, so
+          // the palette lookup replays exactly in the SQL oracle
+          if (sawIdat || paletteLuma != null ||
+            len == 0 || len % 3 != 0 || len > 768) return None
+          paletteLuma = new Array[Byte](len / 3)
+          var e = 0
+          while (e < len / 3) {
+            val r = u8(b, pos + 8 + 3 * e); val g = u8(b, pos + 9 + 3 * e)
+            val bl = u8(b, pos + 10 + 3 * e)
+            paletteLuma(e) = ((77 * r + 150 * g + 29 * bl) >> 8).toByte
+            e += 1
+          }
+        case "PLTE" => // suggested palette for truecolor: ancillary here
+        case "IDAT" => sawIdat = true; idat.write(b, pos + 8, len)
         case "IEND" => sawIend = true
         case _ => // ancillary chunk: skip
       }
       pos += 12 + len
     }
     if (!sawIend || w < 0) return None
+    if (isPalette && paletteLuma == null) return None // no PLTE: corrupt
     val stride = w * bpp + 1
     val raw = new Array[Byte](h * stride)
     val inflater = new java.util.zip.Inflater()
@@ -498,7 +545,13 @@ object MediaCodec {
       var x = 0
       while (x < w) {
         val l =
-          if (bpp == 1) curRow(x)
+          if (isPalette) {
+            val idx = curRow(x)
+            // an index past the palette is corruption, not black pixels
+            if (idx >= paletteLuma.length) return None
+            paletteLuma(idx) & 0xff
+          }
+          else if (bpp == 1) curRow(x)
           else if (bpp == 2) curRow(x * 2) // gray+alpha: luma IS the gray channel
           else {
             val o = x * bpp

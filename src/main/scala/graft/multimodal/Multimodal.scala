@@ -299,10 +299,19 @@ object Multimodal {
   /** Which PNG color type document `d`'s asset uses — decided per
     * 4-doc GROUP (d/4) so near-dup group members share a type and the
     * planted small-diff pairing survives the color transform: groups
-    * ≡ 2 mod 5 are RGB8, ≡ 4 mod 5 are RGBA8, the rest gray8.
+    * ≡ 1 mod 5 are palette (colorType 3), ≡ 2 mod 5 RGB8, ≡ 4 mod 5
+    * RGBA8, the rest gray8.
     */
   private[multimodal] def pngColorType(d: Long): Int =
-    ((d / 4) % 5) match { case 2 => 2; case 4 => 6; case _ => 0 }
+    ((d / 4) % 5) match { case 1 => 3; case 2 => 2; case 4 => 6; case _ => 0 }
+
+  /** The 256-entry palette for the colorType-3 assets: entry i is
+    * (R, G, B) = ([[channelValue]] of v = i for c = 0, 1, 2), so a
+    * palette asset's decoded luma equals the truecolor luma of the same
+    * block values — the oracle's color-luma formula covers both.
+    */
+  private[multimodal] val PhashPalette: Array[Array[Int]] =
+    Array.tabulate(256)(i => Array(i, (i + 31) % 256, (i + 97) % 256))
 
   /** Channel value for color assets: R = v, G = (v+31) mod 256,
     * B = (v+97) mod 256, A = (v+d) mod 256 — distinct per channel (the
@@ -325,6 +334,12 @@ object Multimodal {
       val bytes =
         if (colorType == 0)
           MediaCodec.pngGray(PhashW, PhashH,
+            (x, y) => blockValue(id, x / 4, y / 4),
+            y => ((id + y) % 5).toInt)
+        else if (colorType == 3)
+          // palette asset: the index IS the block value; PLTE entry i
+          // mirrors channelValue(i), so luma matches the truecolor path
+          MediaCodec.pngPalette(PhashW, PhashH, PhashPalette,
             (x, y) => blockValue(id, x / 4, y / 4),
             y => ((id + y) % 5).toInt)
         else

@@ -165,8 +165,8 @@ class MediaCodecSpec extends AnyFunSuite {
     tall(23) = 16.toByte // height low byte (8 -> 16)
     patchCrc(tall, 8)
     assert(MediaCodec.decodePngPixels(tall).isEmpty)
-    // palette/gray+alpha containers are outside the decoder's contract
-    // (2 and 6 ARE in contract since the color extension; 3 never is)
+    // a header-only palette container (CRC filler, no PLTE/IDAT) is
+    // corrupt even though colorType 3 is now in contract
     assert(MediaCodec.decodePngPixels(
       MediaCodec.pngHeader(4, 4, colorType = 3)).isEmpty)
     // never throws on garbage
@@ -229,6 +229,91 @@ class MediaCodecSpec extends AnyFunSuite {
       if (c == 1) (x * 3 + y * 5) % 256 else ch(x, y, 0), y => y % 5)
     assert(MediaCodec.decodePngPixels(grayA).get.px.toSeq ==
       MediaCodec.decodePngPixels(gray).get.px.toSeq)
+  }
+
+  // A complete 5×3 palette PNG produced by an INDEPENDENT encoder
+  // (Python zlib + hand-built chunks; 4-entry PLTE, filters 0,1,2
+  // across the rows), pinned byte-for-byte. index(x,y) = (x+y) % 4;
+  // palette (255,0,0) (0,255,0) (0,0,128) (10,20,30) → luma LUT
+  // (77R+150G+29B)>>8 = 76, 149, 14, 18.
+  private val realPngPal5x3: Array[Byte] = Array(
+    0x89, 0x50, 0x4e, 0x47, 0x0d, 0x0a, 0x1a, 0x0a, 0x00, 0x00, 0x00, 0x0d,
+    0x49, 0x48, 0x44, 0x52, 0x00, 0x00, 0x00, 0x05, 0x00, 0x00, 0x00, 0x03,
+    0x08, 0x03, 0x00, 0x00, 0x00, 0x6c, 0xe8, 0x35, 0xca, 0x00, 0x00, 0x00,
+    0x0c, 0x50, 0x4c, 0x54, 0x45, 0xff, 0x00, 0x00, 0x00, 0xff, 0x00, 0x00,
+    0x00, 0x80, 0x0a, 0x14, 0x1e, 0x11, 0xd4, 0x99, 0xce, 0x00, 0x00, 0x00,
+    0x16, 0x49, 0x44, 0x41, 0x54, 0x78, 0x9c, 0x63, 0x60, 0x60, 0x64, 0x62,
+    0x66, 0x60, 0x04, 0x82, 0xbf, 0x8c, 0x4c, 0x20, 0x82, 0x11, 0x00, 0x0b,
+    0x92, 0x02, 0x0c, 0x00, 0x83, 0xd1, 0x91, 0x00, 0x00, 0x00, 0x00, 0x49,
+    0x45, 0x4e, 0x44, 0xae, 0x42, 0x60, 0x82).map(_.toByte)
+
+  test("pixel-decodes an independently-encoded palette PNG to luma (pinned bytes)") {
+    val img = MediaCodec.decodePngPixels(realPngPal5x3).get
+    assert(img.width == 5 && img.height == 3)
+    val lut = Array(76, 149, 14, 18)
+    assert(img.px.map(_ & 0xff).toSeq ==
+      (for (y <- 0 until 3; x <- 0 until 5) yield lut((x + y) % 4)))
+  }
+
+  test("pngPalette encode -> decode round-trips exact luma, all 5 filters") {
+    val pal = Array.tabulate(256)(i => Array(i, (i * 7 + 3) % 256, (255 - i)))
+    def idx(x: Int, y: Int): Int = (x * 37 + y * 91 + 13) % 256
+    def luma(i: Int): Int =
+      (77 * pal(i)(0) + 150 * pal(i)(1) + 29 * pal(i)(2)) >> 8
+    val b = MediaCodec.pngPalette(23, 17, pal, idx, y => y % 5)
+    val img = MediaCodec.decodePngPixels(b).get
+    assert(img.width == 23 && img.height == 17)
+    for (y <- 0 until 17; x <- 0 until 23)
+      assert((img.px(y * 23 + x) & 0xff) == luma(idx(x, y)), s"($x,$y)")
+    // a palette image whose luma equals a gray image decodes identically
+    val grayPal = Array.tabulate(256)(i => Array(i, i, i))
+    val asPal = MediaCodec.pngPalette(9, 7, grayPal, (x, y) => idx(x, y))
+    val asGray = MediaCodec.pngGray(9, 7, (x, y) => idx(x, y))
+    assert(MediaCodec.decodePngPixels(asPal).get.px.toSeq ==
+      MediaCodec.decodePngPixels(asGray).get.px.toSeq)
+  }
+
+  test("palette corruption quarantines: no PLTE, index overflow, ragged/late PLTE") {
+    val pal4 = Array.tabulate(4)(i => Array(i * 60, i * 40, i * 20))
+    val good = MediaCodec.pngPalette(6, 4, pal4, (x, y) => (x + y) % 4)
+    assert(MediaCodec.decodePngPixels(good).isDefined)
+    def chunkAt(b: Array[Byte], t: String): Int = {
+      var pos = 8
+      while (pos + 12 <= b.length) {
+        def be32(i: Int): Int = ((b(i) & 0xff) << 24) | ((b(i + 1) & 0xff) << 16) |
+          ((b(i + 2) & 0xff) << 8) | (b(i + 3) & 0xff)
+        if (new String(b.slice(pos + 4, pos + 8), "US-ASCII") == t) return pos
+        pos += 12 + be32(pos)
+      }
+      -1
+    }
+    // strip the PLTE chunk entirely: indices with no table is corrupt
+    val p = chunkAt(good, "PLTE")
+    val plteLen = 12 + 12 // 4 triples + chunk overhead
+    val noPlte = good.take(p) ++ good.drop(p + plteLen)
+    assert(MediaCodec.decodePngPixels(noPlte).isEmpty)
+    // an index past the palette is corruption, not a black pixel: encode
+    // with a 251-entry table containing index 200, then splice in the
+    // 4-entry PLTE (whole-chunk splice keeps every CRC valid)
+    val overflow = MediaCodec.pngPalette(6, 4, Array.tabulate(251)(i =>
+      Array(i, i, i)), (x, y) => if (x == 3 && y == 2) 200 else (x + y) % 4)
+    val op = chunkAt(overflow, "PLTE")
+    val opLen = 12 + 753
+    val gp = chunkAt(good, "PLTE")
+    val spliced = overflow.take(op) ++ good.slice(gp, gp + plteLen) ++
+      overflow.drop(op + opLen)
+    assert(MediaCodec.decodePngPixels(spliced).isEmpty)
+    // ragged PLTE (not a whole number of triples): an 11-byte payload
+    // with a VALID chunk CRC must still quarantine on the %3 contract
+    val raggedPayload = good.slice(p + 8, p + 8 + 11)
+    val crc = new java.util.zip.CRC32()
+    crc.update("PLTE".getBytes("US-ASCII")); crc.update(raggedPayload)
+    val v = crc.getValue.toInt
+    val raggedChunk = Array[Byte](0, 0, 0, 11) ++
+      "PLTE".getBytes("US-ASCII") ++ raggedPayload ++
+      Array((v >>> 24).toByte, (v >>> 16).toByte, (v >>> 8).toByte, v.toByte)
+    val raggedPng = good.take(p) ++ raggedChunk ++ good.drop(p + plteLen)
+    assert(MediaCodec.decodePngPixels(raggedPng).isEmpty)
   }
 
   // ------------------------------------------------------------- MP4
