@@ -145,6 +145,11 @@ object SparkEntry {
     "q_frequent_tokens" -> SketchQ.frequentTokens,
     // §2.10 — tumbling event-time window (batch twin of streaming agg)
     "q_tumbling_window" -> EventsQ.tumblingWindow,
+    // §2.10 — the SAME windowed aggregation executed as a real
+    // Structured Streaming query (file stream source -> watermarked
+    // window agg -> AvailableNow -> memory sink); shares the batch
+    // twin's oracle, so streamed ≡ batch is hash-matched per round
+    "q_stream_mart" -> EventsQ.streamMart,
     // §2.10 — hopping/sliding event-time windows (batch twin of
     // streaming sliding aggregation; 2 windows per event)
     "q_hopping_window" -> EventsQ.hoppingWindow,
@@ -632,6 +637,9 @@ object SparkEntry {
     "q_hard_negatives_compose" -> oracleSqlBase("q_hard_negatives"),
     "q_embed_clusters_staged" -> oracleSqlBase("q_embed_clusters"),
     "q_corpus_report_mm_compose" -> oracleSqlBase("q_corpus_report_mm"),
+    // the streaming execution of the tumbling-window mart must produce
+    // EXACTLY the batch relation — one oracle serves both
+    "q_stream_mart" -> oracleSqlBase("q_tumbling_window"),
   )
 
   private lazy val oracleSqlBase: Map[String, String] = Map(

@@ -30,6 +30,20 @@ object EventsQ {
         col("n"), col("total_value"))
   }
 
+  /** q_stream_mart: [[tumblingWindow]]'s aggregation executed as an
+    * ACTUAL Structured Streaming query — `readStream` over the same
+    * events parquet, [[graft.streaming.Streaming.windowedMart]]'s plan
+    * (watermark + 5-minute windows), driven to completion with
+    * `Trigger.AvailableNow` into a complete-mode memory sink. Shares
+    * the batch twin's DuckDB oracle VERBATIM: streamed ≡ batch is the
+    * hash-matched contract, promoting the streaming layer from
+    * spec-only evidence into the oracled correctness ledger.
+    */
+  def streamMart(spark: SparkSession, dir: String): DataFrame =
+    graft.streaming.Streaming.runToCompletion(
+      graft.streaming.Streaming.windowedMart(Tables.streamEvents(spark, dir)),
+      label = "stream_mart")
+
   /** HOPPING (sliding) event-time windows: 10-minute windows every 5
     * minutes — each event lands in size/slide = 2 overlapping windows
     * (Spark's `window(ts, size, slide)` plans the 2× Generate + one

@@ -511,4 +511,29 @@ object Streaming {
         graft.etl.Upsert.upsertParquet(spark, outDir, flagged,
           keys = Seq("event_id"), versionCol = "served_batch")
       }
+
+  private val sinkSeq = new java.util.concurrent.atomic.AtomicLong(0)
+
+  /** Drive a streaming AGGREGATION plan to completion over a bounded
+    * source and return the final result as a static DataFrame:
+    * complete-mode memory sink + `Trigger.AvailableNow` (process
+    * everything available, then stop). Complete mode retains all window
+    * state, so a bounded run's final table is EXACTLY the batch answer
+    * — which is what lets a streaming execution sit in the oracled
+    * correctness ledger (q_stream_mart) instead of spec-only evidence.
+    * The memory sink is driver-resident: results must be aggregate-sized
+    * (|windows| × |types| here), never data-sized.
+    */
+  def runToCompletion(plan: DataFrame, label: String): DataFrame = {
+    val spark = plan.sparkSession
+    val sink = s"graft_${label}_${sinkSeq.incrementAndGet()}"
+    val q = plan.writeStream
+      .format("memory")
+      .queryName(sink)
+      .outputMode(OutputMode.Complete())
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    try q.awaitTermination() finally if (q.isActive) q.stop()
+    spark.table(sink)
+  }
 }

@@ -58,6 +58,17 @@ class StreamingSpec extends AnyFunSuite with SparkSpec {
     assert(out.contains(("2024-01-01 10:05:00.0", "click", 1L, 4.0)))
   }
 
+  test("q_stream_mart: bounded streaming execution == batch tumbling window") {
+    val dir = "/root/testdata/sf0.001"
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2),
+        r.getDouble(3))).toSet
+    val streamed = rows(graft.queries.EventsQ.streamMart(spark, dir))
+    val batch = rows(graft.queries.EventsQ.tumblingWindow(spark, dir))
+    assert(batch.nonEmpty)
+    assert(streamed == batch)
+  }
+
   test("slidingMart: each event lands in size/slide overlapping windows") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
