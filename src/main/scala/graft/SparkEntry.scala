@@ -524,6 +524,11 @@ object SparkEntry {
     // the multi-probe expansion over the same pinned planes (oracle
     // additionally replays the bucket-XOR probe set)
     "q_ann_lsh_probe_fixture" -> AnnQ.lshProbeFixtureTopK,
+    // the approximate-vs-exact recall ledger: every fixture-oracled
+    // serve path's top-5 joined against exact brute force, per-method
+    // hits@5 + recall@5 — itself hash-matched (the oracle recomputes
+    // each method from the same fixture SQL + the exact ranking)
+    "q_ann_recall_report" -> AnnQ.annRecallReport,
     // embedding-quality eval — nearest-class-centroid confusion matrix
     // (exact-decimal prototypes => fully oracled)
     "q_prototype_eval" -> ((s, dir) => graft.ann.Prototype.confusion(
@@ -640,6 +645,42 @@ object SparkEntry {
     // the streaming execution of the tumbling-window mart must produce
     // EXACTLY the batch relation — one oracle serves both
     "q_stream_mart" -> oracleSqlBase("q_tumbling_window"),
+    // the ANN recall ledger composes each fixture method's oracle SQL
+    // VERBATIM (a drift between a method's own oracle and its recall
+    // row is impossible by construction) plus the exact ranking
+    "q_ann_recall_report" ->
+      s"""WITH exact AS (
+        |  SELECT query_id, neighbor_id FROM (
+        |    WITH v(vec_id, emb) AS (VALUES
+        |      ${graft.ann.PqFixture.corpusValuesSql}
+        |    )
+        |    SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+        |     row_number() OVER (PARTITION BY q.vec_id ORDER BY
+        |       list_dot_product(c.emb, q.emb)
+        |         / (sqrt(list_dot_product(c.emb, c.emb))
+        |            * sqrt(list_dot_product(q.emb, q.emb))) DESC,
+        |       c.vec_id) AS rn
+        |    FROM v q JOIN v c ON c.vec_id <> q.vec_id
+        |    WHERE q.vec_id < 3
+        |  ) WHERE rn <= 5
+        |), m AS (
+        |  SELECT 'ivf' AS method, query_id, neighbor_id
+        |  FROM (${oracleSqlBase("q_ann_ivf_fixture")})
+        |  UNION ALL SELECT 'ivfpq', query_id, neighbor_id
+        |  FROM (${oracleSqlBase("q_ann_ivfpq_fixture")})
+        |  UNION ALL SELECT 'lsh', query_id, neighbor_id
+        |  FROM (${oracleSqlBase("q_ann_lsh_fixture")})
+        |  UNION ALL SELECT 'lsh_probe', query_id, neighbor_id
+        |  FROM (${oracleSqlBase("q_ann_lsh_probe_fixture")})
+        |  UNION ALL SELECT 'pq', query_id, neighbor_id
+        |  FROM (${oracleSqlBase("q_ann_pq_fixture")})
+        |)
+        |SELECT m.method, m.query_id,
+        | CAST(count(e.neighbor_id) AS BIGINT) AS n_hits,
+        | CAST(count(e.neighbor_id) AS DOUBLE) / 5.0 AS recall_at_5
+        |FROM m LEFT JOIN exact e
+        |  ON e.query_id = m.query_id AND e.neighbor_id = m.neighbor_id
+        |GROUP BY 1, 2""".stripMargin,
   )
 
   private lazy val oracleSqlBase: Map[String, String] = Map(

@@ -322,6 +322,42 @@ object AnnQ {
       probeBits = fx.bitsPerTable)
   }
 
+  /** q_ann_recall_report: the approximate-vs-exact RECALL LEDGER — one
+    * oracled dashboard relation auditing every approximate ANN family's
+    * serve path at once. Each hash-match-oracled fixture method (IVF
+    * cell routing, IVF-PQ residual ADC, single- and multi-probe LSH,
+    * plain PQ ADC) runs its REAL serve code over the pinned fixture
+    * corpus; its top-5 is joined against the exact brute-force top-5 on
+    * the same corpus, and per (method, query) the report emits hits@5
+    * and recall@5 (n/5 — exactly representable). The DuckDB oracle
+    * recomputes every method's result from the SAME fixture oracle SQL
+    * the individual q_ann_*_fixture rows use, plus the exact ranking —
+    * so the recall numbers themselves are hash-matched, turning the
+    * "approximate by design, twinned" no-oracle entries into one
+    * auditable CORRECTNESS row.
+    */
+  def annRecallReport(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val fx = graft.ann.PqFixture
+    val corpus = fx.corpusDf(spark)
+    val exact = Ann.bruteForceTopK(corpus, corpus.filter(col("vec_id") < 3),
+      "vec_id", "embedding", k = 5)
+      .select(col("query_id"), col("neighbor_id"), lit(1L).as("hit"))
+    val methods: Seq[(String, DataFrame)] = Seq(
+      "ivf" -> ivfFixtureTopK(spark, dir),
+      "ivfpq" -> ivfPqFixtureTopK(spark, dir),
+      "lsh" -> lshFixtureTopK(spark, dir),
+      "lsh_probe" -> lshProbeFixtureTopK(spark, dir),
+      "pq" -> pqFixtureTopK(spark, dir))
+    methods.map { case (name, df) =>
+      df.select(lit(name).as("method"), col("query_id"), col("neighbor_id"))
+    }.reduce(_.unionByName(_))
+      .join(exact, Seq("query_id", "neighbor_id"), "left")
+      .groupBy(col("method"), col("query_id"))
+      .agg(coalesce(sum(col("hit")), lit(0L)).as("n_hits"))
+      .withColumn("recall_at_5", col("n_hits").cast("double") / lit(5.0))
+  }
+
   /** q_hard_negatives: for each query vector, the top-5 most-similar
     * vectors that are NOT in its near-dup cluster — the hard-negative
     * mining step of contrastive embedding training (a near-duplicate is

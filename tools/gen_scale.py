@@ -1,0 +1,99 @@
+#!/usr/bin/env python3
+"""Structure-preserving scale-up of the documents/embeddings tables for
+the BENCH_NOTES scale curve (sf0.1 -> sfN with N x the rows).
+
+Usage: python3 tools/gen_scale.py <srcSfDir> <outDir> <tiles>
+
+The driver's testdata stops at sf0.1; measuring one decade of scaling
+needs an sf1-sized corpus whose PER-TILE structure matches the driver's
+generator exactly. Each of the <tiles> tiles is the source corpus under
+a tile-specific transform chosen so that
+
+ - documents: every token is Caesar-shifted by the tile index (a-z
+   rotation; digits/whitespace unchanged). Token lengths, n_chars, gram
+   counts, and the planted near-dup pair structure are preserved
+   EXACTLY within a tile, while cross-tile 3/8-gram overlap is zero —
+   so dup density (pairs per doc) stays constant as the corpus grows,
+   which is how a real corpus scales (more docs, same dup rate), and
+   banded dedup work grows linearly, not quadratically.
+ - embeddings: per-tile deterministic sign flips per dimension — an
+   orthogonal transform, so intra-tile cosines (and hence the per-tile
+   cluster structure k-means/PQ sees) are bit-preserved, while
+   cross-tile cosines decorrelate.
+
+The remaining TPC-H tables are symlinked from the source dir (the bench
+warm-up reads them; the heavy tier under measurement does not).
+
+Dev-tool only (pyarrow/pandas are driver-side) — not part of the
+shipped library; the generated dir is a bench artifact, not test input.
+"""
+import os
+import sys
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+
+def shift_text(text: str, k: int) -> str:
+    if k == 0:
+        return text
+    out = []
+    for ch in text:
+        if "a" <= ch <= "z":
+            out.append(chr((ord(ch) - 97 + k) % 26 + 97))
+        else:
+            out.append(ch)
+    return "".join(out)
+
+
+def main(src: str, out: str, tiles: int) -> None:
+    os.makedirs(out, exist_ok=True)
+
+    docs = pq.read_table(f"{src}/documents.parquet").to_pandas()
+    n_docs = len(docs)
+    doc_tiles = []
+    for k in range(tiles):
+        t = docs.copy()
+        t["doc_id"] = t["doc_id"] + k * n_docs
+        if k:
+            t["text"] = t["text"].map(lambda s, k=k: shift_text(s, k))
+        doc_tiles.append(t)
+    all_docs = pd.concat(doc_tiles, ignore_index=True)
+    assert (all_docs["n_chars"] == all_docs["text"].str.len()).all()
+    pq.write_table(pa.Table.from_pandas(all_docs, preserve_index=False),
+                   f"{out}/documents.parquet")
+    print(f"documents: {len(all_docs)} rows ({tiles} x {n_docs})")
+
+    emb = pq.read_table(f"{src}/embeddings.parquet").to_pandas()
+    n_vec = len(emb)
+    mat = np.stack(emb["embedding"].to_numpy())  # (n, d) float32
+    d = mat.shape[1]
+    emb_tiles = []
+    for k in range(tiles):
+        t = emb.copy()
+        t["vec_id"] = t["vec_id"] + k * n_vec
+        if k:
+            # deterministic per-(tile, dim) sign: orthogonal, so
+            # intra-tile cosines are preserved bit-for-bit
+            signs = np.where((np.arange(d) * 101 + k * 37) % 2 == 0,
+                             1.0, -1.0).astype(np.float32)
+            flipped = mat * signs
+            t["embedding"] = list(flipped)
+        emb_tiles.append(t)
+    all_emb = pd.concat(emb_tiles, ignore_index=True)
+    pq.write_table(pa.Table.from_pandas(all_emb, preserve_index=False),
+                   f"{out}/embeddings.parquet")
+    print(f"embeddings: {len(all_emb)} rows ({tiles} x {n_vec})")
+
+    for t in ["region", "nation", "customer", "supplier", "part",
+              "orders", "lineitem", "events"]:
+        dst = f"{out}/{t}.parquet"
+        if not os.path.exists(dst):
+            os.symlink(f"{src}/{t}.parquet", dst)
+    print(f"symlinked TPC-H tables from {src}")
+
+
+if __name__ == "__main__":
+    main(sys.argv[1], sys.argv[2], int(sys.argv[3]))
