@@ -188,6 +188,11 @@ object SparkEntry {
     // touched keys' open rows re-windowed; oracle is the FULL rebuild,
     // so hash-match proves incremental ≡ full
     "q_scd2_incremental" -> EventsQ.scd2Incremental,
+    // §2.10/S13 — the streaming SCD2 sink driven end-to-end (file
+    // stream source -> foreachBatch type-2 merge into parquet history
+    // -> AvailableNow), history read back; shares q_scd2's FULL-rebuild
+    // oracle, so streamed ≡ batch rebuild is hash-matched per round
+    "q_stream_scd2" -> EventsQ.streamScd2,
     // S2 — deterministic seeded POS source; oracle = the frozen
     // pinned-VALUES capture (PosPinned — Spark's murmur3 has no SQL
     // replay, but the output is a constant, so the pin hash-gates
@@ -972,6 +977,10 @@ object SparkEntry {
     // the incremental merge must converge to the full rebuild exactly:
     // ONE bound SQL for both keys, so the oracles can never diverge
     "q_scd2_incremental" -> scd2RebuildSql,
+    // the streamed sink must converge to the same full rebuild: the
+    // SAME bound SQL again — streamed ≡ batch can never drift by
+    // construction of the oracle
+    "q_stream_scd2" -> scd2RebuildSql,
     "q_running_totals" ->
       """WITH e AS (
         |  SELECT event_id, user_id, ts, CAST(value AS DECIMAL(18,2)) AS val FROM events

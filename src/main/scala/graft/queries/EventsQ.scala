@@ -177,6 +177,41 @@ object EventsQ {
       .drop("last_event_id", "seen_ts_s", "seen_event_id")
   }
 
+  /** q_stream_scd2: the streaming SCD2 sink executed as an ACTUAL
+    * Structured Streaming query — `readStream` over the events parquet,
+    * the click change stream fed through
+    * [[graft.streaming.Streaming.scd2Sink]]'s foreachBatch merge into a
+    * parquet type-2 history (`Trigger.AvailableNow`), then the
+    * persisted history read back. Shares q_scd2's DuckDB full-rebuild
+    * oracle VERBATIM — streamed history ≡ batch rebuild is the
+    * hash-matched contract (SURVEY §8 S13 promoted into the oracled
+    * ledger, the q_stream_mart pattern). The state dir is wiped before
+    * each run so the verified artifact is the BUILD path, not an
+    * idempotent re-merge over a previous run's history (the redelivery
+    * no-op StreamingSpec pins separately).
+    */
+  def streamScd2(spark: SparkSession, dir: String): DataFrame = {
+    val state = graft.ops.StageArtifacts.refresh(dir, "stream-scd2") { out =>
+      val p = java.nio.file.Paths.get(out)
+      if (java.nio.file.Files.exists(p)) {
+        val walk = java.nio.file.Files.walk(p)
+        try walk.sorted(java.util.Comparator.reverseOrder())
+          .forEach(f => java.nio.file.Files.delete(f))
+        finally walk.close()
+      }
+      val changes = Tables.streamEvents(spark, dir)
+        .filter(col("event_type") === "click")
+        .select(col("user_id"), col("event_id"),
+          unix_timestamp(col("ts")).as("ts_s"), col("value"))
+      val q = graft.streaming.Streaming.scd2Sink(changes, s"$out/dim")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      try q.awaitTermination() finally if (q.isActive) q.stop()
+    }
+    spark.read.parquet(s"$state/dim")
+      .drop("last_event_id", "seen_ts_s", "seen_event_id")
+  }
+
   /** Cohort retention: users grouped by their FIRST-seen day (epoch-day
     * cohort), counted as retained k days after it (k = activity day −
     * cohort day). The classic product-analytics matrix; shape is one

@@ -69,6 +69,23 @@ class StreamingSpec extends AnyFunSuite with SparkSpec {
     assert(streamed == batch)
   }
 
+  test("q_stream_scd2: streamed persisted history == batch scd2 build") {
+    val dir = "/root/testdata/sf0.001"
+    def rows(df: org.apache.spark.sql.DataFrame) = df
+      .select("user_id", "version", "value", "valid_from_s", "valid_to_s",
+        "is_current")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3),
+        Option(r.get(4)).map(_.asInstanceOf[Long]), r.getInt(5))).toSet
+    val streamed = rows(graft.queries.EventsQ.streamScd2(spark, dir))
+    val batch = rows(graft.queries.EventsQ.scd2(spark, dir))
+    assert(batch.nonEmpty)
+    assert(streamed == batch)
+    // a second run over the wiped state dir is identical (run-to-run
+    // determinism of the registered query, not just stream ≡ batch)
+    assert(rows(graft.queries.EventsQ.streamScd2(spark, dir)) == streamed)
+  }
+
   test("slidingMart: each event lands in size/slide overlapping windows") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
