@@ -480,6 +480,12 @@ object SparkEntry {
     // similarity search — cosine top-k over int8 codes (exact integer
     // dots => deterministic, fully oracled quantized serving path)
     "q_ann_topk_quant" -> AnnQ.bruteTopKQuantized,
+    // §2.10 — the quantized serving sink driven end-to-end (persisted
+    // int8 code table, float query vectors via readStream, foreachBatch
+    // quantize-and-rank into a keyed parquet upsert, AvailableNow);
+    // shares q_ann_topk_quant's oracle, so stream-served ≡ batch
+    // ranking is hash-matched per round
+    "q_stream_ann_serve" -> AnnQ.streamAnnServe,
     // similarity search — sign-LSH bucketed top-k (rows-only: approximate)
     "q_ann_lsh" -> AnnQ.lshTopK,
     // multi-probe LSH: 4x smaller corpus-side index, Hamming-1 query
@@ -650,6 +656,9 @@ object SparkEntry {
     // the streaming execution of the tumbling-window mart must produce
     // EXACTLY the batch relation — one oracle serves both
     "q_stream_mart" -> oracleSqlBase("q_tumbling_window"),
+    // the stream-served quantized ranking must produce EXACTLY the
+    // batch relation — q_ann_topk_quant's oracle serves both
+    "q_stream_ann_serve" -> oracleSqlBase("q_ann_topk_quant"),
     // the ANN recall ledger composes each fixture method's oracle SQL
     // VERBATIM (a drift between a method's own oracle and its recall
     // row is impossible by construction) plus the exact ranking

@@ -71,4 +71,15 @@ object Tables {
         .option("pathGlobFilter", "events.parquet")
         .parquet(dir))
   }
+
+  /** STREAMING read of the embeddings table — the query-vector stream
+    * for the ANN serving sink; same schema-from-footer + glob-filter
+    * recipe as [[streamEvents]] (no column normalization needed).
+    */
+  def streamEmbeddings(spark: SparkSession, dir: String): DataFrame = {
+    val path = s"$dir/embeddings.parquet"
+    spark.readStream.schema(spark.read.parquet(path).schema)
+      .option("pathGlobFilter", "embeddings.parquet")
+      .parquet(dir)
+  }
 }

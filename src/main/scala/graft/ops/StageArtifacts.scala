@@ -71,6 +71,13 @@ object StageArtifacts {
     dir
   }
 
+  /** Recursively delete whatever a previous run left under `dir` — for
+    * [[refresh]] builders whose write path APPENDS or MERGES (streaming
+    * sinks) rather than overwrites: without the wipe, a re-run would
+    * verify an idempotent re-merge instead of the build path.
+    */
+  def wipeDir(dir: String): Unit = deleteRec(new File(dir))
+
   private def deleteRec(f: File): Unit = {
     val children = f.listFiles()
     if (children != null) children.foreach(deleteRec)

@@ -71,6 +71,38 @@ object AnnQ {
       "vec_id", "qv", k = 5)
   }
 
+  /** q_stream_ann_serve: the streaming quantized-ANN serving sink run
+    * end-to-end — the corpus persisted as the int8 code table, then the
+    * batch twin's query set ([[bruteTopKQuantized]]'s `vec_id < 20`)
+    * arriving as a FLOAT-vector `readStream` through
+    * [[graft.streaming.Streaming.annServeSink]]'s foreachBatch
+    * quantize-and-rank into a (query_id, rank)-keyed parquet upsert
+    * (`Trigger.AvailableNow`), and the served table read back. Shares
+    * q_ann_topk_quant's DuckDB oracle VERBATIM — code dots are exact
+    * integer sums, so stream-served ≡ batch ranking is hash-matchable,
+    * promoting the serving sink into the oracled ledger. The state dir
+    * is wiped per run so the verified artifact is the serve path, not
+    * the keyed upsert's redelivery no-op (which StreamingSpec pins
+    * separately with a real redelivered batch).
+    */
+  def streamAnnServe(spark: SparkSession, dir: String): DataFrame = {
+    val state = graft.ops.StageArtifacts.refresh(dir, "stream-ann-serve") { out =>
+      graft.ops.StageArtifacts.wipeDir(out)
+      graft.ann.Quantize.codes(
+          Tables(spark, dir, "embeddings"), "vec_id", "embedding")
+        .write.parquet(s"$out/codes")
+      val queries = Tables.streamEmbeddings(spark, dir)
+        .filter(col("vec_id") < 20)
+      val q = graft.streaming.Streaming.annServeSink(
+          queries, s"$out/codes", s"$out/served")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      try q.awaitTermination() finally if (q.isActive) q.stop()
+    }
+    spark.read.parquet(s"$state/served")
+      .select(col("query_id"), col("rank"), col("neighbor_id"), col("cosine"))
+  }
+
   /** Build + persist the IVF index artifact: centroids and
     * cluster-partitioned assignments, the layout [[graft.ann.Ann.ivfProbeIndexed]]
     * prunes against.

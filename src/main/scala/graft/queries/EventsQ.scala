@@ -192,13 +192,7 @@ object EventsQ {
     */
   def streamScd2(spark: SparkSession, dir: String): DataFrame = {
     val state = graft.ops.StageArtifacts.refresh(dir, "stream-scd2") { out =>
-      val p = java.nio.file.Paths.get(out)
-      if (java.nio.file.Files.exists(p)) {
-        val walk = java.nio.file.Files.walk(p)
-        try walk.sorted(java.util.Comparator.reverseOrder())
-          .forEach(f => java.nio.file.Files.delete(f))
-        finally walk.close()
-      }
+      graft.ops.StageArtifacts.wipeDir(out)
       val changes = Tables.streamEvents(spark, dir)
         .filter(col("event_type") === "click")
         .select(col("user_id"), col("event_id"),

@@ -86,6 +86,18 @@ class StreamingSpec extends AnyFunSuite with SparkSpec {
     assert(rows(graft.queries.EventsQ.streamScd2(spark, dir)) == streamed)
   }
 
+  test("q_stream_ann_serve: stream-served quantized top-k == batch quantized ranking") {
+    val dir = "/root/testdata/sf0.001"
+    def rows(df: org.apache.spark.sql.DataFrame) = df
+      .select("query_id", "rank", "neighbor_id", "cosine").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .toSet
+    val served = rows(graft.queries.AnnQ.streamAnnServe(spark, dir))
+    val batch = rows(graft.queries.AnnQ.bruteTopKQuantized(spark, dir))
+    assert(batch.nonEmpty)
+    assert(served == batch)
+  }
+
   test("slidingMart: each event lands in size/slide overlapping windows") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
