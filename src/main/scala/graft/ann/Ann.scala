@@ -153,13 +153,13 @@ object Ann {
       nCentroids: Int = 16, iterations: Int = 3): DataFrame = {
     val spark = corpus.sparkSession
     import spark.implicits._
-    // localCheckpoint materializes (id, v, norm, vn) ONCE: the k-means
-    // loop runs one action per iteration, and without a barrier the
-    // normalize pipeline would re-inline into each of the nCentroids
-    // argmax fold steps of every action (measured 10x slower)
-    val cv = prepIvf(corpus, idCol, vecCol).localCheckpoint()
+    // the barrier materializes (id, v, norm, vn) ONCE: the k-means
+    // loop runs one action per iteration, and without it the normalize
+    // pipeline would re-inline into each of the nCentroids argmax fold
+    // steps of every action (measured 10x slower)
+    val cv = graft.ops.Barrier.once(prepIvf(corpus, idCol, vecCol))
     val cs = fitCentroids(cv, nCentroids, iterations)
-    org.apache.spark.sql.graft.CheckpointUtils.release(cv)
+    graft.ops.Barrier.release(cv)
     cs.zipWithIndex.map { case (c, i) => (i, c) }.toDF("cluster", "centroid")
   }
 
@@ -304,16 +304,15 @@ object Ann {
   def ivfNeighbors(corpus: DataFrame, queries: DataFrame,
       idCol: String, vecCol: String, k: Int,
       nCentroids: Int = 16, nProbe: Int = 4, iterations: Int = 3): DataFrame = {
-    val cv = prepIvf(corpus, idCol, vecCol).localCheckpoint()
+    val cv = graft.ops.Barrier.once(prepIvf(corpus, idCol, vecCol))
     val centroids = fitCentroids(cv, nCentroids, iterations)
     val assigned = cv.withColumn("cluster", assignExpr(centroids))
-    // materialize the (tiny, |Q|×k) result so the checkpointed corpus
+    // materialize the (tiny, |Q|×k) result so the barriered corpus
     // working set can be released instead of staying pinned for the
     // session lifetime
-    val result = probeCells(assigned,
-      probeRoutes(queries, idCol, vecCol, centroids, nProbe), k)
-      .localCheckpoint()
-    org.apache.spark.sql.graft.CheckpointUtils.release(cv)
+    val result = graft.ops.Barrier.once(probeCells(assigned,
+      probeRoutes(queries, idCol, vecCol, centroids, nProbe), k))
+    graft.ops.Barrier.release(cv)
     result
   }
 

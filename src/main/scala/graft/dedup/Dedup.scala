@@ -4,6 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
+import graft.ops.Barrier.Ops
 import graft.text.TextOps
 
 /** Deduplication operators for large-scale corpora: exact (hash-groupBy),
@@ -113,7 +114,7 @@ object Dedup {
           i => array_join(slice(toks, i, lit(w)), " ")))).as("win"))
       // feeds the df count AND both self-join sides: window-building is
       // the dominant cost (w string builds per token), do it once
-      .localCheckpoint()
+      .barrierOnce()
     val dfreq = wins.groupBy(col("win")).agg(count(lit(1)).as("wdf"))
     // wdf >= 2 is pure pruning (singleton windows cannot pair);
     // wdf <= maxDf is the shedding contract. Checkpointed because keep
@@ -123,7 +124,7 @@ object Dedup {
     // exchanges defeat ReuseExchange). keep itself is small: only windows
     // with df in [2, maxDf]
     val keep = dfreq.filter(col("wdf") >= 2 && col("wdf") <= maxDf)
-      .select("win").localCheckpoint()
+      .select("win").barrierOnce()
     val pruned = wins.join(keep, "win")
     pruned.as("x").join(pruned.as("y"), "win")
       .filter(col("x.doc") < col("y.doc"))
@@ -167,13 +168,13 @@ object Dedup {
         posexplode(transform(
           sequence(lit(1), size(toks) - (w - 1)),
           i => array_join(slice(toks, i, lit(w)), " "))).as(Seq("pos", "win")))
-      .localCheckpoint()
+      .barrierOnce()
     // doc frequency (distinct docs, not occurrences: a doc-internal
     // repeat must not shed a window only two docs share)
     val keep = wins.groupBy(col("win"))
       .agg(countDistinct(col("doc")).as("wdf"))
       .filter(col("wdf") >= 2 && col("wdf") <= maxDf)
-      .select("win").localCheckpoint()
+      .select("win").barrierOnce()
     val pruned = wins.join(keep, "win")
     val matches = pruned.as("x").join(pruned.as("y"), "win")
       .filter(col("x.doc") < col("y.doc"))
@@ -241,7 +242,7 @@ object Dedup {
       .filter(col("x.doc") < col("y.doc"))
       .select(col("x.doc").as("a_id"), col("y.doc").as("b_id"))
       .distinct()
-      .localCheckpoint()
+      .barrierOnce()
     val touchedIds = candidates.select(col("a_id").as("doc"))
       .unionByName(candidates.select(col("b_id").as("doc"))).distinct()
     val shVerify = shingleRows(
@@ -303,7 +304,7 @@ object Dedup {
       n: Int = 3, threshold: Double = 0.8,
       nHashes: Int = 128, nBands: Int = 32): DataFrame = {
     val newBands = minhashIndex(batch, idCol, textCol, n, nHashes, nBands)
-      .localCheckpoint() // joined twice (vs index, vs itself): band once
+      .barrierOnce() // joined twice (vs index, vs itself): band once
     // new-vs-existing and new-vs-new candidates; a<b canonicalization
     // dedups the within-batch self-join
     val vsOld = newBands.as("x").join(index.as("y"), Seq("band", "bucket"))
@@ -315,10 +316,10 @@ object Dedup {
       .select(col("x.doc").as("a_id"), col("y.doc").as("b_id"))
     val candidates = vsOld.unionByName(vsNew)
       .distinct()
-      .localCheckpoint() // prunes the scans below AND feeds verify
+      .barrierOnce() // prunes the scans below AND feeds verify
     // newBands is dead once candidates materialized — release it, or a
     // daily-ingest loop pins batch×nBands rows per call
-    org.apache.spark.sql.graft.CheckpointUtils.release(newBands)
+    graft.ops.Barrier.release(newBands)
     // re-shingle ONLY the docs that collided — BOTH sides: verify cost
     // must scale with collision count, not batch size (the dominant
     // majority of a daily batch collides with nothing)

@@ -48,6 +48,24 @@ object Barrier {
           "(expected local | replicated | reliable)")
     }
 
+  /** Release a frame [[once]] materialized, under the SAME mode config:
+    * `local` → unpersist the checkpoint RDD (CheckpointUtils.release —
+    * refuses derived plans), `replicated` → unpersist, `reliable` →
+    * no-op (checkpoint files belong to the checkpoint dir's lifecycle).
+    * Callers that can't release (the barrier backs their RETURNED plan)
+    * simply don't call this — the ContextCleaner path — same as before.
+    */
+  def release(df: DataFrame): Unit =
+    df.sparkSession.conf.getOption("spark.graft.barrier.mode")
+      .getOrElse("local") match {
+      case "local" => org.apache.spark.sql.graft.CheckpointUtils.release(df)
+      case "replicated" => df.unpersist(blocking = false); ()
+      case "reliable" => ()
+      case other => throw new IllegalArgumentException(
+        s"spark.graft.barrier.mode: unknown mode '$other' " +
+          "(expected local | replicated | reliable)")
+    }
+
   /** Call-site sugar keeping the checkpoint chain shape:
     * `df.barrierOnce()` ≡ `Barrier.once(df)`.
     */
@@ -55,10 +73,17 @@ object Barrier {
     def barrierOnce(): DataFrame = Barrier.once(df)
   }
 
-  // NOT routed through the barrier: the ITERATIVE checkpoint loops
-  // (Dedup star contraction, BPE merge rounds, streaming novelty state)
-  // — those need lineage truncation per round to bound plan growth and
-  // pair each checkpoint with CheckpointUtils.release, so replicated
-  // persist (which keeps lineage) is the wrong cluster answer there;
-  // `reliable` checkpointing is, and they adopt it separately.
+  // NOT routed through the barrier (each keeps a deliberate direct
+  // localCheckpoint):
+  //  - the ITERATIVE checkpoint loops (Dedup star contraction, BPE merge
+  //    rounds, streaming novelty state) — those need lineage truncation
+  //    per round to bound plan growth, so replicated persist (which
+  //    keeps lineage) is the wrong cluster answer there; `reliable`
+  //    checkpointing is, and they adopt it separately;
+  //  - Compaction's overwrite-in-place barrier — after the target path
+  //    is overwritten, ANY recompute (which replicated persist allows on
+  //    double loss) would re-read the replaced files and corrupt rather
+  //    than fail: truncated lineage is the correctness contract itself;
+  //  - foreachBatch micro-batch internals — per-batch bounded frames
+  //    whose failure the streaming engine retries wholesale.
 }

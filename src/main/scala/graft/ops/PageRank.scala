@@ -39,9 +39,9 @@ object PageRank {
     require(n > 0, "PageRank over an empty node set")
     val base = Base / n
     // degrees once; the per-round joins reuse this tiny frame
-    val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("deg"))
-      .localCheckpoint()
-    val ids = nodes.select(col(idCol).as("node")).localCheckpoint()
+    val deg = graft.ops.Barrier.once(
+      edges.groupBy(col("src")).agg(count(lit(1)).as("deg")))
+    val ids = graft.ops.Barrier.once(nodes.select(col(idCol).as("node")))
     var pr = ids.withColumn("pr", lit(base))
     for (_ <- 1 to rounds) {
       val shares = pr.join(deg, pr("node") === deg("src"))

@@ -52,6 +52,28 @@ class BarrierSpec extends AnyFunSuite with SparkSpec {
     assert(withMode(Some("replicated"))(pairs()) == local)
   }
 
+  test("release frees the once-materialized frame in local and replicated modes") {
+    import org.apache.spark.sql.functions._
+    def build() = Tables(spark, dir, "documents")
+      .select(col("doc_id"), length(col("text")).as("n"))
+    for (mode <- Seq("local", "replicated")) withMode(Some(mode)) {
+      val frame = Barrier.once(build())
+      val n = frame.count()
+      assert(n > 0, s"mode=$mode")
+      Barrier.release(frame)
+      // released storage must not change results for a NEW build (the
+      // operator contract: release is a resource hint, never semantic)
+      assert(build().count() == n, s"mode=$mode")
+    }
+    // a consume-after-release in replicated mode recomputes via kept
+    // lineage rather than failing — the cluster-survivability property
+    withMode(Some("replicated")) {
+      val frame = Barrier.once(build())
+      Barrier.release(frame)
+      assert(frame.count() > 0)
+    }
+  }
+
   test("unknown mode is a loud config error, not a silent fallback") {
     import spark.implicits._
     val df = Seq(1, 2, 3).toDF("x")
