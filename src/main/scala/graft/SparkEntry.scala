@@ -155,6 +155,12 @@ object SparkEntry {
     "q_hopping_window" -> EventsQ.hoppingWindow,
     // §2.10 — gap-based sessionization
     "q_sessionize" -> EventsQ.sessionize,
+    // §2.10 — the NATIVE session_window operator run as an actual
+    // Structured Streaming query (second-floored event times; session
+    // windows merge end-inclusively, so the native rule coincides
+    // exactly with the batch floor-second diff ≤ 1800 rule); shares
+    // q_sessionize's oracle VERBATIM — streamed session state ≡ batch
+    "q_stream_sessions" -> EventsQ.streamSessions,
     // binned range join — events matched into their session's interval
     "q_range_join" -> ((s, dir) => {
       import org.apache.spark.sql.functions._
@@ -939,6 +945,10 @@ object SparkEntry {
         |FROM events, UNNEST([0, 1]) AS t(k)
         |GROUP BY 1, 2""".stripMargin,
     "q_sessionize" -> sessionizeSql,
+    // the streamed native-session-window run maps losslessly back onto
+    // the batch frame (floor-second starts; end = window end − 1800), so
+    // the batch oracle applies verbatim — streamed ≡ batch is the gate
+    "q_stream_sessions" -> sessionizeSql,
     "q_range_join" ->
       s"""WITH sess AS ($sessionizeSql),
         |pts AS (

@@ -85,6 +85,37 @@ object EventsQ {
         sum(col("value").cast(DecimalType(18, 2))).cast("double").as("total_value"))
   }
 
+  /** q_stream_sessions: [[sessionize]]'s result produced by an ACTUAL
+    * Structured Streaming run of the NATIVE `session_window` operator —
+    * the fourth streaming promotion into the oracled ledger, and the one
+    * that exercises the merging-session state store (q_stream_mart
+    * proved fixed windows, q_stream_scd2 the foreachBatch merge,
+    * q_stream_ann_serve the serving sink). The plan floors event times
+    * to the second ([[graft.streaming.Streaming.sessionizeSeconds]]);
+    * session windows merge end-inclusively, so the native merge rule on
+    * floored seconds coincides exactly with the
+    * batch `floor-second diff ≤ 1800` rule, so the streamed result maps
+    * losslessly onto the batch twin's (start_s, end_s) frame and shares
+    * q_sessionize's DuckDB oracle VERBATIM. The per-user session ordinal
+    * is re-derived by a batch window over the |sessions|-sized streamed
+    * output — aggregate-sized, never data-sized.
+    */
+  def streamSessions(spark: SparkSession, dir: String): DataFrame = {
+    val streamed = graft.streaming.Streaming.runToCompletion(
+      graft.streaming.Streaming.sessionizeSeconds(
+        Tables.streamEvents(spark, dir)),
+      label = "stream_sessions")
+    val byUser = Window.partitionBy(col("user_id")).orderBy(col("start_s"))
+    streamed
+      .select(col("user_id"),
+        unix_timestamp(col("session_start")).as("start_s"),
+        (unix_timestamp(col("session_end")) - 1800L).as("end_s"),
+        col("n_events"), col("total_value"))
+      .withColumn("session_id", row_number().over(byUser).cast("long"))
+      .select(col("user_id"), col("session_id"), col("n_events"),
+        col("start_s"), col("end_s"), col("total_value"))
+  }
+
   /** Per-user running totals ordered by event time — windowed cumulative
     * aggregation (frame: unbounded preceding → current row).
     */

@@ -82,6 +82,37 @@ object Streaming {
         col("session_window.end").as("session_end"),
         col("user_id"), col("n_events"), col("total_value"))
 
+  /** [[sessionize]] made BIT-COMPARABLE to the batch gap rule: the batch
+    * sessionizer (EventsQ.sessionize) compares FLOOR-SECOND epochs and
+    * keeps two events in one session iff `ts_s - prev_s <= 1800`.
+    * Spark's session windows merge END-INCLUSIVELY — a session starting
+    * exactly at the previous session's end still merges (verified
+    * empirically: a floor-second diff of exactly `gap` merges) — so on
+    * SECOND-FLOORED event times `session_window(ts_sec, 1800s)` merges
+    * iff floor(next) ≤ floor(prev) + 1800, exactly the batch rule.
+    * Flooring matters: on raw microsecond timestamps the sub-second
+    * parts would shift which pairs sit at the boundary. The session
+    * start is the floored first-event second and the window end the
+    * floored last-event second + gap — both losslessly invertible to
+    * the batch twin's (start_s, end_s), which is what lets a streamed
+    * native-session-window run share the batch DuckDB oracle verbatim
+    * (q_stream_sessions).
+    */
+  def sessionizeSeconds(events: DataFrame,
+      gapSeconds: Int = 1800,
+      watermark: String = "30 minutes"): DataFrame =
+    events
+      .withColumn("ts_sec", date_trunc("second", col("ts")))
+      .withWatermark("ts_sec", watermark)
+      .groupBy(session_window(col("ts_sec"), s"$gapSeconds seconds"),
+        col("user_id"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        sum(col("value").cast(DecimalType(18, 2))).cast("double").as("total_value"))
+      .select(col("session_window.start").as("session_start"),
+        col("session_window.end").as("session_end"),
+        col("user_id"), col("n_events"), col("total_value"))
+
   /** Custom stateful sessionization via flatMapGroupsWithState — the
     * escape hatch for state machines session_window can't express
     * (here: sessions also emit on event-time TIMEOUT, so an abandoned

@@ -69,6 +69,43 @@ class StreamingSpec extends AnyFunSuite with SparkSpec {
     assert(streamed == batch)
   }
 
+  test("sessionizeSeconds: gap boundary is end-INCLUSIVE (diff == gap merges, gap+1 splits)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val base = Timestamp.valueOf("2024-01-01 10:00:00.700").getTime
+    val in = MemoryStream[Ev]
+    in.addData(
+      Ev(1, 1, "click", new Timestamp(base), 1.0),
+      // floor-second diff exactly 1800 → same session as event 1 (the
+      // boundary pair the sf0.01 oracle exposed: Spark session windows
+      // merge when next.start == prev.end)
+      Ev(2, 1, "click", new Timestamp(base + 1800 * 1000L + 100), 2.0),
+      // floor-second diff 1801 from event 2 → new session
+      Ev(3, 1, "click", new Timestamp(base + 3601 * 1000L + 200), 4.0))
+    val out = runToCompletion(Streaming.sessionizeSeconds(in.toDF()),
+      "sessionsec_sink", OutputMode.Complete())
+      .collect()
+      .map(r => (r.getLong(2), r.getLong(3), r.getDouble(4))).toSet
+    assert(out == Set((1L, 2L, 3.0), (1L, 1L, 4.0)))
+  }
+
+  test("q_stream_sessions: native session_window streaming == batch gap sessionize") {
+    val dir = "/root/testdata/sf0.001"
+    def rows(df: org.apache.spark.sql.DataFrame) = df
+      .select("user_id", "session_id", "n_events", "start_s", "end_s",
+        "total_value")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getDouble(5))).toSet
+    val streamed = rows(graft.queries.EventsQ.streamSessions(spark, dir))
+    val batch = rows(graft.queries.EventsQ.sessionize(spark, dir))
+    assert(batch.nonEmpty)
+    // non-vacuity: some session must actually MERGE events (n_events > 1),
+    // otherwise the gap rule was never exercised
+    assert(streamed.exists(_._3 > 1))
+    assert(streamed == batch)
+  }
+
   test("q_stream_scd2: streamed persisted history == batch scd2 build") {
     val dir = "/root/testdata/sf0.001"
     def rows(df: org.apache.spark.sql.DataFrame) = df
