@@ -356,6 +356,21 @@ object SparkEntry {
     // dedup — incremental batch-vs-corpus near-dup via the persistable
     // band index (daily-ingest shape)
     "q_incremental_dedup" -> DedupQ.incrementalDedup,
+    // forget (right-to-be-forgotten) — the cluster artifact PATCHED
+    // after a deletion batch (blast-radius-bounded repair; untouched
+    // clusters pass through); oracle = full closure rebuild on the
+    // filtered corpus — incremental ≡ full is the gate
+    "q_forget_clusters" -> DedupQ.forgetClusters,
+    // forget — the curation verdict over the forgotten corpus composed
+    // from the patched artifact (deletion propagated end-to-end:
+    // candidate set, decontamination benchmark slice, representative
+    // election); oracle = the D9 verdict CTEs on the filtered corpus
+    "q_forget_verdict" -> DedupQ.forgetVerdict,
+    // forget — the persisted band index patched by one anti-join, then
+    // the daily-ingest incremental dedup served from it; oracle = exact
+    // batch-touching pairs over the filtered corpus (a deleted doc can
+    // never resurface as a dedup witness)
+    "q_forget_index" -> DedupQ.forgetIndex,
     // text analysis — Gopher-style duplicate-n-gram repetition scoring
     "q_repetition" -> TextQ.repetition,
     // text analysis — tf×(N/df) rarity-weighted top terms per document
@@ -1580,6 +1595,16 @@ object SparkEntry {
     // the exact pair relation restricted to pairs touching the batch
     "q_incremental_dedup" ->
       s"""WITH p AS ($jaccardPairsSql)
+        |SELECT * FROM p WHERE a_id % 7 = 0 OR b_id % 7 = 0""".stripMargin,
+    // forget oracles: the SAME shared CTE builders rebuilt from scratch
+    // on the filtered corpus — the patched artifacts must reproduce the
+    // full rebuild row-for-row
+    "q_forget_clusters" ->
+      s"""WITH ${textClosureSqlFrom(forgottenDocsSql)}
+        |SELECT doc_id, cluster_id FROM cl""".stripMargin,
+    "q_forget_verdict" -> corpusFilterSqlFrom(forgottenDocsSql),
+    "q_forget_index" ->
+      s"""WITH p AS (${jaccardPairsSqlFrom(forgottenDocsSql)})
         |SELECT * FROM p WHERE a_id % 7 = 0 OR b_id % 7 = 0""".stripMargin,
     "q_dedup_clusters" ->
       s"""WITH $textClosureSql
@@ -2859,20 +2884,22 @@ object SparkEntry {
     * q_cross_source_dups. One definition, so the closure semantics can
     * never silently diverge between sibling oracles.
     */
-  private lazy val textClosureSql: String =
-    s"""RECURSIVE p AS ($jaccardPairsSql),
+  private def textClosureSqlFrom(docs: String): String =
+    s"""RECURSIVE p AS (${jaccardPairsSqlFrom(docs)}),
       |edges AS (
       |  SELECT a_id AS s, b_id AS d FROM p
       |  UNION ALL SELECT b_id, a_id FROM p
       |),
       |reach(s, d) AS (
-      |  SELECT doc_id, doc_id FROM documents
+      |  SELECT doc_id, doc_id FROM $docs
       |  UNION
       |  SELECT r.s, e.d FROM reach r JOIN edges e ON r.d = e.s
       |),
       |cl AS (
       |  SELECT s AS doc_id, min(d) AS cluster_id FROM reach GROUP BY s
       |)""".stripMargin
+
+  private lazy val textClosureSql: String = textClosureSqlFrom("documents")
 
   /** The concat-tape packing replay — tokenize + rolling-hash order key
     * (CTE `d`), then the global exclusive token cumsum (CTE `c`) —
@@ -3059,12 +3086,15 @@ object SparkEntry {
 
   /** Exact 3-gram Jaccard pairs — the oracle for BOTH q_jaccard_pairs and
     * q_minhash_lsh (LSH + exact verification reproduces the exact result).
+    * Parameterized over the document relation so the forget oracles can
+    * replay the same pair semantics on the FILTERED corpus (`docs` must
+    * be a table name or a parenthesized subquery).
     */
-  private val jaccardPairsSql: String =
-    """WITH d AS (
+  private def jaccardPairsSqlFrom(docs: String): String =
+    s"""WITH d AS (
       |  SELECT doc_id,
       |   string_split(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' ') AS ws
-      |  FROM documents
+      |  FROM $docs
       |), g AS (
       |  SELECT doc_id, list_distinct(
       |    [ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]
@@ -3081,19 +3111,31 @@ object SparkEntry {
       |FROM p
       |WHERE CAST(inter AS DOUBLE) / CAST(na + nb - inter AS DOUBLE) >= 0.8""".stripMargin
 
+  private val jaccardPairsSql: String = jaccardPairsSqlFrom("documents")
+
+  /** The forgotten-corpus relation (documents minus the deterministic
+    * deletion batch) every q_forget_* oracle rebuilds from — interpolated
+    * into the shared CTE builders so forget semantics are literally
+    * "the same oracle on the filtered corpus".
+    */
+  private val forgottenDocsSql: String =
+    "(SELECT * FROM documents WHERE doc_id % 29 <> 3)"
+
   /** The composed curation-verdict SQL — the ONE oracle both the
     * inline (q_corpus_filter) and stage-artifact
     * (q_corpus_filter_staged) forms must reproduce.
     */
   /** The corpus-filter CTE chain (through `canon`) shared by the
-    * text-only verdict oracle and the multimodal twin, which appends
-    * image-cluster CTEs before the final conjunction.
+    * text-only verdict oracle, the multimodal twin (which appends
+    * image-cluster CTEs before the final conjunction), and — via the
+    * document-relation parameter — the forget-verdict oracle, which
+    * rebuilds the identical chain on the filtered corpus.
     */
-  private val corpusFilterCtes: String =
-    """WITH RECURSIVE d AS (
+  private def corpusFilterCtesFrom(docs: String): String =
+    s"""WITH RECURSIVE d AS (
       |  SELECT doc_id,
       |   string_split(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' ') AS toks
-      |  FROM documents
+      |  FROM $docs
       |), q AS (
       |  SELECT doc_id, (CAST(
       |    CAST(0.4 AS DECIMAL(2,1)) * CAST(round(least(CAST(len(toks) AS DOUBLE) / 50.0, 1.0), 6) AS DECIMAL(9,6))
@@ -3134,18 +3176,22 @@ object SparkEntry {
       |), edges AS (
       |  SELECT a_id AS s, b_id AS dd FROM p UNION ALL SELECT b_id, a_id FROM p
       |), reach(s, dd) AS (
-      |  SELECT doc_id, doc_id FROM documents
+      |  SELECT doc_id, doc_id FROM $docs
       |  UNION
       |  SELECT rr.s, e.dd FROM reach rr JOIN edges e ON rr.dd = e.s
       |), canon AS (
       |  SELECT s AS doc_id, min(dd) = s AS canonical FROM reach GROUP BY s
       |)""".stripMargin
 
-  private val corpusFilterSql: String =
-    s"""$corpusFilterCtes
+  private lazy val corpusFilterCtes: String = corpusFilterCtesFrom("documents")
+
+  private def corpusFilterSqlFrom(docs: String): String =
+    s"""${corpusFilterCtesFrom(docs)}
       |SELECT dc.doc_id, q.quality_ok, r.not_repetitive, dc.not_contaminated, canon.canonical,
       | (q.quality_ok AND r.not_repetitive AND dc.not_contaminated AND canon.canonical) AS keep
       |FROM dc JOIN q USING (doc_id) JOIN r USING (doc_id) JOIN canon USING (doc_id)""".stripMargin
+
+  private lazy val corpusFilterSql: String = corpusFilterSqlFrom("documents")
 
   /** The MULTIMODAL curation verdict oracle: the text CTEs plus the
     * image near-dup closure (pHash bands → Hamming ≤ 10 pairs →

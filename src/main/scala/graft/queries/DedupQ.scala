@@ -381,13 +381,27 @@ object DedupQ {
     * co-partitions on one key.
     */
   private def corpusVerdict(spark: SparkSession, dir: String,
-      canon: DataFrame): DataFrame = {
-    val docs = Tables(spark, dir, "documents")
+      canon: DataFrame): DataFrame =
+    corpusVerdictOver(spark, dir, canon, Tables(spark, dir, "documents"))
+
+  /** [[corpusVerdict]] generalized to an explicit document universe —
+    * the forget path passes the corpus MINUS the deletion batch, so
+    * every universe-dependent stage (the benchmark slice of the
+    * decontamination check, the candidate filter) recomputes over the
+    * surviving docs. Quality and repetition are per-doc functions, so
+    * their full-corpus frames restrict correctly through the inner
+    * joins.
+    */
+  private def corpusVerdictOver(spark: SparkSession, dir: String,
+      canon: DataFrame, docs: DataFrame): DataFrame = {
     val quality = TextQ.qualityScore(spark, dir)
       .select(col("doc_id"), col("keep").as("quality_ok"))
     val rep = TextQ.repetition(spark, dir)
       .select(col("doc_id"), (!col("repetitive")).as("not_repetitive"))
-    val decon = decontaminate(spark, dir)
+    val decon = Dedup.contamination(
+      corpus = docs.filter(col("doc_id") % 10 =!= 0),
+      benchmark = docs.filter(col("doc_id") % 10 === 0),
+      idCol = "doc_id", textCol = "text", n = 8)
       .select(col("doc_id"), (!col("contaminated")).as("not_contaminated"))
     docs.filter(col("doc_id") % 10 =!= 0).select(col("doc_id"))
       .join(quality, "doc_id")
@@ -587,6 +601,70 @@ object DedupQ {
   def semDedupCompose(spark: SparkSession, dir: String): DataFrame =
     semDedupFrom(spark, dir, embedClustersFromArtifact(spark, dir)
       .select(col("vec_id").as("doc_id"), col("cluster_id")))
+
+  /** The deterministic deletion-request batch the forget queries use:
+    * doc_id % 29 == 3 (~3.4% of the corpus) — large enough to hit
+    * cluster minima and multi-doc clusters (ForgetSpec asserts the
+    * non-vacuity), trivially replayable in the oracle's WHERE clause.
+    * The operator API ([[graft.dedup.Forget]]) takes an arbitrary id
+    * frame; the modulus is just the pinned test instantiation.
+    */
+  private def forgetSet(docs: DataFrame): DataFrame =
+    docs.filter(col("doc_id") % 29 === 3).select(col("doc_id"))
+
+  /** q_forget_clusters: the text near-dup cluster artifact PATCHED
+    * after a deletion batch ([[graft.dedup.Forget.forgetLabels]] over
+    * the prebuilt artifact), gated by incremental ≡ full — the oracle
+    * is the closure rebuilt from scratch on the filtered corpus.
+    * Only members of clusters containing a deleted doc are re-shingled
+    * and re-contracted; everything else passes through by anti-join.
+    */
+  def forgetClusters(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(spark, dir, "documents")
+    graft.dedup.Forget.forgetLabels(
+      textClustersFromArtifact(spark, dir), forgetSet(docs),
+      ids => Dedup.minhashLshPairs(
+        docs.join(ids, Seq("doc_id"), "left_semi"), "doc_id", "text"))
+  }
+
+  /** q_forget_verdict: the full curation verdict over the FORGOTTEN
+    * corpus, with canonicality composed from the PATCHED cluster
+    * artifact — deletion propagated end-to-end: the deleted docs leave
+    * the candidate set, the benchmark slice of the decontamination
+    * check, and the near-dup representative election, all in one
+    * co-partitioned conjunction. Oracle: the D9 verdict CTE chain
+    * rebuilt on the filtered corpus (incremental ≡ full, again).
+    */
+  def forgetVerdict(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(spark, dir, "documents")
+    val kept = docs.join(forgetSet(docs), Seq("doc_id"), "left_anti")
+    corpusVerdictOver(spark, dir, canonicalFrom(forgetClusters(spark, dir)),
+      kept)
+  }
+
+  /** q_forget_index: deletion propagated to the SERVING artifact — the
+    * persisted MinHash band index is patched by one anti-join
+    * ([[graft.dedup.Forget.forgetIndex]]) and the daily-ingest
+    * incremental dedup then runs against it. The result must equal the
+    * exact batch-touching pair relation over the filtered corpus: a
+    * deleted doc can never resurface as a dedup witness, and surviving
+    * pairs are all still found. (Index rows are per-doc, so the patched
+    * index is row-identical to one built fresh on the filtered corpus —
+    * that is what makes the anti-join sufficient.)
+    */
+  def forgetIndex(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(spark, dir, "documents")
+    val del = forgetSet(docs)
+    // the pre-forget persisted index of the existing corpus (% 7 != 0)
+    val index = Dedup.minhashIndex(
+      docs.filter(col("doc_id") % 7 =!= 0), "doc_id", "text")
+    val patched = graft.dedup.Forget.forgetIndex(index, del)
+    val forgotten = docs.join(del, Seq("doc_id"), "left_anti")
+    Dedup.incrementalNearDup(
+      batch = forgotten.filter(col("doc_id") % 7 === 0),
+      corpus = forgotten.filter(col("doc_id") % 7 =!= 0),
+      index = patched, idCol = "doc_id", textCol = "text")
+  }
 
   private def semDedupFrom(spark: SparkSession, dir: String,
       clusters: DataFrame): DataFrame = {
