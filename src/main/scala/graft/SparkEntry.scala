@@ -153,6 +153,10 @@ object SparkEntry {
     // §2.10 — hopping/sliding event-time windows (batch twin of
     // streaming sliding aggregation; 2 windows per event)
     "q_hopping_window" -> EventsQ.hoppingWindow,
+    // §2.10 — the sliding-window aggregation as an actual streaming
+    // run; shares q_hopping_window's oracle VERBATIM (all three window
+    // shapes — tumbling, sliding, session — now stream in the ledger)
+    "q_stream_sliding" -> EventsQ.streamSliding,
     // §2.10 — gap-based sessionization
     "q_sessionize" -> EventsQ.sessionize,
     // §2.10 — the NATIVE session_window operator run as an actual
@@ -677,6 +681,8 @@ object SparkEntry {
     // the streaming execution of the tumbling-window mart must produce
     // EXACTLY the batch relation — one oracle serves both
     "q_stream_mart" -> oracleSqlBase("q_tumbling_window"),
+    // streamed sliding windows share the batch UNNEST-replay oracle
+    "q_stream_sliding" -> oracleSqlBase("q_hopping_window"),
     // the stream-served quantized ranking must produce EXACTLY the
     // batch relation — q_ann_topk_quant's oracle serves both
     "q_stream_ann_serve" -> oracleSqlBase("q_ann_topk_quant"),

@@ -62,6 +62,19 @@ object EventsQ {
         col("n"), col("total_value"))
   }
 
+  /** q_stream_sliding: [[hoppingWindow]]'s aggregation executed as an
+    * ACTUAL Structured Streaming query — the overlapping-window (size
+    * 600 s / slide 300 s) streaming path driven to completion the same
+    * way as q_stream_mart, sharing the batch twin's UNNEST-replay
+    * oracle VERBATIM. With q_stream_mart (tumbling) and
+    * q_stream_sessions (merging sessions) this puts all three
+    * event-time window SHAPES in the oracled ledger.
+    */
+  def streamSliding(spark: SparkSession, dir: String): DataFrame =
+    graft.streaming.Streaming.runToCompletion(
+      graft.streaming.Streaming.slidingMart(Tables.streamEvents(spark, dir)),
+      label = "stream_sliding")
+
   /** Session windows via gap > 30 min: lag + cumulative-sum-of-new-session
     * flags. This is the classic sessionization shape; one shuffle on
     * user_id, then two window passes over the same partitioning (Spark

@@ -95,6 +95,28 @@ class ForgetSpec extends AnyFunSuite with SparkSpec {
     assert(changed.count() > 0)
   }
 
+  test("forgetLabels is modality-generic: embedding clusters patch ≡ rebuild (sf0.001)") {
+    val dir = "/root/testdata/sf0.001"
+    val emb = graft.Tables(spark, dir, "embeddings")
+    def pairsOf(df: DataFrame) =
+      Dedup.cosinePairsBlocked(df, "vec_id", "embedding", threshold = 0.4)
+        .select(col("a_id"), col("b_id"))
+    val labels = Dedup.clusterLabels(emb, "vec_id", pairsOf(emb))
+    val deleted = emb.filter(col("vec_id") % 17 === 2)
+      .select(col("vec_id").as("doc_id"))
+    // non-vacuity: the deletion must hit a multi-vector cluster
+    val affected = labels.join(deleted, "doc_id").select("cluster_id").distinct()
+    assert(labels.join(affected, "cluster_id")
+      .groupBy("cluster_id").count().filter(col("count") > 1).count() > 0)
+    val patched = Forget.forgetLabels(labels, deleted,
+      ids => pairsOf(emb.join(ids.select(col("doc_id").as("vec_id")),
+        Seq("vec_id"), "left_semi")))
+    val survivors = emb.join(deleted.select(col("doc_id").as("vec_id")),
+      Seq("vec_id"), "left_anti")
+    val rebuilt = Dedup.clusterLabels(survivors, "vec_id", pairsOf(survivors))
+    assert(labelsOf(patched) == labelsOf(rebuilt))
+  }
+
   test("forgetIndex: patched-index incremental dedup ≡ fresh-index build (sf0.001)") {
     val spark0 = spark
     val dir = "/root/testdata/sf0.001"

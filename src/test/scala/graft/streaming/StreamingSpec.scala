@@ -69,6 +69,17 @@ class StreamingSpec extends AnyFunSuite with SparkSpec {
     assert(streamed == batch)
   }
 
+  test("q_stream_sliding: bounded streaming execution == batch hopping window") {
+    val dir = "/root/testdata/sf0.001"
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2),
+        r.getDouble(3))).toSet
+    val streamed = rows(graft.queries.EventsQ.streamSliding(spark, dir))
+    val batch = rows(graft.queries.EventsQ.hoppingWindow(spark, dir))
+    assert(batch.nonEmpty)
+    assert(streamed == batch)
+  }
+
   test("sessionizeSeconds: gap boundary is end-INCLUSIVE (diff == gap merges, gap+1 splits)") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
