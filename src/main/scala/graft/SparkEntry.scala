@@ -375,6 +375,14 @@ object SparkEntry {
     // batch-touching pairs over the filtered corpus (a deleted doc can
     // never resurface as a dedup witness)
     "q_forget_index" -> DedupQ.forgetIndex,
+    // forget — the SAME repair over the EMBEDDING cluster artifact
+    // (blocked-cosine pairs through the callback): modality genericity
+    // in the ledger; oracle = embed closure rebuilt on filtered vectors
+    "q_forget_embed" -> DedupQ.forgetEmbed,
+    // forget — the deletion feed as an ACTUAL streaming query: each
+    // micro-batch patches the persisted artifact via forgetSink behind
+    // the crash-safe swap; shares q_forget_clusters' oracle VERBATIM
+    "q_stream_forget" -> DedupQ.streamForget,
     // text analysis — Gopher-style duplicate-n-gram repetition scoring
     "q_repetition" -> TextQ.repetition,
     // text analysis — tf×(N/df) rarity-weighted top terms per document
@@ -683,6 +691,9 @@ object SparkEntry {
     "q_stream_mart" -> oracleSqlBase("q_tumbling_window"),
     // streamed sliding windows share the batch UNNEST-replay oracle
     "q_stream_sliding" -> oracleSqlBase("q_hopping_window"),
+    // the streamed deletion feed must leave the artifact EXACTLY at the
+    // full rebuild on the filtered corpus — q_forget_clusters' oracle
+    "q_stream_forget" -> oracleSqlBase("q_forget_clusters"),
     // the stream-served quantized ranking must produce EXACTLY the
     // batch relation — q_ann_topk_quant's oracle serves both
     "q_stream_ann_serve" -> oracleSqlBase("q_ann_topk_quant"),
@@ -1624,20 +1635,11 @@ object SparkEntry {
         |  FROM e a JOIN e b ON a.vec_id < b.vec_id
         |)
         |SELECT a_id, b_id, round(c, 6) AS cosine FROM p WHERE c >= 0.4""".stripMargin,
-    "q_embed_clusters" ->
-      """WITH RECURSIVE e AS (
-        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
-        |), p AS (
-        |  SELECT a.vec_id AS a_id, b.vec_id AS b_id FROM e a JOIN e b ON a.vec_id < b.vec_id
-        |  WHERE list_cosine_similarity(a.v, b.v) >= 0.4
-        |), edges AS (
-        |  SELECT a_id AS s, b_id AS d FROM p UNION ALL SELECT b_id, a_id FROM p
-        |), reach(s, d) AS (
-        |  SELECT vec_id, vec_id FROM embeddings
-        |  UNION
-        |  SELECT r.s, e2.d FROM reach r JOIN edges e2 ON r.d = e2.s
-        |)
-        |SELECT s AS vec_id, min(d) AS cluster_id FROM reach GROUP BY s""".stripMargin,
+    "q_embed_clusters" -> embedClosureSqlFrom("embeddings"),
+    // forget over the embedding artifact: the identical closure rebuilt
+    // on the filtered vectors (incremental ≡ full, modality-generic)
+    "q_forget_embed" ->
+      embedClosureSqlFrom("(SELECT * FROM embeddings WHERE vec_id % 17 <> 2)"),
     // prototype eval: exact-decimal elementwise means, max-cosine
     // assignment (ties -> smaller label), confusion counts
     "q_prototype_eval" ->
@@ -2906,6 +2908,26 @@ object SparkEntry {
       |)""".stripMargin
 
   private lazy val textClosureSql: String = textClosureSqlFrom("documents")
+
+  /** The embedding near-dup closure (blocked exact cosine ≥ 0.4 pairs →
+    * reachability → min-id labels), parameterized over the vector
+    * relation — q_embed_clusters(_staged) on the full table, the forget
+    * twin on the filtered one.
+    */
+  private def embedClosureSqlFrom(embs: String): String =
+    s"""WITH RECURSIVE e AS (
+      |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM $embs
+      |), p AS (
+      |  SELECT a.vec_id AS a_id, b.vec_id AS b_id FROM e a JOIN e b ON a.vec_id < b.vec_id
+      |  WHERE list_cosine_similarity(a.v, b.v) >= 0.4
+      |), edges AS (
+      |  SELECT a_id AS s, b_id AS d FROM p UNION ALL SELECT b_id, a_id FROM p
+      |), reach(s, d) AS (
+      |  SELECT vec_id, vec_id FROM $embs
+      |  UNION
+      |  SELECT r.s, e2.d FROM reach r JOIN edges e2 ON r.d = e2.s
+      |)
+      |SELECT s AS vec_id, min(d) AS cluster_id FROM reach GROUP BY s""".stripMargin
 
   /** The concat-tape packing replay — tokenize + rolling-hash order key
     * (CTE `d`), then the global exclusive token cumsum (CTE `c`) —

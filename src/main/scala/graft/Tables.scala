@@ -72,6 +72,17 @@ object Tables {
         .parquet(dir))
   }
 
+  /** STREAMING read of the documents table — the deletion-request
+    * stream for the forget sink; same schema-from-footer + glob-filter
+    * recipe as [[streamEvents]].
+    */
+  def streamDocuments(spark: SparkSession, dir: String): DataFrame = {
+    val path = s"$dir/documents.parquet"
+    spark.readStream.schema(spark.read.parquet(path).schema)
+      .option("pathGlobFilter", "documents.parquet")
+      .parquet(dir)
+  }
+
   /** STREAMING read of the embeddings table — the query-vector stream
     * for the ANN serving sink; same schema-from-footer + glob-filter
     * recipe as [[streamEvents]] (no column normalization needed).

@@ -666,6 +666,58 @@ object DedupQ {
       index = patched, idCol = "doc_id", textCol = "text")
   }
 
+  /** q_forget_embed: [[graft.dedup.Forget.forgetLabels]] applied to the
+    * EMBEDDING cluster artifact — the modality-generic claim in the
+    * ledger, not just the spec: the same blast-radius repair, fed
+    * blocked-cosine pairs through the callback, patches the embed
+    * artifact identically to a full closure rebuild on the filtered
+    * vectors (the oracle). Deletion batch: vec_id % 17 == 2.
+    */
+  def forgetEmbed(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables(spark, dir, "embeddings")
+    val labels = embedClustersFromArtifact(spark, dir)
+      .select(col("vec_id").as("doc_id"), col("cluster_id"))
+    val deleted = emb.filter(col("vec_id") % 17 === 2)
+      .select(col("vec_id").as("doc_id"))
+    graft.dedup.Forget.forgetLabels(labels, deleted,
+      ids => Dedup.cosinePairsBlocked(
+        emb.join(ids.select(col("doc_id").as("vec_id")),
+          Seq("vec_id"), "left_semi"),
+        "vec_id", "embedding", threshold = 0.4)
+        .select(col("a_id"), col("b_id")))
+      .select(col("doc_id").as("vec_id"), col("cluster_id"))
+  }
+
+  /** q_stream_forget: the deletion-request feed executed as an ACTUAL
+    * Structured Streaming query — the deterministic deletion set
+    * arrives via `readStream`, each micro-batch patches a copy of the
+    * prebuilt cluster artifact through
+    * [[graft.streaming.Streaming.forgetSink]], and the patched artifact
+    * is read back. Shares q_forget_clusters' full-rebuild oracle
+    * VERBATIM: streamed deletion-feed patching ≡ rebuild on the
+    * filtered corpus is the hash-matched contract (multi-batch
+    * composition and redelivery no-op are pinned by StreamingSpec).
+    * The run dir is wiped per call so the verified artifact is this
+    * run's patch, not a previous run's output.
+    */
+  def streamForget(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(spark, dir, "documents")
+    val state = graft.ops.StageArtifacts.refresh(dir, "stream-forget") { out =>
+      graft.ops.StageArtifacts.wipeDir(out)
+      textClustersFromArtifact(spark, dir)
+        .write.mode("overwrite").parquet(s"$out/labels")
+      val requests = Tables.streamDocuments(spark, dir)
+        .filter(col("doc_id") % 29 === 3).select(col("doc_id"))
+      val q = graft.streaming.Streaming.forgetSink(requests, s"$out/labels",
+          ids => Dedup.minhashLshPairs(
+            docs.join(ids, Seq("doc_id"), "left_semi"), "doc_id", "text"))
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      try q.awaitTermination() finally if (q.isActive) q.stop()
+    }
+    spark.read.parquet(s"$state/labels")
+  }
+
   private def semDedupFrom(spark: SparkSession, dir: String,
       clusters: DataFrame): DataFrame = {
     val quality = TextQ.qualityScore(spark, dir)

@@ -543,6 +543,37 @@ object Streaming {
           keys = Seq("event_id"), versionCol = "served_batch")
       }
 
+  /** Streaming DELETION-REQUEST feed (the CDC shape of
+    * right-to-be-forgotten): each micro-batch of `(doc_id)` deletion
+    * requests patches the persisted near-dup cluster artifact at
+    * `artifactPath` through the SAME [[graft.dedup.Forget.forgetLabels]]
+    * definition the batch q_forget_clusters uses, behind the crash-safe
+    * rename swap shared with the SCD2 sink. Deletion patches COMPOSE:
+    * patching with batch D1 then D2 equals one patch with D1 ∪ D2
+    * (each patch ≡ a full rebuild on the filtered corpus, and rebuilds
+    * chain), so a request feed split across micro-batches converges to
+    * the batch answer — and a REDELIVERED batch is a no-op, because
+    * already-forgotten ids appear in no cluster, so the affected set is
+    * empty and the patch is the identity.
+    */
+  def forgetSink(requests: DataFrame, artifactPath: String,
+      pairsAmong: DataFrame => DataFrame)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    requests.writeStream
+      .outputMode(OutputMode.Append())
+      .foreachBatch { (batch0: DataFrame, _: Long) =>
+        val spark = batch0.sparkSession
+        // micro-batch internals may be consumed once; the deletion set
+        // feeds two joins in the patch (foreachBatch holdout, O10)
+        val del = batch0.select(col("doc_id")).dropDuplicates("doc_id")
+          .localCheckpoint()
+        graft.etl.Upsert.replaceParquet(spark, artifactPath) { prev =>
+          val labels = prev.getOrElse(throw new IllegalStateException(
+            s"forgetSink: no cluster artifact at $artifactPath"))
+          graft.dedup.Forget.forgetLabels(labels, del, pairsAmong)
+        }
+      }
+
   private val sinkSeq = new java.util.concurrent.atomic.AtomicLong(0)
 
   /** Drive a streaming AGGREGATION plan to completion over a bounded

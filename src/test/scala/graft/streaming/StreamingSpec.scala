@@ -69,6 +69,41 @@ class StreamingSpec extends AnyFunSuite with SparkSpec {
     assert(streamed == batch)
   }
 
+  test("forgetSink: sequential deletion batches compose to the batch forget; redelivery no-op") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // the ForgetSpec chain corpus: 1~2~3 (bridge at 2) + exact pair {100, 101}
+    def t(a: Int, b: Int, p: String) = (a to b).map(i => s"$p$i").mkString(" ")
+    val corpus = Seq((1L, t(1, 40, "t")), (2L, t(5, 44, "t")),
+      (3L, t(9, 48, "t")), (100L, t(1, 40, "u")), (101L, t(1, 40, "u")))
+      .toDF("doc_id", "text")
+    val pairsAmong: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame =
+      ids => graft.dedup.Dedup.jaccardPairs(
+        corpus.join(ids, Seq("doc_id"), "left_semi"), "doc_id", "text")
+    val artifact = java.nio.file.Files
+      .createTempDirectory("forget-sink").toString + "/labels"
+    graft.dedup.Dedup.clusterLabels(corpus, "doc_id",
+        graft.dedup.Dedup.jaccardPairs(corpus, "doc_id", "text"))
+      .write.mode("overwrite").parquet(artifact)
+    def labels() = spark.read.parquet(artifact).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val in = MemoryStream[Doc]
+    val q = Streaming.forgetSink(in.toDF().select("doc_id"), artifact,
+      pairsAmong).start()
+    try {
+      // batch 1: delete the bridge — the chain cluster must SPLIT
+      in.addData(Doc(2L, "")); q.processAllAvailable()
+      assert(labels() == Set((1L, 1L), (3L, 3L), (100L, 100L), (101L, 100L)))
+      // batch 2: delete the other cluster's minimum — re-election; the
+      // two patches compose to the batch forget of {2, 100}
+      in.addData(Doc(100L, "")); q.processAllAvailable()
+      assert(labels() == Set((1L, 1L), (3L, 3L), (101L, 101L)))
+      // redelivery: already-forgotten ids are a no-op patch
+      in.addData(Doc(2L, ""), Doc(100L, "")); q.processAllAvailable()
+      assert(labels() == Set((1L, 1L), (3L, 3L), (101L, 101L)))
+    } finally q.stop()
+  }
+
   test("q_stream_sliding: bounded streaming execution == batch hopping window") {
     val dir = "/root/testdata/sf0.001"
     def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
