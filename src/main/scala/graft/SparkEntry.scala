@@ -379,6 +379,10 @@ object SparkEntry {
     // (blocked-cosine pairs through the callback): modality genericity
     // in the ledger; oracle = embed closure rebuilt on filtered vectors
     "q_forget_embed" -> DedupQ.forgetEmbed,
+    // forget — the repair over the IMAGE pHash cluster artifact: the
+    // callback decodes ONLY the affected clusters' surviving assets;
+    // oracle = the image closure formula-replayed on the filtered corpus
+    "q_forget_image" -> DedupQ.forgetImage,
     // forget — the deletion feed as an ACTUAL streaming query: each
     // micro-batch patches the persisted artifact via forgetSink behind
     // the crash-safe swap; shares q_forget_clusters' oracle VERBATIM
@@ -1640,6 +1644,11 @@ object SparkEntry {
     // on the filtered vectors (incremental ≡ full, modality-generic)
     "q_forget_embed" ->
       embedClosureSqlFrom("(SELECT * FROM embeddings WHERE vec_id % 17 <> 2)"),
+    // forget over the image artifact: the banded-Hamming closure
+    // formula-replayed on the filtered corpus, labels not flags
+    "q_forget_image" ->
+      s"""WITH RECURSIVE ${imageClosureCtesFrom(forgottenDocsSql)}
+        |SELECT s AS asset_id, min(dd) AS cluster_id FROM ireach GROUP BY s""".stripMargin,
     // prototype eval: exact-decimal elementwise means, max-cosine
     // assignment (ties -> smaller label), confusion counts
     "q_prototype_eval" ->
@@ -3075,9 +3084,15 @@ object SparkEntry {
       |  FROM vbit GROUP BY doc_id
       |)""".stripMargin
 
-  private lazy val phashHashSql: String =
-    """docs AS (
-      |  SELECT doc_id FROM documents WHERE doc_id % 91 <> 0 AND doc_id % 97 <> 0
+  private lazy val phashHashSql: String = phashHashSqlFrom("documents")
+
+  /** [[phashHashSql]] parameterized over the document relation — the
+    * image-forget oracle replays the same fingerprint formula on the
+    * filtered corpus.
+    */
+  private def phashHashSqlFrom(docsRel: String): String =
+    s"""docs AS (
+      |  SELECT doc_id FROM $docsRel WHERE doc_id % 91 <> 0 AND doc_id % 97 <> 0
       |),
       |grid AS (
       |  SELECT d.doc_id, bx.range AS bx, by.range AS by,
@@ -3262,8 +3277,10 @@ object SparkEntry {
     * pairs → connected components → min-id canonical flag `icanon`),
     * shared by the multimodal verdict and the multimodal report oracles.
     */
-  private lazy val imageClosureCtes: String =
-    s"""$phashHashSql,
+  private lazy val imageClosureCtes: String = imageClosureCtesFrom("documents")
+
+  private def imageClosureCtesFrom(docsRel: String): String =
+    s"""${phashHashSqlFrom(docsRel)},
       |ibands AS (
       |  SELECT asset_id, b.range AS band,
       |    CASE b.range WHEN 0 THEN phash_lo % 65536 WHEN 1 THEN phash_lo // 65536

@@ -688,6 +688,27 @@ object DedupQ {
       .select(col("doc_id").as("vec_id"), col("cluster_id"))
   }
 
+  /** q_forget_image: the repair over the IMAGE pHash cluster artifact —
+    * the third modality in the forget ledger. The callback DECODES ONLY
+    * the affected clusters' surviving assets (the blast radius bounds
+    * the PNG decode work too, not just the clustering), re-derives
+    * their banded-Hamming pairs and re-contracts; oracle = the image
+    * closure formula-replayed on the filtered corpus.
+    */
+  def forgetImage(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(spark, dir, "documents")
+    graft.dedup.Forget.forgetLabels(
+      imageClustersFromArtifact(spark, dir), forgetSet(docs),
+      ids => {
+        val hashes = graft.multimodal.Multimodal.decodePhash(
+          graft.multimodal.Multimodal.phashImageAssets(
+            spark, docs.join(ids, Seq("doc_id"), "left_semi"))).toDF()
+        graft.multimodal.Multimodal.phashPairs(hashes, maxHamming = 10)
+          .select(col("a_id"), col("b_id"))
+      })
+      .select(col("doc_id").as("asset_id"), col("cluster_id"))
+  }
+
   /** q_stream_forget: the deletion-request feed executed as an ACTUAL
     * Structured Streaming query — the deterministic deletion set
     * arrives via `readStream`, each micro-batch patches a copy of the
