@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
 
-import graft.functions.{ArrayDotProduct, RollingHash}
+import graft.functions.{ArrayDotProduct, RollingHash, RollingHash2}
 
 /** Session extensions: registers graft's native SQL functions. Opt in
   * with `.config("spark.sql.extensions", "graft.GraftExtensions")` —
@@ -20,6 +20,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
         require(children.size == 1, "graft_rolling_hash takes exactly 1 argument")
         RollingHash(children.head)
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("graft_rolling_hash2"),
+      new ExpressionInfo(classOf[RollingHash2].getName, "graft_rolling_hash2"),
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+        require(children.size == 1, "graft_rolling_hash2 takes exactly 1 argument")
+        RollingHash2(children.head)
       }))
     ext.injectFunction((
       new FunctionIdentifier("graft_dot"),

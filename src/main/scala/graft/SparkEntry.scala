@@ -143,6 +143,10 @@ object SparkEntry {
     // here because k=64 exceeds the distinct-token count, so the oracle
     // is the exact top-20 with shed=0)
     "q_frequent_tokens" -> SketchQ.frequentTokens,
+    // sketches — ORACLED from-scratch HLL: registers + estimator
+    // replayed formula-for-formula in DuckDB (hash-match), the
+    // deterministic counterpart to q_approx_distinct's engine sketch
+    "q_hll_ndv" -> SketchQ.hllNdv,
     // §2.10 — tumbling event-time window (batch twin of streaming agg)
     "q_tumbling_window" -> EventsQ.tumblingWindow,
     // §2.10 — the SAME windowed aggregation executed as a real
@@ -2599,6 +2603,55 @@ object SparkEntry {
         |SELECT doc_id, CAST(h_mod AS BIGINT) AS h_mod,
         | CASE WHEN h_mod < 90 THEN 'train' WHEN h_mod < 95 THEN 'val' ELSE 'test' END AS split
         |FROM d""".stripMargin,
+    // the from-scratch HLL replayed end-to-end: both rolling-hash
+    // folds, the 30-bit rescale + bitLength rank, per-bucket max
+    // registers, the integer positional checksum, and the
+    // alpha*m^2/Z / linear-counting estimator. Z sums powers of two
+    // spanning < 53 bits (exact in double, order-independent); alpha
+    // and both divisions are single IEEE ops on identical operands;
+    // ln rides the T14 round-at-fixed-dp contract.
+    "q_hll_ndv" ->
+      """WITH u AS (
+        |  SELECT DISTINCT event_type, CAST(user_id AS VARCHAR) AS s
+        |  FROM events WHERE user_id IS NOT NULL
+        |), h AS (
+        |  SELECT event_type,
+        |   list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |     list_transform(string_split(s, ''), c -> CAST(ascii(c) AS BIGINT))),
+        |     (a, b) -> (a * 31 + b) % 1000000007) AS h1,
+        |   list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |     list_transform(string_split(s, ''), c -> CAST(ascii(c) AS BIGINT))),
+        |     (a, b) -> (a * 131 + b) % 998244353) AS h2
+        |  FROM u
+        |), r AS (
+        |  SELECT event_type, h1 % 1024 AS bucket,
+        |   CASE WHEN (h2 * 1073741824) // 998244353 = 0 THEN 31
+        |        ELSE 31 - length(bin((h2 * 1073741824) // 998244353)) END AS rnk
+        |  FROM h
+        |), regs AS (
+        |  SELECT event_type, bucket, max(rnk) AS m FROM r GROUP BY 1, 2
+        |), agg AS (
+        |  SELECT event_type,
+        |   CAST(sum(m) AS BIGINT) AS reg_sum,
+        |   CAST(sum((bucket + 1) * m) AS BIGINT) AS reg_checksum,
+        |   CAST(1024 - count(*) AS BIGINT) AS zero_regs,
+        |   sum(power(2.0, -m)) AS z_present
+        |  FROM regs GROUP BY 1
+        |), est AS (
+        |  SELECT event_type, reg_sum, reg_checksum, zero_regs,
+        |   (CAST(0.7213 AS DOUBLE) / (CAST(1.0 AS DOUBLE) + CAST(1.079 AS DOUBLE) / 1024))
+        |     * 1024 * 1024 / (zero_regs + z_present) AS e_raw
+        |  FROM agg
+        |), x AS (
+        |  SELECT event_type, CAST(count(DISTINCT user_id) AS BIGINT) AS exact_ndv
+        |  FROM events WHERE user_id IS NOT NULL GROUP BY 1
+        |)
+        |SELECT e.event_type, e.reg_sum, e.reg_checksum, e.zero_regs,
+        | round(CASE WHEN e.e_raw <= 2560.0 AND e.zero_regs > 0
+        |            THEN 1024.0 * ln(1024.0 / e.zero_regs)
+        |            ELSE e.e_raw END, 4) AS est_ndv,
+        | x.exact_ndv
+        |FROM est e JOIN x USING (event_type)""".stripMargin,
     // MG with k=64 over a ≤64-distinct-token stream never sheds, so the
     // summary is exact and the oracle is the exact top-20 (shed = 0);
     // MisraGriesSpec pins the approximate invariants at adversarial k

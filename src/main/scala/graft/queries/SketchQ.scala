@@ -73,4 +73,45 @@ object SketchQ {
         expr("percentile(o_totalprice, 0.99)").as("exact_p99"),
         expr("percentile_approx(o_totalprice, 0.99, 10000)").as("approx_p99"))
   }
+
+  /** Per-event-type distinct users by the ORACLED from-scratch HLL
+    * ([[graft.functions.Hll]]): registers built from the two native
+    * rolling-hash coordinates, estimate + integer register checksums
+    * replayed formula-for-formula in DuckDB — the hash-gated member of
+    * the sketch family next to the engine-native (rows-only)
+    * `approxDistinct`.
+    *
+    * No distinct anywhere on the Spark side: duplicates fold into the
+    * same register via max, which is the point — one narrow pass, 1 KB
+    * of mergeable state per group map-side-combined, vs the exact
+    * count's shuffle of every distinct (type, user) pair. `exact_ndv`
+    * rides along as the validation column (it IS that exact shuffle);
+    * at 100 TB you drop it and keep the sketch.
+    */
+  def hllNdv(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.{Hll, RollingHash, RollingHash2}
+    Tables(spark, dir, "events")
+      .where(col("user_id").isNotNull)
+      .select(col("event_type"), col("user_id"),
+        col("user_id").cast("string").as("s"))
+      .select(col("event_type"), col("user_id"),
+        RollingHash.ofColumn(col("s")).as("h1"),
+        RollingHash2.ofColumn(col("s")).as("h2"))
+      // rescale h2 onto the full 30-bit domain, then rank = 31 - bitLength
+      .withColumn("w", expr("h2 * 1073741824L DIV 998244353L"))
+      .withColumn("rank",
+        when(col("w") === 0, lit(31)).otherwise(lit(31) - length(bin(col("w")))))
+      .withColumn("packed",
+        (col("h1") % Hll.M) * (1 << Hll.RankBits) + col("rank"))
+      .groupBy(col("event_type"))
+      .agg(
+        Hll.estimateOf(col("packed")).as("r"),
+        countDistinct(col("user_id")).as("exact_ndv"))
+      .select(col("event_type"),
+        col("r.reg_sum").as("reg_sum"),
+        col("r.reg_checksum").as("reg_checksum"),
+        col("r.zero_regs").as("zero_regs"),
+        round(col("r.est"), 4).as("est_ndv"),
+        col("exact_ndv"))
+  }
 }
