@@ -147,6 +147,9 @@ object SparkEntry {
     // replayed formula-for-formula in DuckDB (hash-match), the
     // deterministic counterpart to q_approx_distinct's engine sketch
     "q_hll_ndv" -> SketchQ.hllNdv,
+    // sketches — rollup served by MERGING persisted per-day register
+    // files (1 KB blobs), sharing q_hll_ndv's oracle verbatim
+    "q_hll_ndv_compose" -> SketchQ.hllNdvCompose,
     // §2.10 — tumbling event-time window (batch twin of streaming agg)
     "q_tumbling_window" -> EventsQ.tumblingWindow,
     // §2.10 — the SAME windowed aggregation executed as a real
@@ -694,6 +697,7 @@ object SparkEntry {
     "q_hard_negatives_compose" -> oracleSqlBase("q_hard_negatives"),
     "q_embed_clusters_staged" -> oracleSqlBase("q_embed_clusters"),
     "q_corpus_report_mm_compose" -> oracleSqlBase("q_corpus_report_mm"),
+    "q_hll_ndv_compose" -> oracleSqlBase("q_hll_ndv"),
     // the streaming execution of the tumbling-window mart must produce
     // EXACTLY the batch relation — one oracle serves both
     "q_stream_mart" -> oracleSqlBase("q_tumbling_window"),

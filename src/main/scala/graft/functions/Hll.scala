@@ -129,11 +129,39 @@ object Hll {
     override def outputEncoder: Encoder[Result] = ExpressionEncoder[Result]()
   }
 
+  private final class MergeEstimateAgg
+      extends Aggregator[Array[Byte], Array[Byte], Result] {
+    override def zero: Array[Byte] = new Array[Byte](M)
+    override def reduce(acc: Array[Byte], regs: Array[Byte]): Array[Byte] =
+      if (regs == null) acc
+      else {
+        require(regs.length == M, s"hll merge requires $M-register sketches")
+        var j = 0
+        while (j < M) {
+          if (regs(j) > acc(j)) acc(j) = regs(j)
+          j += 1
+        }
+        acc
+      }
+    override def merge(a: Array[Byte], b: Array[Byte]): Array[Byte] =
+      Hll.merge(a, b)
+    override def finish(regs: Array[Byte]): Result = Hll.result(regs)
+    override def bufferEncoder: Encoder[Array[Byte]] = Encoders.BINARY
+    override def outputEncoder: Encoder[Result] = ExpressionEncoder[Result]()
+  }
+
   /** Aggregate a packed (bucket, rank) column to the raw 1 KB register
     * file — the persistable/mergeable artifact form.
     */
   def sketchOf(packed: Column): Column =
     udaf(new SketchAgg, Encoders.scalaLong).apply(packed)
+
+  /** Aggregate a column of PERSISTED register files (binary sketches)
+    * to the estimate struct — the rollup-from-artifact form: later
+    * aggregations merge 1 KB blobs, never re-touching rows.
+    */
+  def mergeEstimateOf(sketch: Column): Column =
+    udaf(new MergeEstimateAgg, Encoders.BINARY).apply(sketch)
 
   /** Aggregate a packed column straight to the estimate struct
     * (reg_sum, reg_checksum, zero_regs, est).

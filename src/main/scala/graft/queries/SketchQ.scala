@@ -88,13 +88,30 @@ object SketchQ {
     * rides along as the validation column (it IS that exact shuffle);
     * at 100 TB you drop it and keep the sketch.
     */
-  def hllNdv(spark: SparkSession, dir: String): DataFrame = {
+  def hllNdv(spark: SparkSession, dir: String): DataFrame =
+    hllPacked(spark, dir)
+      .groupBy(col("event_type"))
+      .agg(
+        graft.functions.Hll.estimateOf(col("packed")).as("r"),
+        countDistinct(col("user_id")).as("exact_ndv"))
+      .select(col("event_type"),
+        col("r.reg_sum").as("reg_sum"),
+        col("r.reg_checksum").as("reg_checksum"),
+        col("r.zero_regs").as("zero_regs"),
+        round(col("r.est"), 4).as("est_ndv"),
+        col("exact_ndv"))
+
+  /** (event_type, user_id, ts, packed) — the per-row HLL coordinates:
+    * bucket from h1, rank from the 30-bit-rescaled h2, packed as
+    * bucket·32 + rank (the [[graft.functions.Hll]] input convention).
+    */
+  private def hllPacked(spark: SparkSession, dir: String): DataFrame = {
     import graft.functions.{Hll, RollingHash, RollingHash2}
     Tables(spark, dir, "events")
       .where(col("user_id").isNotNull)
-      .select(col("event_type"), col("user_id"),
+      .select(col("event_type"), col("user_id"), col("ts"),
         col("user_id").cast("string").as("s"))
-      .select(col("event_type"), col("user_id"),
+      .select(col("event_type"), col("user_id"), col("ts"),
         RollingHash.ofColumn(col("s")).as("h1"),
         RollingHash2.ofColumn(col("s")).as("h2"))
       // rescale h2 onto the full 30-bit domain, then rank = 31 - bitLength
@@ -103,10 +120,40 @@ object SketchQ {
         when(col("w") === 0, lit(31)).otherwise(lit(31) - length(bin(col("w")))))
       .withColumn("packed",
         (col("h1") % Hll.M) * (1 << Hll.RankBits) + col("rank"))
+  }
+
+  /** Per-(event_type, day) partial sketches persisted as a parquet
+    * artifact — the daily-ingest shape: each day's partition is
+    * sketched ONCE into 1 KB register files; any later rollup merges
+    * blobs instead of re-scanning rows.
+    */
+  def writeHllSketchArtifact(spark: SparkSession, dir: String,
+      outPath: String): Unit =
+    hllPacked(spark, dir)
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(graft.functions.Hll.sketchOf(col("packed")).as("regs"))
+      .write.mode("overwrite").parquet(outPath)
+
+  /** Compose twin of [[hllNdv]]: the per-type estimate served by
+    * MERGING the persisted daily register files — shares q_hll_ndv's
+    * oracle VERBATIM (register-wise max is associative over any
+    * partitioning, so merged partials are bit-identical to the
+    * single-pass sketch; identical results from the artifact IS the
+    * contract). `exact_ndv` stays a fresh exact pass — it is the
+    * validation column, not part of the served sketch.
+    */
+  def hllNdvCompose(spark: SparkSession, dir: String): DataFrame = {
+    val stage = graft.ops.StageArtifacts.ensure(dir, "hllsketch") { out =>
+      writeHllSketchArtifact(spark, dir, s"$out/hll_daily")
+    }
+    val merged = spark.read.parquet(s"$stage/hll_daily")
       .groupBy(col("event_type"))
-      .agg(
-        Hll.estimateOf(col("packed")).as("r"),
-        countDistinct(col("user_id")).as("exact_ndv"))
+      .agg(graft.functions.Hll.mergeEstimateOf(col("regs")).as("r"))
+    val exact = Tables(spark, dir, "events")
+      .where(col("user_id").isNotNull)
+      .groupBy(col("event_type"))
+      .agg(countDistinct(col("user_id")).as("exact_ndv"))
+    merged.join(exact, Seq("event_type"))
       .select(col("event_type"),
         col("r.reg_sum").as("reg_sum"),
         col("r.reg_checksum").as("reg_checksum"),

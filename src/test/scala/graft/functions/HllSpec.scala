@@ -94,6 +94,19 @@ class HllSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("compose twin: merged daily artifact sketches == the single-pass result") {
+    for (d <- Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01")) {
+      val inline = SketchQ.hllNdv(spark, d).collect().toSet
+      val composed = SketchQ.hllNdvCompose(spark, d).collect().toSet
+      assert(composed === inline, d)
+      // the partial artifact is genuinely finer than the served grain
+      val stage = graft.ops.StageArtifacts.ensure(d, "hllsketch")(_ => fail(
+        "artifact should already be built by the compose run"))
+      val partials = spark.read.parquet(s"$stage/hll_daily")
+      assert(partials.count() > inline.size, "expected multiple days per type")
+    }
+  }
+
   test("result is invariant under repartitioning (merge-order independence)") {
     val base = SketchQ.hllNdv(spark, dir).collect().toSet
     val conf = spark.conf.get("spark.sql.shuffle.partitions")
