@@ -122,6 +122,188 @@ object SketchQ {
         (col("h1") % Hll.M) * (1 << Hll.RankBits) + col("rank"))
   }
 
+  /** Per-(source, doc) distinct 8-gram shingle fingerprints: one row per
+    * (source, shingle-hash) occurrence, the input relation for the KMV
+    * sketch family. The hash is the replayable base-31 rolling hash
+    * ([[graft.functions.RollingHash]]) of the space-joined shingle, so
+    * the whole estimator stays cross-engine deterministic.
+    */
+  private def kmvHashes(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "documents")
+      .select(col("doc_id"), col("source"),
+        graft.text.TextOps.tokens(col("text")).as("toks"))
+      .where(size(col("toks")) >= 8)
+      .select(col("doc_id"), col("source"),
+        explode(graft.text.TextOps.shingles(col("toks"), 8)).as("g"))
+      .select(col("doc_id"), col("source"),
+        graft.functions.RollingHash.ofColumn(col("g")).as("h"))
+
+  private val KmvK = 256
+
+  /** (source, n_sketch, kth_min, sketch_sum, est_ndv, exact_ndv) from a
+    * KMV sketch of the per-source sketch rows — shared tail of the
+    * inline and compose twins.
+    */
+  private def kmvNdvSelect(sk: DataFrame, exact: DataFrame): DataFrame =
+    sk.join(exact, Seq("source"))
+      .select(col("source"),
+        size(col("sk")).as("n_sketch"),
+        element_at(col("sk"), KmvK).as("kth_min"),
+        aggregate(col("sk"), lit(0L), (a, x) => a + x).as("sketch_sum"),
+        round(when(size(col("sk")) < KmvK, size(col("sk")).cast("double"))
+          .otherwise(lit(255.0) * lit(1000000007.0) /
+            element_at(col("sk"), KmvK).cast("double")), 4).as("est_ndv"),
+        col("exact_ndv"))
+      .orderBy(col("source"))
+
+  /** Per-source distinct-8-gram-shingle counts by the ORACLED KMV
+    * bottom-k sketch ([[graft.functions.Kmv]]): k smallest distinct
+    * rolling-hash values per source, estimate = (k−1)·M / h_k, replayed
+    * formula-for-formula in DuckDB (`row_number() <= k` + one IEEE
+    * multiply-divide) — the set-operation-capable member of the sketch
+    * family next to [[hllNdv]]. No distinct on the Spark side: the
+    * aggregator's O(k) buffer dedups, so the shuffle carries one ≤256-
+    * long array per (source, partition) instead of every distinct
+    * shingle. `exact_ndv` rides along as the validation column (it IS
+    * the shuffle the sketch avoids); at 100 TB you drop it.
+    */
+  def kmvNdv(spark: SparkSession, dir: String): DataFrame = {
+    val hs = kmvHashes(spark, dir)
+    val sk = hs.groupBy(col("source"))
+      .agg(graft.functions.Kmv.sketchOf(col("h"), KmvK).as("sk"),
+        countDistinct(col("h")).as("exact_ndv"))
+    kmvNdvSelect(sk.select("source", "sk"),
+      sk.select("source", "exact_ndv"))
+  }
+
+  /** Per-(source, shard) partial KMV sketches persisted as a parquet
+    * artifact — the daily-ingest shape for set sketches: each shard is
+    * sketched ONCE into a ≤256-long array; any later rollup (per-source
+    * NDV, pairwise overlap matrix) merges arrays instead of re-scanning
+    * text.
+    */
+  def writeKmvSketchArtifact(spark: SparkSession, dir: String,
+      outPath: String): Unit =
+    kmvHashes(spark, dir)
+      .groupBy(col("source"), pmod(col("doc_id"), lit(8)).as("shard"))
+      .agg(graft.functions.Kmv.sketchOf(col("h"), KmvK).as("sk"))
+      .write.mode("overwrite").parquet(outPath)
+
+  private def kmvMergedSketches(spark: SparkSession, dir: String): DataFrame = {
+    val stage = graft.ops.StageArtifacts.ensure(dir, "kmvsketch") { out =>
+      writeKmvSketchArtifact(spark, dir, s"$out/kmv_shards")
+    }
+    // feeding partial-sketch members back through the aggregator IS the
+    // KMV merge: the k smallest of a union of per-shard bottom-k sets
+    // are exactly the union's bottom-k (each shard's contribution to
+    // the global bottom-k survives in its shard sketch)
+    spark.read.parquet(s"$stage/kmv_shards")
+      .select(col("source"), explode(col("sk")).as("h"))
+      .groupBy(col("source"))
+      .agg(graft.functions.Kmv.sketchOf(col("h"), KmvK).as("sk"))
+  }
+
+  /** Compose twin of [[kmvNdv]]: the per-source estimate served by
+    * merging the persisted shard sketches — shares q_kmv_ndv's oracle
+    * VERBATIM (bottom-k union is associative over any sharding, so the
+    * merged sketch is bit-identical to the single-pass sketch).
+    * `exact_ndv` stays a fresh exact pass — the validation column, not
+    * part of the served sketch.
+    */
+  def kmvNdvCompose(spark: SparkSession, dir: String): DataFrame = {
+    val exact = kmvHashes(spark, dir)
+      .groupBy(col("source"))
+      .agg(countDistinct(col("h")).as("exact_ndv"))
+    kmvNdvSelect(kmvMergedSketches(spark, dir), exact)
+  }
+
+  /** Cross-source shingle-overlap matrix from KMV sketches — the
+    * contamination/scrape diagnostic that at 100 TB replaces a pairwise
+    * CONTENT join with set algebra over ≤256-long arrays: for each
+    * unordered source pair, the k smallest of the two sketches' union
+    * is exactly the union's KMV sketch (mergeability), and the fraction
+    * of its members present in BOTH inputs is a uniform-sample estimate
+    * of the Jaccard similarity (Beyer et al. 2007 §4); intersection
+    * size ≈ jaccard · union-NDV. Everything is equi-joins on the hash
+    * value or on the tiny source list — no pairwise document scan, no
+    * cartesian. `exact_inter`/`exact_jaccard` ride along as validation
+    * columns (they ARE the distinct-hash shuffle the sketch path
+    * avoids).
+    */
+  def kmvOverlap(spark: SparkSession, dir: String): DataFrame = {
+    val hs = kmvHashes(spark, dir)
+    val sk = hs.groupBy(col("source"))
+      .agg(graft.functions.Kmv.sketchOf(col("h"), KmvK).as("sk"))
+    kmvOverlapFrom(spark, hs, sk)
+  }
+
+  /** Compose twin of [[kmvOverlap]]: the matrix served from the SAME
+    * persisted shard-sketch artifact [[kmvNdvCompose]] merges — one
+    * sketching pass, two consumers; shares q_kmv_overlap's oracle
+    * VERBATIM.
+    */
+  def kmvOverlapCompose(spark: SparkSession, dir: String): DataFrame =
+    kmvOverlapFrom(spark, kmvHashes(spark, dir),
+      kmvMergedSketches(spark, dir))
+
+  private def kmvOverlapFrom(spark: SparkSession, hs: DataFrame,
+      sk: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val rows = sk.select(col("source"), explode(col("sk")).as("h"))
+    // unordered source pairs: the |S|-row source list paired with
+    // itself (the optimizer folds the constant key into a broadcast
+    // nested-loop over the dimension-sized list — pair ENUMERATION is
+    // |S|² over a catalog-sized side, never a data-sized cartesian;
+    // every data-sized join below is an equi-join)
+    val srcs = sk.select(col("source")).withColumn("j", lit(1))
+    val pairs = srcs.toDF("src_a", "j").join(srcs.toDF("src_b", "j"), Seq("j"))
+      .where(col("src_a") < col("src_b")).drop("j")
+    val ra = rows.toDF("src_a", "h")
+    val rb = rows.toDF("src_b", "h")
+    // the pair's union sketch: k smallest of the two sketches' union
+    val uni = pairs.join(ra, Seq("src_a")).select("src_a", "src_b", "h")
+      .union(pairs.join(rb, Seq("src_b")).select("src_a", "src_b", "h"))
+      .distinct()
+    val w = Window.partitionBy("src_a", "src_b").orderBy("h")
+    val usk = uni.withColumn("rn", row_number().over(w))
+      .where(col("rn") <= KmvK)
+    val flagged = usk
+      .join(ra.withColumn("in_a", lit(1)), Seq("src_a", "h"), "left")
+      .join(rb.withColumn("in_b", lit(1)), Seq("src_b", "h"), "left")
+    val agg = flagged.groupBy(col("src_a"), col("src_b")).agg(
+      count(lit(1)).cast("int").as("n_union"),
+      max(col("h")).as("union_kth"),
+      sum(col("h")).as("union_sum"),
+      sum(when(col("in_a") === 1 && col("in_b") === 1, 1L).otherwise(0L))
+        .as("n_match"))
+    // exact validation: distinct-hash equi-join on h (the shuffle the
+    // sketch path avoids; drop at 100 TB)
+    val dist = hs.select("source", "h").distinct()
+    val nd = dist.groupBy(col("source")).agg(count(lit(1)).as("nd"))
+    val inter = dist.toDF("src_a", "h").join(dist.toDF("src_b", "h"), Seq("h"))
+      .where(col("src_a") < col("src_b"))
+      .groupBy(col("src_a"), col("src_b"))
+      .agg(count(lit(1)).as("exact_inter"))
+    val unionEst = when(col("n_union") < KmvK, col("n_union").cast("double"))
+      .otherwise(lit(255.0) * lit(1000000007.0) / col("union_kth").cast("double"))
+    val jacc = col("n_match").cast("double") / col("n_union").cast("double")
+    val exactJacc = col("exact_inter").cast("double") /
+      (col("nd_a") + col("nd_b") - col("exact_inter")).cast("double")
+    agg
+      .join(inter, Seq("src_a", "src_b"), "left")
+      .join(nd.toDF("src_a", "nd_a"), Seq("src_a"))
+      .join(nd.toDF("src_b", "nd_b"), Seq("src_b"))
+      .withColumn("exact_inter", coalesce(col("exact_inter"), lit(0L)))
+      .select(col("src_a"), col("src_b"), col("n_union"), col("union_kth"),
+        col("union_sum"), col("n_match"),
+        round(jacc, 6).as("jaccard_est"),
+        round(unionEst, 4).as("union_est"),
+        round(jacc * unionEst, 4).as("inter_est"),
+        col("exact_inter"),
+        round(exactJacc, 6).as("exact_jaccard"))
+      .orderBy(col("src_a"), col("src_b"))
+  }
+
   /** Per-(event_type, day) partial sketches persisted as a parquet
     * artifact — the daily-ingest shape: each day's partition is
     * sketched ONCE into 1 KB register files; any later rollup merges

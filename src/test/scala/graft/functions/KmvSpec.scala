@@ -1,0 +1,110 @@
+package graft.functions
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.queries.SketchQ
+import graft.testkit.SparkSpec
+
+class KmvSpec extends AnyFunSuite with SparkSpec {
+
+  private val dir = "/root/testdata/sf0.001"
+  private val K = 256
+
+  test("sketch equals the scalar bottom-k of the distinct values") {
+    import spark.implicits._
+    // adversarial stream: duplicates, clustered values, a late new
+    // minimum, and more distinct values than k
+    val vs: Seq[Long] = (0L until 600L).map(i => (i * 7919L) % 10007L) ++
+      Seq(3L, 3L, 1L, 10006L, 0L)
+    val got = vs.toDF("v").repartition(7)
+      .agg(Kmv.sketchOf(col("v"), K).as("sk"))
+      .collect()(0).getAs[scala.collection.Seq[Long]]("sk")
+    val want = vs.distinct.sorted.take(K)
+    assert(got === want)
+  }
+
+  test("small sets: the sketch IS the sorted distinct set") {
+    import spark.implicits._
+    val vs = Seq(5L, 9L, 5L, 2L, 2L, 7L)
+    val got = vs.toDF("v").repartition(3)
+      .agg(Kmv.sketchOf(col("v"), K).as("sk"))
+      .collect()(0).getAs[scala.collection.Seq[Long]]("sk")
+    assert(got === Seq(2L, 5L, 7L, 9L))
+  }
+
+  test("merge is partitioning-invariant (bit-identical sketches)") {
+    import spark.implicits._
+    val vs = (0L until 5000L).map(i => (i * 104729L) % 999983L)
+    def sketch(parts: Int): Seq[Long] =
+      vs.toDF("v").repartition(parts)
+        .agg(Kmv.sketchOf(col("v"), K).as("sk"))
+        .collect()(0).getAs[scala.collection.Seq[Long]]("sk").toSeq
+    assert(sketch(1) === sketch(13))
+    assert(sketch(13) === sketch(32))
+  }
+
+  test("per-source estimate within 20% of exact; mean error under 10%") {
+    val rows = SketchQ.kmvNdv(spark, dir).collect()
+    assert(rows.length >= 10)
+    val errs = rows.map { r =>
+      val est = r.getAs[Double]("est_ndv")
+      val exact = r.getAs[Long]("exact_ndv").toDouble
+      assert(r.getAs[Int]("n_sketch") === K, "sketch should be full here")
+      math.abs(est - exact) / exact
+    }
+    assert(errs.max < 0.20, s"max rel err ${errs.max}")
+    assert(errs.sum / errs.length < 0.10, s"mean rel err ${errs.sum / errs.length}")
+  }
+
+  test("compose twin serves the identical relation from shard sketches") {
+    val inline = SketchQ.kmvNdv(spark, dir).collect().toSeq
+    val composed = SketchQ.kmvNdvCompose(spark, dir).collect().toSeq
+    assert(composed === inline)
+  }
+
+  test("overlap matrix: invariants and agreement with exact columns") {
+    val rows = SketchQ.kmvOverlap(spark, dir).collect()
+    assert(rows.length === 190) // C(20,2) unordered source pairs
+    rows.foreach { r =>
+      val nUnion = r.getAs[Int]("n_union")
+      val nMatch = r.getAs[Long]("n_match")
+      assert(nMatch <= nUnion)
+      assert(r.getAs[String]("src_a") < r.getAs[String]("src_b"))
+      val jacc = r.getAs[Double]("jaccard_est")
+      assert(jacc >= 0.0 && jacc <= 1.0)
+      // a sketch match implies a true intersection member CAN exist;
+      // exact zero intersection forces zero matches (no false overlap:
+      // matched hashes are real shared values, not estimates)
+      if (r.getAs[Long]("exact_inter") === 0L) assert(nMatch === 0L)
+    }
+    // the estimator must separate overlapping pairs from disjoint ones:
+    // mean estimated jaccard over truly-intersecting pairs strictly
+    // above the (all-zero) disjoint mean
+    val (inter, disjoint) = rows.partition(_.getAs[Long]("exact_inter") > 0L)
+    assert(inter.nonEmpty, "testdata should contain cross-source dups")
+    val meanInter = inter.map(_.getAs[Double]("jaccard_est")).sum / inter.length
+    val meanDis = disjoint.map(_.getAs[Double]("jaccard_est")).sum / disjoint.length
+    assert(meanInter > meanDis)
+  }
+
+  test("overlap compose twin serves the identical matrix") {
+    val inline = SketchQ.kmvOverlap(spark, dir).collect().toSeq
+    val composed = SketchQ.kmvOverlapCompose(spark, dir).collect().toSeq
+    assert(composed === inline)
+  }
+
+  test("handcrafted pair: union sketch, matches and estimates are exact") {
+    import spark.implicits._
+    // two overlapping sets small enough that sketches are the sets
+    val a = (1L to 30L).map(v => ("a", v))
+    val b = (21L to 60L).map(v => ("b", v))
+    val df = (a ++ b).toDF("source", "v").repartition(5)
+    val sk = df.groupBy("source").agg(Kmv.sketchOf(col("v"), K).as("sk"))
+      .collect().map(r => r.getString(0) -> r.getAs[scala.collection.Seq[Long]]("sk")).toMap
+    val union = (sk("a") ++ sk("b")).distinct.sorted.take(K)
+    assert(union === (1L to 60L))
+    val matches = union.count(v => sk("a").contains(v) && sk("b").contains(v))
+    assert(matches === 10) // 21..30
+  }
+}
