@@ -150,6 +150,22 @@ object SparkEntry {
     // sketches — rollup served by MERGING persisted per-day register
     // files (1 KB blobs), sharing q_hll_ndv's oracle verbatim
     "q_hll_ndv_compose" -> SketchQ.hllNdvCompose,
+    // sketches — ORACLED KMV bottom-k: per-source distinct-shingle
+    // estimate from the k smallest rolling-hash values, replayed
+    // row_number-for-row_number in DuckDB (hash-match) — the
+    // set-operation-capable sketch next to HLL
+    "q_kmv_ndv" -> SketchQ.kmvNdv,
+    // sketches — the same estimate served by merging persisted
+    // per-shard sketch arrays, sharing q_kmv_ndv's oracle verbatim
+    "q_kmv_ndv_compose" -> SketchQ.kmvNdvCompose,
+    // sketches — cross-source overlap/Jaccard matrix from KMV set
+    // algebra (union sketch + match fraction), with exact validation
+    // columns; the contamination diagnostic without a content join
+    "q_kmv_overlap" -> SketchQ.kmvOverlap,
+    // sketches — the matrix served from the SAME persisted shard
+    // sketches q_kmv_ndv_compose merges (one sketching pass, two
+    // consumers), sharing q_kmv_overlap's oracle verbatim
+    "q_kmv_overlap_compose" -> SketchQ.kmvOverlapCompose,
     // §2.10 — tumbling event-time window (batch twin of streaming agg)
     "q_tumbling_window" -> EventsQ.tumblingWindow,
     // §2.10 — the SAME windowed aggregation executed as a real
@@ -320,6 +336,9 @@ object SparkEntry {
     // training-mix scheduling — stride-scheduled curriculum interleave
     // (order KEY, not a single-partition global position)
     "q_interleave" -> ((s, dir) => SampleQ.curriculumInterleave(s, dir)),
+    // temperature-scaled mixture (α=0.5 √n rule): per-source TOKEN
+    // budgets from exact-decimal weight math, keyed two-phase prefix sum
+    "q_temperature_mixture" -> ((s, dir) => SampleQ.temperatureMixture(s, dir)),
     // corpus hygiene — PII redaction (emails/IPs/phones -> typed tokens,
     // per-category counts; PII planted deterministically, see TextQ)
     "q_pii_redact" -> TextQ.piiRedact,
@@ -698,6 +717,8 @@ object SparkEntry {
     "q_embed_clusters_staged" -> oracleSqlBase("q_embed_clusters"),
     "q_corpus_report_mm_compose" -> oracleSqlBase("q_corpus_report_mm"),
     "q_hll_ndv_compose" -> oracleSqlBase("q_hll_ndv"),
+    "q_kmv_ndv_compose" -> oracleSqlBase("q_kmv_ndv"),
+    "q_kmv_overlap_compose" -> oracleSqlBase("q_kmv_overlap"),
     // the streaming execution of the tumbling-window mart must produce
     // EXACTLY the batch relation — one oracle serves both
     "q_stream_mart" -> oracleSqlBase("q_tumbling_window"),
@@ -1188,6 +1209,38 @@ object SparkEntry {
         |  FROM d
         |)
         |SELECT doc_id, source, rn FROM r, t WHERE rn <= ceil(0.5 * total / ns)""".stripMargin,
+    // the √n temperature rule replayed end-to-end: per-source token
+    // mass, √ rounded at 6 dp into exact decimals (order-free sum),
+    // budget = (srt/denom)·(total//4) as two IEEE ops, then the
+    // per-source content-hash-ordered running total against the budget
+    "q_temperature_mixture" ->
+      s"""WITH $packTapeDocsSql, k AS (
+        |  SELECT doc_id, source, CAST(len(ws) AS BIGINT) AS n_tokens, okey
+        |  FROM d
+        |), st AS (
+        |  SELECT source, CAST(sum(n_tokens) AS BIGINT) AS n_s FROM k GROUP BY 1
+        |), tot AS (
+        |  SELECT CAST(sum(n_s) AS BIGINT) // 4 AS budget FROM st
+        |), bud AS (
+        |  SELECT source,
+        |   CAST(round(sqrt(CAST(n_s AS DOUBLE)), 6) AS DECIMAL(28,6)) AS srt
+        |  FROM st
+        |), den AS (
+        |  SELECT sum(srt) AS denom FROM bud
+        |), bgt AS (
+        |  SELECT b.source, CAST(floor(
+        |    CAST(b.srt AS DOUBLE) / CAST(den.denom AS DOUBLE)
+        |    * CAST(tot.budget AS DOUBLE)) AS BIGINT) AS budget_tokens
+        |  FROM bud b, den, tot
+        |), c AS (
+        |  SELECT doc_id, source, n_tokens,
+        |   CAST(SUM(n_tokens) OVER (PARTITION BY source
+        |     ORDER BY okey NULLS FIRST, doc_id) AS BIGINT) AS cum_tokens
+        |  FROM k
+        |)
+        |SELECT c.doc_id, c.source, c.n_tokens, c.cum_tokens, g.budget_tokens
+        |FROM c JOIN bgt g USING (source)
+        |WHERE c.cum_tokens <= g.budget_tokens""".stripMargin,
     "q_weighted_sample" ->
       """WITH d AS (
         |  SELECT doc_id,
@@ -2656,6 +2709,94 @@ object SparkEntry {
         |            ELSE e.e_raw END, 4) AS est_ndv,
         | x.exact_ndv
         |FROM est e JOIN x USING (event_type)""".stripMargin,
+    // the KMV bottom-k sketch replayed end-to-end: distinct per-source
+    // 8-gram shingle rolling hashes, row_number <= 256 IS the sketch,
+    // estimate = 255 * M / h_k (one exact double product < 2^53, one
+    // IEEE division on identical operands)
+    "q_kmv_ndv" ->
+      s"""WITH $kmvHashSql, r AS (
+        |  SELECT source, h, row_number() OVER (PARTITION BY source ORDER BY h) AS rn
+        |  FROM kh
+        |), sk AS (
+        |  SELECT source, CAST(count(*) AS INTEGER) AS n_sketch,
+        |   max(CASE WHEN rn = 256 THEN h END) AS kth_min,
+        |   CAST(sum(h) AS BIGINT) AS sketch_sum
+        |  FROM r WHERE rn <= 256 GROUP BY 1
+        |), x AS (
+        |  SELECT source, CAST(count(*) AS BIGINT) AS exact_ndv FROM kh GROUP BY 1
+        |)
+        |SELECT sk.source, sk.n_sketch, sk.kth_min, sk.sketch_sum,
+        | round(CASE WHEN sk.n_sketch < 256 THEN CAST(sk.n_sketch AS DOUBLE)
+        |       ELSE CAST(255 AS DOUBLE) * CAST(1000000007 AS DOUBLE)
+        |            / CAST(sk.kth_min AS DOUBLE) END, 4) AS est_ndv,
+        | x.exact_ndv
+        |FROM sk JOIN x USING (source) ORDER BY source""".stripMargin,
+    // KMV set algebra: per-pair union sketch = row_number <= 256 over
+    // the UNION of the two sketches' members; n_match counts members
+    // present in both; jaccard/union/intersection estimates are the
+    // same single IEEE ops as the Spark side; exact columns replay the
+    // distinct-hash join
+    "q_kmv_overlap" ->
+      s"""WITH $kmvHashSql, r AS (
+        |  SELECT source, h, row_number() OVER (PARTITION BY source ORDER BY h) AS rn
+        |  FROM kh
+        |), sk AS (
+        |  SELECT source, h FROM r WHERE rn <= 256
+        |), s AS (
+        |  SELECT DISTINCT source FROM sk
+        |), pr AS (
+        |  SELECT a.source AS src_a, b.source AS src_b
+        |  FROM s a JOIN s b ON a.source < b.source
+        |), uni AS (
+        |  SELECT DISTINCT src_a, src_b, h FROM (
+        |    SELECT pr.src_a, pr.src_b, sk.h FROM pr JOIN sk ON sk.source = pr.src_a
+        |    UNION ALL
+        |    SELECT pr.src_a, pr.src_b, sk.h FROM pr JOIN sk ON sk.source = pr.src_b
+        |  )
+        |), usk AS (
+        |  SELECT src_a, src_b, h,
+        |   row_number() OVER (PARTITION BY src_a, src_b ORDER BY h) AS rn
+        |  FROM uni
+        |), fl AS (
+        |  SELECT u.src_a, u.src_b, u.h,
+        |   (a.h IS NOT NULL) AS in_a, (b.h IS NOT NULL) AS in_b
+        |  FROM usk u
+        |  LEFT JOIN sk a ON a.source = u.src_a AND a.h = u.h
+        |  LEFT JOIN sk b ON b.source = u.src_b AND b.h = u.h
+        |  WHERE u.rn <= 256
+        |), ag AS (
+        |  SELECT src_a, src_b, CAST(count(*) AS INTEGER) AS n_union,
+        |   max(h) AS union_kth, CAST(sum(h) AS BIGINT) AS union_sum,
+        |   CAST(sum(CASE WHEN in_a AND in_b THEN 1 ELSE 0 END) AS BIGINT) AS n_match
+        |  FROM fl GROUP BY 1, 2
+        |), nd AS (
+        |  SELECT source, CAST(count(*) AS BIGINT) AS nd FROM kh GROUP BY 1
+        |), ex AS (
+        |  SELECT a.source AS src_a, b.source AS src_b,
+        |   CAST(count(*) AS BIGINT) AS exact_inter
+        |  FROM kh a JOIN kh b ON a.h = b.h AND a.source < b.source
+        |  GROUP BY 1, 2
+        |)
+        |SELECT ag.src_a, ag.src_b, ag.n_union, ag.union_kth, ag.union_sum,
+        | ag.n_match,
+        | round(CAST(ag.n_match AS DOUBLE) / CAST(ag.n_union AS DOUBLE), 6)
+        |   AS jaccard_est,
+        | round(CASE WHEN ag.n_union < 256 THEN CAST(ag.n_union AS DOUBLE)
+        |       ELSE CAST(255 AS DOUBLE) * CAST(1000000007 AS DOUBLE)
+        |            / CAST(ag.union_kth AS DOUBLE) END, 4) AS union_est,
+        | round((CAST(ag.n_match AS DOUBLE) / CAST(ag.n_union AS DOUBLE)) *
+        |       (CASE WHEN ag.n_union < 256 THEN CAST(ag.n_union AS DOUBLE)
+        |        ELSE CAST(255 AS DOUBLE) * CAST(1000000007 AS DOUBLE)
+        |             / CAST(ag.union_kth AS DOUBLE) END), 4) AS inter_est,
+        | coalesce(ex.exact_inter, 0) AS exact_inter,
+        | round(CAST(coalesce(ex.exact_inter, 0) AS DOUBLE) /
+        |   CAST(na.nd + nb.nd - coalesce(ex.exact_inter, 0) AS DOUBLE), 6)
+        |   AS exact_jaccard
+        |FROM ag
+        |LEFT JOIN ex ON ex.src_a = ag.src_a AND ex.src_b = ag.src_b
+        |JOIN nd na ON na.source = ag.src_a
+        |JOIN nd nb ON nb.source = ag.src_b
+        |ORDER BY ag.src_a, ag.src_b""".stripMargin,
     // MG with k=64 over a ≤64-distinct-token stream never sheds, so the
     // summary is exact and the oracle is the exact top-20 (shed = 0);
     // MisraGriesSpec pins the approximate invariants at adversarial k
@@ -3000,6 +3141,21 @@ object SparkEntry {
     * shared by q_pack_sequences and q_export_manifest so the tape
     * semantics can never drift between the packer and the exporter.
     */
+  /** The packing tape's tokenize + rolling-hash order key carrying
+    * `source` (CTE `d`) — the q_temperature_mixture replay input.
+    */
+  private lazy val packTapeDocsSql: String =
+    """d AS (
+      |  SELECT doc_id, source,
+      |   string_split(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' ') AS ws,
+      |   list_reduce(list_prepend(CAST(0 AS BIGINT),
+      |     list_transform(string_split(
+      |       trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ''),
+      |       c -> CAST(ascii(c) AS BIGINT))),
+      |     (a, b) -> (a * 31 + b) % 1000000007) AS okey
+      |  FROM documents
+      |)""".stripMargin
+
   private lazy val packTapeSql: String =
     """d AS (
       |  SELECT doc_id,
@@ -3077,6 +3233,32 @@ object SparkEntry {
     * Σ|sample| energies (all-integer, exact) then the delta-sign bit
     * chain packed hi/lo. Shared by q_audio_ahash and its pairs twin.
     */
+  /** Distinct per-source 8-gram shingle rolling hashes (CTE `kh`) —
+    * the input relation both KMV oracles replay: tokenization and
+    * 8-gram construction mirror the jaccard CTEs, the per-shingle hash
+    * is the h1 rolling-hash fold, and the final DISTINCT is on the HASH
+    * (colliding shingles occupy one slot, exactly like the Spark
+    * aggregator's distinct-value buffer).
+    */
+  private lazy val kmvHashSql: String =
+    """d AS (
+      |  SELECT doc_id, source,
+      |   string_split(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' ') AS toks
+      |  FROM documents
+      |), g AS (
+      |  SELECT DISTINCT source, g FROM (
+      |    SELECT source, unnest(list_distinct(
+      |      [array_to_string(toks[i:i+7], ' ') for i in generate_series(1, len(toks) - 7)])) AS g
+      |    FROM d WHERE len(toks) >= 8
+      |  )
+      |), kh AS (
+      |  SELECT DISTINCT source,
+      |   list_reduce(list_prepend(CAST(0 AS BIGINT),
+      |     list_transform(string_split(g, ''), c -> CAST(ascii(c) AS BIGINT))),
+      |     (a, b) -> (a * 31 + b) % 1000000007) AS h
+      |  FROM g
+      |)""".stripMargin
+
   private lazy val ahashHashSql: String =
     """adocs AS (
       |  SELECT doc_id FROM documents WHERE doc_id % 89 <> 0

@@ -133,6 +133,79 @@ object SampleQ {
         col("cum_tokens"), (col("cum_tokens") <= budget).as("selected"))
   }
 
+  /** TEMPERATURE-scaled mixture sampling — the published multilingual
+    * training-mix rule (α = 0.5: sample source s with weight
+    * n_s^α / Σ_t n_t^α, the √n rule of Conneau & Lample 2019 / XLM-R):
+    * each source gets a TOKEN budget B_s = ⌊B · √n_s / Σ√n_t⌋ out of a
+    * global budget B = total/4, flattening the mixture's power law —
+    * big sources downsample hard, small sources keep nearly everything
+    * — where [[mixtureRebalance]]'s uniform per-source doc cap ignores
+    * both token mass and the temperature exponent. Selection within a
+    * source is content-hash ordered (reproducible, ingestion-order
+    * unbiased).
+    *
+    * Weight math is cross-engine exact: √n is one correctly-rounded
+    * IEEE op, rounded at 6 dp into DECIMAL(28,6) so the denominator is
+    * an EXACT decimal sum (order-free), and the final
+    * (srt/denom)·B is two IEEE ops on identical operands — so budgets,
+    * and therefore the kept set, hash-match the DuckDB replay.
+    *
+    * The per-source running token total uses the [[graft.text.Packing]]
+    * two-phase distributed prefix sum, keyed: docs hash into value-range
+    * buckets of the order key, per-(source, bucket) totals come to the
+    * driver (O(|S|·buckets) longs), exclusive bases broadcast back, and
+    * the cumsum window runs within each (source, bucket) — no source
+    * ever collapses into a single task, however skewed the mixture.
+    */
+  def temperatureMixture(spark: SparkSession, dir: String,
+      buckets: Int = 64): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    import spark.implicits._
+    val hashMod = 1000000007L
+    val width = (hashMod + buckets - 1) / buckets
+    val keyed = Tables(spark, dir, "documents")
+      .select(col("doc_id"), col("source"),
+        size(TextOps.tokens(col("text"))).cast("long").as("n_tokens"),
+        TextOps.rollingHash(TextOps.normalize(col("text"))).as("okey"))
+      .withColumn("bucket", (col("okey") / lit(width)).cast("int"))
+      .barrierOnce()
+    // phase 1: per-(source, bucket) token totals -> driver
+    val totals = keyed.groupBy(col("source"), col("bucket"))
+      .agg(sum(col("n_tokens")).as("t"))
+      .collect().map(r => (r.getString(0), r.getInt(1)) -> r.getLong(2)).toMap
+    val perSource = totals.groupMapReduce(_._1._1)(_._2)(_ + _)
+    val budget = perSource.values.sum / 4
+    // temperature weights and budgets computed through Spark
+    // expressions (NOT driver math) so round/cast semantics are the
+    // same functions the oracle replays
+    val st = perSource.toSeq.sortBy(_._1).toDF("source", "n_s")
+      .withColumn("srt",
+        round(sqrt(col("n_s").cast("double")), 6).cast(DecimalType(28, 6)))
+    val denom = st.agg(sum(col("srt"))).collect()(0).getDecimal(0)
+    val budgets = st.select(col("source"),
+      floor(col("srt").cast("double") / lit(denom.doubleValue) *
+        lit(budget.toDouble)).as("budget_tokens"))
+    // phase 2: exclusive (source, bucket) bases + in-bucket cumsum
+    val baseRows = perSource.keys.toSeq.sorted.flatMap { s =>
+      var acc = 0L
+      (0 until buckets).map { b =>
+        val base = acc
+        acc += totals.getOrElse((s, b), 0L)
+        (s, b, base)
+      }
+    }
+    val bases = broadcast(baseRows.toDF("source", "bucket", "base"))
+    val w = Window.partitionBy(col("source"), col("bucket"))
+      .orderBy(col("okey").asc_nulls_first, col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    keyed.join(bases, Seq("source", "bucket"))
+      .withColumn("cum_tokens", col("base") + sum(col("n_tokens")).over(w))
+      .join(broadcast(budgets), Seq("source"))
+      .filter(col("cum_tokens") <= col("budget_tokens"))
+      .select(col("doc_id"), col("source"), col("n_tokens"),
+        col("cum_tokens"), col("budget_tokens"))
+  }
+
   /** Curriculum interleaving by stride scheduling: every document gets
     * the order key frac = rn/|source| — sorting by (frac, source,
     * doc_id) interleaves the sources PROPORTIONALLY (each source

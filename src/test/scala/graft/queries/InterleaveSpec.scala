@@ -55,4 +55,62 @@ class InterleaveSpec extends AnyFunSuite with SparkSpec {
     // non-vacuous: some selected, some not
     assert(rows.exists(_._5) && rows.exists(!_._5))
   }
+
+  test("temperature mixture keeps exactly each source's hash-ordered prefix") {
+    import org.apache.spark.sql.functions._
+    val dir = "/root/testdata/sf0.001"
+    val out = SampleQ.temperatureMixture(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))
+    assert(out.nonEmpty)
+    // independent reference: per-source docs in (content-hash, id)
+    // order, running token totals in plain Scala
+    val docs = graft.Tables(spark, dir, "documents")
+      .select(col("doc_id"), col("source"),
+        size(graft.text.TextOps.tokens(col("text"))).cast("long").as("n"),
+        graft.text.TextOps.rollingHash(
+          graft.text.TextOps.normalize(col("text"))).as("okey"))
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    val budgets = out.groupBy(_._2).view.mapValues(_.head._5).toMap
+    for ((src, budget) <- budgets) {
+      val ordered = docs.filter(_._2 == src).sortBy(d => (d._4, d._1))
+      var cum = 0L
+      val want = ordered.takeWhile { d => cum += d._3; cum <= budget }
+        .map(_._1).toSet
+      val got = out.filter(_._2 == src).map(_._1).toSet
+      assert(got === want, s"source $src selection")
+      // and the reported running totals are the true prefix sums
+      val cums = ordered.scanLeft(0L)(_ + _._3).tail
+      val cumById = ordered.map(_._1).zip(cums).toMap
+      out.filter(_._2 == src).foreach { o =>
+        assert(o._4 === cumById(o._1), s"doc ${o._1} cum")
+      }
+    }
+    // every source with a positive budget participates
+    assert(budgets.size >= 10)
+  }
+
+  test("temperature budgets follow the √n rule: monotone and flattening") {
+    import org.apache.spark.sql.functions._
+    val dir = "/root/testdata/sf0.001"
+    val docs = graft.Tables(spark, dir, "documents")
+      .select(col("source"),
+        size(graft.text.TextOps.tokens(col("text"))).cast("long").as("n"))
+      .groupBy("source").agg(sum(col("n")).as("n_s"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val budgets = SampleQ.temperatureMixture(spark, dir).collect()
+      .map(r => (r.getString(1), r.getLong(4))).distinct.toMap
+    val total = docs.values.sum
+    // global budget respected: Σ floor(w_s · B) ≤ B
+    assert(budgets.values.sum <= total / 4)
+    for ((a, ba) <- budgets; (b, bb) <- budgets
+         if docs(a).toDouble / docs(b) > 1.01) {
+      // bigger source, bigger budget — but compressed below the raw
+      // size ratio (that's the temperature: √ flattens the mixture)
+      assert(ba >= bb, s"$a vs $b monotone")
+      assert(ba.toDouble / bb < docs(a).toDouble / docs(b),
+        s"$a vs $b flattening")
+    }
+  }
 }
