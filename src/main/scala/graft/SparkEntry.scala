@@ -409,6 +409,10 @@ object SparkEntry {
     // callback decodes ONLY the affected clusters' surviving assets;
     // oracle = the image closure formula-replayed on the filtered corpus
     "q_forget_image" -> DedupQ.forgetImage,
+    // forget — the SKETCH member of the D18 gate: the sharded KMV
+    // artifact patched by re-sketching only affected (source, shard)
+    // groups; untouched shard rows pass through byte-identical
+    "q_forget_kmv" -> SketchQ.forgetKmv,
     // forget — the deletion feed as an ACTUAL streaming query: each
     // micro-batch patches the persisted artifact via forgetSink behind
     // the crash-safe swap; shares q_forget_clusters' oracle VERBATIM
@@ -2713,24 +2717,11 @@ object SparkEntry {
     // 8-gram shingle rolling hashes, row_number <= 256 IS the sketch,
     // estimate = 255 * M / h_k (one exact double product < 2^53, one
     // IEEE division on identical operands)
-    "q_kmv_ndv" ->
-      s"""WITH $kmvHashSql, r AS (
-        |  SELECT source, h, row_number() OVER (PARTITION BY source ORDER BY h) AS rn
-        |  FROM kh
-        |), sk AS (
-        |  SELECT source, CAST(count(*) AS INTEGER) AS n_sketch,
-        |   max(CASE WHEN rn = 256 THEN h END) AS kth_min,
-        |   CAST(sum(h) AS BIGINT) AS sketch_sum
-        |  FROM r WHERE rn <= 256 GROUP BY 1
-        |), x AS (
-        |  SELECT source, CAST(count(*) AS BIGINT) AS exact_ndv FROM kh GROUP BY 1
-        |)
-        |SELECT sk.source, sk.n_sketch, sk.kth_min, sk.sketch_sum,
-        | round(CASE WHEN sk.n_sketch < 256 THEN CAST(sk.n_sketch AS DOUBLE)
-        |       ELSE CAST(255 AS DOUBLE) * CAST(1000000007 AS DOUBLE)
-        |            / CAST(sk.kth_min AS DOUBLE) END, 4) AS est_ndv,
-        | x.exact_ndv
-        |FROM sk JOIN x USING (source) ORDER BY source""".stripMargin,
+    "q_kmv_ndv" -> kmvNdvSqlFrom("documents"),
+    // deletion through the sharded sketch artifact: patched ≡ FULL
+    // REBUILD on the filtered corpus — literally the same oracle on
+    // documents WHERE doc_id % 29 <> 3 (the D18 contract)
+    "q_forget_kmv" -> kmvNdvSqlFrom(forgottenDocsSql),
     // KMV set algebra: per-pair union sketch = row_number <= 256 over
     // the UNION of the two sketches' members; n_match counts members
     // present in both; jaccard/union/intersection estimates are the
@@ -3240,11 +3231,11 @@ object SparkEntry {
     * (colliding shingles occupy one slot, exactly like the Spark
     * aggregator's distinct-value buffer).
     */
-  private lazy val kmvHashSql: String =
-    """d AS (
+  private def kmvHashSqlFrom(docs: String): String =
+    s"""d AS (
       |  SELECT doc_id, source,
       |   string_split(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' ') AS toks
-      |  FROM documents
+      |  FROM $docs
       |), g AS (
       |  SELECT DISTINCT source, g FROM (
       |    SELECT source, unnest(list_distinct(
@@ -3258,6 +3249,31 @@ object SparkEntry {
       |     (a, b) -> (a * 31 + b) % 1000000007) AS h
       |  FROM g
       |)""".stripMargin
+
+  private lazy val kmvHashSql: String = kmvHashSqlFrom("documents")
+
+  /** The KMV per-source NDV replay parameterized over the document
+    * relation — q_kmv_ndv(_compose) run it on `documents`, q_forget_kmv
+    * on the forgotten corpus (incremental ≡ full rebuild).
+    */
+  private def kmvNdvSqlFrom(docs: String): String =
+    s"""WITH ${kmvHashSqlFrom(docs)}, r AS (
+      |  SELECT source, h, row_number() OVER (PARTITION BY source ORDER BY h) AS rn
+      |  FROM kh
+      |), sk AS (
+      |  SELECT source, CAST(count(*) AS INTEGER) AS n_sketch,
+      |   max(CASE WHEN rn = 256 THEN h END) AS kth_min,
+      |   CAST(sum(h) AS BIGINT) AS sketch_sum
+      |  FROM r WHERE rn <= 256 GROUP BY 1
+      |), x AS (
+      |  SELECT source, CAST(count(*) AS BIGINT) AS exact_ndv FROM kh GROUP BY 1
+      |)
+      |SELECT sk.source, sk.n_sketch, sk.kth_min, sk.sketch_sum,
+      | round(CASE WHEN sk.n_sketch < 256 THEN CAST(sk.n_sketch AS DOUBLE)
+      |       ELSE CAST(255 AS DOUBLE) * CAST(1000000007 AS DOUBLE)
+      |            / CAST(sk.kth_min AS DOUBLE) END, 4) AS est_ndv,
+      | x.exact_ndv
+      |FROM sk JOIN x USING (source) ORDER BY source""".stripMargin
 
   private lazy val ahashHashSql: String =
     """adocs AS (

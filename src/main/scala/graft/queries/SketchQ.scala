@@ -129,7 +129,10 @@ object SketchQ {
     * the whole estimator stays cross-engine deterministic.
     */
   private def kmvHashes(spark: SparkSession, dir: String): DataFrame =
-    Tables(spark, dir, "documents")
+    kmvHashesOf(Tables(spark, dir, "documents"))
+
+  private def kmvHashesOf(docs: DataFrame): DataFrame =
+    docs
       .select(col("doc_id"), col("source"),
         graft.text.TextOps.tokens(col("text")).as("toks"))
       .where(size(col("toks")) >= 8)
@@ -215,6 +218,67 @@ object SketchQ {
       .groupBy(col("source"))
       .agg(countDistinct(col("h")).as("exact_ndv"))
     kmvNdvSelect(kmvMergedSketches(spark, dir), exact)
+  }
+
+  /** q_forget_kmv: deletion-request propagation through the PERSISTED
+    * KMV shard artifact — the sketch-family member of the D18 forget
+    * gate. A sketch is not decrementable (a deleted doc's hashes cannot
+    * be subtracted from a bottom-k), which is exactly why the artifact
+    * is SHARDED: the repair re-sketches only the (source, shard) groups
+    * that contained a deleted doc, from their surviving docs, and every
+    * untouched shard row passes through byte-identical via one
+    * anti-join on the (deletion-batch-sized, broadcast) affected set.
+    * Patched ≡ full rebuild on the filtered corpus is EXACT (a shard's
+    * sketch depends only on its own surviving docs), so the query
+    * shares the full-rebuild contract: q_kmv_ndv's oracle replayed on
+    * `documents WHERE doc_id % 29 <> 3`.
+    *
+    * The pinned test batch (doc_id % 29 == 3) is adversarially dense —
+    * it touches most (source, shard) groups at test scale. At 100 TB
+    * shard count grows with the corpus while a daily deletion batch
+    * does not, so the blast radius is |batch| shard re-sketches out of
+    * millions — never a corpus re-scan. `exact_ndv` stays a fresh exact
+    * pass over the filtered corpus (the validation column).
+    */
+  def forgetKmv(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(spark, dir, "documents")
+    val del = docs.filter(col("doc_id") % 29 === 3).select("doc_id")
+    val merged = forgetKmvPatchedShards(spark, dir)
+      .select(col("source"), explode(col("sk")).as("h"))
+      .groupBy(col("source"))
+      .agg(graft.functions.Kmv.sketchOf(col("h"), KmvK).as("sk"))
+    val exact = kmvHashesOf(docs.join(del, Seq("doc_id"), "left_anti"))
+      .groupBy(col("source"))
+      .agg(countDistinct(col("h")).as("exact_ndv"))
+    kmvNdvSelect(merged, exact)
+  }
+
+  /** The patched per-(source, shard) artifact rows — [[forgetKmv]] is
+    * this merged and served; exposed separately for the KmvSpec
+    * differential (patched ≡ rebuilt, untouched rows byte-identical).
+    */
+  private[graft] def forgetKmvPatchedShards(spark: SparkSession,
+      dir: String): DataFrame = {
+    val docs = Tables(spark, dir, "documents")
+    val del = docs.filter(col("doc_id") % 29 === 3).select("doc_id")
+    val stage = graft.ops.StageArtifacts.ensure(dir, "kmvsketch") { out =>
+      writeKmvSketchArtifact(spark, dir, s"$out/kmv_shards")
+    }
+    val art = spark.read.parquet(s"$stage/kmv_shards")
+    val affected = docs.join(del, Seq("doc_id"), "left_semi")
+      .select(col("source"), pmod(col("doc_id"), lit(8)).as("shard"))
+      .distinct()
+    val survivors = docs
+      .withColumn("shard", pmod(col("doc_id"), lit(8)))
+      .join(broadcast(affected), Seq("source", "shard"), "left_semi")
+      .join(del, Seq("doc_id"), "left_anti")
+    val repaired = kmvHashesOf(survivors)
+      .withColumn("shard", pmod(col("doc_id"), lit(8)))
+      .groupBy(col("source"), col("shard"))
+      .agg(graft.functions.Kmv.sketchOf(col("h"), KmvK).as("sk"))
+    art.join(broadcast(affected), Seq("source", "shard"), "left_anti")
+      .select("source", "shard", "sk")
+      .unionByName(repaired)
   }
 
   /** Cross-source shingle-overlap matrix from KMV sketches — the

@@ -94,6 +94,43 @@ class KmvSpec extends AnyFunSuite with SparkSpec {
     assert(composed === inline)
   }
 
+  test("forget: patched shard artifact ≡ full rebuild on the filtered corpus") {
+    import org.apache.spark.sql.functions._
+    val docs = graft.Tables(spark, dir, "documents")
+    val kept = docs.filter(col("doc_id") % 29 =!= 3)
+    // full rebuild reference: shard sketches computed fresh from the
+    // filtered corpus via the same projection the artifact writer uses
+    val rebuilt = kept
+      .select(col("doc_id"), col("source"),
+        graft.text.TextOps.tokens(col("text")).as("toks"))
+      .where(size(col("toks")) >= 8)
+      .select(col("doc_id"), col("source"),
+        explode(graft.text.TextOps.shingles(col("toks"), 8)).as("g"))
+      .select(col("doc_id"), col("source"),
+        graft.functions.RollingHash.ofColumn(col("g")).as("h"))
+      .groupBy(col("source"), pmod(col("doc_id"), lit(8)).as("shard"))
+      .agg(Kmv.sketchOf(col("h"), K).as("sk"))
+    val patched = SketchQ.forgetKmvPatchedShards(spark, dir)
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.collect()
+        .map(r => (r.getString(0), r.getLong(1),
+          r.getAs[scala.collection.Seq[Long]]("sk").toSeq))
+        .sortBy(t => (t._1, t._2))
+    assert(canon(patched) === canon(rebuilt))
+    // non-vacuity: the deletion actually changed some shard's sketch
+    val full = docs
+      .select(col("doc_id"), col("source"),
+        graft.text.TextOps.tokens(col("text")).as("toks"))
+      .where(size(col("toks")) >= 8)
+      .select(col("doc_id"), col("source"),
+        explode(graft.text.TextOps.shingles(col("toks"), 8)).as("g"))
+      .select(col("doc_id"), col("source"),
+        graft.functions.RollingHash.ofColumn(col("g")).as("h"))
+      .groupBy(col("source"), pmod(col("doc_id"), lit(8)).as("shard"))
+      .agg(Kmv.sketchOf(col("h"), K).as("sk"))
+    assert(canon(patched) !== canon(full))
+  }
+
   test("handcrafted pair: union sketch, matches and estimates are exact") {
     import spark.implicits._
     // two overlapping sets small enough that sketches are the sets
