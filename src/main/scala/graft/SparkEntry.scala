@@ -155,6 +155,10 @@ object SparkEntry {
     // row_number-for-row_number in DuckDB (hash-match) — the
     // set-operation-capable sketch next to HLL
     "q_kmv_ndv" -> SketchQ.kmvNdv,
+    // sketches — the register table built by an ACTUAL streaming query
+    // (per-micro-batch partial sketches merged register-wise-max into
+    // the persisted artifact), serving q_hll_ndv's relation and oracle
+    "q_stream_hll" -> SketchQ.streamHll,
     // sketches — the same estimate served by merging persisted
     // per-shard sketch arrays, sharing q_kmv_ndv's oracle verbatim
     "q_kmv_ndv_compose" -> SketchQ.kmvNdvCompose,
@@ -721,6 +725,9 @@ object SparkEntry {
     "q_embed_clusters_staged" -> oracleSqlBase("q_embed_clusters"),
     "q_corpus_report_mm_compose" -> oracleSqlBase("q_corpus_report_mm"),
     "q_hll_ndv_compose" -> oracleSqlBase("q_hll_ndv"),
+    // the stream-built register table must serve EXACTLY the batch
+    // sketch relation (register max is idempotent over micro-batching)
+    "q_stream_hll" -> oracleSqlBase("q_hll_ndv"),
     "q_kmv_ndv_compose" -> oracleSqlBase("q_kmv_ndv"),
     "q_kmv_overlap_compose" -> oracleSqlBase("q_kmv_overlap"),
     // the streaming execution of the tumbling-window mart must produce

@@ -129,8 +129,8 @@ object Hll {
     override def outputEncoder: Encoder[Result] = ExpressionEncoder[Result]()
   }
 
-  private final class MergeEstimateAgg
-      extends Aggregator[Array[Byte], Array[Byte], Result] {
+  private abstract class BaseMergeAgg[O]
+      extends Aggregator[Array[Byte], Array[Byte], O] {
     override def zero: Array[Byte] = new Array[Byte](M)
     override def reduce(acc: Array[Byte], regs: Array[Byte]): Array[Byte] =
       if (regs == null) acc
@@ -145,9 +145,17 @@ object Hll {
       }
     override def merge(a: Array[Byte], b: Array[Byte]): Array[Byte] =
       Hll.merge(a, b)
-    override def finish(regs: Array[Byte]): Result = Hll.result(regs)
     override def bufferEncoder: Encoder[Array[Byte]] = Encoders.BINARY
+  }
+
+  private final class MergeEstimateAgg extends BaseMergeAgg[Result] {
+    override def finish(regs: Array[Byte]): Result = Hll.result(regs)
     override def outputEncoder: Encoder[Result] = ExpressionEncoder[Result]()
+  }
+
+  private final class MergeSketchAgg extends BaseMergeAgg[Array[Byte]] {
+    override def finish(regs: Array[Byte]): Array[Byte] = regs
+    override def outputEncoder: Encoder[Array[Byte]] = Encoders.BINARY
   }
 
   /** Aggregate a packed (bucket, rank) column to the raw 1 KB register
@@ -162,6 +170,15 @@ object Hll {
     */
   def mergeEstimateOf(sketch: Column): Column =
     udaf(new MergeEstimateAgg, Encoders.BINARY).apply(sketch)
+
+  /** Aggregate a column of PERSISTED register files to one MERGED
+    * register file (register-wise max, still the artifact form) — the
+    * incremental-ingest primitive: fold a batch's partial sketches into
+    * a persisted sketch table without leaving blob space. Register max
+    * is idempotent, so re-merging a redelivered batch is a no-op.
+    */
+  def mergeSketchOf(sketch: Column): Column =
+    udaf(new MergeSketchAgg, Encoders.BINARY).apply(sketch)
 
   /** Aggregate a packed column straight to the estimate struct
     * (reg_sum, reg_checksum, zero_regs, est).

@@ -105,9 +105,12 @@ object SketchQ {
     * bucket from h1, rank from the 30-bit-rescaled h2, packed as
     * bucket·32 + rank (the [[graft.functions.Hll]] input convention).
     */
-  private def hllPacked(spark: SparkSession, dir: String): DataFrame = {
+  private def hllPacked(spark: SparkSession, dir: String): DataFrame =
+    hllPackedOf(Tables(spark, dir, "events"))
+
+  private def hllPackedOf(events: DataFrame): DataFrame = {
     import graft.functions.{Hll, RollingHash, RollingHash2}
-    Tables(spark, dir, "events")
+    events
       .where(col("user_id").isNotNull)
       .select(col("event_type"), col("user_id"), col("ts"),
         col("user_id").cast("string").as("s"))
@@ -375,10 +378,19 @@ object SketchQ {
     */
   def writeHllSketchArtifact(spark: SparkSession, dir: String,
       outPath: String): Unit =
-    hllPacked(spark, dir)
+    hllDailySketchesOf(Tables(spark, dir, "events"))
+      .write.mode("overwrite").parquet(outPath)
+
+  /** Per-(event_type, day) register files of an arbitrary events frame
+    * — the batch artifact writer above and the streaming ingest sink
+    * ([[graft.streaming.Streaming.hllIngestSink]]) share this one
+    * definition, so stream-built and batch-built sketch tables can
+    * never drift.
+    */
+  def hllDailySketchesOf(events: DataFrame): DataFrame =
+    hllPackedOf(events)
       .groupBy(col("event_type"), to_date(col("ts")).as("day"))
       .agg(graft.functions.Hll.sketchOf(col("packed")).as("regs"))
-      .write.mode("overwrite").parquet(outPath)
 
   /** Compose twin of [[hllNdv]]: the per-type estimate served by
     * MERGING the persisted daily register files — shares q_hll_ndv's
@@ -392,7 +404,40 @@ object SketchQ {
     val stage = graft.ops.StageArtifacts.ensure(dir, "hllsketch") { out =>
       writeHllSketchArtifact(spark, dir, s"$out/hll_daily")
     }
-    val merged = spark.read.parquet(s"$stage/hll_daily")
+    hllServeFromRegs(spark, dir, s"$stage/hll_daily")
+  }
+
+  /** q_stream_hll: the sketch table built by an ACTUAL streaming query —
+    * [[graft.streaming.Streaming.hllIngestSink]] folds each events
+    * micro-batch's per-(event_type, day) partial registers into the
+    * persisted register artifact (register-wise max behind the
+    * crash-safe swap), driven with `Trigger.AvailableNow`; the merged
+    * artifact then serves the per-type estimate. Shares q_hll_ndv's
+    * oracle VERBATIM: register max is associative, commutative AND
+    * idempotent over any micro-batching, so the stream-built sketch
+    * table is bit-identical to the one-pass batch sketch — including
+    * under redelivery, which no other streaming sink gets for free.
+    * The streaming half of the K1b daily-ingest shape, in the ledger.
+    */
+  def streamHll(spark: SparkSession, dir: String): DataFrame = {
+    val state = graft.ops.StageArtifacts.refresh(dir, "stream-hll") { out =>
+      graft.ops.StageArtifacts.wipeDir(out)
+      val ev = Tables.streamEvents(spark, dir)
+      val q = graft.streaming.Streaming.hllIngestSink(ev, s"$out/regs")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      try q.awaitTermination() finally if (q.isActive) q.stop()
+    }
+    hllServeFromRegs(spark, dir, s"$state/regs")
+  }
+
+  /** The q_hll_ndv relation served from a persisted register table —
+    * shared tail of the compose and stream twins; `exact_ndv` is the
+    * fresh validation pass, not part of the served sketch.
+    */
+  private def hllServeFromRegs(spark: SparkSession, dir: String,
+      regsPath: String): DataFrame = {
+    val merged = spark.read.parquet(regsPath)
       .groupBy(col("event_type"))
       .agg(graft.functions.Hll.mergeEstimateOf(col("regs")).as("r"))
     val exact = Tables(spark, dir, "events")

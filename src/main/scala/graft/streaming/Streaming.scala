@@ -574,6 +574,35 @@ object Streaming {
         }
       }
 
+  /** Streaming SKETCH INGEST — the daily-ingest half of the oracled
+    * HLL family made real: each events micro-batch is folded into the
+    * persisted per-(event_type, day) register table by computing the
+    * batch's partial sketches (the SAME
+    * [[graft.queries.SketchQ.hllDailySketchesOf]] definition the batch
+    * artifact writer uses) and merging register-wise-max into whatever
+    * is already on disk, behind the crash-safe rename swap. Register
+    * max is associative, commutative and IDEMPOTENT, so any
+    * micro-batching — including a redelivered batch — leaves the table
+    * bit-identical to the one-pass batch sketch: the rare sink whose
+    * at-least-once semantics need no keyed upsert or watermark to
+    * converge. Per batch: one narrow pass over batch rows + a
+    * |types×days|-row blob merge; corpus rows are never re-read.
+    */
+  def hllIngestSink(events: DataFrame, regDir: String)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    events.writeStream
+      .outputMode(OutputMode.Append())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val partial = graft.queries.SketchQ.hllDailySketchesOf(batch)
+          .localCheckpoint() // batch internals may be consumed once
+        graft.etl.Upsert.replaceParquet(batch.sparkSession, regDir) {
+          case None => partial
+          case Some(cur) => cur.unionByName(partial)
+            .groupBy(col("event_type"), col("day"))
+            .agg(graft.functions.Hll.mergeSketchOf(col("regs")).as("regs"))
+        }
+      }
+
   private val sinkSeq = new java.util.concurrent.atomic.AtomicLong(0)
 
   /** Drive a streaming AGGREGATION plan to completion over a bounded

@@ -346,6 +346,42 @@ class StreamingSpec extends AnyFunSuite with SparkSpec {
     assert(rows == Set(("a", 9.0), ("b", 2.0)))
   }
 
+  test("hllIngestSink: stream-built registers == one-pass batch sketch, redelivery no-op") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val regs = java.nio.file.Files.createTempDirectory("stream_hll")
+      .toString + "/regs"
+    val b1 = Seq(
+      Ev(1, 10, "click", t(0), 1.0), Ev(2, 11, "click", t(1), 1.0),
+      Ev(3, 10, "view", t(2), 1.0))
+    val b2 = Seq(
+      // user 10 again in a LATER batch: must fold into the same register
+      Ev(4, 10, "click", t(8), 1.0), Ev(5, 12, "click", t(9), 1.0))
+    val in = MemoryStream[Ev]
+    val q = Streaming.hllIngestSink(in.toDF(), regs).start()
+    in.addData(b1: _*); q.processAllAvailable()
+    in.addData(b2: _*); q.processAllAvailable()
+    // redelivery: batch 2 arrives again — register max is idempotent
+    in.addData(b2: _*); q.processAllAvailable()
+    q.stop()
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.collect()
+        .map(r => (r.getAs[String]("event_type"),
+          r.getAs[java.sql.Date]("day").toString,
+          r.getAs[Array[Byte]]("regs").toSeq))
+        .sortBy(x => (x._1, x._2))
+    val streamed = canon(spark.read.parquet(regs))
+    val batch = canon(graft.queries.SketchQ.hllDailySketchesOf(
+      (b1 ++ b2).toDF()))
+    assert(streamed === batch)
+    // non-vacuity: the cross-batch fold really merged registers (the
+    // click/day sketch has three distinct users' coordinates)
+    val clickRegs = streamed.collect {
+      case ("click", _, rs) => rs.count(_ > 0)
+    }
+    assert(clickRegs.exists(_ >= 3))
+  }
+
   test("scd2Sink: streamed history == batch rebuild, idempotent under redelivery") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
