@@ -94,6 +94,26 @@ class KmvSpec extends AnyFunSuite with SparkSpec {
     assert(composed === inline)
   }
 
+  test("property: any partitioning and merge order yields the scalar bottom-k") {
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    val k = 16 // small k so evictions and full-buffer paths are exercised
+    val agg = new Kmv.KmvAgg(k)
+    for (i <- 1 to 20) {
+      val vs = Gen.listOfN(300, Gen.choose(0L, 200L))
+        .apply(Gen.Parameters.default, Seed(i.toLong)).get
+      val parts = 1 + (i % 7)
+      val bufs = vs.grouped((vs.size + parts - 1) / parts)
+        .map(g => g.foldLeft(agg.zero)(agg.reduce)).toList
+      val rot = bufs.drop(i % bufs.size) ++ bufs.take(i % bufs.size)
+      val merged = rot.foldLeft(agg.zero)(agg.merge)
+      assert(agg.finish(merged).toSeq === vs.distinct.sorted.take(k), s"seed $i")
+      // idempotence: re-merging an already-included buffer is a no-op
+      val dup = agg.merge(merged, bufs.head)
+      assert(agg.finish(dup).toSeq === agg.finish(merged).toSeq, s"seed $i dup")
+    }
+  }
+
   test("forget: patched shard artifact ≡ full rebuild on the filtered corpus") {
     import org.apache.spark.sql.functions._
     val docs = graft.Tables(spark, dir, "documents")
