@@ -155,6 +155,10 @@ object SparkEntry {
     // row_number-for-row_number in DuckDB (hash-match) — the
     // set-operation-capable sketch next to HLL
     "q_kmv_ndv" -> SketchQ.kmvNdv,
+    // sketches — THREE rollup levels (type×day, type, total) served
+    // from the ONE daily register artifact: distinct counts don't roll
+    // up, register max does
+    "q_hll_rollup" -> SketchQ.hllRollup,
     // sketches — the register table built by an ACTUAL streaming query
     // (per-micro-batch partial sketches merged register-wise-max into
     // the persisted artifact), serving q_hll_ndv's relation and oracle
@@ -2795,6 +2799,68 @@ object SparkEntry {
         |JOIN nd na ON na.source = ag.src_a
         |JOIN nd nb ON nb.source = ag.src_b
         |ORDER BY ag.src_a, ag.src_b""".stripMargin,
+    // the register rollup replayed at all three levels: per-(type, day,
+    // bucket) max registers mirror the artifact granularity, the type
+    // and grand-total levels are register-wise max over them, and each
+    // level runs the same estimator as q_hll_ndv
+    "q_hll_rollup" ->
+      """WITH u AS (
+        |  SELECT DISTINCT event_type,
+        |   CAST(CAST(ts AS DATE) AS VARCHAR) AS day,
+        |   CAST(user_id AS VARCHAR) AS s
+        |  FROM events WHERE user_id IS NOT NULL
+        |), h AS (
+        |  SELECT event_type, day,
+        |   list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |     list_transform(string_split(s, ''), c -> CAST(ascii(c) AS BIGINT))),
+        |     (a, b) -> (a * 31 + b) % 1000000007) AS h1,
+        |   list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |     list_transform(string_split(s, ''), c -> CAST(ascii(c) AS BIGINT))),
+        |     (a, b) -> (a * 131 + b) % 998244353) AS h2
+        |  FROM u
+        |), r AS (
+        |  SELECT event_type, day, h1 % 1024 AS bucket,
+        |   CASE WHEN (h2 * 1073741824) // 998244353 = 0 THEN 31
+        |        ELSE 31 - length(bin((h2 * 1073741824) // 998244353)) END AS rnk
+        |  FROM h
+        |), regs AS (
+        |  SELECT event_type, day, bucket, max(rnk) AS m FROM r GROUP BY 1, 2, 3
+        |), allregs AS (
+        |  SELECT event_type, day, bucket, m FROM regs
+        |  UNION ALL
+        |  SELECT event_type, 'ALL' AS day, bucket, max(m) AS m
+        |  FROM regs GROUP BY 1, 3
+        |  UNION ALL
+        |  SELECT 'ALL' AS event_type, 'ALL' AS day, bucket, max(m) AS m
+        |  FROM regs GROUP BY 3
+        |), agg AS (
+        |  SELECT event_type, day,
+        |   CAST(sum(m) AS BIGINT) AS reg_sum,
+        |   CAST(sum((bucket + 1) * m) AS BIGINT) AS reg_checksum,
+        |   CAST(1024 - count(*) AS BIGINT) AS zero_regs,
+        |   sum(power(2.0, -m)) AS z_present
+        |  FROM allregs GROUP BY 1, 2
+        |), est AS (
+        |  SELECT event_type, day, reg_sum, reg_checksum, zero_regs,
+        |   (CAST(0.7213 AS DOUBLE) / (CAST(1.0 AS DOUBLE) + CAST(1.079 AS DOUBLE) / 1024))
+        |     * 1024 * 1024 / (zero_regs + z_present) AS e_raw
+        |  FROM agg
+        |), x AS (
+        |  SELECT event_type, day, CAST(count(DISTINCT s) AS BIGINT) AS exact_ndv
+        |  FROM u GROUP BY 1, 2
+        |  UNION ALL
+        |  SELECT event_type, 'ALL', CAST(count(DISTINCT s) AS BIGINT)
+        |  FROM u GROUP BY 1
+        |  UNION ALL
+        |  SELECT 'ALL', 'ALL', CAST(count(DISTINCT s) AS BIGINT) FROM u
+        |)
+        |SELECT e.event_type, e.day, e.reg_sum, e.reg_checksum, e.zero_regs,
+        | round(CASE WHEN e.e_raw <= 2560.0 AND e.zero_regs > 0
+        |            THEN 1024.0 * ln(1024.0 / e.zero_regs)
+        |            ELSE e.e_raw END, 4) AS est_ndv,
+        | x.exact_ndv
+        |FROM est e JOIN x ON x.event_type = e.event_type AND x.day = e.day
+        |ORDER BY e.event_type, e.day""".stripMargin,
     // MG with k=64 over a ≤64-distinct-token stream never sheds, so the
     // summary is exact and the oracle is the exact top-20 (shed = 0);
     // MisraGriesSpec pins the approximate invariants at adversarial k

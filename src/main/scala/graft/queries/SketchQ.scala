@@ -407,6 +407,59 @@ object SketchQ {
     hllServeFromRegs(spark, dir, s"$stage/hll_daily")
   }
 
+  /** q_hll_rollup: THREE aggregation levels — (event_type, day),
+    * event_type, grand total — all served from the ONE persisted daily
+    * register artifact: the "pre-aggregated distinct counts over
+    * arbitrary dimension rollups" claim as a ledger row. Exact distinct
+    * counts do NOT roll up (Σ per-day NDV ≠ monthly NDV — users repeat
+    * across days), which is the whole reason warehouses keep sketch
+    * tables: register-wise max DOES roll up, associatively, from the
+    * same 1 KB blobs at every level. Day keys surface as strings
+    * ('ALL' for the rolled-up levels) — nullable DATE round-trips
+    * differently across engines. `exact_ndv` per level rides along as
+    * the validation column (three full distinct shuffles — exactly
+    * what the artifact exists to avoid).
+    */
+  def hllRollup(spark: SparkSession, dir: String): DataFrame = {
+    val stage = graft.ops.StageArtifacts.ensure(dir, "hllsketch") { out =>
+      writeHllSketchArtifact(spark, dir, s"$out/hll_daily")
+    }
+    val regs = spark.read.parquet(s"$stage/hll_daily")
+    def level(byType: Boolean, byDay: Boolean) = {
+      val keys = (if (byType) Seq(col("event_type")) else Nil) ++
+        (if (byDay) Seq(col("day")) else Nil)
+      val m = graft.functions.Hll.mergeEstimateOf(col("regs")).as("r")
+      val grouped =
+        if (keys.isEmpty) regs.agg(m) else regs.groupBy(keys: _*).agg(m)
+      grouped
+        .withColumn("event_type", if (byType) col("event_type") else lit("ALL"))
+        .withColumn("day", if (byDay) col("day").cast("string") else lit("ALL"))
+        .select(col("event_type"), col("day"),
+          col("r.reg_sum").as("reg_sum"),
+          col("r.reg_checksum").as("reg_checksum"),
+          col("r.zero_regs").as("zero_regs"),
+          round(col("r.est"), 4).as("est_ndv"))
+    }
+    val sketched = level(byType = true, byDay = true)
+      .unionByName(level(byType = true, byDay = false))
+      .unionByName(level(byType = false, byDay = false))
+    val ev = Tables(spark, dir, "events").where(col("user_id").isNotNull)
+      .select(col("event_type"), to_date(col("ts")).cast("string").as("day"),
+        col("user_id"))
+    val exact = ev
+      .groupBy(col("event_type"), col("day"))
+      .agg(countDistinct(col("user_id")).as("exact_ndv"))
+      .unionByName(ev.groupBy(col("event_type"))
+        .agg(countDistinct(col("user_id")).as("exact_ndv"))
+        .withColumn("day", lit("ALL"))
+        .select("event_type", "day", "exact_ndv"))
+      .unionByName(ev.agg(countDistinct(col("user_id")).as("exact_ndv"))
+        .withColumn("event_type", lit("ALL")).withColumn("day", lit("ALL"))
+        .select("event_type", "day", "exact_ndv"))
+    sketched.join(exact, Seq("event_type", "day"))
+      .orderBy(col("event_type"), col("day"))
+  }
+
   /** q_stream_hll: the sketch table built by an ACTUAL streaming query —
     * [[graft.streaming.Streaming.hllIngestSink]] folds each events
     * micro-batch's per-(event_type, day) partial registers into the

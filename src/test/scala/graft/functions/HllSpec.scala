@@ -116,6 +116,32 @@ class HllSpec extends AnyFunSuite with SparkSpec {
     } finally spark.conf.set("spark.sql.shuffle.partitions", conf)
   }
 
+  test("rollup levels are consistent: per-type rows equal q_hll_ndv, total merges all") {
+    val ndv = SketchQ.hllNdv(spark, dir).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4), r.getLong(5))).toMap
+    val rollup = SketchQ.hllRollup(spark, dir).collect()
+    // the rolled-up per-type rows must be BIT-identical to the one-pass
+    // per-type sketch (register max over day partials == direct sketch)
+    val typeRows = rollup.filter(r =>
+      r.getString(1) == "ALL" && r.getString(0) != "ALL")
+    assert(typeRows.length === ndv.size)
+    typeRows.foreach { r =>
+      assert(ndv(r.getString(0)) === ((r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getDouble(5), r.getLong(6))), r.getString(0))
+    }
+    // distinct does NOT roll up: per-day exacts overcount the per-type
+    // exact (users repeat across days) — the reason sketch tables exist
+    val dayRows = rollup.filter(r =>
+      r.getString(1) != "ALL" && r.getString(0) != "ALL")
+    val perTypeDaySum = dayRows.groupBy(_.getString(0)).view
+      .mapValues(_.map(_.getLong(6)).sum).toMap
+    assert(ndv.exists { case (t, v) => perTypeDaySum(t) > v._5 })
+    // grand total present exactly once
+    assert(rollup.count(r =>
+      r.getString(0) == "ALL" && r.getString(1) == "ALL") === 1)
+  }
+
   test("graft_rolling_hash2: native equals the HOF fold; SQL registration; null/empty") {
     import spark.implicits._
     val docs = graft.Tables(spark, dir, "documents")
