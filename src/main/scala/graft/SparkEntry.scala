@@ -550,6 +550,10 @@ object SparkEntry {
     // order builds the artifact in the staged query, keeping every
     // compose sample build-free
     "q_corpus_filter_staged_compose" -> DedupQ.corpusFilterCompose,
+    // the verdict composed through the TRANSACTIONAL artifact store:
+    // cluster artifact published behind the manifest pointer, path
+    // resolved via Publish.current — same oracle as q_corpus_filter
+    "q_publish_verdict" -> DedupQ.publishVerdict,
     // similarity search — exact cosine top-k baseline
     "q_ann_topk" -> AnnQ.bruteTopK,
     // similarity search — cosine top-k over int8 codes (exact integer
@@ -2880,6 +2884,7 @@ object SparkEntry {
     "q_corpus_filter" -> corpusFilterSql,
     "q_corpus_filter_staged" -> corpusFilterSql,
     "q_corpus_filter_staged_compose" -> corpusFilterSql,
+    "q_publish_verdict" -> corpusFilterSql,
     "q_corpus_filter_mm" -> corpusFilterMmSql,
     "q_corpus_filter_mm_compose" -> corpusFilterMmSql,
     "q_ann_topk" ->

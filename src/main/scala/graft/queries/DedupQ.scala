@@ -321,6 +321,24 @@ object DedupQ {
   def corpusFilterCompose(spark: SparkSession, dir: String): DataFrame =
     corpusVerdict(spark, dir, canonicalFrom(textClustersFromArtifact(spark, dir)))
 
+  /** q_publish_verdict: the verdict served through the TRANSACTIONAL
+    * artifact store ([[graft.ops.Publish]]) — the cluster artifact is
+    * PUBLISHED as a manifest-pointed version (build-once per JVM via
+    * the stage cache) and the compose resolves its path through
+    * `Publish.current`, the way a serving tier that must never observe
+    * mixed-version artifact sets reads. Same relation, same oracle as
+    * q_corpus_filter: what the hash gate proves is that the
+    * snapshot-pointer plumbing serves the identical artifact.
+    */
+  def publishVerdict(spark: SparkSession, dir: String): DataFrame = {
+    val stage = graft.ops.StageArtifacts.ensure(dir, "publish-store") { out =>
+      graft.ops.Publish.publish(spark, s"$out/store", Map(
+        "clusters" -> (p => writeClusterArtifact(spark, dir, p)))): Unit
+    }
+    val path = graft.ops.Publish.current(spark, s"$stage/store")("clusters")
+    corpusVerdict(spark, dir, canonicalFrom(spark.read.parquet(path)))
+  }
+
   /** The prebuilt TEXT near-dup cluster artifact (built at most once per
     * JVM): the one clustering pass every closure-stage consumer
     * composes from — corpus filter, corpus report, leakage-safe split.
