@@ -554,6 +554,9 @@ object SparkEntry {
     // cluster artifact published behind the manifest pointer, path
     // resolved via Publish.current — same oracle as q_corpus_filter
     "q_publish_verdict" -> DedupQ.publishVerdict,
+    // what today's ingest changed in the verdict: added / keep_flipped
+    // / canonical_moved per doc, old corpus = minus the arrival batch
+    "q_verdict_diff" -> DedupQ.verdictDiff,
     // similarity search — exact cosine top-k baseline
     "q_ann_topk" -> AnnQ.bruteTopK,
     // similarity search — cosine top-k over int8 codes (exact integer
@@ -2885,6 +2888,9 @@ object SparkEntry {
     "q_corpus_filter_staged" -> corpusFilterSql,
     "q_corpus_filter_staged_compose" -> corpusFilterSql,
     "q_publish_verdict" -> corpusFilterSql,
+    // two full verdict replays (old corpus = doc_id % 13 <> 5, new =
+    // all) nested as subquery CTE chains, diffed by one left join
+    "q_verdict_diff" -> verdictDiffSql,
     "q_corpus_filter_mm" -> corpusFilterMmSql,
     "q_corpus_filter_mm_compose" -> corpusFilterMmSql,
     "q_ann_topk" ->
@@ -3568,6 +3574,32 @@ object SparkEntry {
       |FROM dc JOIN q USING (doc_id) JOIN r USING (doc_id) JOIN canon USING (doc_id)""".stripMargin
 
   private lazy val corpusFilterSql: String = corpusFilterSqlFrom("documents")
+
+  /** The q_verdict_diff replay: the full verdict chain runs TWICE —
+    * once per corpus version, each nested as a subquery so the CTE
+    * names cannot collide — and one doc_id-keyed left join classifies
+    * the transition. Old corpus = documents minus the % 13 == 5
+    * arrival batch.
+    */
+  private lazy val verdictDiffSql: String =
+    s"""WITH newv AS (
+      |  SELECT * FROM (${corpusFilterSqlFrom("documents")})
+      |), oldv AS (
+      |  SELECT * FROM (${corpusFilterSqlFrom(
+        "(SELECT * FROM documents WHERE doc_id % 13 <> 5)")})
+      |), d AS (
+      |  SELECT n.doc_id,
+      |   CASE WHEN o.doc_id IS NULL THEN 'added'
+      |        WHEN o.keep <> n.keep THEN 'keep_flipped'
+      |        WHEN o.canonical <> n.canonical THEN 'canonical_moved'
+      |        ELSE 'unchanged' END AS status,
+      |   coalesce(CAST(o.keep AS VARCHAR), 'absent') AS keep_old,
+      |   CAST(n.keep AS VARCHAR) AS keep_new,
+      |   coalesce(CAST(o.canonical AS VARCHAR), 'absent') AS canonical_old,
+      |   CAST(n.canonical AS VARCHAR) AS canonical_new
+      |  FROM newv n LEFT JOIN oldv o USING (doc_id)
+      |)
+      |SELECT * FROM d WHERE status <> 'unchanged' ORDER BY doc_id""".stripMargin
 
   /** The MULTIMODAL curation verdict oracle: the text CTEs plus the
     * image near-dup closure (pHash bands → Hamming ≤ 10 pairs →

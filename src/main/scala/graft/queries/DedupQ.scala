@@ -330,6 +330,56 @@ object DedupQ {
     * q_corpus_filter: what the hash gate proves is that the
     * snapshot-pointer plumbing serves the identical artifact.
     */
+  /** q_verdict_diff: what TODAY'S INGEST changed in the curation
+    * verdict — the report a data owner reads after every corpus
+    * version bump. Old corpus = documents minus the arrival batch
+    * (doc_id % 13 == 5, ~7.7%); new corpus = everything. Per doc the
+    * verdict transition:
+    *
+    *  - `added`           — the doc is new;
+    *  - `keep_flipped`    — an EXISTING doc's keep changed: new near
+    *    dups demote old canonicals, and the benchmark slice of the
+    *    decontamination gate grew, so contamination verdicts move too —
+    *    curation is NON-LOCAL, which is exactly why the diff matters;
+    *  - `canonical_moved` — keep unchanged but cluster representative
+    *    status changed (merged clusters re-elect min-ids).
+    *
+    * Only changed rows surface (the report is |changes|, not |corpus|).
+    * Booleans surface as strings ('absent' for added docs' old side) —
+    * nullable booleans round-trip asymmetrically through the compare
+    * harness. Scale shape: two verdict compositions (each doc_id-keyed
+    * joins over independently-staged artifacts) + one doc_id-keyed
+    * left join; old ⊂ new, so removal is impossible by construction
+    * (deletion is D18's forget path, not an ingest diff).
+    */
+  def verdictDiff(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(spark, dir, "documents")
+    val oldDocs = docs.filter(col("doc_id") % 13 =!= 5)
+    val newV = corpusVerdict(spark, dir, clusterLabelsInline(spark, dir))
+      .select(col("doc_id"), col("keep").as("keep_new"),
+        col("canonical").as("canonical_new"))
+    val oldClusters = Dedup.duplicateClusters(oldDocs, "doc_id", "text",
+      n = 3, threshold = 0.8)
+    val oldV = corpusVerdictOver(spark, dir, canonicalFrom(oldClusters), oldDocs)
+      .select(col("doc_id"), col("keep").as("keep_old"),
+        col("canonical").as("canonical_old"))
+    newV.join(oldV, Seq("doc_id"), "left")
+      .withColumn("status",
+        when(col("keep_old").isNull, lit("added"))
+          .when(col("keep_old") =!= col("keep_new"), lit("keep_flipped"))
+          .when(col("canonical_old") =!= col("canonical_new"),
+            lit("canonical_moved"))
+          .otherwise(lit("unchanged")))
+      .filter(col("status") =!= "unchanged")
+      .select(col("doc_id"), col("status"),
+        coalesce(col("keep_old").cast("string"), lit("absent")).as("keep_old"),
+        col("keep_new").cast("string").as("keep_new"),
+        coalesce(col("canonical_old").cast("string"), lit("absent"))
+          .as("canonical_old"),
+        col("canonical_new").cast("string").as("canonical_new"))
+      .orderBy(col("doc_id"))
+  }
+
   def publishVerdict(spark: SparkSession, dir: String): DataFrame = {
     val stage = graft.ops.StageArtifacts.ensure(dir, "publish-store") { out =>
       graft.ops.Publish.publish(spark, s"$out/store", Map(

@@ -139,4 +139,37 @@ class CurationSpec extends AnyFunSuite with SparkSpec {
     assert(inline.nonEmpty)
     assert(rows(DedupQ.corpusReportMmCompose(spark, dir)) == inline)
   }
+
+  test("verdictDiff: arrival batch surfaces as added; structure invariants hold") {
+    import org.apache.spark.sql.functions._
+    val diff = DedupQ.verdictDiff(spark, dir).collect()
+    assert(diff.nonEmpty)
+    val added = diff.filter(_.getString(1) == "added")
+    // every added doc is in the arrival batch and in the verdict
+    // universe (the % 10 == 0 benchmark slice has no verdict row)
+    added.foreach { r =>
+      assert(r.getLong(0) % 13 === 5L)
+      assert(r.getLong(0) % 10 != 0L)
+      assert(r.getString(2) === "absent")
+      assert(r.getString(4) === "absent")
+    }
+    // the added set is COMPLETE: exactly the batch ∩ universe
+    val expectAdded = graft.Tables(spark, dir, "documents")
+      .filter(col("doc_id") % 13 === 5 && col("doc_id") % 10 =!= 0)
+      .count()
+    assert(added.length.toLong === expectAdded)
+    // old ⊂ new, so removal is impossible; every status is one of the
+    // three transitions; flipped rows carry real boolean strings
+    diff.foreach { r =>
+      assert(Set("added", "keep_flipped", "canonical_moved")(r.getString(1)))
+      assert(Set("true", "false")(r.getString(3)))
+      if (r.getString(1) != "added") {
+        assert(Set("true", "false")(r.getString(2)))
+        assert(r.getLong(0) % 13 != 5L, "a flip must be an OLD doc")
+      }
+    }
+    // the non-local flip itself (new near-dups demoting old docs) is
+    // exercised by the sf0.01 correctness gate every round: this corpus
+    // (sf0.001) is too sparse for the batch to collide with a cluster
+  }
 }
