@@ -354,6 +354,10 @@ object SparkEntry {
     // counts (floor-arithmetic rounding for cross-engine determinism)
     "q_embed_quantize" -> ((s, dir) => graft.ann.Quantize.quantizeInt8(
       graft.Tables(s, dir, "embeddings"), "vec_id", "embedding")),
+    // ORACLED PCA of the embedding space: fixed-precision covariance
+    // (exact integer micro sums) + 30 deflated power-iteration steps,
+    // bit-identical cross-engine via ordered folds
+    "q_embed_pca" -> graft.ann.Pca.embedPca,
     // dedup — exact hash-groupBy over a corpus with planted duplicates
     "q_dedup_exact" -> DedupQ.dedupExact,
     // dedup — exact n-gram Jaccard via shingle inverted index
@@ -2736,6 +2740,7 @@ object SparkEntry {
     // estimate = 255 * M / h_k (one exact double product < 2^53, one
     // IEEE division on identical operands)
     "q_kmv_ndv" -> kmvNdvSqlFrom("documents"),
+    "q_embed_pca" -> embedPcaSql,
     // deletion through the sharded sketch artifact: patched ≡ FULL
     // REBUILD on the filtered corpus — literally the same oracle on
     // documents WHERE doc_id % 29 <> 3 (the D18 contract)
@@ -3335,6 +3340,99 @@ object SparkEntry {
       |)""".stripMargin
 
   private lazy val kmvHashSql: String = kmvHashSqlFrom("documents")
+
+  /** The q_embed_pca replay: fixed-precision covariance (integer
+    * micro-unit sums — order-free and exact), then 30 deflated
+    * power-iteration steps per component, every mat-vec row /
+    * projection / norm a LEFT-TO-RIGHT `list_reduce` fold so the IEEE
+    * op sequence is bit-identical to the Scala loop
+    * ([[graft.ann.Pca]]). Generated: 3 components × 30 unrolled step
+    * CTEs (the MMR unrolled-loop precedent).
+    */
+  private lazy val embedPcaSql: String = {
+    val D = 64
+    def fold(terms: String) =
+      s"list_reduce(list_prepend(CAST(0 AS DOUBLE), $terms), (a, b) -> a + b)"
+    def comp(expr: String) = s"[$expr for k in generate_series(1, $D)]"
+    // one step CTE for component m at iteration t: mat-vec (a 64-row
+    // cross-join aggregate — no correlated subqueries, DuckDB's binder
+    // rejects outer references inside list comprehensions), sequential
+    // deflation against e1..e{m-1}, normalize
+    def stepCte(m: Int, t: Int): String = {
+      val innermost =
+        s"""SELECT list(${fold(s"[c.crow[k] * p.v[k] for k in generate_series(1, $D)]")}
+           | ORDER BY c.i) AS wv
+           |      FROM s${m}_${t - 1} p, cmat c""".stripMargin
+      // sequential Gram-Schmidt: dv1 = wv - (wv.e1)e1, dv2 = dv1 - ...
+      val deflated = (1 until m).foldLeft((innermost, "wv")) {
+        case ((from, cur), j) =>
+          val proj = fold(s"[w.$cur[q] * ej.ev[q] for q in generate_series(1, $D)]")
+          val dv = s"d$j"
+          (s"""SELECT ${comp(s"w.$cur[k] - $proj * ej.ev[k]")} AS $dv
+             |      FROM ($from) w, e$j ej""".stripMargin, dv)
+      }
+      val (from, cur) = deflated
+      val norm = s"sqrt(${fold(s"[f.$cur[q] * f.$cur[q] for q in generate_series(1, $D)]")})"
+      s"""s${m}_$t AS MATERIALIZED (
+         |  SELECT ${comp(s"f.$cur[k] / $norm")} AS v
+         |  FROM ($from) f
+         |)""".stripMargin
+    }
+    val steps = (for (m <- 1 to 3) yield {
+      val s0 = s"s${m}_0 AS MATERIALIZED (SELECT [CAST(0.125 AS DOUBLE) for k in generate_series(1, $D)] AS v)"
+      val sts = (1 to graft.ann.Pca.Steps).map(t => stepCte(m, t))
+      val e = s"e$m AS MATERIALIZED (SELECT v AS ev FROM s${m}_${graft.ann.Pca.Steps})"
+      (Seq(s0) ++ sts ++ Seq(e)).mkString(",\n")
+    }).mkString(",\n")
+    val cvCtes = (1 to 3).map { m =>
+      s"""cv$m AS MATERIALIZED (
+         |  SELECT list(${fold(s"[c.crow[k] * em.ev[k] for k in generate_series(1, $D)]")}
+         |   ORDER BY c.i) AS cv
+         |  FROM cmat c, e$m em
+         |)""".stripMargin
+    }.mkString(",\n")
+    val lambdas = (1 to 3).map { m =>
+      s"""SELECT $m AS component,
+         | ${fold(s"[em.ev[i] * l.cv[i] for i in generate_series(1, $D)]")} AS lambda_raw,
+         | ${fold(s"[abs(em.ev[k]) for k in generate_series(1, $D)]")} AS vchk_raw
+         |FROM e$m em, cv$m l""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"""WITH emb AS MATERIALIZED (
+       |  SELECT list_transform(CAST(embedding AS DOUBLE[]),
+       |    x -> CAST(floor(x * 1000000 + 0.5) AS BIGINT)) AS xm
+       |  FROM embeddings
+       |), nrows AS MATERIALIZED (
+       |  SELECT CAST(count(*) AS BIGINT) AS n FROM emb
+       |), dims AS (
+       |  SELECT CAST(range AS INTEGER) + 1 AS i FROM range($D)
+       |), mu AS (
+       |  SELECT d.i, CAST(sum(emb.xm[d.i]) AS DOUBLE) / (n.n * 1000000) AS m
+       |  FROM emb, dims d, nrows n GROUP BY d.i, n.n
+       |), muv AS MATERIALIZED (
+       |  SELECT list(m ORDER BY i) AS mv FROM mu
+       |), cvec AS MATERIALIZED (
+       |  SELECT ${comp(s"CAST(emb.xm[k] AS DOUBLE) / 1000000 - muv.mv[k]")} AS c
+       |  FROM emb, muv
+       |), cm AS (
+       |  SELECT i.i AS i, j.i AS j,
+       |   CAST(sum(CAST(floor(cvec.c[i.i] * cvec.c[j.i] * 1000000 + 0.5) AS BIGINT)) AS BIGINT) AS s
+       |  FROM cvec, dims i, dims j GROUP BY 1, 2
+       |), cmat AS MATERIALIZED (
+       |  SELECT cm.i, list(CAST(cm.s AS DOUBLE) / CAST(n.n AS DOUBLE) / 1000000 ORDER BY cm.j) AS crow
+       |  FROM cm, nrows n GROUP BY cm.i
+       |), tr AS (
+       |  SELECT ${fold(s"(SELECT list(crow[i] ORDER BY i) FROM cmat)")} AS trace
+       |),
+       |$steps,
+       |$cvCtes,
+       |lam AS (
+       |$lambdas
+       |)
+       |SELECT component, round(lambda_raw, 4) AS lambda,
+       | round(lambda_raw / tr.trace, 6) AS var_explained,
+       | round(vchk_raw, 6) AS vchk
+       |FROM lam, tr ORDER BY component""".stripMargin
+  }
 
   /** The KMV per-source NDV replay parameterized over the document
     * relation — q_kmv_ndv(_compose) run it on `documents`, q_forget_kmv
