@@ -520,6 +520,9 @@ object SparkEntry {
     "q_cross_source_dups_compose" -> DedupQ.crossSourceDupsCompose,
     // training-sequence packing (distributed two-phase prefix sum)
     "q_pack_sequences" -> TextQ.packSequences,
+    // the attention-mask manifest: per-sequence clipped document spans
+    // (block-diagonal masking for packed training)
+    "q_pack_spans" -> TextQ.packSpans,
     // training-shard export flagship — pack, shard, write size-bounded
     // partitioned files, manifest aggregated from reading the files back
     "q_export_manifest" -> TextQ.exportManifest,
@@ -1919,6 +1922,19 @@ object SparkEntry {
         | CAST(tok_offset // 512 AS BIGINT) AS seq_id,
         | CAST(tok_offset % 512 AS BIGINT) AS offset_in_seq
         |FROM c""".stripMargin,
+    // tape intervals clipped to each sequence: a doc spanning k
+    // boundaries yields k+1 rows, spans tile every sequence exactly
+    "q_pack_spans" ->
+      s"""WITH $packTapeSql, sp AS (
+        |  SELECT doc_id, n_tokens, tok_offset,
+        |   unnest(generate_series(tok_offset // 512,
+        |     (tok_offset + n_tokens - 1) // 512)) AS seq_id
+        |  FROM c
+        |)
+        |SELECT doc_id, CAST(seq_id AS BIGINT) AS seq_id,
+        | CAST(greatest(tok_offset - seq_id * 512, 0) AS BIGINT) AS start_in_seq,
+        | CAST(least(tok_offset + n_tokens - seq_id * 512, 512) AS BIGINT) AS end_in_seq
+        |FROM sp ORDER BY seq_id, start_in_seq""".stripMargin,
     // the shard manifest recomputed straight from the documents table
     // (tape cumsum -> seq -> shard -> per-(shard, source) rollup); the
     // engine reaches the same rows only through write -> partitioned

@@ -127,6 +127,14 @@ object TextQ {
     graft.text.Packing.packSequences(
       Tables(spark, dir, "documents"), "doc_id", "text", seqLen = 512L)
 
+  /** q_pack_spans: the attention-mask manifest of the 512-token tape —
+    * per (sequence, document) the clipped in-sequence token span.
+    */
+  def packSpans(spark: SparkSession, dir: String): DataFrame =
+    graft.text.Packing.packSpans(
+      Tables(spark, dir, "documents"), "doc_id", "text", seqLen = 512L)
+      .orderBy(col("seq_id"), col("start_in_seq"))
+
   /** q_export_manifest: the training-shard EXPORT flagship — the corpus
     * packed onto the 512-token tape, cut into 16-sequence shards,
     * WRITTEN as size-bounded partitioned parquet (the actual deliverable

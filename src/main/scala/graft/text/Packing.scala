@@ -90,6 +90,34 @@ object Packing {
         pmod(col("tok_offset"), lit(seqLen)).as("offset_in_seq"))
   }
 
+  /** Per-sequence DOCUMENT SPANS — the attention-mask manifest of the
+    * concat-and-chunk tape: for every training sequence, which
+    * documents occupy it and at which in-sequence token offsets
+    * `[start_in_seq, end_in_seq)`. This is the sibling output
+    * [[packSequences]]' consumer needs to zero attention across
+    * document boundaries inside a packed sequence (block-diagonal
+    * attention masking) — without it, packed training silently attends
+    * across unrelated documents.
+    *
+    * A document spanning k sequence boundaries contributes k+1 rows
+    * (its tape interval clipped to each sequence) — `sequence(first,
+    * last)` is safe here because first ≤ last always (every doc has
+    * ≥ 1 token). One Generate over the packed frame; the spans of a
+    * sequence tile it exactly, which PackingSpec asserts corpus-wide.
+    */
+  def packSpans(df: DataFrame, idCol: String, textCol: String,
+      seqLen: Long, buckets: Int = 64): DataFrame =
+    packSequences(df, idCol, textCol, seqLen, buckets)
+      .select(col("doc_id"), col("n_tokens"), col("tok_offset"))
+      .withColumn("seq_id", explode(sequence(
+        expr(s"tok_offset div $seqLen"),
+        expr(s"(tok_offset + n_tokens - 1) div $seqLen"))))
+      .select(col("doc_id"), col("seq_id"),
+        greatest(col("tok_offset") - col("seq_id") * seqLen, lit(0L))
+          .as("start_in_seq"),
+        least(col("tok_offset") + col("n_tokens") - col("seq_id") * seqLen,
+          lit(seqLen)).as("end_in_seq"))
+
   /** NO-SPLIT sequence packing: every document lands whole in exactly
     * one fixed-capacity bin (next-fit: a doc that would overflow the
     * current bin closes it and opens the next) — the packing used when

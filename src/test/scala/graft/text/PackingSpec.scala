@@ -14,6 +14,49 @@ class PackingSpec extends AnyFunSuite with SparkSpec {
       .toDF("doc_id", "text")
   }
 
+  test("packSpans: spans tile every sequence exactly, boundaries clip correctly") {
+    val df = corpus(60) // token counts 2..14 across a 16-token seqLen:
+    val seqLen = 16L    // plenty of straddling docs
+    val spans = Packing.packSpans(df, "doc_id", "text", seqLen)
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val total = df.select(sum(size(TextOps.tokens(col("text")))).cast("long"))
+      .head().getLong(0)
+    val lastSeq = (total - 1) / seqLen
+    // per sequence: sorted spans are contiguous, start at 0, and end at
+    // seqLen (or the tape's end for the final sequence) — block-diagonal
+    // masking needs exactly this tiling
+    val bySeq = spans.groupBy(_._2)
+    assert(bySeq.keySet === (0L to lastSeq).toSet)
+    for ((seq, ss) <- bySeq) {
+      val sorted = ss.sortBy(_._3)
+      assert(sorted.head._3 === 0L, s"seq $seq starts at 0")
+      for (Array(a, b) <- sorted.sliding(2).map(_.toArray))
+        assert(a._4 === b._3, s"seq $seq gap/overlap at ${a._4}")
+      val expectedEnd = if (seq == lastSeq) total - seq * seqLen else seqLen
+      assert(sorted.last._4 === expectedEnd, s"seq $seq end")
+    }
+    // straddling docs appear in >1 sequence with complementary clips
+    val multi = spans.groupBy(_._1).filter(_._2.length > 1)
+    assert(multi.nonEmpty, "corpus must contain boundary-straddling docs")
+    for ((_, segs) <- multi) {
+      val span = segs.map(s => s._4 - s._3).sum
+      val n = segs.length
+      // interior segments are full sequences
+      assert(segs.count(s => s._3 == 0L && s._4 == seqLen) >= n - 2)
+      assert(span > seqLen * (n - 2), "clips must rebuild the doc length")
+    }
+    // and the spans agree with packSequences' offsets doc-for-doc
+    val packed = Packing.packSequences(df, "doc_id", "text", seqLen)
+      .collect().map(r => r.getInt(0) -> (r.getLong(2), r.getLong(1))).toMap
+    for ((doc, segs) <- spans.groupBy(_._1)) {
+      val (off, n) = packed(doc)
+      val first = segs.minBy(_._2)
+      assert(first._2 === off / seqLen)
+      assert(first._3 === off - first._2 * seqLen)
+      assert(segs.map(s => s._4 - s._3).sum === n, s"doc $doc total")
+    }
+  }
+
   test("offsets are the exclusive prefix sum in (content-hash, id) order — any bucket count") {
     val df = corpus(40)
     // naive reference: collect, sort by (rollingHash, id), running sum
