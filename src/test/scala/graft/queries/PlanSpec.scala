@@ -236,6 +236,18 @@ class PlanSpec extends AnyFunSuite with SparkSpec {
     assert(p.contains("Window"))
   }
 
+  test("kmv_ndv: the sketch aggregate partial-aggregates map-side") {
+    val p = plan("q_kmv_ndv")
+    // only ≤256-long arrays cross the source-keyed exchange — the
+    // whole point of the O(k) mergeable buffer
+    assert(p.contains("partial_kmvagg"))
+  }
+
+  test("keyed prefix-sum queries never collapse to one partition") {
+    for (q <- Seq("q_temperature_mixture", "q_pack_spans"))
+      assert(!plan(q).contains("SinglePartition"), q)
+  }
+
   test("no query plan uses a cartesian product without broadcast") {
     for ((name, _) <- SparkEntry.queries) {
       val p = plan(name)
