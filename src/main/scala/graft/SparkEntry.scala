@@ -170,6 +170,9 @@ object SparkEntry {
     // algebra (union sketch + match fraction), with exact validation
     // columns; the contamination diagnostic without a content join
     "q_kmv_overlap" -> SketchQ.kmvOverlap,
+    // sketches — per-source ingest NOVELTY by KMV set algebra (old vs
+    // new corpus version sketches; novelty = (1-J)*union)
+    "q_kmv_drift" -> SketchQ.kmvDrift,
     // sketches — the matrix served from the SAME persisted shard
     // sketches q_kmv_ndv_compose merges (one sketching pass, two
     // consumers), sharing q_kmv_overlap's oracle verbatim
@@ -2757,6 +2760,60 @@ object SparkEntry {
     // IEEE division on identical operands)
     "q_kmv_ndv" -> kmvNdvSqlFrom("documents"),
     "q_embed_pca" -> embedPcaSql,
+    // ingest novelty by KMV set algebra: old/new shingle sketches per
+    // source (row_number <= 256 twice, CTE chains nested as subqueries
+    // so names cannot collide), union sketch, match fraction, and
+    // novelty = (1 - J) * union; exact novelty via one anti join
+    "q_kmv_drift" ->
+      s"""WITH oldkh AS MATERIALIZED (
+        |  SELECT * FROM (WITH ${kmvHashSqlFrom(
+             "(SELECT * FROM documents WHERE doc_id % 13 <> 5)")}
+        |    SELECT * FROM kh)
+        |), newkh AS MATERIALIZED (
+        |  SELECT * FROM (WITH ${kmvHashSqlFrom("documents")}
+        |    SELECT * FROM kh)
+        |), sko AS (
+        |  SELECT source, h FROM (
+        |    SELECT source, h, row_number() OVER (PARTITION BY source ORDER BY h) AS rn
+        |    FROM oldkh) WHERE rn <= 256
+        |), skn AS (
+        |  SELECT source, h FROM (
+        |    SELECT source, h, row_number() OVER (PARTITION BY source ORDER BY h) AS rn
+        |    FROM newkh) WHERE rn <= 256
+        |), uni AS (
+        |  SELECT DISTINCT source, h FROM (
+        |    SELECT source, h FROM sko UNION ALL SELECT source, h FROM skn)
+        |), usk AS (
+        |  SELECT source, h,
+        |   row_number() OVER (PARTITION BY source ORDER BY h) AS rn
+        |  FROM uni
+        |), fl AS (
+        |  SELECT u.source, u.h,
+        |   (o.h IS NOT NULL) AS in_old, (n.h IS NOT NULL) AS in_new
+        |  FROM usk u
+        |  LEFT JOIN sko o ON o.source = u.source AND o.h = u.h
+        |  LEFT JOIN skn n ON n.source = u.source AND n.h = u.h
+        |  WHERE u.rn <= 256
+        |), ag AS (
+        |  SELECT source, CAST(count(*) AS INTEGER) AS n_union,
+        |   max(h) AS union_kth,
+        |   CAST(sum(CASE WHEN in_old AND in_new THEN 1 ELSE 0 END) AS BIGINT) AS n_match
+        |  FROM fl GROUP BY 1
+        |), ex AS (
+        |  SELECT n.source, CAST(count(*) AS BIGINT) AS exact_novel
+        |  FROM newkh n LEFT JOIN oldkh o ON o.source = n.source AND o.h = n.h
+        |  WHERE o.h IS NULL GROUP BY 1
+        |)
+        |SELECT ag.source, ag.n_union, ag.union_kth, ag.n_match,
+        | round(CAST(ag.n_match AS DOUBLE) / CAST(ag.n_union AS DOUBLE), 6)
+        |   AS jaccard_est,
+        | round((CAST(1.0 AS DOUBLE) - CAST(ag.n_match AS DOUBLE) / CAST(ag.n_union AS DOUBLE)) *
+        |       (CASE WHEN ag.n_union < 256 THEN CAST(ag.n_union AS DOUBLE)
+        |        ELSE CAST(255 AS DOUBLE) * CAST(1000000007 AS DOUBLE)
+        |             / CAST(ag.union_kth AS DOUBLE) END), 4) AS novelty_est,
+        | coalesce(ex.exact_novel, 0) AS exact_novel
+        |FROM ag LEFT JOIN ex ON ex.source = ag.source
+        |ORDER BY ag.source""".stripMargin,
     // deletion through the sharded sketch artifact: patched ≡ FULL
     // REBUILD on the filtered corpus — literally the same oracle on
     // documents WHERE doc_id % 29 <> 3 (the D18 contract)

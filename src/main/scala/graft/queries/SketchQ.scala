@@ -284,6 +284,58 @@ object SketchQ {
       .unionByName(repaired)
   }
 
+  /** q_kmv_drift: per-source content NOVELTY of an ingest, by KMV set
+    * algebra — the "how much of today's crawl is actually new" dashboard
+    * number. Old corpus = documents minus the D19 arrival batch
+    * (doc_id % 13 == 5), new = everything; per source the old and new
+    * shingle sets are sketched, the union sketch (k smallest of both —
+    * exactly the union's KMV sketch) gives jaccard and union-NDV
+    * estimates, and `novelty_est = (1 − J)·union` estimates the distinct
+    * shingles the ingest did NOT already have. At 100 TB both versions'
+    * sketches are persisted artifacts (K1c's shard shape), so the drift
+    * row costs a ≤2k-long array merge per source — the corpus
+    * participates only through the exact validation columns, which a
+    * deployment drops.
+    */
+  def kmvDrift(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables(spark, dir, "documents")
+    val hsNew = kmvHashesOf(docs)
+    val hsOld = kmvHashesOf(docs.filter(col("doc_id") % 13 =!= 5))
+    def sk(hs: DataFrame) = hs.groupBy(col("source"))
+      .agg(graft.functions.Kmv.sketchOf(col("h"), KmvK).as("sk"))
+    val rowsOld = sk(hsOld).select(col("source"), explode(col("sk")).as("h"))
+    val rowsNew = sk(hsNew).select(col("source"), explode(col("sk")).as("h"))
+    val uni = rowsOld.union(rowsNew).distinct()
+    val w = Window.partitionBy("source").orderBy("h")
+    val usk = uni.withColumn("rn", row_number().over(w))
+      .where(col("rn") <= KmvK)
+    val flagged = usk
+      .join(rowsOld.withColumn("in_old", lit(1)), Seq("source", "h"), "left")
+      .join(rowsNew.withColumn("in_new", lit(1)), Seq("source", "h"), "left")
+    val agg = flagged.groupBy(col("source")).agg(
+      count(lit(1)).cast("int").as("n_union"),
+      max(col("h")).as("union_kth"),
+      sum(when(col("in_old") === 1 && col("in_new") === 1, 1L).otherwise(0L))
+        .as("n_match"))
+    val unionEst = when(col("n_union") < KmvK, col("n_union").cast("double"))
+      .otherwise(lit(255.0) * lit(1000000007.0) / col("union_kth").cast("double"))
+    val jacc = col("n_match").cast("double") / col("n_union").cast("double")
+    // exact validation: distinct-hash novelty per source
+    val dOld = hsOld.select("source", "h").distinct()
+    val dNew = hsNew.select("source", "h").distinct()
+    val exact = dNew.join(dOld, Seq("source", "h"), "left_anti")
+      .groupBy(col("source")).agg(count(lit(1)).as("exact_novel"))
+    agg
+      .join(exact, Seq("source"), "left")
+      .withColumn("exact_novel", coalesce(col("exact_novel"), lit(0L)))
+      .select(col("source"), col("n_union"), col("union_kth"), col("n_match"),
+        round(jacc, 6).as("jaccard_est"),
+        round((lit(1.0) - jacc) * unionEst, 4).as("novelty_est"),
+        col("exact_novel"))
+      .orderBy(col("source"))
+  }
+
   /** Cross-source shingle-overlap matrix from KMV sketches — the
     * contamination/scrape diagnostic that at 100 TB replaces a pairwise
     * CONTENT join with set algebra over ≤256-long arrays: for each

@@ -151,6 +151,24 @@ class KmvSpec extends AnyFunSuite with SparkSpec {
     assert(canon(patched) !== canon(full))
   }
 
+  test("drift: old ⊆ new makes the union sketch the new sketch; novelty tracks exact") {
+    val rows = SketchQ.kmvDrift(spark, dir).collect()
+    assert(rows.length === 20)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_match") <= r.getAs[Int]("n_union"))
+      val j = r.getAs[Double]("jaccard_est")
+      assert(j >= 0.0 && j <= 1.0)
+      assert(r.getAs[Double]("novelty_est") >= 0.0)
+    }
+    // the arrival batch really adds content somewhere
+    assert(rows.map(_.getAs[Long]("exact_novel")).sum > 0L)
+    // estimator is in the right ballpark corpus-wide (k=256 on a ~10%
+    // novelty slice: individual sources are noisy, the sum is not)
+    val est = rows.map(_.getAs[Double]("novelty_est")).sum
+    val exact = rows.map(_.getAs[Long]("exact_novel")).sum.toDouble
+    assert(est > exact * 0.5 && est < exact * 2.0, s"est $est vs exact $exact")
+  }
+
   test("handcrafted pair: union sketch, matches and estimates are exact") {
     import spark.implicits._
     // two overlapping sets small enough that sketches are the sets
