@@ -361,6 +361,9 @@ object SparkEntry {
     // (exact integer micro sums) + 30 deflated power-iteration steps,
     // bit-identical cross-engine via ordered folds
     "q_embed_pca" -> graft.ann.Pca.embedPca,
+    // the corpus projected onto the top-4 principal components — the
+    // dimensionality-reduction transform, hash-matched per coordinate
+    "q_embed_project" -> graft.ann.Pca.embedProject,
     // dedup — exact hash-groupBy over a corpus with planted duplicates
     "q_dedup_exact" -> DedupQ.dedupExact,
     // dedup — exact n-gram Jaccard via shingle inverted index
@@ -2760,6 +2763,7 @@ object SparkEntry {
     // IEEE division on identical operands)
     "q_kmv_ndv" -> kmvNdvSqlFrom("documents"),
     "q_embed_pca" -> embedPcaSql,
+    "q_embed_project" -> embedProjectSql,
     // ingest novelty by KMV set algebra: old/new shingle sketches per
     // source (row_number <= 256 twice, CTE chains nested as subqueries
     // so names cannot collide), union sketch, match fraction, and
@@ -3422,11 +3426,21 @@ object SparkEntry {
     * ([[graft.ann.Pca]]). Generated: 3 components × 30 unrolled step
     * CTEs (the MMR unrolled-loop precedent).
     */
-  private lazy val embedPcaSql: String = {
+  private def pcaFold(terms: String): String =
+    s"list_reduce(list_prepend(CAST(0 AS DOUBLE), $terms), (a, b) -> a + b)"
+
+  private def pcaComp(expr: String): String =
+    s"[$expr for k in generate_series(1, 64)]"
+
+  /** Shared generator for the PCA oracles: the fixed-precision
+    * covariance CTEs plus `nc` components' unrolled 30-step iteration
+    * CTEs (ending in e1..e{nc}); callers append their final SELECT.
+    * `cvec` carries vec_id so projection oracles can key per vector.
+    */
+  private def pcaOracleCtes(nc: Int): String = {
     val D = 64
-    def fold(terms: String) =
-      s"list_reduce(list_prepend(CAST(0 AS DOUBLE), $terms), (a, b) -> a + b)"
-    def comp(expr: String) = s"[$expr for k in generate_series(1, $D)]"
+    def fold(terms: String) = pcaFold(terms)
+    def comp(expr: String) = pcaComp(expr)
     // one step CTE for component m at iteration t: mat-vec (a 64-row
     // cross-join aggregate — no correlated subqueries, DuckDB's binder
     // rejects outer references inside list comprehensions), sequential
@@ -3451,27 +3465,14 @@ object SparkEntry {
          |  FROM ($from) f
          |)""".stripMargin
     }
-    val steps = (for (m <- 1 to 3) yield {
+    val steps = (for (m <- 1 to nc) yield {
       val s0 = s"s${m}_0 AS MATERIALIZED (SELECT [CAST(0.125 AS DOUBLE) for k in generate_series(1, $D)] AS v)"
       val sts = (1 to graft.ann.Pca.Steps).map(t => stepCte(m, t))
       val e = s"e$m AS MATERIALIZED (SELECT v AS ev FROM s${m}_${graft.ann.Pca.Steps})"
       (Seq(s0) ++ sts ++ Seq(e)).mkString(",\n")
     }).mkString(",\n")
-    val cvCtes = (1 to 3).map { m =>
-      s"""cv$m AS MATERIALIZED (
-         |  SELECT list(${fold(s"[c.crow[k] * em.ev[k] for k in generate_series(1, $D)]")}
-         |   ORDER BY c.i) AS cv
-         |  FROM cmat c, e$m em
-         |)""".stripMargin
-    }.mkString(",\n")
-    val lambdas = (1 to 3).map { m =>
-      s"""SELECT $m AS component,
-         | ${fold(s"[em.ev[i] * l.cv[i] for i in generate_series(1, $D)]")} AS lambda_raw,
-         | ${fold(s"[abs(em.ev[k]) for k in generate_series(1, $D)]")} AS vchk_raw
-         |FROM e$m em, cv$m l""".stripMargin
-    }.mkString("\nUNION ALL\n")
     s"""WITH emb AS MATERIALIZED (
-       |  SELECT list_transform(CAST(embedding AS DOUBLE[]),
+       |  SELECT vec_id, list_transform(CAST(embedding AS DOUBLE[]),
        |    x -> CAST(floor(x * 1000000 + 0.5) AS BIGINT)) AS xm
        |  FROM embeddings
        |), nrows AS MATERIALIZED (
@@ -3484,7 +3485,7 @@ object SparkEntry {
        |), muv AS MATERIALIZED (
        |  SELECT list(m ORDER BY i) AS mv FROM mu
        |), cvec AS MATERIALIZED (
-       |  SELECT ${comp(s"CAST(emb.xm[k] AS DOUBLE) / 1000000 - muv.mv[k]")} AS c
+       |  SELECT emb.vec_id, ${comp(s"CAST(emb.xm[k] AS DOUBLE) / 1000000 - muv.mv[k]")} AS c
        |  FROM emb, muv
        |), cm AS (
        |  SELECT i.i AS i, j.i AS j,
@@ -3496,7 +3497,24 @@ object SparkEntry {
        |), tr AS (
        |  SELECT ${fold(s"(SELECT list(crow[i] ORDER BY i) FROM cmat)")} AS trace
        |),
-       |$steps,
+       |$steps""".stripMargin
+  }
+
+  private lazy val embedPcaSql: String = {
+    val cvCtes = (1 to 3).map { m =>
+      s"""cv$m AS MATERIALIZED (
+         |  SELECT list(${pcaFold(s"[c.crow[k] * em.ev[k] for k in generate_series(1, 64)]")}
+         |   ORDER BY c.i) AS cv
+         |  FROM cmat c, e$m em
+         |)""".stripMargin
+    }.mkString(",\n")
+    val lambdas = (1 to 3).map { m =>
+      s"""SELECT $m AS component,
+         | ${pcaFold(s"[em.ev[i] * l.cv[i] for i in generate_series(1, 64)]")} AS lambda_raw,
+         | ${pcaFold(s"[abs(em.ev[k]) for k in generate_series(1, 64)]")} AS vchk_raw
+         |FROM e$m em, cv$m l""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"""${pcaOracleCtes(3)},
        |$cvCtes,
        |lam AS (
        |$lambdas
@@ -3505,6 +3523,24 @@ object SparkEntry {
        | round(lambda_raw / tr.trace, 6) AS var_explained,
        | round(vchk_raw, 6) AS vchk
        |FROM lam, tr ORDER BY component""".stripMargin
+  }
+
+  /** The q_embed_project replay: the shared PCA CTEs at 4 components,
+    * then per-vector ordered-fold projections onto e1..e4.
+    */
+  private lazy val embedProjectSql: String = {
+    val ys = (1 to 4).map { m =>
+      s"${pcaFold(s"[v.c[k] * e$m.ev[k] for k in generate_series(1, 64)]")} AS y$m"
+    }.mkString(",\n ")
+    s"""${pcaOracleCtes(4)},
+       |proj AS (
+       |  SELECT v.vec_id,
+       | $ys
+       |  FROM cvec v, e1, e2, e3, e4
+       |)
+       |SELECT vec_id, round(y1, 6) AS pc1, round(y2, 6) AS pc2,
+       | round(y3, 6) AS pc3, round(y4, 6) AS pc4
+       |FROM proj ORDER BY vec_id""".stripMargin
   }
 
   /** The KMV per-source NDV replay parameterized over the document

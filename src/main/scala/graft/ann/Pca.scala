@@ -127,7 +127,8 @@ object Pca {
     * two distributed passes (exact integer micro sums), O(d²) driver
     * state.
     */
-  def covariance(df: DataFrame, vecCol: String): (Array[Array[Double]], Long) = {
+  def covariance(df: DataFrame, vecCol: String)
+      : (Array[Array[Double]], Array[Double], Long) = {
     val spark = df.sparkSession
     val xm = df.select(microUnits(col(vecCol)).as("xm"))
     val n = xm.count()
@@ -143,7 +144,31 @@ object Pca {
       .head().getAs[scala.collection.Seq[Long]]("c")
     val c = Array.tabulate(d, d)((i, j) =>
       flat(i * d + j).toDouble / n.toDouble / Micro)
-    (c, n)
+    (c, mu, n)
+  }
+
+  /** q_embed_project: the corpus PROJECTED onto the top-4 principal
+    * components — the dimensionality-reduction transform [[embedPca]]'s
+    * report justifies (prefilter coordinates, whitening input, the PCA
+    * half of OPQ). Per row y_m = Σ_k (x_k − μ_k)·e_m[k] as the same
+    * ordered fold everything else here uses; the eigenbasis is the
+    * 30-step contract, so the projected table hash-matches the oracle
+    * coordinate-for-coordinate. One narrow corpus pass; the basis is a
+    * broadcast literal.
+    */
+  def embedProject(spark: SparkSession, dir: String): DataFrame = {
+    val emb = graft.Tables(spark, dir, "embeddings")
+    val (c, mu, _) = covariance(emb, "embedding")
+    val es = powerIterate(c, 4).map(_._1)
+    val xm = microUnits(col("embedding"))
+    val centered = zip_with(xm, typedLit(mu.toSeq),
+      (a, b) => a.cast("double") / lit(Micro) - b)
+    val ys = es.zipWithIndex.map { case (e, m) =>
+      round(aggregate(
+        zip_with(centered, typedLit(e.toSeq), (a, b) => a * b),
+        lit(0.0), (acc, x) => acc + x), 6).as(s"pc${m + 1}")
+    }
+    emb.select((col("vec_id") +: ys): _*).orderBy(col("vec_id"))
   }
 
   /** q_embed_pca: (component, lambda, var_explained, vchk) for the top
@@ -154,7 +179,7 @@ object Pca {
     */
   def embedPca(spark: SparkSession, dir: String): DataFrame = {
     val emb = graft.Tables(spark, dir, "embeddings")
-    val (c, _) = covariance(emb, "embedding")
+    val (c, _, _) = covariance(emb, "embedding")
     val d = c.length
     var trace = 0.0
     var i = 0

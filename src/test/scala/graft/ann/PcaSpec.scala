@@ -71,6 +71,24 @@ class PcaSpec extends AnyFunSuite with SparkSpec {
     assert(ratios.head > 0.01, s"top component ${ratios.head}")
   }
 
+  test("projection: per-component mean ≈ 0 and variance ≈ λ") {
+    val rows = Pca.embedProject(spark, dir).collect()
+      .map(r => (r.getDouble(1), r.getDouble(2), r.getDouble(3), r.getDouble(4)))
+    val n = rows.length
+    assert(n === 500)
+    val lambdas = Pca.powerIterate(cov, 4).map(_._2)
+    val cols = Seq(rows.map(_._1), rows.map(_._2), rows.map(_._3), rows.map(_._4))
+    for ((ys, m) <- cols.zipWithIndex) {
+      val mean = ys.sum / n
+      val variance = ys.map(y => (y - mean) * (y - mean)).sum / n
+      // centered projections: mean vanishes up to micro-rounding
+      assert(math.abs(mean) < 1e-3, s"pc${m + 1} mean $mean")
+      // var of the m-th PCA coordinate IS the m-th eigenvalue
+      assert(math.abs(variance - lambdas(m)) / lambdas(m) < 0.05,
+        s"pc${m + 1} var $variance vs λ ${lambdas(m)}")
+    }
+  }
+
   test("q_embed_pca rows mirror the driver math") {
     val rows = Pca.embedPca(spark, dir).collect()
     assert(rows.length === 3)
