@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 import graft.etl.{Enricher, PosGenerator, RetailPipeline}
-import graft.queries.{AnnQ, CatalogQ, Core, DedupQ, EventsQ, GraphQ, LinkQ, MultimodalQ, ProfileQ, SampleQ, SearchQ, SketchQ, TextQ}
+import graft.queries.{AnnQ, CardQ, CatalogQ, Core, DedupQ, EventsQ, GraphQ, LinkQ, MultimodalQ, ProfileQ, SampleQ, SearchQ, SketchQ, TextQ}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -567,6 +567,9 @@ object SparkEntry {
     // cluster artifact published behind the manifest pointer, path
     // resolved via Publish.current — same oracle as q_corpus_filter
     "q_publish_verdict" -> DedupQ.publishVerdict,
+    // the DATASET CARD: 12 corpus-level metrics, each from an
+    // independently-oracled stage, in one (metric, value) artifact
+    "q_data_card" -> CardQ.dataCard,
     // what today's ingest changed in the verdict: added / keep_flipped
     // / canonical_moved per doc, old corpus = minus the arrival batch
     "q_verdict_diff" -> DedupQ.verdictDiff,
@@ -2762,6 +2765,96 @@ object SparkEntry {
     // estimate = 255 * M / h_k (one exact double product < 2^53, one
     // IEEE division on identical operands)
     "q_kmv_ndv" -> kmvNdvSqlFrom("documents"),
+    // the dataset card: every number computed by an independently-
+    // oracled stage, replayed here corpus-level — volume/quality from
+    // the tokenize pass, duplication from the T6 closure (nested so CTE
+    // names cannot collide), contamination from the D8 gate, split
+    // balance from the T10 key, cardinality from one global KMV sketch
+    "q_data_card" ->
+      s"""WITH qrows AS MATERIALIZED (
+        |  SELECT * FROM (WITH $reportQualityCtes
+        |    SELECT doc_id, n_tokens, qd, keep FROM q)
+        |), clrows AS MATERIALIZED (
+        |  SELECT * FROM (WITH ${textClosureSqlFrom("documents")}
+        |    SELECT doc_id, cluster_id FROM cl)
+        |), dcrows AS MATERIALIZED (
+        |  SELECT * FROM (
+        |    WITH d AS (
+        |      SELECT doc_id,
+        |       string_split(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' ') AS toks
+        |      FROM documents
+        |    ), g8 AS (
+        |      SELECT doc_id, list_distinct(
+        |        [array_to_string(toks[i:i+7], ' ') for i in generate_series(1, len(toks) - 7)]) AS gs
+        |      FROM d WHERE len(toks) >= 8
+        |    ), bench AS (
+        |      SELECT list_distinct(flatten(list(gs))) AS bgs FROM g8 WHERE doc_id % 10 = 0
+        |    ), corpus AS (
+        |      SELECT d.doc_id, coalesce(g8.gs, []) AS gs
+        |      FROM d LEFT JOIN g8 USING (doc_id)
+        |      WHERE d.doc_id % 10 != 0
+        |    )
+        |    SELECT c.doc_id,
+        |     NOT (len(list_intersect(c.gs, coalesce(b.bgs, []))) = 0) AS contaminated
+        |    FROM corpus c, bench b)
+        |), sprows AS (
+        |  SELECT doc_id,
+        |   CASE WHEN $splitKeySql < 90 THEN 'train'
+        |        WHEN $splitKeySql < 95 THEN 'val' ELSE 'test' END AS split
+        |  FROM documents
+        |), khg AS (
+        |  SELECT DISTINCT
+        |   list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |     list_transform(string_split(g, ''), c -> CAST(ascii(c) AS BIGINT))),
+        |     (a, b) -> (a * 31 + b) % 1000000007) AS h
+        |  FROM (
+        |    SELECT DISTINCT g FROM (
+        |      SELECT unnest(list_distinct(
+        |        [array_to_string(toks[i:i+7], ' ') for i in generate_series(1, len(toks) - 7)])) AS g
+        |      FROM (SELECT string_split(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' ') AS toks
+        |            FROM documents) WHERE len(toks) >= 8
+        |    )
+        |  )
+        |), gsk AS (
+        |  SELECT CAST(count(*) AS INTEGER) AS n_sketch, max(h) AS kth FROM (
+        |    SELECT h, row_number() OVER (ORDER BY h) AS rn FROM khg) WHERE rn <= 256
+        |), card AS (
+        |  SELECT 'volume.n_docs' AS metric, CAST(count(*) AS DOUBLE) AS value FROM documents
+        |  UNION ALL
+        |  SELECT 'volume.n_tokens', CAST(sum(n_tokens) AS DOUBLE) FROM qrows
+        |  UNION ALL
+        |  SELECT 'volume.n_sources', CAST(count(DISTINCT source) AS DOUBLE) FROM documents
+        |  UNION ALL
+        |  SELECT 'quality.avg_quality',
+        |   CAST(sum(qd) AS DOUBLE) / CAST(count(*) AS DOUBLE) FROM qrows
+        |  UNION ALL
+        |  SELECT 'quality.keep_rate',
+        |   CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS DOUBLE) / CAST(count(*) AS DOUBLE) FROM qrows
+        |  UNION ALL
+        |  SELECT 'dedup.n_clusters', CAST(count(DISTINCT cluster_id) AS DOUBLE) FROM clrows
+        |  UNION ALL
+        |  SELECT 'dedup.canonical_rate',
+        |   CAST(sum(CASE WHEN doc_id = cluster_id THEN 1 ELSE 0 END) AS DOUBLE) / CAST(count(*) AS DOUBLE) FROM clrows
+        |  UNION ALL
+        |  SELECT 'decontam.contaminated_rate',
+        |   CAST(sum(CASE WHEN contaminated THEN 1 ELSE 0 END) AS DOUBLE) / CAST(count(*) AS DOUBLE) FROM dcrows
+        |  UNION ALL
+        |  SELECT 'split.train_frac',
+        |   CAST(sum(CASE WHEN split = 'train' THEN 1 ELSE 0 END) AS DOUBLE) / CAST(count(*) AS DOUBLE) FROM sprows
+        |  UNION ALL
+        |  SELECT 'split.val_frac',
+        |   CAST(sum(CASE WHEN split = 'val' THEN 1 ELSE 0 END) AS DOUBLE) / CAST(count(*) AS DOUBLE) FROM sprows
+        |  UNION ALL
+        |  SELECT 'split.test_frac',
+        |   CAST(sum(CASE WHEN split = 'test' THEN 1 ELSE 0 END) AS DOUBLE) / CAST(count(*) AS DOUBLE) FROM sprows
+        |  UNION ALL
+        |  SELECT 'sketch.shingle_ndv_est',
+        |   CASE WHEN n_sketch < 256 THEN CAST(n_sketch AS DOUBLE)
+        |        ELSE CAST(255 AS DOUBLE) * CAST(1000000007 AS DOUBLE) / CAST(kth AS DOUBLE) END
+        |  FROM gsk
+        |)
+        |SELECT metric, round(value, 6) AS value FROM card ORDER BY metric""".stripMargin,
+
     "q_embed_pca" -> embedPcaSql,
     "q_embed_project" -> embedProjectSql,
     // ingest novelty by KMV set algebra: old/new shingle sketches per
