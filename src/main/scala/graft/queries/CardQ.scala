@@ -51,7 +51,11 @@ object CardQ {
       one("quality.keep_rate",
         q.agg(rate(sum(col("keep").cast("long")), count(lit(1))))))
 
-    val cl = DedupQ.dedupClusters(spark, dir)
+    // the cluster artifact, not an inline clustering pass — the card is
+    // a summary, it must not re-pay the most expensive stage (built
+    // once per JVM; at 100 TB it is simply the current version's
+    // persisted labels)
+    val cl = DedupQ.textClustersFromArtifact(spark, dir)
     val ded = Seq(
       one("dedup.n_clusters", cl.agg(countDistinct(col("cluster_id")).as("v"))),
       one("dedup.canonical_rate",

@@ -408,7 +408,7 @@ object DedupQ {
     * contraction inline in each consumer multiplies the most expensive
     * stage by the number of consumers.
     */
-  private def textClustersFromArtifact(spark: SparkSession,
+  private[queries] def textClustersFromArtifact(spark: SparkSession,
       dir: String): DataFrame = {
     val stage = graft.ops.StageArtifacts.ensure(dir, "curation") { out =>
       writeClusterArtifact(spark, dir, s"$out/dedup_clusters")
