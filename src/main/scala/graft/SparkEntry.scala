@@ -2818,6 +2818,21 @@ object SparkEntry {
         |), gsk AS (
         |  SELECT CAST(count(*) AS INTEGER) AS n_sketch, max(h) AS kth FROM (
         |    SELECT h, row_number() OVER (ORDER BY h) AS rn FROM khg) WHERE rn <= 256
+        |), imgu AS MATERIALIZED (
+        |  SELECT CAST(sum(CASE WHEN p.asset_id IS NULL THEN 1 ELSE 0 END) AS DOUBLE)
+        |   / CAST(count(*) AS DOUBLE) AS value
+        |  FROM documents d LEFT JOIN (WITH $phashHashSql SELECT asset_id FROM phash) p
+        |    ON p.asset_id = d.doc_id
+        |), audu AS MATERIALIZED (
+        |  SELECT CAST(sum(CASE WHEN p.asset_id IS NULL THEN 1 ELSE 0 END) AS DOUBLE)
+        |   / CAST(count(*) AS DOUBLE) AS value
+        |  FROM documents d LEFT JOIN (WITH $ahashHashSql SELECT asset_id FROM ahash) p
+        |    ON p.asset_id = d.doc_id
+        |), vidu AS MATERIALIZED (
+        |  SELECT CAST(sum(CASE WHEN p.asset_id IS NULL THEN 1 ELSE 0 END) AS DOUBLE)
+        |   / CAST(count(*) AS DOUBLE) AS value
+        |  FROM documents d LEFT JOIN (WITH $vhashHashSql SELECT asset_id FROM vhash) p
+        |    ON p.asset_id = d.doc_id
         |), card AS (
         |  SELECT 'volume.n_docs' AS metric, CAST(count(*) AS DOUBLE) AS value FROM documents
         |  UNION ALL
@@ -2847,6 +2862,12 @@ object SparkEntry {
         |  UNION ALL
         |  SELECT 'split.test_frac',
         |   CAST(sum(CASE WHEN split = 'test' THEN 1 ELSE 0 END) AS DOUBLE) / CAST(count(*) AS DOUBLE) FROM sprows
+        |  UNION ALL
+        |  SELECT 'media.image_undecodable_rate', value FROM imgu
+        |  UNION ALL
+        |  SELECT 'media.audio_undecodable_rate', value FROM audu
+        |  UNION ALL
+        |  SELECT 'media.video_undecodable_rate', value FROM vidu
         |  UNION ALL
         |  SELECT 'sketch.shingle_ndv_est',
         |   CASE WHEN n_sketch < 256 THEN CAST(n_sketch AS DOUBLE)

@@ -8,13 +8,14 @@ import graft.Tables
 
 /** The DATASET CARD — the one-page corpus-level summary a training-data
   * release ships with (volume, quality, duplication, contamination,
-  * split balance, content cardinality), as a single oracled artifact:
+  * split balance, per-modality media health, content cardinality), as a
+  * single oracled artifact:
   * every number on the card is computed by an independently-oracled
   * stage of this engine and replayed by the card's own DuckDB oracle,
   * so the published card can never drift from the pipeline that
   * produced it.
   *
-  * Output is a tidy (metric, value) relation — 12 rows, all DOUBLE
+  * Output is a tidy (metric, value) relation — 15 rows, all DOUBLE
   * (counts are exact integers in double range; rates are single IEEE
   * divisions of exact counts; the quality average divides the exact
   * DECIMAL(10,7) sum — the corpus-report discipline).
@@ -23,8 +24,9 @@ import graft.Tables
   * rows; duplication reuses the T6 cluster machinery (at 100 TB: the
   * persisted cluster artifact); contamination is the D8 gate;
   * cardinality is ONE corpus-level KMV sketch (O(k) state, map-side
-  * combined). Everything aggregates to one row per metric — the card
-  * itself is bytes.
+  * combined); the media rows read the persisted per-modality cluster
+  * artifacts (no codec pass). Everything aggregates to one row per
+  * metric — the card itself is bytes.
   */
 object CardQ {
 
@@ -74,6 +76,23 @@ object CardQ {
       one(s"split.${s}_frac",
         sp.agg(rate(sum((col("split") === s).cast("long")), count(lit(1))))))
 
+    // per-modality undecodable rates from the persisted cluster-label
+    // artifacts (a decodable asset always has a label row, singletons
+    // included — the mm-report convention; absence = quarantined), so
+    // the card never re-pays a codec pass
+    def mediaRow(name: String, labels: DataFrame): DataFrame = {
+      val flagged = docs.select(col("doc_id"))
+        .join(labels.select(col("doc_id"), lit(1).as("dec")),
+          Seq("doc_id"), "left")
+      one(s"media.${name}_undecodable_rate",
+        flagged.agg(rate(
+          sum(when(col("dec").isNull, 1L).otherwise(0L)), count(lit(1)))))
+    }
+    val media = Seq(
+      mediaRow("image", DedupQ.imageClustersFromArtifact(spark, dir)),
+      mediaRow("audio", DedupQ.audioClustersFromArtifact(spark, dir)),
+      mediaRow("video", DedupQ.videoClustersFromArtifact(spark, dir)))
+
     // corpus-level distinct-shingle cardinality from ONE global KMV
     // sketch (the K1c estimator without the per-source key)
     val kh = docs
@@ -87,7 +106,7 @@ object CardQ {
           .otherwise(lit(255.0) * lit(1000000007.0) /
             element_at(col("sk"), 256).cast("double")).as("v"))))
 
-    (vol ++ qual ++ ded ++ dec ++ spl ++ ndv).reduce(_ unionByName _)
+    (vol ++ qual ++ ded ++ dec ++ spl ++ media ++ ndv).reduce(_ unionByName _)
       .select(col("metric"), round(col("value"), 6).as("value"))
       .orderBy(col("metric"))
   }

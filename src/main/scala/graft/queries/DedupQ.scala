@@ -183,7 +183,7 @@ object DedupQ {
     * JVM) — shared by the composed mm verdict and the composed mm
     * report, exactly like the text artifact.
     */
-  private def imageClustersFromArtifact(spark: SparkSession,
+  private[queries] def imageClustersFromArtifact(spark: SparkSession,
       dir: String): DataFrame = {
     val stage = graft.ops.StageArtifacts.ensure(dir, "curation-img") { out =>
       imageClusterLabels(spark, dir)
@@ -192,7 +192,7 @@ object DedupQ {
     spark.read.parquet(s"$stage/image_clusters")
   }
 
-  private def audioClustersFromArtifact(spark: SparkSession,
+  private[queries] def audioClustersFromArtifact(spark: SparkSession,
       dir: String): DataFrame = {
     val stage = graft.ops.StageArtifacts.ensure(dir, "curation-aud") { out =>
       audioClusterLabels(spark, dir)
@@ -201,7 +201,7 @@ object DedupQ {
     spark.read.parquet(s"$stage/audio_clusters")
   }
 
-  private def videoClustersFromArtifact(spark: SparkSession,
+  private[queries] def videoClustersFromArtifact(spark: SparkSession,
       dir: String): DataFrame = {
     val stage = graft.ops.StageArtifacts.ensure(dir, "curation-vid") { out =>
       videoClusterLabels(spark, dir)

@@ -16,9 +16,21 @@ class CardSpec extends AnyFunSuite with SparkSpec {
     CardQ.dataCard(spark, dir).collect()
       .map(r => r.getString(0) -> r.getDouble(1)).toMap
 
-  test("card carries exactly the 12 metrics, all finite") {
-    assert(card.size === 12)
+  test("card carries exactly the 15 metrics, all finite") {
+    assert(card.size === 15)
     card.values.foreach(v => assert(!v.isNaN && !v.isInfinite))
+  }
+
+  test("media undecodable rates equal the planted quarantine densities") {
+    val docs = graft.Tables(spark, dir, "documents")
+    val ids = docs.select("doc_id").collect().map(_.getLong(0))
+    def planted(p: Long => Boolean) = ids.count(p).toDouble / ids.length
+    assert(card("media.image_undecodable_rate") ===
+      planted(id => id % 91 == 0 || id % 97 == 0))
+    assert(card("media.audio_undecodable_rate") === planted(_ % 89 == 0))
+    assert(card("media.video_undecodable_rate") === planted(_ % 83 == 0))
+    // non-vacuous: corruption is actually planted at this sf
+    assert(card("media.image_undecodable_rate") > 0.0)
   }
 
   test("volume and split metrics re-derive from the corpus") {
