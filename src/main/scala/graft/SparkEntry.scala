@@ -435,6 +435,10 @@ object SparkEntry {
     // micro-batch patches the persisted artifact via forgetSink behind
     // the crash-safe swap; shares q_forget_clusters' oracle VERBATIM
     "q_stream_forget" -> DedupQ.streamForget,
+    // forget — the deletion feed through the TRANSACTIONAL store: each
+    // micro-batch publishes a new manifest version of the patched
+    // labels; final version ≡ full rebuild (q_forget_clusters' oracle)
+    "q_stream_publish_forget" -> DedupQ.streamPublishForget,
     // text analysis — Gopher-style duplicate-n-gram repetition scoring
     "q_repetition" -> TextQ.repetition,
     // text analysis — tf×(N/df) rarity-weighted top terms per document
@@ -765,6 +769,9 @@ object SparkEntry {
     // the streamed deletion feed must leave the artifact EXACTLY at the
     // full rebuild on the filtered corpus — q_forget_clusters' oracle
     "q_stream_forget" -> oracleSqlBase("q_forget_clusters"),
+    // the versioned deletion feed leaves the CURRENT manifest version
+    // exactly at the full rebuild — same oracle, third deployment shape
+    "q_stream_publish_forget" -> oracleSqlBase("q_forget_clusters"),
     // the stream-served quantized ranking must produce EXACTLY the
     // batch relation — q_ann_topk_quant's oracle serves both
     "q_stream_ann_serve" -> oracleSqlBase("q_ann_topk_quant"),

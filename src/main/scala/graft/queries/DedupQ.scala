@@ -818,6 +818,39 @@ object DedupQ {
     spark.read.parquet(s"$state/labels")
   }
 
+  /** q_stream_publish_forget: the deletion feed driven through the
+    * TRANSACTIONAL artifact store — [[streamForget]]'s semantics, but
+    * each micro-batch publishes the patched labels as a NEW manifest
+    * version ([[graft.streaming.Streaming.publishForgetSink]]) instead
+    * of swapping in place: mid-stream readers keep a complete version,
+    * history is rollback-able, and the final version must STILL equal
+    * the full rebuild on the filtered corpus — q_forget_clusters'
+    * oracle, shared verbatim (the store changes the deployment shape,
+    * never the math). The pre-forget labels publish as v1; the stream
+    * then advances the pointer per batch.
+    */
+  def streamPublishForget(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(spark, dir, "documents")
+    val state = graft.ops.StageArtifacts.refresh(dir, "stream-pub-forget") {
+      out =>
+        graft.ops.StageArtifacts.wipeDir(out)
+        val store = s"$out/store"
+        val base = textClustersFromArtifact(spark, dir)
+        graft.ops.Publish.publish(spark, store, Map(
+          "clusters" -> (p => base.write.mode("overwrite").parquet(p)))): Unit
+        val requests = Tables.streamDocuments(spark, dir)
+          .filter(col("doc_id") % 29 === 3).select(col("doc_id"))
+        val q = graft.streaming.Streaming.publishForgetSink(requests, store,
+            ids => Dedup.minhashLshPairs(
+              docs.join(ids, Seq("doc_id"), "left_semi"), "doc_id", "text"))
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        try q.awaitTermination() finally if (q.isActive) q.stop()
+    }
+    spark.read.parquet(
+      graft.ops.Publish.current(spark, s"$state/store")("clusters"))
+  }
+
   private def semDedupFrom(spark: SparkSession, dir: String,
       clusters: DataFrame): DataFrame = {
     val quality = TextQ.qualityScore(spark, dir)

@@ -603,6 +603,36 @@ object Streaming {
         }
       }
 
+  /** VERSIONED streaming forget — [[forgetSink]] through the
+    * transactional artifact store ([[graft.ops.Publish]]): each
+    * deletion micro-batch reads the CURRENT version's labels from the
+    * manifest, runs the same blast-radius-bounded repair, and publishes
+    * the patched labels as version N+1 — readers mid-stream keep a
+    * complete, consistent version (the grace window) instead of racing
+    * an in-place swap, and one bad batch is one `Publish.rollback`
+    * away from undone. Redelivery converges: repairing an
+    * already-deleted batch touches no cluster, so the republished
+    * version is content-identical.
+    */
+  def publishForgetSink(requests: DataFrame, storeRoot: String,
+      pairsAmong: DataFrame => DataFrame)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    requests.writeStream
+      .outputMode(OutputMode.Append())
+      .foreachBatch { (batch0: DataFrame, _: Long) =>
+        val spark = batch0.sparkSession
+        val del = batch0.select(col("doc_id")).dropDuplicates("doc_id")
+          .localCheckpoint()
+        val cur = graft.ops.Publish.current(spark, storeRoot).getOrElse(
+          "clusters", throw new IllegalStateException(
+            s"publishForgetSink: no published cluster artifact at $storeRoot"))
+        val labels = spark.read.parquet(cur)
+        val patched = graft.dedup.Forget.forgetLabels(labels, del, pairsAmong)
+          .localCheckpoint() // materialize BEFORE the store changes under it
+        graft.ops.Publish.publish(spark, storeRoot, Map(
+          "clusters" -> (p => patched.write.mode("overwrite").parquet(p)))): Unit
+      }
+
   private val sinkSeq = new java.util.concurrent.atomic.AtomicLong(0)
 
   /** Drive a streaming AGGREGATION plan to completion over a bounded

@@ -346,6 +346,50 @@ class StreamingSpec extends AnyFunSuite with SparkSpec {
     assert(rows == Set(("a", 9.0), ("b", 2.0)))
   }
 
+  test("publishForgetSink: per-batch versions advance, old version stays readable, redelivery republishes identical content") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    def t(a: Int, b: Int, p: String) = (a to b).map(i => s"$p$i").mkString(" ")
+    val corpus = Seq((1L, t(1, 40, "t")), (2L, t(5, 44, "t")),
+      (3L, t(9, 48, "t")), (100L, t(1, 40, "u")), (101L, t(1, 40, "u")))
+      .toDF("doc_id", "text")
+    val pairsAmong: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame =
+      ids => graft.dedup.Dedup.jaccardPairs(
+        corpus.join(ids, Seq("doc_id"), "left_semi"), "doc_id", "text")
+    val store = java.nio.file.Files
+      .createTempDirectory("pub-forget").toString + "/store"
+    val base = graft.dedup.Dedup.clusterLabels(corpus, "doc_id",
+      graft.dedup.Dedup.jaccardPairs(corpus, "doc_id", "text"))
+    graft.ops.Publish.publish(spark, store, Map(
+      "clusters" -> (p => base.write.mode("overwrite").parquet(p))))
+    def labelsAt(path: String) = spark.read.parquet(path).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    def current() = labelsAt(graft.ops.Publish.current(spark, store)("clusters"))
+    val in = MemoryStream[Doc]
+    val q = Streaming.publishForgetSink(in.toDF().select("doc_id"), store,
+      pairsAmong).start()
+    try {
+      val v1Path = graft.ops.Publish.current(spark, store)("clusters")
+      val v1 = labelsAt(v1Path)
+      // batch 1: delete the bridge — v2 splits the chain; v1 STILL reads
+      // as the pre-forget labels (the mid-stream reader grace window)
+      in.addData(Doc(2L, "")); q.processAllAvailable()
+      assert(graft.ops.Publish.currentVersion(spark, store) === Some(2L))
+      assert(current() == Set((1L, 1L), (3L, 3L), (100L, 100L), (101L, 100L)))
+      assert(labelsAt(v1Path) == v1, "previous version must stay intact")
+      // batch 2: min-id deletion composes; version advances again
+      in.addData(Doc(100L, "")); q.processAllAvailable()
+      assert(graft.ops.Publish.currentVersion(spark, store) === Some(3L))
+      assert(current() == Set((1L, 1L), (3L, 3L), (101L, 101L)))
+      // redelivery: a new version publishes but its CONTENT is identical
+      in.addData(Doc(2L, ""), Doc(100L, "")); q.processAllAvailable()
+      assert(current() == Set((1L, 1L), (3L, 3L), (101L, 101L)))
+      // and one rollback undoes the (idempotent) redelivery version
+      graft.ops.Publish.rollback(spark, store)
+      assert(current() == Set((1L, 1L), (3L, 3L), (101L, 101L)))
+    } finally q.stop()
+  }
+
   test("hllIngestSink: stream-built registers == one-pass batch sketch, redelivery no-op") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
