@@ -52,12 +52,22 @@ object Publish {
     require(artifacts.nonEmpty, "publish of zero artifacts")
     val fs = fsOf(spark, root)
     val cur = currentVersion(spark, root)
-    val next = cur.getOrElse(0L) + 1L
+    // version numbers are NEVER reused: next = highest version ever
+    // seen on disk + 1, not pointer + 1 — after a rollback, the
+    // rolled-past version's directory may still be held by a reader
+    // that resolved it pre-rollback, and republishing over it would
+    // change content under that reader's feet
+    val maxSeen =
+      if (!fs.exists(new Path(root))) 0L
+      else fs.listStatus(new Path(root)).toSeq
+        .map(_.getPath.getName)
+        .collect { case n if n.matches("v\\d+") => n.drop(1).toLong }
+        .maxOption.getOrElse(0L)
+    val next = math.max(cur.getOrElse(0L), maxSeen) + 1L
     val vdir = new Path(root, s"v$next")
-    // a leftover v<next> (aborted publish, or a post-rollback re-publish
-    // of the rolled-past version) is dead by definition — the manifest
-    // has never pointed at a complete one — so clear it rather than
-    // letting old artifacts bleed into the new version
+    // a leftover v<next> (an aborted publish — never pointed at by the
+    // manifest) is dead; clear it rather than letting old artifacts
+    // bleed into the new version
     if (fs.exists(vdir)) fs.delete(vdir, true)
     // deterministic name order, so a crash mid-publish has a stable
     // "how far did it get" shape for debugging
@@ -66,7 +76,14 @@ object Publish {
     }
     writeManifest(fs, root,
       Manifest(next, artifacts.keys.toSeq.sorted))
-    gc(fs, root, keep = Set(cur, Some(next)).flatten.map(v => s"v$v"))
+    // retention: the new version, the version the pointer just left,
+    // AND the highest pre-existing version (distinct from `cur` only
+    // right after a rollback — a pre-rollback reader may still hold
+    // it). The next normal publish ages the extras out.
+    gc(fs, root, keep =
+      (Set(cur, Some(next)).flatten ++
+        (if (maxSeen > 0) Set(maxSeen) else Set.empty[Long]))
+        .map(v => s"v$v"))
     next
   }
 

@@ -65,11 +65,14 @@ class PublishSpec extends AnyFunSuite with SparkSpec {
     Publish.publish(spark, root, Map("labels" -> writeNums("v2")))
     assert(Publish.rollback(spark, root) === 1L)
     assert(tagsAt(root) === Map("labels" -> "v1"))
-    // publishing after a rollback resumes from the rolled-back pointer
-    // and must not leak artifacts of the rolled-past version
+    // publishing after a rollback NEVER reuses the rolled-past version
+    // number (a pre-rollback reader may still hold v2's paths): the new
+    // publish lands at v3 and v2's directory survives until GC'd
     Publish.publish(spark, root, Map("verdict" -> writeNums("v2b")))
     assert(tagsAt(root) === Map("verdict" -> "v2b"))
-    assert(Publish.currentVersion(spark, root) === Some(2L))
+    assert(Publish.currentVersion(spark, root) === Some(3L))
+    assert(new java.io.File(root, "v2").isDirectory,
+      "rolled-past version must survive the immediate republish")
   }
 
   test("GC keeps exactly the two most recent versions") {
