@@ -9,9 +9,15 @@ import graft.Tables
   * exact distinct/quantile at 100 TB, where exact answers need a full
   * shuffle of every distinct value but a sketch is a few KB per
   * partition merged associatively (map-side combinable, one narrow
-  * reduce). Results are engine-specific (DataSketches HLL / KLL-style
-  * quantiles), so the driver records rows-only; SketchQSpec bounds the
-  * error against the exact answers.
+  * reduce). Two evidence tiers: the ENGINE-NATIVE members
+  * ([[approxDistinct]], [[approxPercentiles]]) carry engine-specific
+  * sketch state, so the driver records rows-only and SketchQSpec bounds
+  * the error; the FROM-SCRATCH members — the [[graft.functions.Hll]]
+  * register family ([[hllNdv]], the rollup, the streaming ingest) and
+  * the [[graft.functions.Kmv]] bottom-k family (NDV, overlap, drift,
+  * forget) — are deterministic and order-independent by construction,
+  * so their estimators replay formula-for-formula in DuckDB and
+  * hash-match in the correctness ledger.
   */
 object SketchQ {
 
