@@ -129,15 +129,18 @@ object Pca {
     */
   def covariance(df: DataFrame, vecCol: String)
       : (Array[Array[Double]], Array[Double], Long) = {
-    val spark = df.sparkSession
     val xm = df.select(microUnits(col(vecCol)).as("xm"))
-    val n = xm.count()
-    require(n > 0, "pca over an empty corpus")
-    val d = xm.select(size(col("xm"))).head().getInt(0)
+    // pass 1: per-dim sums AND the row count in one action (the per-dim
+    // count IS n); d falls out as the number of groups — exactly the
+    // "two distributed passes" the contract states, no extra scans
     val sums = xm.select(posexplode(col("xm")).as(Seq("dim", "v")))
-      .groupBy("dim").agg(sum(col("v")).as("s"))
-      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
-    val mu = Array.tabulate(d)(j => sums(j).toDouble / (n * Micro))
+      .groupBy("dim").agg(sum(col("v")).as("s"), count(lit(1)).as("n"))
+      .collect().map(r => r.getInt(0) -> (r.getLong(1), r.getLong(2))).toMap
+    require(sums.nonEmpty, "pca over an empty corpus")
+    val d = sums.size
+    val n = sums(0)._2
+    require(sums.valuesIterator.forall(_._2 == n), "pca: ragged vectors")
+    val mu = Array.tabulate(d)(j => sums(j)._1.toDouble / (n * Micro))
     val flat = xm
       .agg(udaf(new CovarAgg(mu), ExpressionEncoder[Seq[Long]]())
         .apply(col("xm")).as("c"))
