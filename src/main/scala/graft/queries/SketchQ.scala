@@ -359,7 +359,7 @@ object SketchQ {
     val hs = kmvHashes(spark, dir)
     val sk = hs.groupBy(col("source"))
       .agg(graft.functions.Kmv.sketchOf(col("h"), KmvK).as("sk"))
-    kmvOverlapFrom(spark, hs, sk)
+    kmvOverlapFrom(hs, sk)
   }
 
   /** Compose twin of [[kmvOverlap]]: the matrix served from the SAME
@@ -368,11 +368,10 @@ object SketchQ {
     * VERBATIM.
     */
   def kmvOverlapCompose(spark: SparkSession, dir: String): DataFrame =
-    kmvOverlapFrom(spark, kmvHashes(spark, dir),
+    kmvOverlapFrom(kmvHashes(spark, dir),
       kmvMergedSketches(spark, dir))
 
-  private def kmvOverlapFrom(spark: SparkSession, hs: DataFrame,
-      sk: DataFrame): DataFrame = {
+  private def kmvOverlapFrom(hs: DataFrame, sk: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val rows = sk.select(col("source"), explode(col("sk")).as("h"))
     // unordered source pairs: the |S|-row source list paired with
