@@ -163,6 +163,10 @@ object SparkEntry {
     // (per-micro-batch partial sketches merged register-wise-max into
     // the persisted artifact), serving q_hll_ndv's relation and oracle
     "q_stream_hll" -> SketchQ.streamHll,
+    // sketches — the per-source KMV table built by an ACTUAL streaming
+    // query (per-micro-batch partial sketches merged bottom-k-union
+    // into the persisted table), serving q_kmv_ndv's relation + oracle
+    "q_stream_kmv" -> SketchQ.streamKmv,
     // sketches — the same estimate served by merging persisted
     // per-shard sketch arrays, sharing q_kmv_ndv's oracle verbatim
     "q_kmv_ndv_compose" -> SketchQ.kmvNdvCompose,
@@ -759,6 +763,9 @@ object SparkEntry {
     // the stream-built register table must serve EXACTLY the batch
     // sketch relation (register max is idempotent over micro-batching)
     "q_stream_hll" -> oracleSqlBase("q_hll_ndv"),
+    // the stream-built sketch table must serve EXACTLY the batch KMV
+    // relation (bottom-k union is idempotent over micro-batching)
+    "q_stream_kmv" -> oracleSqlBase("q_kmv_ndv"),
     "q_kmv_ndv_compose" -> oracleSqlBase("q_kmv_ndv"),
     "q_kmv_overlap_compose" -> oracleSqlBase("q_kmv_overlap"),
     // the streaming execution of the tumbling-window mart must produce

@@ -152,6 +152,52 @@ object SketchQ {
 
   private val KmvK = 256
 
+  /** Per-source KMV sketches of an arbitrary documents frame — the
+    * batch shard writer and the streaming ingest sink
+    * ([[graft.streaming.Streaming.kmvIngestSink]]) share this one
+    * definition, so stream-built and batch-built sketch tables can
+    * never drift.
+    */
+  def kmvSourceSketchesOf(docs: DataFrame): DataFrame =
+    kmvHashesOf(docs)
+      .groupBy(col("source"))
+      .agg(graft.functions.Kmv.sketchOf(col("h"), KmvK).as("sk"))
+
+  /** Merge a sketch table's rows per source — feeding sketch members
+    * back through the aggregator IS the KMV merge (bottom-k of a union
+    * of bottom-k sets is the union's bottom-k).
+    */
+  def kmvMergeSketches(rows: DataFrame): DataFrame =
+    rows.select(col("source"), explode(col("sk")).as("h"))
+      .groupBy(col("source"))
+      .agg(graft.functions.Kmv.sketchOf(col("h"), KmvK).as("sk"))
+
+  /** q_stream_kmv: the per-source sketch table built by an ACTUAL
+    * streaming query — [[graft.streaming.Streaming.kmvIngestSink]]
+    * folds each documents micro-batch's partial sketches into the
+    * persisted table (bottom-k union behind the crash-safe swap),
+    * driven with `Trigger.AvailableNow`; the table then serves the
+    * per-source estimate. Shares q_kmv_ndv's oracle VERBATIM: bottom-k
+    * union is associative, commutative AND idempotent over any
+    * micro-batching — like the HLL register fold (S18), redelivery
+    * converges with no keyed upsert or watermark. The streaming half
+    * of the K1c daily-ingest shape, in the ledger.
+    */
+  def streamKmv(spark: SparkSession, dir: String): DataFrame = {
+    val state = graft.ops.StageArtifacts.refresh(dir, "stream-kmv") { out =>
+      graft.ops.StageArtifacts.wipeDir(out)
+      val docs = Tables.streamDocuments(spark, dir)
+      val q = graft.streaming.Streaming.kmvIngestSink(docs, s"$out/sk")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      try q.awaitTermination() finally if (q.isActive) q.stop()
+    }
+    val exact = kmvHashes(spark, dir)
+      .groupBy(col("source"))
+      .agg(countDistinct(col("h")).as("exact_ndv"))
+    kmvNdvSelect(spark.read.parquet(s"$state/sk"), exact)
+  }
+
   /** (source, n_sketch, kth_min, sketch_sum, est_ndv, exact_ndv) from a
     * KMV sketch of the per-source sketch rows — shared tail of the
     * inline and compose twins.

@@ -603,6 +603,31 @@ object Streaming {
         }
       }
 
+  /** Streaming KMV SKETCH INGEST — the bottom-k twin of
+    * [[hllIngestSink]]: each documents micro-batch's per-source partial
+    * sketches (the SAME
+    * [[graft.queries.SketchQ.kmvSourceSketchesOf]] definition the
+    * batch writers use) merge into the persisted sketch table by
+    * bottom-k union behind the crash-safe swap. Bottom-k union is
+    * associative, commutative and IDEMPOTENT, so any micro-batching —
+    * including a redelivered batch — leaves the table bit-identical to
+    * the one-pass batch sketch. Per batch: one shingle pass over batch
+    * rows + a \|sources\|-row array merge; corpus rows never re-read.
+    */
+  def kmvIngestSink(docs: DataFrame, skDir: String)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    docs.writeStream
+      .outputMode(OutputMode.Append())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val partial = graft.queries.SketchQ.kmvSourceSketchesOf(batch)
+          .localCheckpoint() // batch internals may be consumed once
+        graft.etl.Upsert.replaceParquet(batch.sparkSession, skDir) {
+          case None => partial
+          case Some(cur) =>
+            graft.queries.SketchQ.kmvMergeSketches(cur.unionByName(partial))
+        }
+      }
+
   /** VERSIONED streaming forget — [[forgetSink]] through the
     * transactional artifact store ([[graft.ops.Publish]]): each
     * deletion micro-batch reads the CURRENT version's labels from the

@@ -19,6 +19,8 @@ final case class Fact(run_id: String, txn_id: String, v: Double,
 
 final case class Doc(doc_id: Long, text: String)
 
+final case class SrcDoc(doc_id: Long, source: String, text: String)
+
 final case class Chg(user_id: Long, event_id: Long, ts_s: Long,
     value: Double)
 
@@ -388,6 +390,41 @@ class StreamingSpec extends AnyFunSuite with SparkSpec {
       graft.ops.Publish.rollback(spark, store)
       assert(current() == Set((1L, 1L), (3L, 3L), (101L, 101L)))
     } finally q.stop()
+  }
+
+  test("kmvIngestSink: stream-built sketches == one-pass batch sketch, redelivery no-op") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val skDir = java.nio.file.Files.createTempDirectory("stream_kmv")
+      .toString + "/sk"
+    def doc(id: Long, src: String, words: Range) =
+      SrcDoc(id, src, words.map(w => s"w$w").mkString(" "))
+    // ≥ 8 tokens per doc (the shingle floor); overlapping word ranges
+    // make cross-batch sketches share values the union must dedup
+    val b1 = Seq(doc(1, "a", 1 to 20), doc(2, "b", 5 to 24))
+    val b2 = Seq(doc(3, "a", 11 to 30), doc(4, "b", 5 to 24)) // doc 4 == doc 2 content
+    val in = MemoryStream[SrcDoc]
+    val q = Streaming.kmvIngestSink(in.toDF(), skDir).start()
+    in.addData(b1: _*); q.processAllAvailable()
+    in.addData(b2: _*); q.processAllAvailable()
+    // redelivery: batch 2 again — bottom-k union is idempotent
+    in.addData(b2: _*); q.processAllAvailable()
+    q.stop()
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.collect()
+        .map(r => (r.getString(0),
+          r.getAs[scala.collection.Seq[Long]]("sk").toSeq))
+        .sortBy(_._1)
+    val streamed = canon(spark.read.parquet(skDir))
+    val batch = canon(graft.queries.SketchQ.kmvSourceSketchesOf(
+      (b1 ++ b2).toDF()))
+    assert(streamed === batch)
+    // non-vacuity: the cross-batch union really merged distinct values
+    // (source a saw two docs with different-but-overlapping shingles)
+    val aSketch = streamed.collect { case ("a", sk) => sk }.head
+    val firstBatchOnly = canon(graft.queries.SketchQ.kmvSourceSketchesOf(
+      b1.toDF())).collect { case ("a", sk) => sk }.head
+    assert(aSketch.toSet.size > firstBatchOnly.toSet.size)
   }
 
   test("hllIngestSink: stream-built registers == one-pass batch sketch, redelivery no-op") {
