@@ -575,7 +575,7 @@ object SparkEntry {
     // cluster artifact published behind the manifest pointer, path
     // resolved via Publish.current — same oracle as q_corpus_filter
     "q_publish_verdict" -> DedupQ.publishVerdict,
-    // the DATASET CARD: 12 corpus-level metrics, each from an
+    // the DATASET CARD: 15 corpus-level metrics, each from an
     // independently-oracled stage, in one (metric, value) artifact
     "q_data_card" -> CardQ.dataCard,
     // what today's ingest changed in the verdict: added / keep_flipped

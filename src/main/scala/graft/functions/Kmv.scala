@@ -107,4 +107,24 @@ object Kmv {
     */
   def sketchOf(c: Column, k: Int): Column =
     udaf(new KmvAgg(k), Encoders.scalaLong).apply(c)
+
+  /** The ONE bottom-k estimator formula, (k−1)·M / h_k, derived from
+    * `k` and [[Mod]] at the call site instead of re-hardcoding the two
+    * constants wherever an estimate is read off a sketch (changing k
+    * must change every estimate in lockstep). `kth` is the k-th minimum
+    * as a column (`element_at(sk, k)` or a pre-aggregated max).
+    */
+  def estimateFromKth(kth: Column, k: Int): Column =
+    org.apache.spark.sql.functions.lit((k - 1).toDouble) *
+      org.apache.spark.sql.functions.lit(Mod.toDouble) / kth.cast("double")
+
+  /** [[estimateFromKth]] with the under-full guard: a sketch holding
+    * fewer than k values IS the exact distinct set, so its size is the
+    * (exact) estimate.
+    */
+  def estimate(sk: Column, k: Int): Column = {
+    import org.apache.spark.sql.functions.{element_at, size, when}
+    when(size(sk) < k, size(sk).cast("double"))
+      .otherwise(estimateFromKth(element_at(sk, k), k))
+  }
 }

@@ -46,6 +46,14 @@ object Publish {
     * manifest untouched — the partial `v<N+1>` directory is inert and
     * swept by the next successful publish. Returns the published
     * version number.
+    *
+    * SINGLE-WRITER contract: one publisher per root at a time (the
+    * pipeline scheduler's job — plain delete+rename cannot arbitrate
+    * two writers the way a CAS primitive could). Two concurrent
+    * publishers can compute the same `v<N+1>`, clear each other's
+    * in-flight directory, and race the manifest swap; readers stay
+    * safe (they only ever resolve a complete manifest) but one publish
+    * is silently lost. Serialize publishes externally.
     */
   def publish(spark: SparkSession, root: String,
       artifacts: Map[String, String => Unit]): Long = {
@@ -161,12 +169,20 @@ object Publish {
   }
 
   /** Remove every `v*` directory not in `keep` (aborted partials and
-    * versions older than the grace window) plus stray tmp manifests.
+    * versions older than the grace window) plus a stray
+    * `MANIFEST__tmp` left by a publisher that crashed mid-swap (safe:
+    * gc only runs right after a successful manifest write, so a
+    * lingering tmp is by definition stale — the recovery path in
+    * [[readManifest]] only ever promotes a tmp when the target is
+    * missing, and it isn't).
     */
-  private def gc(fs: FileSystem, root: String, keep: Set[String]): Unit =
+  private def gc(fs: FileSystem, root: String, keep: Set[String]): Unit = {
     fs.listStatus(new Path(root)).foreach { st =>
       val n = st.getPath.getName
       if (st.isDirectory && n.startsWith("v") && !keep.contains(n))
         fs.delete(st.getPath, true): Unit
     }
+    val tmp = new Path(root, ManifestName + "__tmp")
+    if (fs.exists(tmp)) fs.delete(tmp, false): Unit
+  }
 }

@@ -102,9 +102,7 @@ object CardQ {
       .select(graft.functions.RollingHash.ofColumn(col("g")).as("h"))
     val ndv = Seq(one("sketch.shingle_ndv_est",
       kh.agg(graft.functions.Kmv.sketchOf(col("h"), 256).as("sk"))
-        .select(when(size(col("sk")) < 256, size(col("sk")).cast("double"))
-          .otherwise(lit(255.0) * lit(1000000007.0) /
-            element_at(col("sk"), 256).cast("double")).as("v"))))
+        .select(graft.functions.Kmv.estimate(col("sk"), 256).as("v"))))
 
     (vol ++ qual ++ ded ++ dec ++ spl ++ media ++ ndv).reduce(_ unionByName _)
       .select(col("metric"), round(col("value"), 6).as("value"))

@@ -208,9 +208,7 @@ object SketchQ {
         size(col("sk")).as("n_sketch"),
         element_at(col("sk"), KmvK).as("kth_min"),
         aggregate(col("sk"), lit(0L), (a, x) => a + x).as("sketch_sum"),
-        round(when(size(col("sk")) < KmvK, size(col("sk")).cast("double"))
-          .otherwise(lit(255.0) * lit(1000000007.0) /
-            element_at(col("sk"), KmvK).cast("double")), 4).as("est_ndv"),
+        round(graft.functions.Kmv.estimate(col("sk"), KmvK), 4).as("est_ndv"),
         col("exact_ndv"))
       .orderBy(col("source"))
 
@@ -371,7 +369,7 @@ object SketchQ {
       sum(when(col("in_old") === 1 && col("in_new") === 1, 1L).otherwise(0L))
         .as("n_match"))
     val unionEst = when(col("n_union") < KmvK, col("n_union").cast("double"))
-      .otherwise(lit(255.0) * lit(1000000007.0) / col("union_kth").cast("double"))
+      .otherwise(graft.functions.Kmv.estimateFromKth(col("union_kth"), KmvK))
     val jacc = col("n_match").cast("double") / col("n_union").cast("double")
     // exact validation: distinct-hash novelty per source
     val dOld = hsOld.select("source", "h").distinct()
@@ -455,7 +453,7 @@ object SketchQ {
       .groupBy(col("src_a"), col("src_b"))
       .agg(count(lit(1)).as("exact_inter"))
     val unionEst = when(col("n_union") < KmvK, col("n_union").cast("double"))
-      .otherwise(lit(255.0) * lit(1000000007.0) / col("union_kth").cast("double"))
+      .otherwise(graft.functions.Kmv.estimateFromKth(col("union_kth"), KmvK))
     val jacc = col("n_match").cast("double") / col("n_union").cast("double")
     val exactJacc = col("exact_inter").cast("double") /
       (col("nd_a") + col("nd_b") - col("exact_inter")).cast("double")
