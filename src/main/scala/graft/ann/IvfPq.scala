@@ -121,9 +121,10 @@ object IvfPq {
       idCol: String, vecCol: String): DataFrame = {
     val ms = meanSeq(means, centroidSeq(centroids).size)
     // feeds the code branch AND the (id, cluster) projection: assign-join
-    // and residual arithmetic run once (collected when the result drops)
-    val res = residuals(corpus, assignments, ms, idCol, vecCol)
-      .localCheckpoint()
+    // and residual arithmetic run once (collected when the result drops;
+    // multi-consumer, so the mode-aware multi-consumer barrier)
+    val res = graft.ops.Barrier.once(
+      residuals(corpus, assignments, ms, idCol, vecCol))
     // codes only: the rnorm Pq.encode would fold is ‖r̂‖, not the ‖μ+r̂‖
     // this index stores — skip the wasted per-row work; books collect
     // ONCE for both the code projection and the recon literals

@@ -91,7 +91,7 @@ object Pq {
       m: Int = 8, k: Int = 16, iterations: Int = 3): DataFrame = {
     val spark = corpus.sparkSession
     import spark.implicits._
-    val sv = subvectors(corpus, idCol, vecCol, m).localCheckpoint()
+    val sv = graft.ops.Barrier.iter(subvectors(corpus, idCol, vecCol, m))
     try {
       // init: the k corpus vectors with the smallest xxhash64(id); code j
       // = j-th smallest hash, identically in every subspace
@@ -128,7 +128,7 @@ object Pq {
       books.zipWithIndex.flatMap { case (cb, s) =>
         cb.zipWithIndex.map { case (c, j) => (s, j, c) }
       }.toDF("subspace", "code", "centroid")
-    } finally org.apache.spark.sql.graft.CheckpointUtils.release(sv)
+    } finally graft.ops.Barrier.releaseIter(sv)
   }
 
   /** Per-(sub) assignment over the exploded frame: dispatch on the `sub`

@@ -500,13 +500,13 @@ object Dedup {
   private[dedup] def connectedComponents(pairs: DataFrame,
       maxIters: Int = 20): DataFrame = {
     // canonical edge orientation throughout: (u = bigger id, v = smaller)
-    var cur = pairs.select(col("b_id").as("u"), col("a_id").as("v"))
-      .localCheckpoint()
+    var cur = graft.ops.Barrier.iter(
+      pairs.select(col("b_id").as("u"), col("a_id").as("v")))
     var curCount = cur.count()
     var changed = true
     var iter = 0
     while (changed && iter < maxIters) {
-      val next = smallStar(largeStar(cur)).localCheckpoint()
+      val next = graft.ops.Barrier.iter(smallStar(largeStar(cur)))
       // Exact set-equality at the cost of ONE count (no shuffle, over the
       // just-materialized checkpoint) on non-final iterations: smallStar
       // output is distinct, so |next| == |cur| plus next \ cur == ∅ ⇒ the
@@ -515,7 +515,7 @@ object Dedup {
       // post-contraction edge sets (BENCH_NOTES r9).
       val nextCount = next.count()
       changed = nextCount != curCount || !next.except(cur).isEmpty
-      org.apache.spark.sql.graft.CheckpointUtils.release(cur)
+      graft.ops.Barrier.releaseIter(cur)
       cur = next
       curCount = nextCount
       iter += 1

@@ -30,25 +30,66 @@ import org.apache.spark.storage.StorageLevel
   */
 object Barrier {
 
+  private def modeOf(df: DataFrame): String =
+    df.sparkSession.conf.getOption("spark.graft.barrier.mode")
+      .getOrElse("local")
+
+  private def badMode(other: String): Nothing =
+    throw new IllegalArgumentException(
+      s"spark.graft.barrier.mode: unknown mode '$other' " +
+        "(expected local | replicated | reliable)")
+
   /** Materialize `df` once, per the session's
     * `spark.graft.barrier.mode` (local | replicated | reliable).
     * Eager in every mode — consumers never race the materialization.
     */
   def once(df: DataFrame): DataFrame =
-    df.sparkSession.conf.getOption("spark.graft.barrier.mode")
-      .getOrElse("local") match {
+    modeOf(df) match {
       case "local" => df.localCheckpoint()
       case "replicated" =>
         df.persist(StorageLevel.MEMORY_AND_DISK_2)
         df.count() // eager: match localCheckpoint's semantics
         df
       case "reliable" => df.checkpoint()
-      case other => throw new IllegalArgumentException(
-        s"spark.graft.barrier.mode: unknown mode '$other' " +
-          "(expected local | replicated | reliable)")
+      case other => badMode(other)
     }
 
-  /** Release a frame [[once]] materialized, under the SAME mode config:
+  /** The PER-ROUND barrier for ITERATIVE consumers (star-contraction
+    * rounds, BPE merge rounds, PQ/IVF-PQ Lloyd iterations, the
+    * streaming novelty pin): every round must truncate lineage, or the
+    * plan grows by one round's operators per iteration until analysis
+    * itself dominates. That rules `replicated` persist out HERE — it
+    * keeps lineage — so the cluster answer for both cluster modes is
+    * the reliable `checkpoint()` (files in the session's checkpoint
+    * dir survive any executor loss AND truncate lineage), and `local`
+    * keeps `localCheckpoint()` (single-JVM, where an executor loss is
+    * a JVM loss anyway). Cluster modes therefore require
+    * `SparkContext.setCheckpointDir` (HDFS/object store on a real
+    * cluster); BarrierSpec pins all modes row-identical.
+    */
+  def iter(df: DataFrame): DataFrame =
+    modeOf(df) match {
+      case "local" => df.localCheckpoint()
+      case "replicated" | "reliable" => df.checkpoint()
+      case other => badMode(other)
+    }
+
+  /** Release a frame [[iter]] materialized: `local` → unpersist the
+    * checkpoint RDD; cluster modes → no-op (reliable checkpoint files
+    * belong to the checkpoint dir's lifecycle, exactly as in
+    * [[release]]'s `reliable` arm — an iterative loop deletes nothing
+    * a restarted query might still need).
+    */
+  def releaseIter(df: DataFrame): Unit =
+    modeOf(df) match {
+      case "local" => org.apache.spark.sql.graft.CheckpointUtils.release(df)
+      case "replicated" | "reliable" => ()
+      case other => badMode(other)
+    }
+
+  /** Release a frame [[once]] materialized, under the SAME mode config
+    * (multi-consumer barriers — for per-round loop state use
+    * [[releaseIter]]):
     * `local` → unpersist the checkpoint RDD (CheckpointUtils.release —
     * refuses derived plans), `replicated` → unpersist, `reliable` →
     * no-op (checkpoint files belong to the checkpoint dir's lifecycle).
@@ -73,17 +114,19 @@ object Barrier {
     def barrierOnce(): DataFrame = Barrier.once(df)
   }
 
-  // NOT routed through the barrier (each keeps a deliberate direct
+  // The ITERATIVE checkpoint loops (Dedup star contraction, BPE merge
+  // rounds, PQ/IVF-PQ training state, the streaming novelty pin) route
+  // through [[iter]]/[[releaseIter]] — per-round lineage truncation in
+  // every mode, reliable files under the cluster modes.
+  //
+  // NOT routed through any barrier (each keeps a deliberate direct
   // localCheckpoint):
-  //  - the ITERATIVE checkpoint loops (Dedup star contraction, BPE merge
-  //    rounds, streaming novelty state) — those need lineage truncation
-  //    per round to bound plan growth, so replicated persist (which
-  //    keeps lineage) is the wrong cluster answer there; `reliable`
-  //    checkpointing is, and they adopt it separately;
   //  - Compaction's overwrite-in-place barrier — after the target path
   //    is overwritten, ANY recompute (which replicated persist allows on
   //    double loss) would re-read the replaced files and corrupt rather
   //    than fail: truncated lineage is the correctness contract itself;
   //  - foreachBatch micro-batch internals — per-batch bounded frames
-  //    whose failure the streaming engine retries wholesale.
+  //    whose failure the streaming engine retries wholesale (the
+  //    novelty pin is the exception: it IS loop state across batches,
+  //    so it adopts [[iter]]).
 }

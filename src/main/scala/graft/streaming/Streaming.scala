@@ -327,7 +327,7 @@ object Streaming {
         // corrupt index row. One materialization, one answer (the
         // nearDupDedupSink invariant), and the batch is deduped and
         // anti-joined once instead of twice.
-        val novel = novel0.localCheckpoint()
+        val novel = graft.ops.Barrier.iter(novel0)
         try {
           val assigned = graft.ann.Ann.ivfAssignments(
             novel, idCol, vecCol, centroids)
@@ -335,7 +335,7 @@ object Streaming {
           assigned.join(coded, idCol)
             .select(col(idCol), col("cluster"), col("qv"))
             .write.mode("append").partitionBy("cluster").parquet(indexDir)
-        } finally org.apache.spark.sql.graft.CheckpointUtils.release(novel)
+        } finally graft.ops.Barrier.releaseIter(novel)
       }
 
   /** Streaming NEAR-dup dedup — the S8 foreachBatch sink composed with

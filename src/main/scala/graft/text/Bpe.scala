@@ -19,9 +19,10 @@ import org.apache.spark.sql.functions._
   *    (map-side-combinable sum), collects ONE row (the argmax pair —
   *    count desc, then lexicographic, so training is deterministic),
   *    and applies the merge as a narrow per-row fold. The symbol table
-  *    is localCheckpoint'd per iteration: k collects must not replay k
-  *    lineages (the same fused-iteration reasoning as
-  *    [[graft.ann.Ann]]'s Lloyd loop).
+  *    is barriered per iteration ([[graft.ops.Barrier.iter]] — lineage
+  *    truncation in every mode, reliable files on a cluster): k
+  *    collects must not replay k lineages (the same fused-iteration
+  *    reasoning as [[graft.ann.Ann]]'s Lloyd loop).
   *  - Encoding joins each document's words to the once-encoded
   *    distinct-word table — corpus tokens never pass through the
   *    merge loop.
@@ -66,9 +67,9 @@ object Bpe {
     */
   def train(words: DataFrame, merges: Int): DataFrame = {
     val spark = words.sparkSession
-    var syms = words.select(col("word"), col("n"),
-        concat(split(col("word"), ""), array(lit(Eow))).as("syms"))
-      .localCheckpoint()
+    var syms = graft.ops.Barrier.iter(
+      words.select(col("word"), col("n"),
+        concat(split(col("word"), ""), array(lit(Eow))).as("syms")))
     val out = mutable.ArrayBuffer.empty[(Long, String, String, Long)]
     var exhausted = false
     for (rank <- 1 to merges if !exhausted) {
@@ -83,13 +84,13 @@ object Bpe {
         val (l, r, c) = (top(0).getString(0), top(0).getString(1),
           top(0).getLong(2))
         out += ((rank.toLong, l, r, c))
-        val next = syms.withColumn("syms", mergeOnce(col("syms"), l, r))
-          .localCheckpoint()
-        org.apache.spark.sql.graft.CheckpointUtils.release(syms)
+        val next = graft.ops.Barrier.iter(
+          syms.withColumn("syms", mergeOnce(col("syms"), l, r)))
+        graft.ops.Barrier.releaseIter(syms)
         syms = next
       }
     }
-    org.apache.spark.sql.graft.CheckpointUtils.release(syms)
+    graft.ops.Barrier.releaseIter(syms)
     import spark.implicits._
     out.toSeq.toDF("rank", "left", "right", "n")
   }

@@ -74,6 +74,52 @@ class BarrierSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("iterative loops are mode-invariant: star contraction + BPE " +
+      "training run RELIABLE row-identical to local") {
+    spark.sparkContext.setCheckpointDir(
+      java.nio.file.Files.createTempDirectory("barrier-iter-spec").toString)
+    // star contraction: the q_dedup_clusters relation drives
+    // Dedup.connectedComponents' per-round Barrier.iter chain
+    def clusters() = graft.queries.DedupQ.dedupClusters(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // BPE: the merge-round loop pins its symbol table per round
+    def merges() = {
+      import org.apache.spark.sql.functions._
+      val words = Tables(spark, dir, "documents")
+        .select(explode(graft.text.TextOps.tokens(col("text"))).as("word"))
+        .groupBy("word").agg(count(lit(1)).as("n"))
+      graft.text.Bpe.train(words, merges = 5)
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2),
+          r.getLong(3))).toSet
+    }
+    val localClusters = withMode(Some("local"))(clusters())
+    val localMerges = withMode(Some("local"))(merges())
+    assert(localClusters.nonEmpty && localMerges.size == 5)
+    withMode(Some("reliable")) {
+      assert(clusters() == localClusters)
+      assert(merges() == localMerges)
+    }
+  }
+
+  test("iter in reliable mode leaves recoverable checkpoint files; " +
+      "releaseIter never deletes them") {
+    import spark.implicits._
+    val ckpt = java.nio.file.Files.createTempDirectory("barrier-iter-files")
+    spark.sparkContext.setCheckpointDir(ckpt.toString)
+    withMode(Some("reliable")) {
+      val pinned = Barrier.iter(Seq(1L, 2L, 3L).toDF("x"))
+      assert(pinned.count() == 3)
+      Barrier.releaseIter(pinned)
+      // the reliable files survive release (checkpoint-dir lifecycle
+      // owns them — a restarted query may still need them) and the
+      // frame stays consumable
+      assert(pinned.count() == 3)
+      def rddFiles(): Long = java.nio.file.Files.walk(ckpt)
+        .filter(p => java.nio.file.Files.isRegularFile(p)).count()
+      assert(rddFiles() > 0)
+    }
+  }
+
   test("unknown mode is a loud config error, not a silent fallback") {
     import spark.implicits._
     val df = Seq(1, 2, 3).toDF("x")
