@@ -187,6 +187,14 @@ object Bench {
       sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "target/bench.json"))
     Option(outPath.getParent).foreach(java.nio.file.Files.createDirectories(_))
     java.nio.file.Files.writeString(outPath, full + "\n")
+    // ALSO drop the full line at a stable REPO-TRACKED path: the
+    // committed BENCH_rNN.json is the driver's stdout tail, which
+    // truncates the per-query map away (r10 verdict, "what's wrong"
+    // #3) — this file rides the end-of-round commit, so round-over-
+    // round per-query regression checks never depend on a side file.
+    val repoCopy = java.nio.file.Paths.get("BENCH_FULL_latest.json")
+    try java.nio.file.Files.writeString(repoCopy, full + "\n")
+    catch { case _: java.io.IOException => () } // read-only cwd: keep target/
     spark.stop()
   }
 }

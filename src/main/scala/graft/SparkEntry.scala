@@ -390,6 +390,11 @@ object SparkEntry {
     "q_dedup_clusters" -> DedupQ.dedupClusters,
     // dedup — embedding cosine near-dup pairs
     "q_embed_near_dup" -> DedupQ.embedNearDup,
+    // dedup — the PRODUCTION selective-threshold regime: sign-LSH
+    // bucketed candidates + exact verify at t=0.9 over planted twins
+    // (the sub-quadratic cosine-pair path, oracled against exact
+    // all-pairs — a single recall miss would hash-mismatch)
+    "q_embed_near_dup_selective" -> DedupQ.embedNearDupSelective,
     // dedup — embedding near-dup clusters (blocked pairs + star contraction)
     "q_embed_clusters" -> DedupQ.embedClusters,
     // the same clusters through the refreshed stage artifact (parquet
@@ -578,6 +583,10 @@ object SparkEntry {
     // the DATASET CARD: 15 corpus-level metrics, each from an
     // independently-oracled stage, in one (metric, value) artifact
     "q_data_card" -> CardQ.dataCard,
+    // the card through the TRANSACTIONAL store: versioned next to the
+    // cluster labels it summarizes (one manifest pointer), resolved
+    // via Publish.current — shares q_data_card's oracle verbatim
+    "q_data_card_published" -> CardQ.dataCardPublished,
     // what today's ingest changed in the verdict: added / keep_flipped
     // / canonical_moved per doc, old corpus = minus the arrival batch
     "q_verdict_diff" -> DedupQ.verdictDiff,
@@ -632,6 +641,10 @@ object SparkEntry {
     // ivfProbeIndexed path (route table, isin pruning, per-cell rank);
     // oracle replays routing + ranking exactly
     "q_ann_ivf_fixture" -> AnnQ.ivfFixtureTopK,
+    // IVF-ADC serving over the pinned fixture: real int8 quantization
+    // (floor-half-up codes) + cell-pruned asymmetric-cosine ranking —
+    // the oracle replays scale, codes, routing and ADC end-to-end
+    "q_ann_ivfadc_fixture" -> AnnQ.ivfAdcFixtureTopK,
     // MMR greedy loop over pinned integer relevances/vectors — oracle
     // replays the k selection steps as unrolled CTEs
     "q_ann_mmr_fixture" -> AnnQ.mmrFixtureTopK,
@@ -730,7 +743,7 @@ object SparkEntry {
     "q_ann_ivf" -> "fixture twin q_ann_ivf_fixture (hash-match); AnnSpec pins recall vs q_ann_topk + determinism",
     "q_ann_ivf_indexed" -> "fixture twin q_ann_ivf_fixture; AnnSpec pins saved-index probe ≡ fresh build",
     "q_ann_ivf_probe" -> "fixture twin q_ann_ivf_fixture; AnnSpec pins probe ≡ fresh q_ann_ivf",
-    "q_ann_ivf_quant" -> "hash-matched q_ann_topk_quant covers code ranking; AnnSpec pins cell-routing identity with the float probe",
+    "q_ann_ivf_quant" -> "fixture twin q_ann_ivfadc_fixture (hash-match: quantize + route + ADC end-to-end); hash-matched q_ann_topk_quant covers corpus-scale code ranking; AnnSpec pins cell-routing identity with the float probe",
     "q_ann_ivfpq" -> "fixture twin q_ann_ivfpq_fixture (hash-match); IvfPqSpec pins ADC ≡ reconstructed-dot + determinism",
     "q_ann_ivfpq_probe" -> "fixture twin q_ann_ivfpq_fixture; IvfPqSpec pins probe ≡ rebuild",
     "q_ann_lsh" -> "fixture twin q_ann_lsh_fixture (hash-match); AnnSpec pins recall vs q_ann_topk",
@@ -760,6 +773,9 @@ object SparkEntry {
     "q_embed_clusters_staged" -> oracleSqlBase("q_embed_clusters"),
     "q_corpus_report_mm_compose" -> oracleSqlBase("q_corpus_report_mm"),
     "q_hll_ndv_compose" -> oracleSqlBase("q_hll_ndv"),
+    // the published card must serve EXACTLY the inline card's relation
+    // through the manifest pointer — same oracle, release shape
+    "q_data_card_published" -> oracleSqlBase("q_data_card"),
     // the stream-built register table must serve EXACTLY the batch
     // sketch relation (register max is idempotent over micro-batching)
     "q_stream_hll" -> oracleSqlBase("q_hll_ndv"),
@@ -1641,6 +1657,53 @@ object SparkEntry {
         | neighbor_id, round(c, 6) AS cosine
         |FROM f
         |QUALIFY rank <= 5""".stripMargin,
+    // IVF-ADC fixture replay: the same raw-dot routing CTEs, the
+    // corpus side swapped for its int8 codes (scale = max|v|/127,
+    // floor-half-up clamped — the exact Quantize arithmetic) and the
+    // ranking for the asymmetric cosine against the FLOAT query
+    "q_ann_ivfadc_fixture" ->
+      s"""WITH v(vec_id, emb) AS (VALUES
+        |  ${graft.ann.PqFixture.corpusValuesSql}
+        |), ct(cluster, centroid) AS (VALUES
+        |  ${graft.ann.PqFixture.centroidsValuesSql}
+        |), asg(vec_id, cluster) AS (VALUES
+        |  ${graft.ann.PqFixture.assignmentsValuesSql}
+        |), sc AS (
+        |  SELECT vec_id, emb,
+        |   list_max(list_transform(emb, x -> abs(x))) / 127.0 AS scale
+        |  FROM v
+        |), cd AS (
+        |  SELECT vec_id,
+        |   CASE WHEN scale = 0 THEN list_transform(emb, x -> CAST(0 AS DOUBLE))
+        |        ELSE list_transform(emb, x -> CAST(greatest(-127.0,
+        |          least(127.0, floor(x / scale + 0.5))) AS DOUBLE)) END AS qv
+        |  FROM sc
+        |), q AS (
+        |  SELECT vec_id AS query_id, emb AS vq,
+        |   sqrt(list_dot_product(emb, emb)) AS nq
+        |  FROM v WHERE vec_id < 3
+        |), rt AS (
+        |  SELECT query_id, cluster FROM (
+        |    SELECT q.query_id, ct.cluster,
+        |     row_number() OVER (PARTITION BY q.query_id
+        |       ORDER BY list_dot_product(q.vq, ct.centroid) DESC, ct.cluster)
+        |       AS rn
+        |    FROM q CROSS JOIN ct) WHERE rn <= 2
+        |), f AS (
+        |  SELECT rt.query_id, a.vec_id AS neighbor_id,
+        |   list_dot_product(cc.qv, q.vq)
+        |     / (sqrt(list_dot_product(cc.qv, cc.qv)) * q.nq) AS c
+        |  FROM rt
+        |  JOIN asg a ON a.cluster = rt.cluster AND a.vec_id <> rt.query_id
+        |  JOIN cd cc ON cc.vec_id = a.vec_id
+        |  JOIN q ON q.query_id = rt.query_id
+        |)
+        |SELECT query_id,
+        | CAST(row_number() OVER (PARTITION BY query_id
+        |   ORDER BY c DESC, neighbor_id) AS BIGINT) AS rank,
+        | neighbor_id, round(c, 6) AS cosine
+        |FROM f
+        |QUALIFY rank <= 5""".stripMargin,
     // MMR greedy replay: k selection steps unrolled as CTEs (the
     // graph-oracle pattern), score = 0.25·rel − 0.75·max cos over the
     // selected set, argmax with smaller-id tiebreak — every term exact
@@ -1752,6 +1815,24 @@ object SparkEntry {
         |  FROM e a JOIN e b ON a.vec_id < b.vec_id
         |)
         |SELECT a_id, b_id, round(c, 6) AS cosine FROM p WHERE c >= 0.4""".stripMargin,
+    // the selective regime: replay the twin planting (id + 1e7, each
+    // coordinate + 0.01 — identical IEEE double ops both engines),
+    // then EXACT all-pairs cosine at t=0.9 — the LSH path must find
+    // every pair the exact scan finds or the hash mismatches
+    "q_embed_near_dup_selective" ->
+      """WITH e AS (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+        |), corpus AS (
+        |  SELECT vec_id, v FROM e
+        |  UNION ALL
+        |  SELECT vec_id + 10000000, list_transform(v, x -> x + 0.01)
+        |  FROM e WHERE vec_id % 10 = 0
+        |), p AS (
+        |  SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+        |   list_cosine_similarity(a.v, b.v) AS c
+        |  FROM corpus a JOIN corpus b ON a.vec_id < b.vec_id
+        |)
+        |SELECT a_id, b_id, round(c, 6) AS cosine FROM p WHERE c >= 0.9""".stripMargin,
     "q_embed_clusters" -> embedClosureSqlFrom("embeddings"),
     // forget over the embedding artifact: the identical closure rebuilt
     // on the filtered vectors (incremental ≡ full, modality-generic)

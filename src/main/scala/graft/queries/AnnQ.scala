@@ -309,6 +309,27 @@ object AnnQ {
       "vec_id", "embedding", k = 5, nProbe = 2)
   }
 
+  /** q_ann_ivfadc_fixture: the QUANTIZED-SERVING twin of
+    * [[ivfFixtureTopK]] — the real [[graft.ann.Ann.ivfProbeQuantized]]
+    * (unchanged: driver-side route table, isin cell pruning, int8-ADC
+    * rank join) with the corpus codes from the real
+    * [[graft.ann.Quantize.codes]] over the pinned integer fixture.
+    * Every step replays in DuckDB: per-vector scale = max|v|/127,
+    * floor-half-up clamped codes, raw-dot cell routing, and the
+    * asymmetric cosine dot(codes, float query)/(‖codes‖·‖q‖) — closing
+    * the one ANN serving path (q_ann_ivf_quant) that had no
+    * hash-matched fixture twin of its own.
+    */
+  def ivfAdcFixtureTopK(spark: SparkSession, dir: String): DataFrame = {
+    val fx = graft.ann.PqFixture
+    val corpus = fx.corpusDf(spark)
+    Ann.ivfProbeQuantized(
+      graft.ann.Quantize.codes(corpus, "vec_id", "embedding"),
+      fx.assignmentsDf(spark), fx.centroidsDf(spark),
+      corpus.filter(col("vec_id") < 3),
+      "vec_id", "embedding", "qv", k = 5, nProbe = 2)
+  }
+
   /** q_ann_mmr_fixture: the GREEDY-LOOP twin of q_ann_mmr — the real
     * [[graft.ann.Mmr.rerank]] (unchanged) over pinned integer
     * relevances and the fixture corpus' integer vectors, λ = 0.25

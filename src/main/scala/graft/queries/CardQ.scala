@@ -108,4 +108,16 @@ object CardQ {
       .select(col("metric"), round(col("value"), 6).as("value"))
       .orderBy(col("metric"))
   }
+
+  /** The card SERVED the way a release actually ships it: published as
+    * a versioned artifact next to the cluster labels it summarizes
+    * (one [[graft.ops.Publish.publish]] call, one manifest pointer —
+    * the card can never describe a different corpus version than the
+    * labels beside it) and read back through `Publish.current`. Shares
+    * [[dataCard]]'s oracle verbatim: identical rows through the
+    * pointer IS the contract under test.
+    */
+  def dataCardPublished(spark: SparkSession, dir: String): DataFrame =
+    spark.read.parquet(DedupQ.publishedStore(spark, dir)("card"))
+      .orderBy(col("metric"))
 }

@@ -152,6 +152,23 @@ class DedupSpec extends AnyFunSuite with SparkSpec {
     assert(blocked == exact)
   }
 
+  test("embedNearDupSelective: LSH candidates + exact verify find EVERY " +
+      "planted twin pair at t=0.9, nothing else") {
+    for (dir <- Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01")) {
+      val got = graft.queries.DedupQ.embedNearDupSelective(spark, dir)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      val planted = spark.read.parquet(s"$dir/embeddings.parquet")
+        .filter(col("vec_id") % 10 === 0)
+        .select("vec_id").collect().map(_.getLong(0)).toSet
+      assert(planted.nonEmpty, dir)
+      // exactly one pair per planted twin: (v, v + 1e7), cosine well
+      // inside (0.9, 1) — the +0.01 shift moves it off the trivial 1.0
+      assert(got.map(t => (t._1, t._2)).toSet ==
+        planted.map(v => (v, v + 10000000L)), dir)
+      assert(got.forall(t => t._3 > 0.99 && t._3 < 1.0), dir)
+    }
+  }
+
   test("incrementalNearDup equals the full-corpus pairs restricted to the batch") {
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     val batch = docs.filter(col("doc_id") % 7 === 0)
