@@ -59,6 +59,45 @@ class PublishSpec extends AnyFunSuite with SparkSpec {
     assert(tagsAt(root) === Map("labels" -> "v3", "index" -> "v3"))
   }
 
+  test("the DATASET CARD rides the crash matrix: a failed card write " +
+      "leaves readers on the old (labels, card) pair; the recovered " +
+      "publish serves the inline card exactly") {
+    val dir = "/root/testdata/sf0.001"
+    val root = newRoot()
+    def writeCard(path: String): Unit =
+      graft.queries.CardQ.dataCard(spark, dir)
+        .write.mode("overwrite").parquet(path)
+    def writeLabels(tag: String)(path: String): Unit = writeNums(tag)(path)
+    Publish.publish(spark, root, Map(
+      "clusters" -> writeLabels("v1"), "card" -> writeCard))
+    val v1Card = spark.read.parquet(Publish.current(spark, root)("card"))
+      .collect().map(r => (r.getString(0), r.getDouble(1))).toSet
+    assert(v1Card.nonEmpty)
+    // the card writer dies mid-publish (alphabetically after clusters,
+    // so the labels for v2 are already on disk): readers must keep the
+    // v1 card AND the v1 labels — a v2-labels/v1-card serve would be
+    // exactly the mixed-version release this store exists to prevent
+    intercept[RuntimeException] {
+      Publish.publish(spark, root, Map(
+        "clusters" -> writeLabels("v2"),
+        "xcard" -> (_ => throw new RuntimeException("card stage died"))))
+    }
+    val after = Publish.current(spark, root)
+    assert(after.keySet === Set("clusters", "card"))
+    assert(spark.read.parquet(after("card"))
+      .collect().map(r => (r.getString(0), r.getDouble(1))).toSet === v1Card)
+    assert(spark.read.parquet(after("clusters")).select("tag").distinct()
+      .collect().map(_.getString(0)).toSeq === Seq("v1"))
+    // recovery: the next publish versions both again, and the card
+    // served through the pointer is EXACTLY the inline relation
+    Publish.publish(spark, root, Map(
+      "clusters" -> writeLabels("v3"), "card" -> writeCard))
+    val served = spark.read.parquet(Publish.current(spark, root)("card"))
+      .collect().map(r => (r.getString(0), r.getDouble(1))).toSet
+    assert(served === graft.queries.CardQ.dataCard(spark, dir)
+      .collect().map(r => (r.getString(0), r.getDouble(1))).toSet)
+  }
+
   test("rollback re-points at the retained previous version") {
     val root = newRoot()
     Publish.publish(spark, root, Map("labels" -> writeNums("v1")))
