@@ -631,6 +631,11 @@ object SparkEntry {
     // similarity search — IVF-PQ doubly-reduced ADC probe against
     // prebuilt artifacts (cell pruning x m-lookup scoring)
     "q_ann_ivfpq_probe" -> AnnQ.ivfPqTopKProbe,
+    // similarity search — OPQ (Ge et al. OPQ_P): PCA eigen-rotation
+    // with greedy λ-product allocation, then PQ in the rotated space
+    // (rows-only; PqSpec measures the reconstruction-MSE drop vs raw
+    // PQ; the fixture twin hash-matches the rotate+ADC serving path)
+    "q_ann_opq" -> AnnQ.opqTopK,
     // PQ ADC serving over the PINNED integer fixture — hash-match
     // oracle: DuckDB replays encode + LUT + rnorm + ranking exactly
     "q_ann_pq_fixture" -> AnnQ.pqFixtureTopK,
@@ -645,6 +650,10 @@ object SparkEntry {
     // (floor-half-up codes) + cell-pruned asymmetric-cosine ranking —
     // the oracle replays scale, codes, routing and ADC end-to-end
     "q_ann_ivfadc_fixture" -> AnnQ.ivfAdcFixtureTopK,
+    // OPQ serving over the pinned fixture: a signed-permutation
+    // rotation (orthonormal, integer) applied by the real Opq.rotate,
+    // then the real PQ encode/ADC — DuckDB replays rotate-then-serve
+    "q_ann_opq_fixture" -> AnnQ.opqFixtureTopK,
     // MMR greedy loop over pinned integer relevances/vectors — oracle
     // replays the k selection steps as unrolled CTEs
     "q_ann_mmr_fixture" -> AnnQ.mmrFixtureTopK,
@@ -711,6 +720,14 @@ object SparkEntry {
     // multimodal — image near-dup pairs: banded pHash candidates +
     // exact Hamming verify (the dedup family's image member)
     "q_image_phash_pairs" -> MultimodalQ.imagePhashPairs,
+    // multimodal — JPEG pixel fingerprints through the from-scratch
+    // baseline JPEG codec (real Huffman entropy decode + IDCT); the
+    // all-ones-quant mosaics decode EXACTLY, so the oracle replays the
+    // hash from the block formula — JPEG pixels leave quarantine
+    "q_image_jpeg_phash" -> MultimodalQ.imageJpegPhash,
+    // JPEG near-dup pairs: the shared banded candidate + Hamming
+    // verify machinery over the JPEG-decoded hashes
+    "q_image_jpeg_pairs" -> MultimodalQ.imageJpegPairs,
     // multimodal — audio fingerprints through the real WAV PCM codec
     // round-trip (oracle recomputes from the sample formula)
     "q_audio_ahash" -> MultimodalQ.audioAhash,
@@ -750,6 +767,7 @@ object SparkEntry {
     "q_ann_lsh_probe" -> "fixture twin q_ann_lsh_probe_fixture (hash-match); AnnSpec pins recall + probe-superset vs q_ann_lsh",
     "q_ann_mmr" -> "fixture twin q_ann_mmr_fixture (hash-match); MmrSpec pins the greedy selection",
     "q_ann_pq" -> "fixture twin q_ann_pq_fixture (hash-match); PqSpec pins ADC ≡ reconstructed-dot + recall + determinism",
+    "q_ann_opq" -> "fixture twin q_ann_opq_fixture (hash-match: rotate + encode + ADC); PqSpec measures reconstruction-MSE drop vs raw PQ at the same code budget + determinism",
     "q_ann_pq_probe" -> "fixture twin q_ann_pq_fixture; PqSpec pins probe ≡ rebuild",
     "q_approx_distinct" -> "sketch by design; SketchQSpec pins HLL estimate within 5% of exact distinct per group",
     "q_approx_percentiles" -> "sketch by design; SketchQSpec pins approx percentiles within 2% of exact per group",
@@ -1496,6 +1514,60 @@ object SparkEntry {
     "q_ann_pq_fixture" ->
       s"""WITH v(vec_id, emb) AS (VALUES
         |  ${graft.ann.PqFixture.corpusValuesSql}
+        |), cb(subspace, code, centroid) AS (VALUES
+        |  ${graft.ann.PqFixture.codebooksValuesSql}
+        |), sv AS (
+        |  SELECT v.vec_id, cb.subspace, cb.code,
+        |   list_dot_product(cb.centroid, cb.centroid)
+        |    - 2 * list_dot_product(
+        |        list_slice(v.emb, cb.subspace*2+1, cb.subspace*2+2),
+        |        cb.centroid) AS dist
+        |  FROM v CROSS JOIN cb
+        |), codes AS (
+        |  SELECT vec_id, subspace, code FROM (
+        |    SELECT vec_id, subspace, code,
+        |     row_number() OVER (PARTITION BY vec_id, subspace
+        |       ORDER BY dist, code) AS rn
+        |    FROM sv) WHERE rn = 1
+        |), rec AS (
+        |  SELECT c.vec_id,
+        |   sqrt(sum(list_dot_product(cb.centroid, cb.centroid))) AS rnorm
+        |  FROM codes c JOIN cb ON cb.subspace = c.subspace AND cb.code = c.code
+        |  GROUP BY 1
+        |), q AS (
+        |  SELECT vec_id AS query_id, emb AS qv,
+        |   sqrt(list_dot_product(emb, emb)) AS nq
+        |  FROM v WHERE vec_id < 3
+        |), sc AS (
+        |  SELECT q.query_id, c.vec_id AS neighbor_id, q.nq,
+        |   sum(list_dot_product(
+        |     list_slice(q.qv, c.subspace*2+1, c.subspace*2+2),
+        |     cb.centroid)) AS adc
+        |  FROM q CROSS JOIN codes c
+        |  JOIN cb ON cb.subspace = c.subspace AND cb.code = c.code
+        |  WHERE c.vec_id <> q.query_id
+        |  GROUP BY 1, 2, 3
+        |), f AS (
+        |  SELECT s.query_id, s.neighbor_id,
+        |   CASE WHEN r.rnorm * s.nq > 0 THEN s.adc / (r.rnorm * s.nq)
+        |        ELSE 0.0 END AS c
+        |  FROM sc s JOIN rec r ON r.vec_id = s.neighbor_id
+        |)
+        |SELECT query_id,
+        | CAST(row_number() OVER (PARTITION BY query_id
+        |   ORDER BY c DESC, neighbor_id) AS BIGINT) AS rank,
+        | neighbor_id, round(c, 6) AS cosine
+        |FROM f
+        |QUALIFY rank <= 5""".stripMargin,
+    // the OPQ twin: the identical argmin-encode + LUT + rnorm replay,
+    // over the corpus ROTATED by the pinned signed permutation (list
+    // reorder + negate — integer-exact, orthonormal)
+    "q_ann_opq_fixture" ->
+      s"""WITH v0(vec_id, emb) AS (VALUES
+        |  ${graft.ann.PqFixture.corpusValuesSql}
+        |), v AS (
+        |  SELECT vec_id, ${graft.ann.PqFixture.opqRotationSql("emb")} AS emb
+        |  FROM v0
         |), cb(subspace, code, centroid) AS (VALUES
         |  ${graft.ann.PqFixture.codebooksValuesSql}
         |), sv AS (
@@ -3294,6 +3366,32 @@ object SparkEntry {
     "q_image_phash" ->
       s"""WITH $phashHashSql
         |SELECT asset_id, phash_hi, phash_lo FROM phash""".stripMargin,
+    "q_image_jpeg_phash" ->
+      s"""WITH $jpegHashSql
+        |SELECT asset_id, phash_hi, phash_lo FROM jphash""".stripMargin,
+    // JPEG near-dup pairs: identical band replay as the PNG pairs,
+    // over the JPEG-mosaic-derived hashes
+    "q_image_jpeg_pairs" ->
+      s"""WITH $jpegHashSql,
+        |bands AS (
+        |  SELECT asset_id, b.range AS band,
+        |    CASE b.range WHEN 0 THEN phash_lo % 65536 WHEN 1 THEN phash_lo // 65536
+        |                 WHEN 2 THEN phash_hi % 65536 ELSE phash_hi // 65536 END AS v
+        |  FROM jphash, range(4) b
+        |),
+        |cand AS (
+        |  SELECT DISTINCT a.asset_id AS a_id, c.asset_id AS b_id
+        |  FROM bands a JOIN bands c
+        |    ON a.band = c.band AND a.v = c.v AND a.asset_id < c.asset_id
+        |)
+        |SELECT cand.a_id, cand.b_id,
+        |  CAST(bit_count(xor(ha.phash_hi, hb.phash_hi))
+        |     + bit_count(xor(ha.phash_lo, hb.phash_lo)) AS BIGINT) AS hamming
+        |FROM cand
+        |JOIN jphash ha ON ha.asset_id = cand.a_id
+        |JOIN jphash hb ON hb.asset_id = cand.b_id
+        |WHERE bit_count(xor(ha.phash_hi, hb.phash_hi))
+        |    + bit_count(xor(ha.phash_lo, hb.phash_lo)) <= 10""".stripMargin,
     "q_audio_ahash" ->
       s"""WITH $ahashHashSql
         |SELECT asset_id, ahash_hi, ahash_lo FROM ahash""".stripMargin,
@@ -3840,6 +3938,42 @@ object SparkEntry {
       |)""".stripMargin
 
   private lazy val phashHashSql: String = phashHashSqlFrom("documents")
+
+  /** The JPEG fingerprint CTEs: the same [[phashHashSqlFrom]] mosaic
+    * formula WITHOUT the color-luma fold (JPEG assets are grayscale)
+    * and with only the truncation plant excluded (no CRC plant — a
+    * JPEG entropy stream carries none, see Multimodal.jpegImageAssets).
+    * The 72×64 assets put one 8×8 block per dHash cell, so the cell
+    * mean IS the block value.
+    */
+  private lazy val jpegHashSql: String =
+    s"""docs AS (
+      |  SELECT doc_id FROM documents WHERE doc_id % 91 <> 0
+      |),
+      |grid AS (
+      |  SELECT d.doc_id, bx.range AS bx, by.range AS by,
+      |    ((((d.doc_id // 4) * 72 + by.range * 9 + bx.range) % 509)
+      |      * (((d.doc_id // 4) * 72 + by.range * 9 + bx.range) % 509)
+      |      * (((d.doc_id // 4) * 72 + by.range * 9 + bx.range) % 509) % 509
+      |     + CASE WHEN (bx.range + by.range * 9 + d.doc_id) % 23 = 0
+      |            THEN (d.doc_id % 4) * 8 ELSE 0 END) % 256 AS p
+      |  FROM docs d, range(9) bx, range(8) by
+      |),
+      |bits AS (
+      |  SELECT g1.doc_id, CAST(g1.by * 8 + g1.bx AS BIGINT) AS pos,
+      |    CASE WHEN g2.p > g1.p THEN 1 ELSE 0 END AS bit
+      |  FROM grid g1 JOIN grid g2
+      |    ON g2.doc_id = g1.doc_id AND g2.by = g1.by AND g2.bx = g1.bx + 1
+      |  WHERE g1.bx < 8
+      |),
+      |jphash AS (
+      |  SELECT doc_id AS asset_id,
+      |    CAST(SUM(CASE WHEN pos >= 32
+      |      THEN bit * (1::BIGINT << CAST(pos - 32 AS INTEGER)) ELSE 0 END) AS BIGINT) AS phash_hi,
+      |    CAST(SUM(CASE WHEN pos < 32
+      |      THEN bit * (1::BIGINT << CAST(pos AS INTEGER)) ELSE 0 END) AS BIGINT) AS phash_lo
+      |  FROM bits GROUP BY doc_id
+      |)""".stripMargin
 
   /** [[phashHashSql]] parameterized over the document relation — the
     * image-forget oracle replays the same fingerprint formula on the

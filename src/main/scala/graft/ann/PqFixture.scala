@@ -86,6 +86,26 @@ object PqFixture {
     assignments.toDF("vec_id", "cluster")
   }
 
+  /** The pinned OPQ rotation: a SIGNED PERMUTATION (y_j = s_j·x_{π(j)},
+    * π = dimension reversal, s alternating) — orthonormal with integer
+    * entries, so the rotated corpus stays integer-exact and the whole
+    * rotate→argmin-encode→ADC path replays in DuckDB as list reorder +
+    * negate. The learned eigen-rotation's SERVING math is identical;
+    * only the basis values differ.
+    */
+  val opqRotation: Array[Array[Double]] =
+    Array.tabulate(dim, dim)((j, c) =>
+      if (c == dim - 1 - j) (if (j % 2 == 0) 1.0 else -1.0) else 0.0)
+
+  /** The [[opqRotation]] applied in SQL: the rotated embedding as a
+    * DuckDB list expression over a 1-based `emb` list column.
+    */
+  def opqRotationSql(emb: String): String =
+    (0 until dim).map { j =>
+      val src = s"$emb[${dim - j}]" // π(j) = dim-1-j, 1-based
+      if (j % 2 == 0) src else s"-$src"
+    }.mkString("[", ", ", "]")
+
   private def arr(v: Seq[Double]): String =
     v.map(_.toInt).mkString("CAST([", ", ", "] AS DOUBLE[])")
 

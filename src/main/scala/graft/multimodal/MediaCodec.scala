@@ -875,4 +875,486 @@ object MediaCodec {
   private def writeBe16(o: java.io.ByteArrayOutputStream, v: Int): Unit = {
     o.write((v >>> 8) & 0xff); o.write(v & 0xff)
   }
+
+  // ===== Baseline JPEG, grayscale (ITU-T T.81 / JFIF) ==================
+  //
+  // A from-scratch SEQUENTIAL-BASELINE codec for the one-component
+  // (luma) case: real forward/inverse DCT, real canonical-Huffman
+  // entropy coding with 0xFF byte stuffing, DC prediction, zigzag,
+  // quantization. The encoder declares its own tables in DQT/DHT —
+  // quantization all-ones (so block-constant "mosaic" pixels round-trip
+  // EXACTLY: a constant block is DC-only, DC = 8·(v−128) is integer,
+  // and the DC-only inverse is v again), and canonical Huffman tables
+  // derived from two one-line BITS specs (12 DC categories at length 4,
+  // all 162 AC symbols at length 8 — Kraft-valid, built by the T.81
+  // code-assignment algorithm rather than transcribed constants).
+  // The decoder reads whatever tables the stream declares, so it
+  // decodes third-party baseline grayscale JPEGs too, not just its
+  // sibling's output.
+
+  /** Zigzag order: ZigZag(i) = raster index of the i-th zigzag coeff. */
+  private val ZigZag: Array[Int] = {
+    val out = new Array[Int](64)
+    var i = 0
+    var x = 0; var y = 0; var up = true
+    while (i < 64) {
+      out(i) = y * 8 + x
+      if (up) {
+        if (x == 7) { y += 1; up = false }
+        else if (y == 0) { x += 1; up = false }
+        else { x += 1; y -= 1 }
+      } else {
+        if (y == 7) { x += 1; up = true }
+        else if (x == 0) { y += 1; up = true }
+        else { x -= 1; y += 1 }
+      }
+      i += 1
+    }
+    out
+  }
+
+  /** Canonical Huffman code assignment (T.81 Annex C): BITS(l) codes of
+    * length l+1, values in HUFFVAL order → (code, length) per value.
+    */
+  private def canonicalCodes(bits: Array[Int], vals: Array[Int])
+      : Map[Int, (Int, Int)] = {
+    var code = 0
+    var k = 0
+    val out = scala.collection.mutable.Map.empty[Int, (Int, Int)]
+    var l = 1
+    while (l <= 16) {
+      var n = 0
+      while (n < bits(l - 1)) {
+        out(vals(k)) = (code, l)
+        code += 1; k += 1; n += 1
+      }
+      code <<= 1
+      l += 1
+    }
+    out.toMap
+  }
+
+  /** The encoder's own tables: 12 DC size categories at code length 4;
+    * all 162 baseline AC (run, size) symbols at code length 8. Both
+    * Kraft-complete enough (12/16, 162/256) to be valid prefix codes.
+    */
+  private val JpegDcBits: Array[Int] =
+    Array(0, 0, 0, 12, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0)
+  private val JpegDcVals: Array[Int] = (0 to 11).toArray
+  private val JpegAcVals: Array[Int] = {
+    val syms = scala.collection.mutable.ArrayBuffer(0x00, 0xf0) // EOB, ZRL
+    for (run <- 0 to 15; size <- 1 to 10) syms += ((run << 4) | size)
+    syms.sorted.toArray // 162 symbols, ascending for determinism
+  }
+  private val JpegAcBits: Array[Int] = {
+    val b = new Array[Int](16); b(7) = JpegAcVals.length; b
+  }
+
+  private class BitWriter(o: java.io.ByteArrayOutputStream) {
+    private var acc = 0
+    private var nbits = 0
+    def put(code: Int, len: Int): Unit = {
+      var i = len - 1
+      while (i >= 0) {
+        acc = (acc << 1) | ((code >>> i) & 1)
+        nbits += 1
+        if (nbits == 8) {
+          o.write(acc & 0xff)
+          if ((acc & 0xff) == 0xff) o.write(0x00) // byte stuffing
+          acc = 0; nbits = 0
+        }
+        i -= 1
+      }
+    }
+    def flushWithOnes(): Unit =
+      if (nbits > 0) { put((1 << (8 - nbits)) - 1, 8 - nbits) }
+  }
+
+  /** Magnitude category (T.81 "SSSS") and the SSSS-bit two's-ish
+    * representation of v (negative values are encoded as v − 1 in SSSS
+    * bits, per the EXTEND convention).
+    */
+  private def category(v: Int): Int = {
+    var a = math.abs(v); var s = 0
+    while (a != 0) { a >>= 1; s += 1 }
+    s
+  }
+
+  private def fdct8(block: Array[Double]): Array[Double] = {
+    val out = new Array[Double](64)
+    var u = 0
+    while (u < 8) {
+      var v = 0
+      while (v < 8) {
+        var s = 0.0
+        var x = 0
+        while (x < 8) {
+          var y = 0
+          while (y < 8) {
+            s += block(y * 8 + x) *
+              math.cos((2 * x + 1) * u * math.Pi / 16) *
+              math.cos((2 * y + 1) * v * math.Pi / 16)
+            y += 1
+          }
+          x += 1
+        }
+        val cu = if (u == 0) 1.0 / math.sqrt(2.0) else 1.0
+        val cv = if (v == 0) 1.0 / math.sqrt(2.0) else 1.0
+        out(v * 8 + u) = 0.25 * cu * cv * s
+        v += 1
+      }
+      u += 1
+    }
+    out
+  }
+
+  private def idct8(coef: Array[Double]): Array[Double] = {
+    val out = new Array[Double](64)
+    var x = 0
+    while (x < 8) {
+      var y = 0
+      while (y < 8) {
+        var s = 0.0
+        var u = 0
+        while (u < 8) {
+          var v = 0
+          while (v < 8) {
+            val cu = if (u == 0) 1.0 / math.sqrt(2.0) else 1.0
+            val cv = if (v == 0) 1.0 / math.sqrt(2.0) else 1.0
+            s += cu * cv * coef(v * 8 + u) *
+              math.cos((2 * x + 1) * u * math.Pi / 16) *
+              math.cos((2 * y + 1) * v * math.Pi / 16)
+            v += 1
+          }
+          u += 1
+        }
+        out(y * 8 + x) = 0.25 * s
+        y += 1
+      }
+      x += 1
+    }
+    out
+  }
+
+  /** A COMPLETE baseline grayscale JFIF: SOI, APP0, DQT (all-ones, so
+    * 8×8-constant pixel functions survive encode→decode EXACTLY), SOF0,
+    * the two self-declared DHTs, SOS, real entropy-coded scan, EOI.
+    * `w` and `h` must be multiples of 8 (this encoder does not pad
+    * partial MCUs; the asset synthesizers use 72×64).
+    */
+  def jpegGray(w: Int, h: Int, pixel: (Int, Int) => Int): Array[Byte] = {
+    require(w % 8 == 0 && h % 8 == 0, s"jpegGray: $w x $h not MCU-aligned")
+    val o = new java.io.ByteArrayOutputStream()
+    def marker(m: Int): Unit = { o.write(0xff); o.write(m) }
+    marker(0xd8) // SOI
+    marker(0xe0) // APP0 / JFIF
+    writeBe16(o, 16)
+    o.write(Array[Byte]('J', 'F', 'I', 'F', 0, 1, 1, 0), 0, 8)
+    writeBe16(o, 1); writeBe16(o, 1); o.write(0); o.write(0)
+    marker(0xdb) // DQT: table 0, 8-bit, all ones (zigzag order)
+    writeBe16(o, 67); o.write(0)
+    var i = 0
+    while (i < 64) { o.write(1); i += 1 }
+    marker(0xc0) // SOF0: 8-bit, 1 component, 1x1 sampling, quant 0
+    writeBe16(o, 11); o.write(8)
+    writeBe16(o, h); writeBe16(o, w)
+    o.write(1); o.write(1); o.write(0x11); o.write(0)
+    def dht(cls: Int, bits: Array[Int], vals: Array[Int]): Unit = {
+      marker(0xc4)
+      writeBe16(o, 2 + 1 + 16 + vals.length)
+      o.write(cls << 4) // class (0 DC / 1 AC), id 0
+      bits.foreach(o.write)
+      vals.foreach(o.write)
+    }
+    dht(0, JpegDcBits, JpegDcVals)
+    dht(1, JpegAcBits, JpegAcVals)
+    marker(0xda) // SOS
+    writeBe16(o, 8); o.write(1); o.write(1); o.write(0x00)
+    o.write(0); o.write(63); o.write(0)
+    val dcCodes = canonicalCodes(JpegDcBits, JpegDcVals)
+    val acCodes = canonicalCodes(JpegAcBits, JpegAcVals)
+    val bw = new BitWriter(o)
+    val block = new Array[Double](64)
+    var pred = 0
+    var by = 0
+    while (by < h / 8) {
+      var bx = 0
+      while (bx < w / 8) {
+        var yy = 0
+        while (yy < 8) {
+          var xx = 0
+          while (xx < 8) {
+            block(yy * 8 + xx) =
+              (pixel(bx * 8 + xx, by * 8 + yy) & 0xff) - 128.0
+            xx += 1
+          }
+          yy += 1
+        }
+        val coef = fdct8(block)
+        // quantize (q = 1) in zigzag order
+        val q = new Array[Int](64)
+        i = 0
+        while (i < 64) {
+          q(i) = math.round(coef(ZigZag(i))).toInt
+          i += 1
+        }
+        // DC: category + magnitude bits of the prediction diff
+        val diff = q(0) - pred
+        pred = q(0)
+        val s = category(diff)
+        val (dcode, dlen) = dcCodes(s)
+        bw.put(dcode, dlen)
+        if (s > 0) bw.put(if (diff < 0) diff - 1 + (1 << s) else diff, s)
+        // AC: run-length of zeros, ZRL for 16+, EOB for the tail
+        var run = 0
+        var k = 1
+        while (k < 64) {
+          if (q(k) == 0) run += 1
+          else {
+            while (run >= 16) {
+              val (zc, zl) = acCodes(0xf0); bw.put(zc, zl); run -= 16
+            }
+            val sz = category(q(k))
+            val (ac, al) = acCodes((run << 4) | sz)
+            bw.put(ac, al)
+            bw.put(if (q(k) < 0) q(k) - 1 + (1 << sz) else q(k), sz)
+            run = 0
+          }
+          k += 1
+        }
+        if (run > 0) { val (ec, el) = acCodes(0x00); bw.put(ec, el) }
+        bx += 1
+      }
+      by += 1
+    }
+    bw.flushWithOnes()
+    marker(0xd9) // EOI
+    o.toByteArray
+  }
+
+  /** Canonical Huffman DECODING tables (T.81 Annex F): per code length,
+    * the smallest/largest code and the HUFFVAL offset.
+    */
+  private final class HuffTable(bits: Array[Int], vals: Array[Int]) {
+    val minCode = new Array[Int](17)
+    val maxCode = new Array[Int](17) // -1 = no codes at this length
+    val valPtr = new Array[Int](17)
+    val huffVal = vals
+    locally {
+      var code = 0; var k = 0; var l = 1
+      while (l <= 16) {
+        if (bits(l - 1) == 0) { maxCode(l) = -1 }
+        else {
+          valPtr(l) = k
+          minCode(l) = code
+          code += bits(l - 1); k += bits(l - 1)
+          maxCode(l) = code - 1
+        }
+        code <<= 1
+        l += 1
+      }
+    }
+  }
+
+  /** Entropy-segment bit reader: un-stuffs FF00, refuses any other
+    * marker mid-scan (no restart-interval support — DRI streams
+    * quarantine), reports exhaustion as -1.
+    */
+  private final class BitReader(b: Array[Byte], var pos: Int, until: Int) {
+    private var acc = 0
+    private var nbits = 0
+    var badMarker = false
+    def bit(): Int = {
+      if (nbits == 0) {
+        if (pos >= until) return -1
+        var v = u8(b, pos); pos += 1
+        if (v == 0xff) {
+          if (pos >= until) return -1
+          val m = u8(b, pos)
+          if (m == 0x00) pos += 1 // stuffed data byte
+          else { badMarker = true; return -1 }
+        }
+        acc = v; nbits = 8
+      }
+      nbits -= 1
+      (acc >>> nbits) & 1
+    }
+    def bits(n: Int): Int = {
+      var v = 0; var i = 0
+      while (i < n) {
+        val x = bit(); if (x < 0) return -1
+        v = (v << 1) | x; i += 1
+      }
+      v
+    }
+    def decode(t: HuffTable): Int = {
+      var code = 0; var l = 0
+      while (l < 16) {
+        val x = bit(); if (x < 0) return -1
+        code = (code << 1) | x
+        l += 1
+        if (t.maxCode(l) >= 0 && code <= t.maxCode(l))
+          return t.huffVal(t.valPtr(l) + code - t.minCode(l))
+      }
+      -1 // code longer than any declared length: corrupt
+    }
+  }
+
+  /** EXTEND (T.81 F.2.2.1): a SSSS-bit magnitude back to its signed
+    * value.
+    */
+  private def extend(v: Int, s: Int): Int =
+    if (s == 0) 0 else if (v < (1 << (s - 1))) v - (1 << s) + 1 else v
+
+  /** Full baseline grayscale JPEG decode: marker walk (DQT/DHT/SOF0/
+    * SOS; APPn/COM skipped), canonical-Huffman entropy decode with DC
+    * prediction and FF00 un-stuffing, dequantize, dezigzag, inverse
+    * DCT, level shift, clamp. Returns None on ANY structural defect —
+    * wrong signature, progressive/arithmetic/multi-component/
+    * subsampled/12-bit streams, missing tables, truncated entropy data,
+    * an unexpected marker mid-scan, oversized dims — so a curation
+    * pipeline quarantines rather than training on garbage pixels.
+    * Grayscale-only by contract: color JPEG (chroma components +
+    * upsampling) stays out of scope, documented in SURVEY §8 M6.
+    */
+  def decodeJpegGray(b: Array[Byte]): Option[PixelImage] = {
+    if (b.length < 4 || u8(b, 0) != 0xff || u8(b, 1) != 0xd8) return None
+    var pos = 2
+    val quant = scala.collection.mutable.Map.empty[Int, Array[Int]]
+    val huff = scala.collection.mutable.Map.empty[(Int, Int), HuffTable]
+    var w = -1; var h = -1
+    var dcId = -1; var acId = -1; var quantId = -1
+    var scanStart = -1
+    while (scanStart < 0) {
+      if (pos + 4 > b.length) return None
+      if (u8(b, pos) != 0xff) return None
+      val m = u8(b, pos + 1)
+      if (m == 0xd8 || (m >= 0xd0 && m <= 0xd7)) { pos += 2 } // bare markers
+      else if (m == 0xd9) return None // EOI before any scan
+      else {
+        val len = be16(b, pos + 2)
+        if (len < 2 || pos + 2 + len > b.length) return None
+        val seg = pos + 4
+        val segEnd = pos + 2 + len
+        m match {
+          case 0xdb => // DQT: one or more (Pq/Tq, 64 values) entries
+            var p = seg
+            while (p < segEnd) {
+              if (u8(b, p) >> 4 != 0) return None // 16-bit tables: reject
+              if (p + 65 > segEnd) return None
+              val id = u8(b, p) & 0x0f
+              quant(id) = Array.tabulate(64)(i => u8(b, p + 1 + i))
+              p += 65
+            }
+          case 0xc4 => // DHT: one or more (Tc/Th, BITS, HUFFVAL) entries
+            var p = seg
+            while (p < segEnd) {
+              if (p + 17 > segEnd) return None
+              val cls = u8(b, p) >> 4
+              val id = u8(b, p) & 0x0f
+              if (cls > 1) return None
+              val bits = Array.tabulate(16)(i => u8(b, p + 1 + i))
+              val n = bits.sum
+              if (n == 0 || n > 256 || p + 17 + n > segEnd) return None
+              val vals = Array.tabulate(n)(i => u8(b, p + 17 + i))
+              huff((cls, id)) = new HuffTable(bits, vals)
+              p += 17 + n
+            }
+          case 0xc0 => // SOF0 — baseline sequential only
+            if (len < 8) return None
+            if (u8(b, seg) != 8) return None // 12-bit: reject
+            h = be16(b, seg + 1); w = be16(b, seg + 3)
+            if (w <= 0 || h <= 0 || w.toLong * h > MaxDecodePixels)
+              return None
+            if (u8(b, seg + 5) != 1) return None // grayscale only
+            if (u8(b, seg + 7) != 0x11) return None // 1x1 sampling
+            quantId = u8(b, seg + 8)
+          case 0xc1 | 0xc2 | 0xc3 | 0xc5 | 0xc6 | 0xc7 | 0xc9 | 0xca |
+              0xcb | 0xcd | 0xce | 0xcf =>
+            return None // extended/progressive/lossless/arithmetic
+          case 0xdd => return None // restart intervals: out of contract
+          case 0xda => // SOS
+            if (w < 0) return None // scan before frame header
+            if (u8(b, seg) != 1) return None
+            dcId = u8(b, seg + 2) >> 4
+            acId = u8(b, seg + 2) & 0x0f
+            scanStart = segEnd
+          case _ => // APPn / COM / others: skip
+        }
+        pos = segEnd
+      }
+    }
+    val q = quant.getOrElse(quantId, return None)
+    val dcT = huff.getOrElse((0, dcId), return None)
+    val acT = huff.getOrElse((1, acId), return None)
+    val bw = (w + 7) / 8; val bh = (h + 7) / 8
+    val px = new Array[Byte](w * h)
+    val br = new BitReader(b, scanStart, b.length)
+    val coef = new Array[Double](64)
+    var pred = 0
+    var by = 0
+    while (by < bh) {
+      var bx = 0
+      while (bx < bw) {
+        java.util.Arrays.fill(coef, 0.0)
+        val s = br.decode(dcT)
+        if (s < 0 || s > 11) return None
+        val dbits = if (s == 0) 0 else br.bits(s)
+        if (dbits < 0) return None
+        pred += extend(dbits, s)
+        coef(0) = pred.toDouble * q(0)
+        var k = 1
+        var eob = false
+        while (k < 64 && !eob) {
+          val rs = br.decode(acT)
+          if (rs < 0) return None
+          if (rs == 0x00) eob = true
+          else if (rs == 0xf0) k += 16
+          else {
+            val run = rs >> 4
+            val sz = rs & 0x0f
+            k += run
+            if (k > 63) return None
+            val mbits = br.bits(sz)
+            if (mbits < 0) return None
+            coef(ZigZag(k)) = extend(mbits, sz).toDouble * q(k)
+            k += 1
+          }
+        }
+        if (k > 64) return None
+        val out = idct8(coef)
+        var yy = 0
+        while (yy < 8) {
+          val gy = by * 8 + yy
+          var xx = 0
+          while (xx < 8) {
+            val gx = bx * 8 + xx
+            if (gx < w && gy < h) {
+              val v = math.round(out(yy * 8 + xx) + 128.0).toInt
+              px(gy * w + gx) =
+                (if (v < 0) 0 else if (v > 255) 255 else v).toByte
+            }
+            xx += 1
+          }
+          yy += 1
+        }
+        bx += 1
+      }
+      by += 1
+    }
+    if (br.badMarker) return None
+    // structural completeness: the scan must be CLOSED by EOI (the
+    // PNG path's IEND discipline) — a stream cut after the last MCU's
+    // bits is still a truncated file and quarantines. At most one
+    // padding byte (stuffed if it is 0xFF) may sit before the marker.
+    var p = br.pos
+    if (!(p + 2 <= b.length && u8(b, p) == 0xff && u8(b, p + 1) == 0xd9)) {
+      if (p < b.length && u8(b, p) == 0xff) {
+        if (p + 1 < b.length && u8(b, p + 1) == 0x00) p += 2 else return None
+      } else p += 1
+    }
+    if (p + 2 > b.length || u8(b, p) != 0xff || u8(b, p + 1) != 0xd9)
+      return None
+    Some(PixelImage(w, h, px))
+  }
 }

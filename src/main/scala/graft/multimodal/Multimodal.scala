@@ -418,6 +418,50 @@ object Multimodal {
     }
   }
 
+  /** JPEG assets with FULL pixel content: each document becomes a
+    * complete baseline grayscale JFIF ([[MediaCodec.jpegGray]] — real
+    * DCT, canonical-Huffman entropy coding, byte stuffing) of 72×64
+    * pixels in an 8×8-block mosaic of the SAME [[blockValue]] pattern
+    * the PNG assets carry — the all-ones quantization makes the
+    * block-constant pixels round-trip exactly, so the decoded mosaic is
+    * formula-replayable. Planted corruption: doc_id % 91 == 0 TRUNCATED
+    * mid-stream (quarantine). Unlike PNG there is NO bit-flip plant:
+    * a JPEG entropy stream carries no CRC, so a flipped bit decodes to
+    * silently different pixels rather than a detectable defect — the
+    * fuzz spec still proves flips never throw, but the oracle can only
+    * predict structurally-intact streams.
+    */
+  def jpegImageAssets(spark: SparkSession, docs: DataFrame): Dataset[ImageAsset] = {
+    import spark.implicits._
+    docs.select(col("doc_id")).as[Long].map { id =>
+      val bytes = MediaCodec.jpegGray(JpegW, JpegH,
+        (x, y) => blockValue(id, x / 8, y / 8))
+      ImageAsset(id, if (id % 91 == 0) bytes.take(60) else bytes)
+    }
+  }
+
+  private[multimodal] val JpegW = 72
+  private[multimodal] val JpegH = 64
+
+  /** Partition-batched JPEG pixel decode + perceptual hash: full
+    * baseline decode ([[MediaCodec.decodeJpegGray]] — marker walk,
+    * Huffman, dequantize, IDCT) then the SAME [[dHash]] as the PNG
+    * path. At 72×64 the 9×8 dHash grid cell is exactly one 8×8 JPEG
+    * block, so the hash is a pure function of the block mosaic — the
+    * oracle replays it formula-for-formula. Undecodable assets DROP
+    * (quarantine); the media column is read exactly once.
+    */
+  def decodeJpegPhash(assets: Dataset[ImageAsset]): Dataset[ImagePhash] = {
+    import assets.sparkSession.implicits._
+    assets.mapPartitions { batch =>
+      batch.flatMap { a =>
+        MediaCodec.decodeJpegGray(a.media).flatMap(dHash(_)).map {
+          case (hi, lo) => ImagePhash(a.asset_id, hi, lo)
+        }
+      }
+    }
+  }
+
   /** Image near-duplicate pairs by banded pHash: split each 64-bit hash
     * into 4 × 16-bit bands, equi-join on (band, value) to generate
     * candidates — the same LSH-banding shape as the MinHash text path,

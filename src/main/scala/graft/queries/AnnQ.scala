@@ -273,6 +273,66 @@ object AnnQ {
       corpus.filter(col("vec_id") < 3), "vec_id", "embedding", kNeighbors = 5)
   }
 
+  /** Build + persist the OPQ artifacts: the [[graft.ann.Opq]] rotation
+    * basis from the PCA eigen-allocation, the ROTATED corpus' PQ
+    * codebooks, and its code table — the Ge et al. OPQ_P pipeline at
+    * the same (m, k) code budget as [[buildPqIndex]], so the measured
+    * MSE/recall difference is the rotation's alone.
+    */
+  private def buildOpqIndex(spark: SparkSession, dir: String)(out: String): Unit = {
+    val corpus = Tables(spark, dir, "embeddings")
+    val basis = graft.ann.Opq.rotationBasis(corpus, "embedding", m = 16)
+    import spark.implicits._
+    basis.toSeq.zipWithIndex.map { case (row, j) => (j, row.toSeq) }
+      .toDF("row", "basis")
+      .write.mode("overwrite").parquet(s"$out/basis")
+    val rotated = graft.ann.Opq.rotate(corpus, "vec_id", "embedding", basis)
+    graft.ann.Pq.fitCodebooks(rotated, "vec_id", "embedding",
+      m = 16, k = 32, iterations = 3)
+      .write.mode("overwrite").parquet(s"$out/codebooks")
+    graft.ann.Pq.encode(rotated, "vec_id", "embedding",
+      spark.read.parquet(s"$out/codebooks"))
+      .write.mode("overwrite").parquet(s"$out/codes")
+  }
+
+  /** q_ann_opq: OPQ serving — ADC probe in the ROTATED space (queries
+    * rotated by the persisted basis; exact cosine is rotation-invariant,
+    * so the ranking semantics match q_ann_pq while quantization error
+    * drops — PqSpec measures the MSE improvement). Rows-only like the
+    * other trained-index members; the rotation+ADC serving arithmetic
+    * is hash-matched by the q_ann_opq_fixture twin.
+    */
+  def opqTopK(spark: SparkSession, dir: String): DataFrame = {
+    val idx = graft.ops.StageArtifacts.ensure(dir, "opq")(buildOpqIndex(spark, dir))
+    val (_, queries) = corpusAndQueries(spark, dir)
+    val basis = spark.read.parquet(s"$idx/basis")
+      .orderBy(col("row")).collect()
+      .map(_.getSeq[Double](1).toArray)
+    graft.ann.Pq.adcTopK(spark.read.parquet(s"$idx/codes"),
+      spark.read.parquet(s"$idx/codebooks"),
+      graft.ann.Opq.rotate(queries, "vec_id", "embedding", basis),
+      "vec_id", "embedding", kNeighbors = 5)
+  }
+
+  /** q_ann_opq_fixture: the ROTATED-SERVING twin of [[pqFixtureTopK]] —
+    * the real [[graft.ann.Opq.rotate]] + [[graft.ann.Pq]] encode/ADC
+    * (all unchanged) with a PINNED signed-permutation rotation
+    * (orthonormal, integer — y_j = ±x_{π(j)}), so corpus, queries,
+    * argmin codes, LUT sums and ranking stay exact end-to-end and
+    * DuckDB replays the whole rotate-then-serve path. The learned-basis
+    * member (q_ann_opq) leans on this twin for its serving arithmetic
+    * and on PqSpec for the rotation-optimality claim.
+    */
+  def opqFixtureTopK(spark: SparkSession, dir: String): DataFrame = {
+    val fx = graft.ann.PqFixture
+    val corpus = graft.ann.Opq.rotate(fx.corpusDf(spark), "vec_id",
+      "embedding", fx.opqRotation)
+    val books = fx.codebooksDf(spark)
+    val codes = graft.ann.Pq.encode(corpus, "vec_id", "embedding", books)
+    graft.ann.Pq.adcTopK(codes, books,
+      corpus.filter(col("vec_id") < 3), "vec_id", "embedding", kNeighbors = 5)
+  }
+
   /** q_ann_ivfpq_fixture: the IVF-PQ twin of [[pqFixtureTopK]] — the
     * real residual encode + doubly-reduced ADC probe
     * ([[graft.ann.IvfPq]], unchanged) over pinned integer artifacts

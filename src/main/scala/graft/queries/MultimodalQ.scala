@@ -84,6 +84,29 @@ object MultimodalQ {
         .toDF().barrierOnce(),
       maxHamming = 10)
 
+  /** q_image_jpeg_phash: the JPEG-modality fingerprint — full baseline
+    * JPEG decode (real Huffman + IDCT, [[graft.multimodal.MediaCodec
+    * .decodeJpegGray]]) then the same dHash as the PNG path. The
+    * all-ones-quant mosaic assets decode EXACTLY, so the oracle replays
+    * the hash from the block formula — the codec family's last
+    * by-scope quarantine (JPEG pixels) retired to a hash-matched path.
+    */
+  def imageJpegPhash(spark: SparkSession, dir: String): DataFrame =
+    Multimodal.decodeJpegPhash(
+      Multimodal.jpegImageAssets(spark, Tables(spark, dir, "documents")))
+      .toDF()
+
+  /** q_image_jpeg_pairs: JPEG near-duplicate pairs — identical banded
+    * pHash candidate/verify machinery as the PNG pairs, over the
+    * JPEG-decoded hashes (decode-once barrier for the multi-join).
+    */
+  def imageJpegPairs(spark: SparkSession, dir: String): DataFrame =
+    Multimodal.phashPairs(
+      Multimodal.decodeJpegPhash(
+        Multimodal.jpegImageAssets(spark, Tables(spark, dir, "documents")))
+        .toDF().barrierOnce(),
+      maxHamming = 10)
+
   /** q_audio_ahash: per-document 64-bit audio fingerprint through the
     * REAL codec round-trip (PCM synth → WAV encode → chunk-walk decode
     * → frame-energy delta-sign chain); the oracle recomputes the hash

@@ -114,6 +114,112 @@ class PqSpec extends AnyFunSuite with SparkSpec {
     assert(run() == run())
   }
 
+  /** Mean ‖x − decode(encode(x))‖² over a corpus at the (m, k) budget. */
+  private def reconstructionMse(df: org.apache.spark.sql.DataFrame,
+      m: Int, k: Int): Double = {
+    val booksDf = Pq.fitCodebooks(df, "vec_id", "embedding",
+      m = m, k = k, iterations = 3)
+    val books = Pq.collectBooks(booksDf)
+    val coded = Pq.encodeCodes(df, "vec_id", "embedding", booksDf)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+    val rows = df.select(col("vec_id"),
+      transform(col("embedding"), _.cast("double")).as("v")).collect()
+    val errs = rows.map { r =>
+      val x = r.getSeq[Double](1)
+      val recon = coded(r.getLong(0)).zipWithIndex
+        .flatMap { case (c, s) => books(s)(c) }
+      x.zip(recon).map { case (a, b) => (a - b) * (a - b) }.sum
+    }
+    errs.sum / errs.length
+  }
+
+  test("OPQ: the eigen-rotation basis is orthonormal, and rotation " +
+      "preserves exact norms/dots") {
+    val emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    val basis = Opq.rotationBasis(emb, "embedding", m = M)
+    val d = basis.length
+    assert(basis.forall(_.length == d))
+    for (i <- 0 until d; j <- i until d) {
+      val dot = basis(i).zip(basis(j)).map { case (a, b) => a * b }.sum
+      val expect = if (i == j) 1.0 else 0.0
+      assert(math.abs(dot - expect) < 1e-9, s"B·Bᵀ[$i][$j] = $dot")
+    }
+    // norm preservation on real rows (rotation-invariance of the dot
+    // products the ADC ranking is built from)
+    val pre = emb.select(col("vec_id"), transform(col("embedding"),
+      _.cast("double")).as("v")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1).map(x => x * x).sum).toMap
+    Opq.rotate(emb.limit(50), "vec_id", "embedding", basis).collect()
+      .foreach { r =>
+        val n2 = r.getSeq[Double](1).map(x => x * x).sum
+        assert(math.abs(n2 - pre(r.getLong(0))) < 1e-8)
+      }
+  }
+
+  /** The testdata embeddings scaled + neighbor-mixed into a CORRELATED,
+    * variance-decaying corpus (y_j = (x_j + x_{j+1 mod d}) · w_j, w
+    * decaying 4→1) — deterministic, and exactly the regime OPQ exists
+    * for: contiguous coordinate blocks then carry unequal variance
+    * products and within-block correlation, both of which the
+    * eigen-rotation + λ-product allocation remove.
+    */
+  private def anisotropic(df: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val d = 64
+    val prepped = df.select(col("vec_id"), explode(array(struct(
+      transform(col("embedding"), _.cast("double")).as("v")))).as("s"))
+      .select(col("vec_id"), col("s.v").as("v"))
+    prepped.select(col("vec_id"),
+      transform(sequence(lit(0), lit(d - 1)), j =>
+        (element_at(col("v"), j + 1) +
+          element_at(col("v"), pmod(j + 1, lit(d)) + 1)) *
+          (lit(1.0) + (lit((d - 1).toDouble) - j) / lit(21.0)))
+        .as("embedding"))
+  }
+
+  test("OPQ vs raw PQ, measured both regimes: never-worse on the " +
+      "near-isotropic testdata, a real MSE drop on a correlated " +
+      "anisotropic corpus") {
+    val emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    // regime 1 — the natural corpus is near-isotropic (top/bottom
+    // eigenvalue ratio ~4): the parametric rotation has little to work
+    // with, so the pin is "never worse beyond k-means seeding noise"
+    // (measured: ~7% BETTER — the sum-balanced allocation still
+    // extracts the mild spectrum slope)
+    val rawIso = reconstructionMse(emb, M, K)
+    val isoBasis = Opq.rotationBasis(emb, "embedding", m = M)
+    val opqIso = reconstructionMse(
+      Opq.rotate(emb, "vec_id", "embedding", isoBasis), M, K)
+    info(f"isotropic: raw=$rawIso%.6f opq=$opqIso%.6f " +
+      f"(${(1 - opqIso / rawIso) * 100}%.1f%% lower)")
+    assert(opqIso < rawIso * 1.02,
+      f"near-isotropic corpus: OPQ $opqIso%.6f must not lose to raw " +
+        f"$rawIso%.6f beyond seeding noise")
+    // regime 2 — correlated + variance-decaying: the rotation must win
+    val an = anisotropic(emb).cache()
+    val rawAn = reconstructionMse(an, M, K)
+    val anBasis = Opq.rotationBasis(an, "embedding", m = M)
+    val opqAn = reconstructionMse(
+      Opq.rotate(an, "vec_id", "embedding", anBasis), M, K)
+    an.unpersist()
+    info(f"anisotropic: raw=$rawAn%.6f opq=$opqAn%.6f " +
+      f"(${(1 - opqAn / rawAn) * 100}%.1f%% lower)")
+    assert(opqAn < rawAn,
+      f"anisotropic corpus: OPQ MSE $opqAn%.6f must beat raw PQ $rawAn%.6f")
+  }
+
+  test("OPQ: greedy λ-product allocation balances subspace products " +
+      "and partitions all dimensions") {
+    val lambdas = Seq(8.0, 7.0, 6.0, 5.0, 4.0, 3.0, 2.0, 1.0)
+    val groups = Opq.allocate(lambdas, m = 4)
+    assert(groups.flatten.sorted == (0 until 8))
+    assert(groups.forall(_.size == 2))
+    val prods = groups.map(_.map(lambdas).product).toSet
+    // greedy lands the optimal big-with-small pairing 8·1/7·2/6·3/5·4
+    // (contiguous blocks would be 56/30/12/2 — a 28× product spread)
+    assert(prods == Set(8.0, 14.0, 18.0, 20.0), prods.toString)
+  }
+
   test("fixture: exactness preconditions the oracle replay relies on") {
     // the q_ann_pq_fixture / q_ann_ivfpq_fixture hash-match argument
     // requires every pinned value to be a small integer (integer dots

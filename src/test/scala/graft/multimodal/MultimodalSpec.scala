@@ -90,6 +90,38 @@ class MultimodalSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("jpeg phash pipeline: full baseline JPEG round-trip == direct " +
+      "formula; truncation quarantined") {
+    val docs = Tables(spark, dir, "documents")
+    val hashes = Multimodal.decodeJpegPhash(
+      Multimodal.jpegImageAssets(spark, docs)).collect()
+      .map(h => h.asset_id -> h).toMap
+    // differential: encode (DCT + Huffman) -> decode (Huffman + IDCT)
+    // -> dHash must equal the hash computed straight from the mosaic
+    // formula — only possible because all-ones quantization makes
+    // block-constant pixels round-trip exactly
+    def directHash(d: Long): (Long, Long) = {
+      val grid = Array.tabulate(9, 8)((bx, by) =>
+        Multimodal.blockValue(d, bx, by).toLong)
+      var hi = 0L; var lo = 0L
+      for (by <- 0 until 8; bx <- 0 until 8)
+        if (grid(bx + 1)(by) > grid(bx)(by)) {
+          val pos = by * 8 + bx
+          if (pos >= 32) hi |= 1L << (pos - 32) else lo |= 1L << pos
+        }
+      (hi, lo)
+    }
+    val ids = docs.select("doc_id").collect().map(_.getLong(0))
+    assert(ids.exists(_ % 91 == 0), "quarantine plant present")
+    ids.foreach { id =>
+      if (id % 91 == 0) assert(!hashes.contains(id), s"id=$id not quarantined")
+      else {
+        val h = hashes(id)
+        assert((h.phash_hi, h.phash_lo) == directHash(id), s"id=$id")
+      }
+    }
+  }
+
   test("phash pairs recover the planted near-dup groups, verified by Hamming") {
     val docs = Tables(spark, dir, "documents")
     val pairs = Multimodal.phashPairs(
