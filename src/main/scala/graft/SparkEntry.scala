@@ -837,6 +837,10 @@ object SparkEntry {
         |), m AS (
         |  SELECT 'ivf' AS method, query_id, neighbor_id
         |  FROM (${oracleSqlBase("q_ann_ivf_fixture")})
+        |  UNION ALL SELECT 'ivfadc', query_id, neighbor_id
+        |  FROM (${oracleSqlBase("q_ann_ivfadc_fixture")})
+        |  UNION ALL SELECT 'opq', query_id, neighbor_id
+        |  FROM (${oracleSqlBase("q_ann_opq_fixture")})
         |  UNION ALL SELECT 'ivfpq', query_id, neighbor_id
         |  FROM (${oracleSqlBase("q_ann_ivfpq_fixture")})
         |  UNION ALL SELECT 'lsh', query_id, neighbor_id

@@ -980,58 +980,78 @@ object MediaCodec {
     s
   }
 
+  /** cos((2x+1)·u·π/16) — the one table both transforms read; computing
+    * it per sample made the first cut of this codec ~100× slower (the
+    * 8,192 math.cos calls per block dominated both bench queries).
+    */
+  private val DctCos: Array[Array[Double]] =
+    Array.tabulate(8, 8)((u, x) => math.cos((2 * x + 1) * u * math.Pi / 16))
+  private val DctC: Array[Double] =
+    Array.tabulate(8)(u => if (u == 0) 1.0 / math.sqrt(2.0) else 1.0)
+
+  /** Separable forward DCT: an 8-point row pass then an 8-point column
+    * pass (2·8³ multiplies per block instead of the naive 64²-sample
+    * quadruple loop). Block-constant inputs stay exact: every AC term
+    * folds the same ±cos values whose float sum is ~1e-14, rounding to
+    * 0 at quantization, and DC is a sum of identical doubles.
+    */
   private def fdct8(block: Array[Double]): Array[Double] = {
-    val out = new Array[Double](64)
-    var u = 0
-    while (u < 8) {
-      var v = 0
-      while (v < 8) {
+    val t = new Array[Double](64) // t(y*8+u) = Σ_x block(y,x)·cos(u,x)
+    var y = 0
+    while (y < 8) {
+      var u = 0
+      while (u < 8) {
         var s = 0.0
         var x = 0
-        while (x < 8) {
-          var y = 0
-          while (y < 8) {
-            s += block(y * 8 + x) *
-              math.cos((2 * x + 1) * u * math.Pi / 16) *
-              math.cos((2 * y + 1) * v * math.Pi / 16)
-            y += 1
-          }
-          x += 1
-        }
-        val cu = if (u == 0) 1.0 / math.sqrt(2.0) else 1.0
-        val cv = if (v == 0) 1.0 / math.sqrt(2.0) else 1.0
-        out(v * 8 + u) = 0.25 * cu * cv * s
-        v += 1
+        while (x < 8) { s += block(y * 8 + x) * DctCos(u)(x); x += 1 }
+        t(y * 8 + u) = s
+        u += 1
       }
-      u += 1
+      y += 1
+    }
+    val out = new Array[Double](64)
+    var v = 0
+    while (v < 8) {
+      var u = 0
+      while (u < 8) {
+        var s = 0.0
+        var yy = 0
+        while (yy < 8) { s += t(yy * 8 + u) * DctCos(v)(yy); yy += 1 }
+        out(v * 8 + u) = 0.25 * DctC(u) * DctC(v) * s
+        u += 1
+      }
+      v += 1
     }
     out
   }
 
+  /** Separable inverse DCT (same table, same 2·8³ shape). */
   private def idct8(coef: Array[Double]): Array[Double] = {
-    val out = new Array[Double](64)
-    var x = 0
-    while (x < 8) {
-      var y = 0
-      while (y < 8) {
+    val g = new Array[Double](64) // g(v*8+x) = Σ_u cu·F(v,u)·cos(u,x)
+    var v = 0
+    while (v < 8) {
+      var x = 0
+      while (x < 8) {
         var s = 0.0
         var u = 0
-        while (u < 8) {
-          var v = 0
-          while (v < 8) {
-            val cu = if (u == 0) 1.0 / math.sqrt(2.0) else 1.0
-            val cv = if (v == 0) 1.0 / math.sqrt(2.0) else 1.0
-            s += cu * cv * coef(v * 8 + u) *
-              math.cos((2 * x + 1) * u * math.Pi / 16) *
-              math.cos((2 * y + 1) * v * math.Pi / 16)
-            v += 1
-          }
-          u += 1
-        }
-        out(y * 8 + x) = 0.25 * s
-        y += 1
+        while (u < 8) { s += DctC(u) * coef(v * 8 + u) * DctCos(u)(x); u += 1 }
+        g(v * 8 + x) = s
+        x += 1
       }
-      x += 1
+      v += 1
+    }
+    val out = new Array[Double](64)
+    var y = 0
+    while (y < 8) {
+      var x = 0
+      while (x < 8) {
+        var s = 0.0
+        var vv = 0
+        while (vv < 8) { s += DctC(vv) * g(vv * 8 + x) * DctCos(vv)(y); vv += 1 }
+        out(y * 8 + x) = 0.25 * s
+        x += 1
+      }
+      y += 1
     }
     out
   }

@@ -458,9 +458,11 @@ object AnnQ {
       .select(col("query_id"), col("neighbor_id"), lit(1L).as("hit"))
     val methods: Seq[(String, DataFrame)] = Seq(
       "ivf" -> ivfFixtureTopK(spark, dir),
+      "ivfadc" -> ivfAdcFixtureTopK(spark, dir),
       "ivfpq" -> ivfPqFixtureTopK(spark, dir),
       "lsh" -> lshFixtureTopK(spark, dir),
       "lsh_probe" -> lshProbeFixtureTopK(spark, dir),
+      "opq" -> opqFixtureTopK(spark, dir),
       "pq" -> pqFixtureTopK(spark, dir))
     methods.map { case (name, df) =>
       df.select(lit(name).as("method"), col("query_id"), col("neighbor_id"))
