@@ -16,7 +16,10 @@ import org.apache.spark.sql.functions._
   * executor must not leak state into the next mode's measurement):
   *
   *  1. materialize a frame through [[Barrier.once]] under `args(0)`
-  *     (local | replicated | reliable), spread across both executors;
+  *     (local | replicated | reliable), spread across both executors —
+  *     or through the per-round [[Barrier.iter]] when `args(0)` is
+  *     `iter-local` / `iter-reliable` (the loop-state pin the star
+  *     contraction, BPE and PQ training rounds hold);
   *  2. HALT one executor JVM (`Runtime.halt` inside a task pinned to
   *     the victim by executor id — the worker will respawn a fresh,
   *     EMPTY executor, exactly like a cluster manager would);
@@ -48,10 +51,16 @@ object ExecutorLossDrill {
   ).map(p => s"--add-opens=$p=ALL-UNNAMED").mkString(" ")
 
   def main(args: Array[String]): Unit = {
-    val mode = args(0)
+    // "local" | "replicated" | "reliable" drill Barrier.once;
+    // "iter-local" | "iter-reliable" drill the per-round Barrier.iter
+    // (the iterative-loop state the star contraction / BPE / PQ loops
+    // pin each round)
+    val spec = args(0)
+    val useIter = spec.startsWith("iter-")
+    val mode = spec.stripPrefix("iter-")
     val spark = SparkSession.builder()
       .master("local-cluster[2,2,1024]")
-      .appName(s"graft-executor-loss-$mode")
+      .appName(s"graft-executor-loss-$spec")
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.ui.enabled", "false")
       .config("spark.graft.barrier.mode", mode)
@@ -73,7 +82,7 @@ object ExecutorLossDrill {
       val base = spark.range(0, 10000, 1, 4).toDF("id")
         .repartition(4, col("id"))
         .select(col("id"), (col("id") * 3 + 1).as("y"))
-      val frame = Barrier.once(base)
+      val frame = if (useIter) Barrier.iter(base) else Barrier.once(base)
       val expected = frame.agg(sum(col("y"))).head().getLong(0)
       // the victim: the executor holding at least one of the frame's
       // partitions (any of the two — both hold some of 4 partitions)
@@ -84,9 +93,9 @@ object ExecutorLossDrill {
         try Right(frame.agg(sum(col("y"))).head().getLong(0))
         catch { case e: Throwable => Left(rootCause(e).getClass.getSimpleName) }
       got match {
-        case Right(s) if s == expected => println(s"DRILL $mode SURVIVED $s")
-        case Right(s) => println(s"DRILL $mode WRONG $s != $expected")
-        case Left(c) => println(s"DRILL $mode DIED $c")
+        case Right(s) if s == expected => println(s"DRILL $spec SURVIVED $s")
+        case Right(s) => println(s"DRILL $spec WRONG $s != $expected")
+        case Left(c) => println(s"DRILL $spec DIED $c")
       }
     } finally spark.stop()
   }

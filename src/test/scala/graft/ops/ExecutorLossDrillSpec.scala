@@ -83,4 +83,10 @@ class ExecutorLossDrillSpec extends AnyFunSuite {
   test("reliable barrier SURVIVES executor loss from checkpoint files") {
     assert(verdictOf("reliable") == "SURVIVED")
   }
+
+  test("ITERATIVE loop state (Barrier.iter): local dies, reliable " +
+      "survives — the per-round pin is cluster-recoverable") {
+    assert(verdictOf("iter-local") == "DIED")
+    assert(verdictOf("iter-reliable") == "SURVIVED")
+  }
 }
