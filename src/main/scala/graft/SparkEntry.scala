@@ -580,7 +580,7 @@ object SparkEntry {
     // cluster artifact published behind the manifest pointer, path
     // resolved via Publish.current — same oracle as q_corpus_filter
     "q_publish_verdict" -> DedupQ.publishVerdict,
-    // the DATASET CARD: 15 corpus-level metrics, each from an
+    // the DATASET CARD: 16 corpus-level metrics, each from an
     // independently-oracled stage, in one (metric, value) artifact
     "q_data_card" -> CardQ.dataCard,
     // the card through the TRANSACTIONAL store: versioned next to the
@@ -728,6 +728,10 @@ object SparkEntry {
     // JPEG near-dup pairs: the shared banded candidate + Hamming
     // verify machinery over the JPEG-decoded hashes
     "q_image_jpeg_pairs" -> MultimodalQ.imageJpegPairs,
+    // JPEG near-dup CLUSTERS via the persisted artifact (banded pairs
+    // + star contraction) — the fourth image-family modality member,
+    // feeding the dataset card's media-health row
+    "q_image_jpeg_clusters" -> DedupQ.imageJpegClusters,
     // multimodal — audio fingerprints through the real WAV PCM codec
     // round-trip (oracle recomputes from the sample formula)
     "q_audio_ahash" -> MultimodalQ.audioAhash,
@@ -2994,6 +2998,11 @@ object SparkEntry {
         |   / CAST(count(*) AS DOUBLE) AS value
         |  FROM documents d LEFT JOIN (WITH $phashHashSql SELECT asset_id FROM phash) p
         |    ON p.asset_id = d.doc_id
+        |), jpgu AS MATERIALIZED (
+        |  SELECT CAST(sum(CASE WHEN p.asset_id IS NULL THEN 1 ELSE 0 END) AS DOUBLE)
+        |   / CAST(count(*) AS DOUBLE) AS value
+        |  FROM documents d LEFT JOIN (WITH $jpegHashSql SELECT asset_id FROM jphash) p
+        |    ON p.asset_id = d.doc_id
         |), audu AS MATERIALIZED (
         |  SELECT CAST(sum(CASE WHEN p.asset_id IS NULL THEN 1 ELSE 0 END) AS DOUBLE)
         |   / CAST(count(*) AS DOUBLE) AS value
@@ -3035,6 +3044,8 @@ object SparkEntry {
         |   CAST(sum(CASE WHEN split = 'test' THEN 1 ELSE 0 END) AS DOUBLE) / CAST(count(*) AS DOUBLE) FROM sprows
         |  UNION ALL
         |  SELECT 'media.image_undecodable_rate', value FROM imgu
+        |  UNION ALL
+        |  SELECT 'media.jpeg_undecodable_rate', value FROM jpgu
         |  UNION ALL
         |  SELECT 'media.audio_undecodable_rate', value FROM audu
         |  UNION ALL
@@ -3375,6 +3386,39 @@ object SparkEntry {
         |SELECT asset_id, phash_hi, phash_lo FROM jphash""".stripMargin,
     // JPEG near-dup pairs: identical band replay as the PNG pairs,
     // over the JPEG-mosaic-derived hashes
+    // JPEG clusters: the banded-Hamming closure replayed over the
+    // JPEG-mosaic hashes (the imageClosure recipe, jphash relation)
+    "q_image_jpeg_clusters" ->
+      s"""WITH RECURSIVE $jpegHashSql,
+        |jbands AS (
+        |  SELECT asset_id, b.range AS band,
+        |    CASE b.range WHEN 0 THEN phash_lo % 65536 WHEN 1 THEN phash_lo // 65536
+        |                 WHEN 2 THEN phash_hi % 65536 ELSE phash_hi // 65536 END AS v
+        |  FROM jphash, range(4) b
+        |),
+        |jpairs AS (
+        |  SELECT DISTINCT a.asset_id AS a_id, c.asset_id AS b_id
+        |  FROM jbands a JOIN jbands c ON a.band = c.band AND a.v = c.v
+        |    AND a.asset_id < c.asset_id
+        |),
+        |jhits AS (
+        |  SELECT jp.a_id, jp.b_id
+        |  FROM jpairs jp
+        |  JOIN jphash ha ON ha.asset_id = jp.a_id
+        |  JOIN jphash hb ON hb.asset_id = jp.b_id
+        |  WHERE bit_count(xor(ha.phash_hi, hb.phash_hi))
+        |      + bit_count(xor(ha.phash_lo, hb.phash_lo)) <= 10
+        |),
+        |jedges AS (
+        |  SELECT a_id AS s, b_id AS dd FROM jhits
+        |  UNION ALL SELECT b_id, a_id FROM jhits
+        |),
+        |jreach(s, dd) AS (
+        |  SELECT asset_id, asset_id FROM jphash
+        |  UNION
+        |  SELECT rr.s, e.dd FROM jreach rr JOIN jedges e ON rr.dd = e.s
+        |)
+        |SELECT s AS asset_id, min(dd) AS cluster_id FROM jreach GROUP BY s""".stripMargin,
     "q_image_jpeg_pairs" ->
       s"""WITH $jpegHashSql,
         |bands AS (

@@ -52,13 +52,35 @@ object StageArtifacts {
 
   /** The artifact dir for (dataDir, name), building it with `build` on
     * the FIRST touch in this JVM and reusing it afterwards.
+    *
+    * RE-ENTRANT by design: a builder may itself call [[ensure]] for the
+    * artifacts it composes from (the publish store builds the card,
+    * which reads the per-modality cluster artifacts). The first cut ran
+    * `build` inside `ConcurrentHashMap.computeIfAbsent`, where a nested
+    * ensure whose key lands in the SAME hash bin throws
+    * `IllegalStateException: Recursive update` — a landmine that only
+    * fires for specific (path, name) hash collisions (it did, once, at
+    * one scale factor and not another). Now the build runs OUTSIDE the
+    * map under a per-key monitor: nested ensure calls are legal (the
+    * dependency graph is a DAG, so consistent outer-before-inner lock
+    * acquisition cannot cycle), and double-build is still impossible.
     */
-  def ensure(dataDir: String, name: String)(build: String => Unit): String =
-    built.computeIfAbsent(keyFor(dataDir, name), { k =>
+  def ensure(dataDir: String, name: String)(build: String => Unit): String = {
+    val k = keyFor(dataDir, name)
+    val existing = built.get(k)
+    if (existing != null) return existing
+    val lock = locks.computeIfAbsent(k, _ => new Object)
+    lock.synchronized {
+      val again = built.get(k)
+      if (again != null) return again
       val dir = root.resolve(k).toString
       build(dir)
+      built.put(k, dir)
       dir
-    })
+    }
+  }
+
+  private val locks = new ConcurrentHashMap[String, Object]()
 
   /** Rebuild the artifact unconditionally (parquet overwrite semantics
     * are the builder's responsibility) and mark it built.

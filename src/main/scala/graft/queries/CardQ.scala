@@ -15,7 +15,7 @@ import graft.Tables
   * so the published card can never drift from the pipeline that
   * produced it.
   *
-  * Output is a tidy (metric, value) relation — 15 rows, all DOUBLE
+  * Output is a tidy (metric, value) relation — 16 rows, all DOUBLE
   * (counts are exact integers in double range; rates are single IEEE
   * divisions of exact counts; the quality average divides the exact
   * DECIMAL(10,7) sum — the corpus-report discipline).
@@ -90,6 +90,7 @@ object CardQ {
     }
     val media = Seq(
       mediaRow("image", DedupQ.imageClustersFromArtifact(spark, dir)),
+      mediaRow("jpeg", DedupQ.jpegClustersFromArtifact(spark, dir)),
       mediaRow("audio", DedupQ.audioClustersFromArtifact(spark, dir)),
       mediaRow("video", DedupQ.videoClustersFromArtifact(spark, dir)))
 

@@ -244,6 +244,28 @@ object DedupQ {
     spark.read.parquet(s"$stage/audio_clusters")
   }
 
+  /** q_image_jpeg_clusters: the JPEG near-dup cluster labels served
+    * from the persisted artifact — (asset_id, cluster_id), every
+    * decodable asset labeled with its component's min id.
+    */
+  def imageJpegClusters(spark: SparkSession, dir: String): DataFrame =
+    jpegClustersFromArtifact(spark, dir)
+      .select(col("doc_id").as("asset_id"), col("cluster_id"))
+
+  /** The prebuilt JPEG pHash cluster artifact — the fourth image-family
+    * member of the modality matrix, built from the baseline-JPEG pixel
+    * decode ([[graft.multimodal.Multimodal.decodeJpegPhash]]) through
+    * the same banded-Hamming machinery.
+    */
+  private[queries] def jpegClustersFromArtifact(spark: SparkSession,
+      dir: String): DataFrame = {
+    val stage = graft.ops.StageArtifacts.ensure(dir, "curation-jpg") { out =>
+      jpegClusterLabels(spark, dir)
+        .write.mode("overwrite").parquet(s"$out/jpeg_clusters")
+    }
+    spark.read.parquet(s"$stage/jpeg_clusters")
+  }
+
   private[queries] def videoClustersFromArtifact(spark: SparkSession,
       dir: String): DataFrame = {
     val stage = graft.ops.StageArtifacts.ensure(dir, "curation-vid") { out =>
@@ -263,6 +285,22 @@ object DedupQ {
   private def imageClusterLabels(spark: SparkSession, dir: String): DataFrame = {
     val hashes = graft.multimodal.Multimodal.decodePhash(
       graft.multimodal.Multimodal.phashImageAssets(
+        spark, Tables(spark, dir, "documents"))).toDF()
+      .barrierOnce()
+    val pairs = graft.multimodal.Multimodal.phashPairs(hashes, maxHamming = 10)
+      .select(col("a_id"), col("b_id"))
+    Dedup.clusterLabels(hashes.select(col("asset_id")), "asset_id", pairs)
+  }
+
+  /** JPEG pHash cluster labels over the DECODABLE assets — the same
+    * banded candidates + Hamming ≤ 10 verify + shared star contraction,
+    * over hashes recovered through the full baseline-JPEG decode
+    * (truncated doc_id % 91 assets quarantine and are absent).
+    */
+  private[queries] def jpegClusterLabels(spark: SparkSession,
+      dir: String): DataFrame = {
+    val hashes = graft.multimodal.Multimodal.decodeJpegPhash(
+      graft.multimodal.Multimodal.jpegImageAssets(
         spark, Tables(spark, dir, "documents"))).toDF()
       .barrierOnce()
     val pairs = graft.multimodal.Multimodal.phashPairs(hashes, maxHamming = 10)

@@ -16,8 +16,8 @@ class CardSpec extends AnyFunSuite with SparkSpec {
     CardQ.dataCard(spark, dir).collect()
       .map(r => r.getString(0) -> r.getDouble(1)).toMap
 
-  test("card carries exactly the 15 metrics, all finite") {
-    assert(card.size === 15)
+  test("card carries exactly the 16 metrics, all finite") {
+    assert(card.size === 16)
     card.values.foreach(v => assert(!v.isNaN && !v.isInfinite))
   }
 
@@ -27,6 +27,7 @@ class CardSpec extends AnyFunSuite with SparkSpec {
     def planted(p: Long => Boolean) = ids.count(p).toDouble / ids.length
     assert(card("media.image_undecodable_rate") ===
       planted(id => id % 91 == 0 || id % 97 == 0))
+    assert(card("media.jpeg_undecodable_rate") === planted(_ % 91 == 0))
     assert(card("media.audio_undecodable_rate") === planted(_ % 89 == 0))
     assert(card("media.video_undecodable_rate") === planted(_ % 83 == 0))
     // non-vacuous: corruption is actually planted at this sf
