@@ -1281,7 +1281,9 @@ object MediaCodec {
               p += 17 + n
             }
           case 0xc0 => // SOF0 — baseline sequential only
-            if (len < 8) return None
+            // 8 header bytes + 3 per component: shorter segments would
+            // read past segEnd (and, at buffer end, past the array)
+            if (len < 11) return None
             if (u8(b, seg) != 8) return None // 12-bit: reject
             h = be16(b, seg + 1); w = be16(b, seg + 3)
             if (w <= 0 || h <= 0 || w.toLong * h > MaxDecodePixels)
@@ -1295,6 +1297,7 @@ object MediaCodec {
           case 0xdd => return None // restart intervals: out of contract
           case 0xda => // SOS
             if (w < 0) return None // scan before frame header
+            if (len < 8) return None // 1-component SOS is exactly 8
             if (u8(b, seg) != 1) return None
             dcId = u8(b, seg + 2) >> 4
             acId = u8(b, seg + 2) & 0x0f

@@ -662,5 +662,18 @@ class MediaCodecSpec extends AnyFunSuite {
     // not a JPEG at all
     assert(MediaCodec.decodeJpegGray(Array[Byte](1, 2, 3, 4)).isEmpty)
     assert(MediaCodec.decodeJpegGray(Array.emptyByteArray).isEmpty)
+    // short-segment bait at the EXACT end of the buffer: an SOF0/SOS
+    // whose declared length fits the buffer but not the fields the
+    // decoder must read — quarantine, never an out-of-bounds throw
+    def seg(m: Int, payload: Int*): Array[Byte] =
+      (Seq(0xff, m, (payload.size + 2) >> 8, (payload.size + 2) & 0xff) ++
+        payload).map(_.toByte).toArray
+    val shortSof = Array[Byte](0xff.toByte, 0xd8.toByte) ++
+      seg(0xc0, 8, 0, 16, 0, 16, 1) // len 8 < 11: truncated component spec
+    assert(MediaCodec.decodeJpegGray(shortSof).isEmpty)
+    val shortSos = Array[Byte](0xff.toByte, 0xd8.toByte) ++
+      seg(0xc0, 8, 0, 16, 0, 16, 1, 0x11, 0) ++
+      seg(0xda, 1) // len 3 < 8: fields past the buffer end
+    assert(MediaCodec.decodeJpegGray(shortSos).isEmpty)
   }
 }
