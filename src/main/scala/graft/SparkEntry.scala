@@ -395,6 +395,10 @@ object SparkEntry {
     // (the sub-quadratic cosine-pair path, oracled against exact
     // all-pairs — a single recall miss would hash-mismatch)
     "q_embed_near_dup_selective" -> DedupQ.embedNearDupSelective,
+    // the selective regime's DEPLOYMENT shape: persisted corpus bucket
+    // index probed by the arriving batch; incremental ≡ full is
+    // hash-matched (shares the selective oracle verbatim)
+    "q_embed_near_dup_incremental" -> DedupQ.embedNearDupIncremental,
     // dedup — embedding near-dup clusters (blocked pairs + star contraction)
     "q_embed_clusters" -> DedupQ.embedClusters,
     // the same clusters through the refreshed stage artifact (parquet
@@ -798,6 +802,11 @@ object SparkEntry {
     // the published card must serve EXACTLY the inline card's relation
     // through the manifest pointer — same oracle, release shape
     "q_data_card_published" -> oracleSqlBase("q_data_card"),
+    // the incremental probe of the persisted bucket index must produce
+    // EXACTLY the full selective relation (every true pair involves the
+    // batch) — one oracle serves both
+    "q_embed_near_dup_incremental" ->
+      oracleSqlBase("q_embed_near_dup_selective"),
     // the stream-built register table must serve EXACTLY the batch
     // sketch relation (register max is idempotent over micro-batching)
     "q_stream_hll" -> oracleSqlBase("q_hll_ndv"),

@@ -663,22 +663,40 @@ object Dedup {
   def cosinePairsBucketed(df: DataFrame, idCol: String, vecCol: String,
       threshold: Double, tables: Int = 96, bitsPerTable: Int = 4,
       seed: Long = 42L): DataFrame = {
+    val prepped = prepVectors(df, idCol, vecCol)
+    signBuckets(df, prepped, idCol, vecCol, tables, bitsPerTable, seed) match {
+      case None => // empty/all-null vector table: the empty pair relation
+        verifyCosine(
+          prepped.select(col("doc").as("a_id"), col("doc").as("b_id")).limit(0),
+          prepped, threshold)
+      case Some(buckets) =>
+        val candidates = buckets.as("x")
+          .join(buckets.as("y"), Seq("table", "bucket"))
+          .filter(col("x.doc") < col("y.doc"))
+          .select(col("x.doc").as("a_id"), col("y.doc").as("b_id"))
+          .distinct()
+        verifyCosine(candidates, prepped, threshold)
+    }
+  }
+
+  /** The (doc, table, bucket) sign-LSH relation every bucketed cosine
+    * path shares — the self-join pair search, the PERSISTED corpus
+    * index and the incremental batch probe must bucket identically or
+    * candidates silently diverge. None when the vector table is empty
+    * (no dim to build planes for).
+    */
+  private def signBuckets(df: DataFrame, prepped: DataFrame,
+      idCol: String, vecCol: String, tables: Int, bitsPerTable: Int,
+      seed: Long): Option[DataFrame] = {
     import graft.functions.ArrayDotProduct.ofColumns
-    val prepped0 = prepVectors(df, idCol, vecCol)
     // infer dim from data: a plane/vector length mismatch nulls the dot
-    // and would silently land everything in bucket 0. An empty (or
-    // all-null) vector table has no dim — return the empty pair relation
-    // like the sibling paths instead of failing head() on no rows.
+    // and would silently land everything in bucket 0
     val dimRow = df.select(size(col(vecCol)).as("d"))
       .filter(col("d").isNotNull).head(1)
-    if (dimRow.isEmpty)
-      return verifyCosine(
-        prepped0.select(col("doc").as("a_id"), col("doc").as("b_id")).limit(0),
-        prepped0, threshold)
+    if (dimRow.isEmpty) return None
     val dim = dimRow(0).getInt(0)
     val planeLit = typedlit((0 until tables).map(t =>
       graft.ann.Ann.planes(seed + t, bitsPerTable, dim)))
-    val prepped = prepped0
     val tablePlanes = element_at(planeLit, col("table") + 1)
     val bucket = aggregate(
       sequence(lit(0), lit(bitsPerTable - 1)), lit(0L),
@@ -689,15 +707,60 @@ object Dedup {
       })
     // explode is the plan barrier: v materializes once per (row, table)
     // at the Generate, the per-table bucket fold runs on top of it
-    val buckets = prepped
+    Some(prepped
       .select(col("doc"), col("v"),
         explode(sequence(lit(0), lit(tables - 1))).as("table"))
       .withColumn("bucket", bucket)
-      .select(col("doc"), col("table"), col("bucket"))
-    val candidates = buckets.as("x").join(buckets.as("y"), Seq("table", "bucket"))
-      .filter(col("x.doc") < col("y.doc"))
-      .select(col("x.doc").as("a_id"), col("y.doc").as("b_id"))
+      .select(col("doc"), col("table"), col("bucket")))
+  }
+
+  /** The PERSISTABLE corpus-side bucket index for the selective-
+    * threshold regime: one (doc, table, bucket) row per (vector,
+    * table), written once per corpus version and probed by every
+    * arriving batch — the embedding-modality twin of [[minhashIndex]].
+    * Empty corpus → empty index.
+    */
+  def cosineBucketIndex(corpus: DataFrame, idCol: String, vecCol: String,
+      tables: Int = 24, bitsPerTable: Int = 16, seed: Long = 42L): DataFrame = {
+    val prepped = prepVectors(corpus, idCol, vecCol)
+    signBuckets(corpus, prepped, idCol, vecCol, tables, bitsPerTable, seed)
+      .getOrElse(prepped.select(col("doc"), lit(0).as("table"),
+        lit(0L).as("bucket")).limit(0))
+  }
+
+  /** Incremental selective near-dup: pairs (cosine ≥ threshold) that
+    * INVOLVE the arriving batch — batch↔corpus candidates from probing
+    * the PERSISTED [[cosineBucketIndex]] (the corpus is never
+    * re-bucketed) plus batch-internal pairs from the self-join path,
+    * both exact-verified. With the same (tables, bits, seed) this is
+    * provably the full [[cosinePairsBucketed]] relation restricted to
+    * pairs touching the batch — the "incremental ≡ full" contract the
+    * text-side [[incrementalNearDup]] pins, now for embeddings
+    * (q_embed_near_dup_incremental shares the full query's oracle).
+    */
+  def incrementalCosineNearDup(batch: DataFrame, corpus: DataFrame,
+      corpusIndex: DataFrame, idCol: String, vecCol: String,
+      threshold: Double, tables: Int = 24, bitsPerTable: Int = 16,
+      seed: Long = 42L): DataFrame = {
+    val batchPrepped = prepVectors(batch, idCol, vecCol)
+    val allPrepped = prepVectors(corpus.unionByName(batch), idCol, vecCol)
+    val cross = signBuckets(batch, batchPrepped, idCol, vecCol,
+      tables, bitsPerTable, seed) match {
+      case None => allPrepped
+        .select(col("doc").as("a_id"), col("doc").as("b_id")).limit(0)
+      case Some(batchBuckets) =>
+        corpusIndex.select(col("doc").as("cdoc"), col("table"), col("bucket"))
+          .join(batchBuckets.select(col("doc").as("bdoc"), col("table"),
+            col("bucket")), Seq("table", "bucket"))
+          .filter(col("cdoc") =!= col("bdoc"))
+          .select(least(col("cdoc"), col("bdoc")).as("a_id"),
+            greatest(col("cdoc"), col("bdoc")).as("b_id"))
+          .distinct()
+    }
+    val within = cosinePairsBucketed(batch, idCol, vecCol, threshold,
+      tables, bitsPerTable, seed)
+    verifyCosine(cross, allPrepped, threshold)
+      .unionByName(within)
       .distinct()
-    verifyCosine(candidates, prepped, threshold)
   }
 }

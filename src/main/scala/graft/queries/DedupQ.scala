@@ -131,12 +131,44 @@ object DedupQ {
     * ARRAY<DOUBLE> so the union is exact on both engines.
     */
   private def plantedTwinCorpus(spark: SparkSession, dir: String): DataFrame = {
-    val emb = Tables(spark, dir, "embeddings")
+    val emb = embeddingsAsDouble(spark, dir)
+    emb.unionByName(plantedTwins(emb))
+  }
+
+  private def embeddingsAsDouble(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "embeddings")
       .select(col("vec_id"),
         transform(col("embedding"), _.cast("double")).as("embedding"))
-    emb.unionByName(emb.filter(col("vec_id") % 10 === 0)
+
+  private def plantedTwins(emb: DataFrame): DataFrame =
+    emb.filter(col("vec_id") % 10 === 0)
       .select((col("vec_id") + 10000000L).as("vec_id"),
-        transform(col("embedding"), _ + lit(0.01)).as("embedding")))
+        transform(col("embedding"), _ + lit(0.01)).as("embedding"))
+
+  /** The INCREMENTAL selective regime — the deployment shape of
+    * [[embedNearDupSelective]]: the established corpus' sign-LSH bucket
+    * index is PERSISTED once per corpus version
+    * ([[Dedup.cosineBucketIndex]], the embedding twin of the MinHash
+    * band index), and the arriving batch (the planted twins) probes it
+    * — batch↔corpus candidates by (table, bucket) equi-join against the
+    * index, batch-internal pairs by the self-join path, exact verify on
+    * both. Incremental ≡ full: every planted pair involves the batch,
+    * so the result IS the full selective relation and the query shares
+    * q_embed_near_dup_selective's oracle verbatim (the
+    * q_incremental_dedup contract, embedding modality).
+    */
+  def embedNearDupIncremental(spark: SparkSession, dir: String): DataFrame = {
+    val corpus = embeddingsAsDouble(spark, dir)
+    val stage = graft.ops.StageArtifacts.ensure(dir, "cosidx") { out =>
+      Dedup.cosineBucketIndex(corpus, "vec_id", "embedding",
+        tables = 24, bitsPerTable = 16)
+        .write.mode("overwrite").parquet(s"$out/index")
+    }
+    Dedup.incrementalCosineNearDup(
+      batch = plantedTwins(corpus), corpus = corpus,
+      corpusIndex = spark.read.parquet(s"$stage/index"),
+      idCol = "vec_id", vecCol = "embedding", threshold = 0.9,
+      tables = 24, bitsPerTable = 16)
   }
 
   /** Embedding near-dup CLUSTERS: the blocked exact cosine pairs fed

@@ -169,6 +169,34 @@ class DedupSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("incrementalCosineNearDup: persisted-index probe == the full " +
+      "selective relation; batch-internal dups surface too") {
+    for (dir <- Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01")) {
+      val full = graft.queries.DedupQ.embedNearDupSelective(spark, dir)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      val inc = graft.queries.DedupQ.embedNearDupIncremental(spark, dir)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      assert(full.nonEmpty, dir)
+      assert(inc == full, dir)
+    }
+    // batch-internal near-dups go through the self-join branch: a batch
+    // carrying two near-identical NEW vectors must pair them even
+    // though neither is in the corpus index
+    import spark.implicits._
+    val corpus = Seq((1L, Array.fill(8)(0.5)), (2L, Array.tabulate(8)(i =>
+      if (i % 2 == 0) 1.0 else -1.0))).toDF("vec_id", "embedding")
+    val batch = Seq((10L, Array.fill(8)(0.7)), (11L, Array.fill(8)(0.71)))
+      .toDF("vec_id", "embedding")
+    val idx = graft.dedup.Dedup.cosineBucketIndex(corpus, "vec_id",
+      "embedding", tables = 8, bitsPerTable = 4)
+    val got = graft.dedup.Dedup.incrementalCosineNearDup(batch, corpus, idx,
+      "vec_id", "embedding", threshold = 0.9, tables = 8, bitsPerTable = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // (10, 11) is the batch-internal pair; (1, 10)/(1, 11) are
+    // cross pairs (constant vectors are cosine-1 to each other)
+    assert(got == Set((10L, 11L), (1L, 10L), (1L, 11L)), got.toString)
+  }
+
   test("incrementalNearDup equals the full-corpus pairs restricted to the batch") {
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     val batch = docs.filter(col("doc_id") % 7 === 0)
