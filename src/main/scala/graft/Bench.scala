@@ -192,9 +192,34 @@ object Bench {
     // truncates the per-query map away (r10 verdict, "what's wrong"
     // #3) — this file rides the end-of-round commit, so round-over-
     // round per-query regression checks never depend on a side file.
-    val repoCopy = java.nio.file.Paths.get("BENCH_FULL_latest.json")
-    try java.nio.file.Files.writeString(repoCopy, full + "\n")
-    catch { case _: java.io.IOException => () } // read-only cwd: keep target/
+    // resolve the repo root instead of trusting the launch cwd: honor
+    // SPARK_GRAFT_REPO_DIR first, else walk up from cwd to the nearest
+    // directory holding build.sbt — launching from anywhere inside the
+    // repo still lands the file at the tracked top-level path
+    val repoRoot = sys.env.get("SPARK_GRAFT_REPO_DIR")
+      .map(java.nio.file.Paths.get(_))
+      .orElse {
+        Iterator.iterate(
+          java.nio.file.Paths.get("").toAbsolutePath)(_.getParent)
+          .takeWhile(_ != null).take(8)
+          .find(p => java.nio.file.Files.exists(p.resolve("build.sbt")))
+      }
+    repoRoot match {
+      case Some(rootDir) =>
+        val repoCopy = rootDir.resolve("BENCH_FULL_latest.json")
+        try java.nio.file.Files.writeString(repoCopy, full + "\n")
+        catch {
+          case e: java.io.IOException =>
+            System.err.println(
+              s"bench: SKIPPED repo copy $repoCopy (${e.getMessage}); " +
+                s"full JSON remains at $outPath")
+        }
+      case None =>
+        System.err.println(
+          "bench: SKIPPED repo copy (no SPARK_GRAFT_REPO_DIR and no " +
+            s"build.sbt above ${java.nio.file.Paths.get("").toAbsolutePath}); " +
+            s"full JSON remains at $outPath")
+    }
     spark.stop()
   }
 }

@@ -635,8 +635,10 @@ object SparkEntry {
     // similarity search — IVF-PQ doubly-reduced ADC probe against
     // prebuilt artifacts (cell pruning x m-lookup scoring)
     "q_ann_ivfpq_probe" -> AnnQ.ivfPqTopKProbe,
-    // similarity search — OPQ (Ge et al. OPQ_P): PCA eigen-rotation
-    // with greedy λ-product allocation, then PQ in the rotated space
+    // similarity search — OPQ (after Ge et al. OPQ_P): PCA eigen-
+    // rotation with greedy SUM-balanced variance allocation (NOT the
+    // paper's λ-product criterion — measured worse at this code rate,
+    // see Opq.allocate's doc), then PQ in the rotated space
     // (rows-only; PqSpec measures the reconstruction-MSE drop vs raw
     // PQ; the fixture twin hash-matches the rotate+ADC serving path)
     "q_ann_opq" -> AnnQ.opqTopK,

@@ -70,7 +70,17 @@ object Barrier {
   def iter(df: DataFrame): DataFrame =
     modeOf(df) match {
       case "local" => df.localCheckpoint()
-      case "replicated" | "reliable" => df.checkpoint()
+      case mode @ ("replicated" | "reliable") =>
+        // fail FAST with the fix in the message: without this,
+        // a missing checkpoint dir surfaces as a generic
+        // SparkException deep inside the first iterative loop
+        if (df.sparkSession.sparkContext.getCheckpointDir.isEmpty)
+          throw new IllegalStateException(
+            s"Barrier.iter: spark.graft.barrier.mode=$mode maps to " +
+              "df.checkpoint(), which requires " +
+              "SparkContext.setCheckpointDir (HDFS/object store on a " +
+              "real cluster) before the first iterative barrier")
+        df.checkpoint()
       case other => badMode(other)
     }
 

@@ -69,18 +69,34 @@ object StageArtifacts {
     val k = keyFor(dataDir, name)
     val existing = built.get(k)
     if (existing != null) return existing
+    // SAME-key re-entry (a builder ensuring its own key) would recurse
+    // forever through the re-entrant monitor below — the old
+    // computeIfAbsent at least threw `Recursive update`; keep that
+    // failure DESCRIPTIVE rather than a StackOverflowError
+    if (inProgress.get().contains(k))
+      throw new IllegalStateException(
+        s"StageArtifacts.ensure: builder for '$name' (key $k) called " +
+          "ensure() for its OWN key — a self-dependent artifact is a " +
+          "builder bug, not a DAG")
     val lock = locks.computeIfAbsent(k, _ => new Object)
     lock.synchronized {
       val again = built.get(k)
       if (again != null) return again
       val dir = root.resolve(k).toString
-      build(dir)
+      inProgress.get().add(k)
+      try build(dir)
+      finally inProgress.get().remove(k)
       built.put(k, dir)
       dir
     }
   }
 
   private val locks = new ConcurrentHashMap[String, Object]()
+  // per-thread: nested ensure from OTHER threads is the normal
+  // cross-artifact DAG case and must not trip the self-dependency guard
+  private val inProgress =
+    ThreadLocal.withInitial[java.util.HashSet[String]](() =>
+      new java.util.HashSet[String]())
 
   /** Rebuild the artifact unconditionally (parquet overwrite semantics
     * are the builder's responsibility) and mark it built.
