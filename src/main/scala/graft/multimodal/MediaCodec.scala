@@ -1056,6 +1056,48 @@ object MediaCodec {
     out
   }
 
+  /** Forward-transform, quantize (zigzag, against `qtab`) and
+    * entropy-code ONE 8×8 block of level-shifted samples; returns the
+    * new DC predictor. The one block writer both the grayscale and the
+    * color encoder share — per-component tables arrive as arguments.
+    */
+  private def writeBlock(bw: BitWriter, block: Array[Double], pred: Int,
+      dcCodes: Map[Int, (Int, Int)], acCodes: Map[Int, (Int, Int)],
+      qtab: Array[Int]): Int = {
+    val coef = fdct8(block)
+    val q = new Array[Int](64)
+    var i = 0
+    while (i < 64) {
+      q(i) = math.round(coef(ZigZag(i)) / qtab(i)).toInt
+      i += 1
+    }
+    // DC: category + magnitude bits of the prediction diff
+    val diff = q(0) - pred
+    val s = category(diff)
+    val (dcode, dlen) = dcCodes(s)
+    bw.put(dcode, dlen)
+    if (s > 0) bw.put(if (diff < 0) diff - 1 + (1 << s) else diff, s)
+    // AC: run-length of zeros, ZRL for 16+, EOB for the tail
+    var run = 0
+    var k = 1
+    while (k < 64) {
+      if (q(k) == 0) run += 1
+      else {
+        while (run >= 16) {
+          val (zc, zl) = acCodes(0xf0); bw.put(zc, zl); run -= 16
+        }
+        val sz = category(q(k))
+        val (ac, al) = acCodes((run << 4) | sz)
+        bw.put(ac, al)
+        bw.put(if (q(k) < 0) q(k) - 1 + (1 << sz) else q(k), sz)
+        run = 0
+      }
+      k += 1
+    }
+    if (run > 0) { val (ec, el) = acCodes(0x00); bw.put(ec, el) }
+    q(0)
+  }
+
   /** A COMPLETE baseline grayscale JFIF: SOI, APP0, DQT (all-ones, so
     * 8×8-constant pixel functions survive encode→decode EXACTLY), SOF0,
     * the two self-declared DHTs, SOS, real entropy-coded scan, EOI.
@@ -1095,6 +1137,7 @@ object MediaCodec {
     val acCodes = canonicalCodes(JpegAcBits, JpegAcVals)
     val bw = new BitWriter(o)
     val block = new Array[Double](64)
+    val ones = Array.fill(64)(1)
     var pred = 0
     var by = 0
     while (by < h / 8) {
@@ -1110,42 +1153,118 @@ object MediaCodec {
           }
           yy += 1
         }
-        val coef = fdct8(block)
-        // quantize (q = 1) in zigzag order
-        val q = new Array[Int](64)
-        i = 0
-        while (i < 64) {
-          q(i) = math.round(coef(ZigZag(i))).toInt
-          i += 1
-        }
-        // DC: category + magnitude bits of the prediction diff
-        val diff = q(0) - pred
-        pred = q(0)
-        val s = category(diff)
-        val (dcode, dlen) = dcCodes(s)
-        bw.put(dcode, dlen)
-        if (s > 0) bw.put(if (diff < 0) diff - 1 + (1 << s) else diff, s)
-        // AC: run-length of zeros, ZRL for 16+, EOB for the tail
-        var run = 0
-        var k = 1
-        while (k < 64) {
-          if (q(k) == 0) run += 1
-          else {
-            while (run >= 16) {
-              val (zc, zl) = acCodes(0xf0); bw.put(zc, zl); run -= 16
-            }
-            val sz = category(q(k))
-            val (ac, al) = acCodes((run << 4) | sz)
-            bw.put(ac, al)
-            bw.put(if (q(k) < 0) q(k) - 1 + (1 << sz) else q(k), sz)
-            run = 0
-          }
-          k += 1
-        }
-        if (run > 0) { val (ec, el) = acCodes(0x00); bw.put(ec, el) }
+        pred = writeBlock(bw, block, pred, dcCodes, acCodes, ones)
         bx += 1
       }
       by += 1
+    }
+    bw.flushWithOnes()
+    marker(0xd9) // EOI
+    o.toByteArray
+  }
+
+  /** A COMPLETE baseline COLOR JFIF — the 3-component (YCbCr) sibling
+    * of [[jpegGray]]: SOF0 with per-component sampling factors
+    * (4:2:0 when `subsample`, else 4:4:4), TWO quantization tables
+    * (luma all-ones, chroma all-twos — distinct content so table
+    * routing is exercised; both keep 8×8-constant planes EXACT:
+    * DC = 8·(v−128) is even, so /2 then ×2 round-trips), four DHTs
+    * (DC/AC × table id 0/1), and a single INTERLEAVED entropy-coded
+    * scan — per MCU: the hY×hY luma blocks in raster order, then one
+    * Cb and one Cr block, each component with its own DC predictor.
+    *
+    * Inputs are PLANAR, each component sampled at its OWN resolution
+    * (chroma functions take chroma coordinates — ceil(w/2)×ceil(h/2)
+    * when subsampled): the synthesizers declare the subsampled signal
+    * directly, so no downsampling filter muddies the exactness
+    * contract. Partial MCUs (w or h not a multiple of 16 in 4:2:0 —
+    * the 72-wide assets) pad by edge replication, per T.81 A.2.4's
+    * recommendation; the decoder crops them away.
+    */
+  def jpegColor(w: Int, h: Int, yF: (Int, Int) => Int,
+      cbF: (Int, Int) => Int, crF: (Int, Int) => Int,
+      subsample: Boolean): Array[Byte] = {
+    require(w % 8 == 0 && h % 8 == 0, s"jpegColor: $w x $h not block-aligned")
+    val o = new java.io.ByteArrayOutputStream()
+    def marker(m: Int): Unit = { o.write(0xff); o.write(m) }
+    marker(0xd8) // SOI
+    marker(0xe0) // APP0 / JFIF
+    writeBe16(o, 16)
+    o.write(Array[Byte]('J', 'F', 'I', 'F', 0, 1, 1, 0), 0, 8)
+    writeBe16(o, 1); writeBe16(o, 1); o.write(0); o.write(0)
+    marker(0xdb) // DQT: two entries in one segment (luma q=1, chroma q=2)
+    writeBe16(o, 2 + 65 + 65)
+    o.write(0x00); (0 until 64).foreach(_ => o.write(1))
+    o.write(0x01); (0 until 64).foreach(_ => o.write(2))
+    val hY = if (subsample) 2 else 1
+    marker(0xc0) // SOF0: 8-bit, 3 components
+    writeBe16(o, 8 + 3 * 3); o.write(8)
+    writeBe16(o, h); writeBe16(o, w); o.write(3)
+    o.write(1); o.write((hY << 4) | hY); o.write(0) // Y
+    o.write(2); o.write(0x11); o.write(1) // Cb
+    o.write(3); o.write(0x11); o.write(1) // Cr
+    def dht(cls: Int, id: Int): Unit = {
+      val (bits, vals) =
+        if (cls == 0) (JpegDcBits, JpegDcVals) else (JpegAcBits, JpegAcVals)
+      marker(0xc4)
+      writeBe16(o, 2 + 1 + 16 + vals.length)
+      o.write((cls << 4) | id)
+      bits.foreach(o.write)
+      vals.foreach(o.write)
+    }
+    dht(0, 0); dht(1, 0); dht(0, 1); dht(1, 1)
+    marker(0xda) // SOS: 3 components, Y→tables 0, chroma→tables 1
+    writeBe16(o, 6 + 2 * 3)
+    o.write(3)
+    o.write(1); o.write(0x00)
+    o.write(2); o.write(0x11)
+    o.write(3); o.write(0x11)
+    o.write(0); o.write(63); o.write(0)
+    val dcCodes = canonicalCodes(JpegDcBits, JpegDcVals)
+    val acCodes = canonicalCodes(JpegAcBits, JpegAcVals)
+    val qLuma = Array.fill(64)(1)
+    val qChroma = Array.fill(64)(2)
+    val bw = new BitWriter(o)
+    val block = new Array[Double](64)
+    val mcuPx = 8 * hY
+    val mcusX = (w + mcuPx - 1) / mcuPx
+    val mcusY = (h + mcuPx - 1) / mcuPx
+    val cw = (w + hY - 1) / hY // chroma plane dims (ceil(w/2) in 4:2:0)
+    val ch = (h + hY - 1) / hY
+    var predY = 0; var predCb = 0; var predCr = 0
+    def fill(f: (Int, Int) => Int, x0: Int, y0: Int, maxX: Int, maxY: Int): Unit = {
+      var yy = 0
+      while (yy < 8) {
+        val gy = math.min(y0 + yy, maxY)
+        var xx = 0
+        while (xx < 8) {
+          block(yy * 8 + xx) = (f(math.min(x0 + xx, maxX), gy) & 0xff) - 128.0
+          xx += 1
+        }
+        yy += 1
+      }
+    }
+    var my = 0
+    while (my < mcusY) {
+      var mx = 0
+      while (mx < mcusX) {
+        var v = 0
+        while (v < hY) {
+          var hb = 0
+          while (hb < hY) {
+            fill(yF, mx * mcuPx + hb * 8, my * mcuPx + v * 8, w - 1, h - 1)
+            predY = writeBlock(bw, block, predY, dcCodes, acCodes, qLuma)
+            hb += 1
+          }
+          v += 1
+        }
+        fill(cbF, mx * 8, my * 8, cw - 1, ch - 1)
+        predCb = writeBlock(bw, block, predCb, dcCodes, acCodes, qChroma)
+        fill(crF, mx * 8, my * 8, cw - 1, ch - 1)
+        predCr = writeBlock(bw, block, predCr, dcCodes, acCodes, qChroma)
+        mx += 1
+      }
+      my += 1
     }
     bw.flushWithOnes()
     marker(0xd9) // EOI
