@@ -3998,12 +3998,17 @@ object SparkEntry {
 
   private lazy val phashHashSql: String = phashHashSqlFrom("documents")
 
-  /** The JPEG fingerprint CTEs: the same [[phashHashSqlFrom]] mosaic
-    * formula WITHOUT the color-luma fold (JPEG assets are grayscale)
-    * and with only the truncation plant excluded (no CRC plant — a
-    * JPEG entropy stream carries none, see Multimodal.jpegImageAssets).
-    * The 72×64 assets put one 8×8 block per dHash cell, so the cell
-    * mean IS the block value.
+  /** The JPEG fingerprint CTEs: the [[phashHashSqlFrom]] mosaic formula
+    * with the CORPUS MODE fold — per (doc_id / 4) group, mode = group
+    * % 3 is grayscale (cell luma = the mosaic value p) or one of the
+    * two color layouts (4:2:0 / 4:4:4), which share one formula: the
+    * per-quad chroma (Multimodal.chromaCb/chromaCr at (bx/2, by/2))
+    * runs through the decoder's integer YCbCr→RGB (floor fixed-point,
+    * replayed exactly via bias-then-divide so `//`'s rounding mode
+    * can't matter) and the 77/150/29 luma recipe. Only the truncation
+    * plant is excluded (no CRC plant — a JPEG entropy stream carries
+    * none, see Multimodal.jpegImageAssets). The 72×64 assets put one
+    * 8×8 block per dHash cell, so the cell mean IS the folded value.
     */
   private lazy val jpegHashSql: String =
     s"""docs AS (
@@ -4018,10 +4023,29 @@ object SparkEntry {
       |            THEN (d.doc_id % 4) * 8 ELSE 0 END) % 256 AS p
       |  FROM docs d, range(9) bx, range(8) by
       |),
+      |jchroma AS (
+      |  SELECT doc_id, bx, by, p,
+      |    ((doc_id // 4) * 113 + (bx // 2) * 7 + (by // 2) * 31) % 256 - 128 AS cbd,
+      |    ((doc_id // 4) * 127 + (bx // 2) * 11 + (by // 2) * 17) % 256 - 128 AS crd
+      |  FROM grid
+      |),
+      |jrgb AS (
+      |  SELECT doc_id, bx, by, p,
+      |    LEAST(255, GREATEST(0, p + ((91881 * crd + 16777216) // 65536) - 256)) AS r,
+      |    LEAST(255, GREATEST(0, p - ((22554 * cbd + 46802 * crd + 16777216) // 65536) + 256)) AS g,
+      |    LEAST(255, GREATEST(0, p + ((116130 * cbd + 16777216) // 65536) - 256)) AS b
+      |  FROM jchroma
+      |),
+      |jlum AS (
+      |  SELECT doc_id, bx, by,
+      |    CASE WHEN (doc_id // 4) % 3 = 0 THEN p
+      |         ELSE (77 * r + 150 * g + 29 * b) // 256 END AS p
+      |  FROM jrgb
+      |),
       |bits AS (
       |  SELECT g1.doc_id, CAST(g1.by * 8 + g1.bx AS BIGINT) AS pos,
       |    CASE WHEN g2.p > g1.p THEN 1 ELSE 0 END AS bit
-      |  FROM grid g1 JOIN grid g2
+      |  FROM jlum g1 JOIN jlum g2
       |    ON g2.doc_id = g1.doc_id AND g2.by = g1.by AND g2.bx = g1.bx + 1
       |  WHERE g1.bx < 8
       |),

@@ -950,6 +950,16 @@ object MediaCodec {
     val b = new Array[Int](16); b(7) = JpegAcVals.length; b
   }
 
+  /** The color encoder's CHROMA tables (DHT ids 1): same BITS shape,
+    * HUFFVAL reversed — a different (still canonical) code↔symbol
+    * assignment, so a decoder that misroutes a chroma block to the luma
+    * tables reads garbage symbols instead of silently agreeing. Distinct
+    * CONTENT is what makes the SOS table-id routing testable (the first
+    * cut duplicated the luma tables under id 1, which exercised nothing).
+    */
+  private val JpegDcValsChroma: Array[Int] = JpegDcVals.reverse
+  private val JpegAcValsChroma: Array[Int] = JpegAcVals.reverse
+
   private class BitWriter(o: java.io.ByteArrayOutputStream) {
     private var acc = 0
     private var nbits = 0
@@ -1169,9 +1179,11 @@ object MediaCodec {
     * (luma all-ones, chroma all-twos — distinct content so table
     * routing is exercised; both keep 8×8-constant planes EXACT:
     * DC = 8·(v−128) is even, so /2 then ×2 round-trips), four DHTs
-    * (DC/AC × table id 0/1), and a single INTERLEAVED entropy-coded
-    * scan — per MCU: the hY×hY luma blocks in raster order, then one
-    * Cb and one Cr block, each component with its own DC predictor.
+    * (DC/AC × table id 0/1 — the id-1 chroma tables carry DISTINCT
+    * content, [[JpegDcValsChroma]], so SOS table-id routing is a real
+    * contract), and a single INTERLEAVED entropy-coded scan — per MCU:
+    * the hY×hY luma blocks in raster order, then one Cb and one Cr
+    * block, each component with its own DC predictor.
     *
     * Inputs are PLANAR, each component sampled at its OWN resolution
     * (chroma functions take chroma coordinates — ceil(w/2)×ceil(h/2)
@@ -1179,7 +1191,7 @@ object MediaCodec {
     * directly, so no downsampling filter muddies the exactness
     * contract. Partial MCUs (w or h not a multiple of 16 in 4:2:0 —
     * the 72-wide assets) pad by edge replication, per T.81 A.2.4's
-    * recommendation; the decoder crops them away.
+    * recommendation; [[decodeJpeg]] crops them away.
     */
   def jpegColor(w: Int, h: Int, yF: (Int, Int) => Int,
       cbF: (Int, Int) => Int, crF: (Int, Int) => Int,
@@ -1204,8 +1216,12 @@ object MediaCodec {
     o.write(2); o.write(0x11); o.write(1) // Cb
     o.write(3); o.write(0x11); o.write(1) // Cr
     def dht(cls: Int, id: Int): Unit = {
-      val (bits, vals) =
-        if (cls == 0) (JpegDcBits, JpegDcVals) else (JpegAcBits, JpegAcVals)
+      val (bits, vals) = (cls, id) match {
+        case (0, 0) => (JpegDcBits, JpegDcVals)
+        case (1, 0) => (JpegAcBits, JpegAcVals)
+        case (0, _) => (JpegDcBits, JpegDcValsChroma)
+        case _ => (JpegAcBits, JpegAcValsChroma)
+      }
       marker(0xc4)
       writeBe16(o, 2 + 1 + 16 + vals.length)
       o.write((cls << 4) | id)
@@ -1222,6 +1238,8 @@ object MediaCodec {
     o.write(0); o.write(63); o.write(0)
     val dcCodes = canonicalCodes(JpegDcBits, JpegDcVals)
     val acCodes = canonicalCodes(JpegAcBits, JpegAcVals)
+    val dcCodesC = canonicalCodes(JpegDcBits, JpegDcValsChroma)
+    val acCodesC = canonicalCodes(JpegAcBits, JpegAcValsChroma)
     val qLuma = Array.fill(64)(1)
     val qChroma = Array.fill(64)(2)
     val bw = new BitWriter(o)
@@ -1259,9 +1277,9 @@ object MediaCodec {
           v += 1
         }
         fill(cbF, mx * 8, my * 8, cw - 1, ch - 1)
-        predCb = writeBlock(bw, block, predCb, dcCodes, acCodes, qChroma)
+        predCb = writeBlock(bw, block, predCb, dcCodesC, acCodesC, qChroma)
         fill(crF, mx * 8, my * 8, cw - 1, ch - 1)
-        predCr = writeBlock(bw, block, predCr, dcCodes, acCodes, qChroma)
+        predCr = writeBlock(bw, block, predCr, dcCodesC, acCodesC, qChroma)
         mx += 1
       }
       my += 1
@@ -1345,24 +1363,66 @@ object MediaCodec {
   private def extend(v: Int, s: Int): Int =
     if (s == 0) 0 else if (v < (1 << (s - 1))) v - (1 << s) + 1 else v
 
-  /** Full baseline grayscale JPEG decode: marker walk (DQT/DHT/SOF0/
-    * SOS; APPn/COM skipped), canonical-Huffman entropy decode with DC
-    * prediction and FF00 un-stuffing, dequantize, dezigzag, inverse
-    * DCT, level shift, clamp. Returns None on ANY structural defect —
-    * wrong signature, progressive/arithmetic/multi-component/
-    * subsampled/12-bit streams, missing tables, truncated entropy data,
-    * an unexpected marker mid-scan, oversized dims — so a curation
-    * pipeline quarantines rather than training on garbage pixels.
-    * Grayscale-only by contract: color JPEG (chroma components +
-    * upsampling) stays out of scope, documented in SURVEY §8 M6.
+  /** Integer YCbCr→RGB (JFIF full-range, 16-bit fixed point with FLOOR
+    * division — `>>` is an arithmetic shift) folded straight into the
+    * pipeline's standard luma recipe (77·R + 150·G + 29·B) >> 8, the
+    * same weights the color-PNG path uses — a color JPEG and a color
+    * PNG of the same scene fingerprint identically. The SQL oracle
+    * replays the floor divisions exactly via the bias-then-divide
+    * identity (add 2²⁴, divide, subtract 256 — the numerator stays
+    * non-negative, where floor and truncating division agree).
     */
-  def decodeJpegGray(b: Array[Byte]): Option[PixelImage] = {
+  private def ycbcrLuma(y: Int, cb: Int, cr: Int): Int = {
+    val cbd = cb - 128; val crd = cr - 128
+    def clamp(v: Int) = if (v < 0) 0 else if (v > 255) 255 else v
+    val r = clamp(y + ((91881 * crd) >> 16)) // 1.402 · 2¹⁶
+    val g = clamp(y - ((22554 * cbd + 46802 * crd) >> 16)) // .344/.714 · 2¹⁶
+    val b = clamp(y + ((116130 * cbd) >> 16)) // 1.772 · 2¹⁶
+    (77 * r + 150 * g + 29 * b) >> 8
+  }
+
+  /** Full baseline JPEG decode to 8-bit LUMA pixels: marker walk
+    * (DQT/DHT/SOF0/SOS; APPn/COM skipped), canonical-Huffman entropy
+    * decode with per-component DC prediction and FF00 un-stuffing,
+    * dequantize, dezigzag, inverse DCT, level shift, clamp.
+    *
+    * Grayscale (1 component, 1×1) decodes as before; 3-component YCbCr
+    * streams decode the INTERLEAVED MCU scan — per MCU the hY×vY luma
+    * blocks in raster order then one Cb and one Cr block, each
+    * component routed to its OWN quantization and DC/AC Huffman tables
+    * — with 4:4:4 (all 1×1) and 4:2:0 (luma 2×2, chroma 1×1) sampling;
+    * chroma upsamples by replication (pixel (x,y) reads chroma
+    * (x/hY, y/vY)) and folds through [[ycbcrLuma]]. Partial MCUs
+    * (the 72-wide 4:2:0 assets) decode into padded planes and crop to
+    * the frame dims.
+    *
+    * Returns None on ANY structural defect — wrong signature,
+    * progressive/arithmetic/12-bit streams, other sampling layouts
+    * (4:2:2, CMYK), missing tables, truncated entropy data, an
+    * unexpected marker mid-scan, a scan not closed by EOI, oversized
+    * dims — so a curation pipeline quarantines rather than training on
+    * garbage pixels.
+    */
+  def decodeJpeg(b: Array[Byte]): Option[PixelImage] =
+    decodeJpegImpl(b).map(_._2)
+
+  /** [[decodeJpeg]] restricted to single-component (grayscale) streams
+    * — the original quarantine contract for callers that must REJECT
+    * color rather than fold it to luma.
+    */
+  def decodeJpegGray(b: Array[Byte]): Option[PixelImage] =
+    decodeJpegImpl(b).collect { case (1, img) => img }
+
+  private def decodeJpegImpl(b: Array[Byte]): Option[(Int, PixelImage)] = {
     if (b.length < 4 || u8(b, 0) != 0xff || u8(b, 1) != 0xd8) return None
     var pos = 2
     val quant = scala.collection.mutable.Map.empty[Int, Array[Int]]
     val huff = scala.collection.mutable.Map.empty[(Int, Int), HuffTable]
     var w = -1; var h = -1
-    var dcId = -1; var acId = -1; var quantId = -1
+    var nc = 0
+    val compId = new Array[Int](3); val compH = new Array[Int](3)
+    val compV = new Array[Int](3); val compTq = new Array[Int](3)
+    val compTd = new Array[Int](3); val compTa = new Array[Int](3)
     var scanStart = -1
     while (scanStart < 0) {
       if (pos + 4 > b.length) return None
@@ -1400,91 +1460,154 @@ object MediaCodec {
               p += 17 + n
             }
           case 0xc0 => // SOF0 — baseline sequential only
-            // 8 header bytes + 3 per component: shorter segments would
+            // 6 header bytes + 3 per component: shorter segments would
             // read past segEnd (and, at buffer end, past the array)
-            if (len < 11) return None
+            if (len < 9) return None
             if (u8(b, seg) != 8) return None // 12-bit: reject
             h = be16(b, seg + 1); w = be16(b, seg + 3)
             if (w <= 0 || h <= 0 || w.toLong * h > MaxDecodePixels)
               return None
-            if (u8(b, seg + 5) != 1) return None // grayscale only
-            if (u8(b, seg + 7) != 0x11) return None // 1x1 sampling
-            quantId = u8(b, seg + 8)
+            nc = u8(b, seg + 5)
+            if (nc != 1 && nc != 3) return None // gray or YCbCr only
+            if (len < 8 + 3 * nc) return None
+            var i = 0
+            while (i < nc) {
+              compId(i) = u8(b, seg + 6 + 3 * i)
+              val hv = u8(b, seg + 7 + 3 * i)
+              compH(i) = hv >> 4; compV(i) = hv & 0x0f
+              compTq(i) = u8(b, seg + 8 + 3 * i)
+              i += 1
+            }
+            // sampling contract: gray 1×1; color 4:4:4 or 4:2:0 —
+            // anything else (4:2:2, 4:1:1, …) quarantines
+            if (nc == 1) {
+              if (compH(0) != 1 || compV(0) != 1) return None
+            } else {
+              val yOk = (compH(0) == 1 && compV(0) == 1) ||
+                (compH(0) == 2 && compV(0) == 2)
+              if (!yOk || compH(1) != 1 || compV(1) != 1 ||
+                compH(2) != 1 || compV(2) != 1) return None
+            }
           case 0xc1 | 0xc2 | 0xc3 | 0xc5 | 0xc6 | 0xc7 | 0xc9 | 0xca |
               0xcb | 0xcd | 0xce | 0xcf =>
             return None // extended/progressive/lossless/arithmetic
           case 0xdd => return None // restart intervals: out of contract
-          case 0xda => // SOS
+          case 0xda => // SOS — single interleaved scan of every component
             if (w < 0) return None // scan before frame header
-            if (len < 8) return None // 1-component SOS is exactly 8
-            if (u8(b, seg) != 1) return None
-            dcId = u8(b, seg + 2) >> 4
-            acId = u8(b, seg + 2) & 0x0f
+            if (len < 6 + 2 * nc) return None
+            if (u8(b, seg) != nc) return None
+            var i = 0
+            while (i < nc) {
+              // scan components in frame order (T.81 interleaved layout)
+              if (u8(b, seg + 1 + 2 * i) != compId(i)) return None
+              compTd(i) = u8(b, seg + 2 + 2 * i) >> 4
+              compTa(i) = u8(b, seg + 2 + 2 * i) & 0x0f
+              i += 1
+            }
             scanStart = segEnd
           case _ => // APPn / COM / others: skip
         }
         pos = segEnd
       }
     }
-    val q = quant.getOrElse(quantId, return None)
-    val dcT = huff.getOrElse((0, dcId), return None)
-    val acT = huff.getOrElse((1, acId), return None)
-    val bw = (w + 7) / 8; val bh = (h + 7) / 8
-    val px = new Array[Byte](w * h)
+    // resolve per-component tables once, before the MCU loop
+    val qs = new Array[Array[Int]](nc)
+    val dcs = new Array[HuffTable](nc)
+    val acs = new Array[HuffTable](nc)
+    var ci0 = 0
+    while (ci0 < nc) {
+      qs(ci0) = quant.getOrElse(compTq(ci0), return None)
+      dcs(ci0) = huff.getOrElse((0, compTd(ci0)), return None)
+      acs(ci0) = huff.getOrElse((1, compTa(ci0)), return None)
+      ci0 += 1
+    }
+    val hY = compH(0); val vY = compV(0)
+    val mcusX = (w + 8 * hY - 1) / (8 * hY)
+    val mcusY = (h + 8 * vY - 1) / (8 * vY)
+    // per-component planes padded to whole MCUs; cropped at the end
+    val pw = new Array[Int](nc); val planes = new Array[Array[Byte]](nc)
+    var ci1 = 0
+    while (ci1 < nc) {
+      val cw = mcusX * 8 * compH(ci1)
+      val chh = mcusY * 8 * compV(ci1)
+      pw(ci1) = cw
+      planes(ci1) = new Array[Byte](cw * chh)
+      ci1 += 1
+    }
     val br = new BitReader(b, scanStart, b.length)
     val coef = new Array[Double](64)
-    var pred = 0
-    var by = 0
-    while (by < bh) {
-      var bx = 0
-      while (bx < bw) {
-        java.util.Arrays.fill(coef, 0.0)
-        val s = br.decode(dcT)
-        if (s < 0 || s > 11) return None
-        val dbits = if (s == 0) 0 else br.bits(s)
-        if (dbits < 0) return None
-        pred += extend(dbits, s)
-        coef(0) = pred.toDouble * q(0)
-        var k = 1
-        var eob = false
-        while (k < 64 && !eob) {
-          val rs = br.decode(acT)
-          if (rs < 0) return None
-          if (rs == 0x00) eob = true
-          else if (rs == 0xf0) k += 16
-          else {
-            val run = rs >> 4
-            val sz = rs & 0x0f
-            k += run
-            if (k > 63) return None
-            val mbits = br.bits(sz)
-            if (mbits < 0) return None
-            coef(ZigZag(k)) = extend(mbits, sz).toDouble * q(k)
-            k += 1
-          }
+    val preds = new Array[Int](nc)
+    // one entropy-decoded, dequantized, inverse-transformed block of
+    // component `ci` into its plane at block position (bx, by); false
+    // on any entropy-layer defect (the caller quarantines)
+    def block(ci: Int, bx: Int, by: Int): Boolean = {
+      val q = qs(ci)
+      java.util.Arrays.fill(coef, 0.0)
+      val s = br.decode(dcs(ci))
+      if (s < 0 || s > 11) return false
+      val dbits = if (s == 0) 0 else br.bits(s)
+      if (dbits < 0) return false
+      preds(ci) += extend(dbits, s)
+      coef(0) = preds(ci).toDouble * q(0)
+      var k = 1
+      var eob = false
+      while (k < 64 && !eob) {
+        val rs = br.decode(acs(ci))
+        if (rs < 0) return false
+        if (rs == 0x00) eob = true
+        else if (rs == 0xf0) k += 16
+        else {
+          val run = rs >> 4
+          val sz = rs & 0x0f
+          k += run
+          if (k > 63) return false
+          val mbits = br.bits(sz)
+          if (mbits < 0) return false
+          coef(ZigZag(k)) = extend(mbits, sz).toDouble * q(k)
+          k += 1
         }
-        if (k > 64) return None
-        val out = idct8(coef)
-        var yy = 0
-        while (yy < 8) {
-          val gy = by * 8 + yy
-          var xx = 0
-          while (xx < 8) {
-            val gx = bx * 8 + xx
-            if (gx < w && gy < h) {
-              val v = math.round(out(yy * 8 + xx) + 128.0).toInt
-              px(gy * w + gx) =
-                (if (v < 0) 0 else if (v > 255) 255 else v).toByte
-            }
-            xx += 1
-          }
-          yy += 1
-        }
-        bx += 1
       }
-      by += 1
+      if (k > 64) return false
+      val out = idct8(coef)
+      val plane = planes(ci); val stride = pw(ci)
+      var yy = 0
+      while (yy < 8) {
+        val base = (by * 8 + yy) * stride + bx * 8
+        var xx = 0
+        while (xx < 8) {
+          val v = math.round(out(yy * 8 + xx) + 128.0).toInt
+          plane(base + xx) =
+            (if (v < 0) 0 else if (v > 255) 255 else v).toByte
+          xx += 1
+        }
+        yy += 1
+      }
+      true
     }
-    if (br.badMarker) return None
+    var failed = false
+    var my = 0
+    while (my < mcusY && !failed) {
+      var mx = 0
+      while (mx < mcusX && !failed) {
+        var v = 0
+        while (v < vY && !failed) {
+          var hb = 0
+          while (hb < hY && !failed) {
+            failed = !block(0, mx * hY + hb, my * vY + v)
+            hb += 1
+          }
+          v += 1
+        }
+        var ci = 1
+        while (ci < nc && !failed) {
+          failed = !block(ci, mx, my)
+          ci += 1
+        }
+        mx += 1
+      }
+      my += 1
+    }
+    if (failed || br.badMarker) return None
     // structural completeness: the scan must be CLOSED by EOI (the
     // PNG path's IEND discipline) — a stream cut after the last MCU's
     // bits is still a truncated file and quarantines. At most one
@@ -1497,6 +1620,30 @@ object MediaCodec {
     }
     if (p + 2 > b.length || u8(b, p) != 0xff || u8(b, p + 1) != 0xd9)
       return None
-    Some(PixelImage(w, h, px))
+    val px = new Array[Byte](w * h)
+    if (nc == 1) {
+      val plane = planes(0); val stride = pw(0)
+      var y = 0
+      while (y < h) {
+        System.arraycopy(plane, y * stride, px, y * w, w)
+        y += 1
+      }
+    } else {
+      val yP = planes(0); val yStride = pw(0)
+      val cbP = planes(1); val crP = planes(2); val cStride = pw(1)
+      var y = 0
+      while (y < h) {
+        val cRow = (y / vY) * cStride
+        var x = 0
+        while (x < w) {
+          val c = cRow + x / hY
+          px(y * w + x) = ycbcrLuma(yP(y * yStride + x) & 0xff,
+            cbP(c) & 0xff, crP(c) & 0xff).toByte
+          x += 1
+        }
+        y += 1
+      }
+    }
+    Some((nc, PixelImage(w, h, px)))
   }
 }

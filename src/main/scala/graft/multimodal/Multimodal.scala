@@ -418,24 +418,47 @@ object Multimodal {
     }
   }
 
-  /** JPEG assets with FULL pixel content: each document becomes a
-    * complete baseline grayscale JFIF ([[MediaCodec.jpegGray]] — real
-    * DCT, canonical-Huffman entropy coding, byte stuffing) of 72×64
-    * pixels in an 8×8-block mosaic of the SAME [[blockValue]] pattern
-    * the PNG assets carry — the all-ones quantization makes the
-    * block-constant pixels round-trip exactly, so the decoded mosaic is
-    * formula-replayable. Planted corruption: doc_id % 91 == 0 TRUNCATED
-    * mid-stream (quarantine). Unlike PNG there is NO bit-flip plant:
-    * a JPEG entropy stream carries no CRC, so a flipped bit decodes to
-    * silently different pixels rather than a detectable defect — the
-    * fuzz spec still proves flips never throw, but the oracle can only
-    * predict structurally-intact streams.
+  /** JPEG assets with FULL pixel content — a MIXED gray + color corpus:
+    * per (doc_id / 4) group, mode = group % 3 picks grayscale
+    * ([[MediaCodec.jpegGray]]), 4:2:0 color or 4:4:4 color
+    * ([[MediaCodec.jpegColor]] — interleaved scan, two quantization
+    * tables, distinct chroma Huffman tables). All three are complete
+    * baseline JFIFs of 72×64 luma pixels in an 8×8-block mosaic of the
+    * SAME [[blockValue]] pattern the PNG assets carry; color modes add
+    * block-constant chroma planes at one value per 2×2 luma-cell quad
+    * ([[chromaCb]]/[[chromaCr]] at cell (bx/2, by/2)), declared so BOTH
+    * color modes decode to the same formula-replayable luma. The
+    * all-ones luma / all-twos chroma quantization keeps every
+    * block-constant plane exact through encode→decode. Planted
+    * corruption: doc_id % 91 == 0 TRUNCATED mid-stream (quarantine).
+    * Unlike PNG there is NO bit-flip plant: a JPEG entropy stream
+    * carries no CRC, so a flipped bit decodes to silently different
+    * pixels rather than a detectable defect — the fuzz spec still
+    * proves flips never throw, but the oracle can only predict
+    * structurally-intact streams.
     */
   def jpegImageAssets(spark: SparkSession, docs: DataFrame): Dataset[ImageAsset] = {
     import spark.implicits._
     docs.select(col("doc_id")).as[Long].map { id =>
-      val bytes = MediaCodec.jpegGray(JpegW, JpegH,
-        (x, y) => blockValue(id, x / 8, y / 8))
+      val bytes = ((id / 4) % 3).toInt match {
+        case 0 =>
+          MediaCodec.jpegGray(JpegW, JpegH,
+            (x, y) => blockValue(id, x / 8, y / 8))
+        case 1 => // 4:2:0 — chroma declared at 36×32, constant per
+          // chroma 8×8 block = per 2×2 luma-cell quad
+          MediaCodec.jpegColor(JpegW, JpegH,
+            (x, y) => blockValue(id, x / 8, y / 8),
+            (cx, cy) => chromaCb(id, cx / 8, cy / 8),
+            (cx, cy) => chromaCr(id, cx / 8, cy / 8),
+            subsample = true)
+        case _ => // 4:4:4 — full-res chroma constant per 16×16 pixel
+          // quad: the SAME per-(bx/2, by/2) values as the 4:2:0 mode
+          MediaCodec.jpegColor(JpegW, JpegH,
+            (x, y) => blockValue(id, x / 8, y / 8),
+            (x, y) => chromaCb(id, x / 16, y / 16),
+            (x, y) => chromaCr(id, x / 16, y / 16),
+            subsample = false)
+      }
       ImageAsset(id, if (id % 91 == 0) bytes.take(60) else bytes)
     }
   }
@@ -443,19 +466,34 @@ object Multimodal {
   private[multimodal] val JpegW = 72
   private[multimodal] val JpegH = 64
 
+  /** Chroma-cell values for the COLOR JPEG assets, indexed by the
+    * 2×2 luma-cell quad (cx, cy) = (bx/2, by/2): in 4:2:0 the value
+    * lands on chroma block (cx, cy) of the 36×32 chroma plane; in
+    * 4:4:4 on the 16×16 pixel quad — either way every 8×8 luma cell
+    * sees exactly ONE (cb, cr), which is what keeps the decoded luma
+    * ([[MediaCodec.decodeJpeg]]'s integer YCbCr fold) block-constant
+    * and the oracle a closed formula.
+    */
+  private[multimodal] def chromaCb(d: Long, cx: Int, cy: Int): Int =
+    (((d / 4) * 113 + cx * 7 + cy * 31) % 256).toInt
+  private[multimodal] def chromaCr(d: Long, cx: Int, cy: Int): Int =
+    (((d / 4) * 127 + cx * 11 + cy * 17) % 256).toInt
+
   /** Partition-batched JPEG pixel decode + perceptual hash: full
-    * baseline decode ([[MediaCodec.decodeJpegGray]] — marker walk,
-    * Huffman, dequantize, IDCT) then the SAME [[dHash]] as the PNG
-    * path. At 72×64 the 9×8 dHash grid cell is exactly one 8×8 JPEG
-    * block, so the hash is a pure function of the block mosaic — the
-    * oracle replays it formula-for-formula. Undecodable assets DROP
+    * baseline decode ([[MediaCodec.decodeJpeg]] — marker walk, Huffman,
+    * dequantize, IDCT; for color streams interleaved-MCU decode,
+    * chroma upsampling and the integer YCbCr→luma fold) then the SAME
+    * [[dHash]] as the PNG path. At 72×64 the 9×8 dHash grid cell is
+    * exactly one 8×8 JPEG block, so the hash is a pure function of the
+    * block mosaic (+ per-quad chroma for the color modes) — the oracle
+    * replays it formula-for-formula. Undecodable assets DROP
     * (quarantine); the media column is read exactly once.
     */
   def decodeJpegPhash(assets: Dataset[ImageAsset]): Dataset[ImagePhash] = {
     import assets.sparkSession.implicits._
     assets.mapPartitions { batch =>
       batch.flatMap { a =>
-        MediaCodec.decodeJpegGray(a.media).flatMap(dHash(_)).map {
+        MediaCodec.decodeJpeg(a.media).flatMap(dHash(_)).map {
           case (hi, lo) => ImagePhash(a.asset_id, hi, lo)
         }
       }

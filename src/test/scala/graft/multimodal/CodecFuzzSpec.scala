@@ -20,14 +20,23 @@ class CodecFuzzSpec extends AnyFunSuite {
     "decodePngPixels" -> (b => MediaCodec.decodePngPixels(b)),
     "decodeMp4Luma" -> (b => MediaCodec.decodeMp4Luma(b)),
     "decodeWavPcm16Mono" -> (b => MediaCodec.decodeWavPcm16Mono(b)),
-    "decodeJpegGray" -> (b => MediaCodec.decodeJpegGray(b)))
+    "decodeJpegGray" -> (b => MediaCodec.decodeJpegGray(b)),
+    "decodeJpeg" -> (b => MediaCodec.decodeJpeg(b)))
 
   private def validAssets: Seq[(String, Array[Byte])] = Seq(
     "png_gray" -> MediaCodec.pngGray(12, 9, (x, y) => (x * 7 + y * 3) % 256),
     "png_rgb" -> MediaCodec.pngColor(8, 8, 2, (x, y, c) => (x + y + c) % 256),
     "wav_pcm" -> MediaCodec.wavPcm16Mono(8000, 256, s => (s * 37) % 1024 - 512),
     "mp4_luma" -> MediaCodec.mp4LumaVideo(6, 4, 5, (f, i) => (f * 31 + i) % 256),
-    "jpeg_gray" -> MediaCodec.jpegGray(16, 16, (x, y) => (x * 5 + y * 11) % 256))
+    "jpeg_gray" -> MediaCodec.jpegGray(16, 16, (x, y) => (x * 5 + y * 11) % 256),
+    "jpeg_420" -> MediaCodec.jpegColor(24, 16,
+      (x, y) => (x * 5 + y * 11) % 256,
+      (cx, cy) => (cx * 9 + cy * 3 + 80) % 256,
+      (cx, cy) => (cx * 4 + cy * 13 + 140) % 256, subsample = true),
+    "jpeg_444" -> MediaCodec.jpegColor(16, 16,
+      (x, y) => (x * 3 + y * 7) % 256,
+      (x, y) => (x * 2 + y + 100) % 256,
+      (x, y) => (x + y * 2 + 60) % 256, subsample = false))
 
   test("random garbage: every decoder returns, never throws") {
     for (seed <- 1 to 60) {

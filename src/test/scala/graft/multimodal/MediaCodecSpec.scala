@@ -676,4 +676,160 @@ class MediaCodecSpec extends AnyFunSuite {
       seg(0xda, 1) // len 3 < 8: fields past the buffer end
     assert(MediaCodec.decodeJpegGray(shortSos).isEmpty)
   }
+
+  // ===== baseline JPEG (color: 4:2:0 / 4:4:4) ==========================
+
+  /** The decoder's integer YCbCr→luma fold, restated independently with
+    * math.floorDiv (the decoder shifts) — a sign-handling bug in either
+    * formulation breaks the comparison.
+    */
+  private def lumaRef(y: Int, cb: Int, cr: Int): Int = {
+    def clamp(v: Int) = math.max(0, math.min(255, v))
+    val r = clamp(y + math.floorDiv(91881 * (cr - 128), 65536))
+    val g = clamp(y - math.floorDiv(22554 * (cb - 128) + 46802 * (cr - 128), 65536))
+    val b = clamp(y + math.floorDiv(116130 * (cb - 128), 65536))
+    (77 * r + 150 * g + 29 * b) >> 8
+  }
+
+  test("jpegColor 4:2:0: block-constant planes round-trip EXACT luma " +
+      "(partial 72-wide MCUs, per-component quant + Huffman routing)") {
+    for (seed <- Seq(0L, 5L, 99L)) {
+      def yF(x: Int, y: Int): Int =
+        ((seed * 37 + (x / 8) * 11 + (y / 8) * 29) % 256).toInt
+      // chroma declared at 36×32, constant per chroma 8×8 block
+      def cbF(cx: Int, cy: Int): Int =
+        ((seed * 13 + (cx / 8) * 50 + (cy / 8) * 30 + 60) % 256).toInt
+      def crF(cx: Int, cy: Int): Int =
+        ((seed * 19 + (cx / 8) * 40 + (cy / 8) * 20 + 90) % 256).toInt
+      val bytes = MediaCodec.jpegColor(72, 64, yF, cbF, crF, subsample = true)
+      val hdr = MediaCodec.parseJpeg(bytes)
+      assert(hdr.exists(h => h.width == 72 && h.height == 64 &&
+        h.channels == 3))
+      val img = MediaCodec.decodeJpeg(bytes).get
+      assert(img.width == 72 && img.height == 64)
+      for (y <- 0 until 64; x <- 0 until 72) {
+        val want = lumaRef(yF(x, y), cbF(x / 2, y / 2), crF(x / 2, y / 2))
+        assert((img.px(y * 72 + x) & 0xff) == want, s"($x, $y) seed=$seed")
+      }
+    }
+  }
+
+  test("jpegColor 4:4:4: full-res chroma round-trips EXACT luma") {
+    def yF(x: Int, y: Int): Int = ((x / 8) * 23 + (y / 8) * 17 + 5) % 256
+    def cbF(x: Int, y: Int): Int = ((x / 8) * 31 + (y / 8) * 3 + 80) % 256
+    def crF(x: Int, y: Int): Int = ((x / 8) * 7 + (y / 8) * 41 + 150) % 256
+    val bytes = MediaCodec.jpegColor(32, 24, yF, cbF, crF, subsample = false)
+    val img = MediaCodec.decodeJpeg(bytes).get
+    assert(img.width == 32 && img.height == 24)
+    for (y <- 0 until 24; x <- 0 until 32) {
+      val want = lumaRef(yF(x, y), cbF(x, y), crF(x, y))
+      assert((img.px(y * 32 + x) & 0xff) == want, s"($x, $y)")
+    }
+  }
+
+  test("jpegColor: decodeJpegGray still QUARANTINES color; decodeJpeg " +
+      "accepts it — and the gray paths agree on gray streams") {
+    val color = MediaCodec.jpegColor(16, 16,
+      (x, y) => (x / 8 * 30 + y / 8 * 50) % 256,
+      (_, _) => 100, (_, _) => 140, subsample = false)
+    assert(MediaCodec.decodeJpegGray(color).isEmpty,
+      "grayscale-only contract must survive the color decoder")
+    assert(MediaCodec.decodeJpeg(color).isDefined)
+    val gray = MediaCodec.jpegGray(16, 16, (x, y) => (x * 5 + y * 11) % 256)
+    val a = MediaCodec.decodeJpegGray(gray).get
+    val b = MediaCodec.decodeJpeg(gray).get
+    assert(a.px.sameElements(b.px) && a.width == b.width)
+  }
+
+  test("jpegColor: the id-1 chroma DHTs carry DISTINCT content, and " +
+      "misrouting chroma to the luma tables cannot decode the scan") {
+    val bytes = MediaCodec.jpegColor(32, 32,
+      (x, y) => (x / 8 * 13 + y / 8 * 7 + 30) % 256,
+      (x, y) => (x / 16 * 60 + 70) % 256,
+      (x, y) => (y / 16 * 80 + 50) % 256, subsample = true)
+    // collect the four DHT payloads (class<<4|id byte + BITS + HUFFVAL)
+    def u8(i: Int) = bytes(i) & 0xff
+    var i = 2
+    var dhts = Map.empty[Int, Seq[Byte]]
+    while (i + 4 <= bytes.length && u8(i) == 0xff && u8(i + 1) != 0xda) {
+      val m = u8(i + 1); val len = (u8(i + 2) << 8) | u8(i + 3)
+      if (m == 0xc4) {
+        val body = bytes.slice(i + 4, i + 2 + len)
+        dhts += (body(0) & 0xff) -> body.drop(1).toSeq
+      }
+      i += 2 + len
+    }
+    assert(dhts.keySet == Set(0x00, 0x10, 0x01, 0x11))
+    assert(dhts(0x00) != dhts(0x01), "DC chroma content must differ")
+    assert(dhts(0x10) != dhts(0x11), "AC chroma content must differ")
+    // point the SOS chroma selectors at the LUMA tables: with distinct
+    // content the entropy stream desyncs and the decode must quarantine
+    // (never return the right pixels by accident)
+    val sos = (2 until bytes.length - 1).find(j =>
+      u8(j) == 0xff && u8(j + 1) == 0xda).get
+    val patched = bytes.clone()
+    patched(sos + 8) = 0x00 // Cb Td/Ta
+    patched(sos + 10) = 0x00 // Cr Td/Ta
+    val mis = MediaCodec.decodeJpeg(patched)
+    val good = MediaCodec.decodeJpeg(bytes).get
+    assert(mis.forall(m => !m.px.sameElements(good.px)),
+      "misrouted tables must not reproduce the correct pixels")
+  }
+
+  test("jpegColor quarantines: truncation anywhere, 4:2:2 sampling " +
+      "out of contract") {
+    val bytes = MediaCodec.jpegColor(16, 16,
+      (x, y) => (x + y) % 256, (_, _) => 90, (_, _) => 160,
+      subsample = true)
+    assert(MediaCodec.decodeJpeg(bytes).isDefined)
+    for (cut <- Seq(1, 4, 30, 150, bytes.length / 2, bytes.length - 1))
+      assert(MediaCodec.decodeJpeg(bytes.take(cut)).isEmpty, s"cut=$cut")
+    // patch Y sampling 2x2 -> 2x1 (4:2:2): outside the decode contract
+    def u8(i: Int) = bytes(i) & 0xff
+    val sof = (2 until bytes.length - 1).find(j =>
+      u8(j) == 0xff && u8(j + 1) == 0xc0).get
+    val p422 = bytes.clone()
+    p422(sof + 11) = 0x21
+    assert(MediaCodec.decodeJpeg(p422).isEmpty)
+  }
+
+  test("jpegColor vs javax.imageio (third-party decoder oracle): " +
+      "lumas agree within fixed-point rounding") {
+    // 4:2:0 uses WHOLE-IMAGE-constant chroma so ImageIO's upsampling
+    // filter choice (libjpeg 'fancy' triangular vs replication) cannot
+    // matter; 4:4:4 varies chroma per 8x8 block (no upsampling there).
+    val cases = Seq(
+      ("420", MediaCodec.jpegColor(72, 64,
+        (x, y) => ((x / 8) * 11 + (y / 8) * 29 + 40) % 256,
+        (_, _) => 96, (_, _) => 170, subsample = true),
+        (x: Int, y: Int) => lumaRef(
+          ((x / 8) * 11 + (y / 8) * 29 + 40) % 256, 96, 170)),
+      ("444", MediaCodec.jpegColor(32, 24,
+        (x, y) => ((x / 8) * 23 + (y / 8) * 17 + 5) % 256,
+        (x, y) => ((x / 8) * 31 + 80) % 256,
+        (x, y) => ((y / 8) * 41 + 150) % 256, subsample = false),
+        (x: Int, y: Int) => lumaRef(
+          ((x / 8) * 23 + (y / 8) * 17 + 5) % 256,
+          ((x / 8) * 31 + 80) % 256, ((y / 8) * 41 + 150) % 256)))
+    for ((tag, bytes, want) <- cases) {
+      val bi = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(bytes))
+      assert(bi != null, s"ImageIO could not decode the $tag stream")
+      val ours = MediaCodec.decodeJpeg(bytes).get
+      assert(bi.getWidth == ours.width && bi.getHeight == ours.height)
+      var maxImgIo = 0; var maxOurs = 0
+      for (y <- 0 until ours.height; x <- 0 until ours.width) {
+        val rgb = bi.getRGB(x, y)
+        val lum3p = (77 * ((rgb >> 16) & 0xff) + 150 * ((rgb >> 8) & 0xff)
+          + 29 * (rgb & 0xff)) >> 8
+        maxImgIo = math.max(maxImgIo, math.abs(lum3p - want(x, y)))
+        maxOurs = math.max(maxOurs,
+          math.abs((ours.px(y * ours.width + x) & 0xff) - want(x, y)))
+      }
+      // our decode is exact by construction; ImageIO's YCbCr->RGB
+      // rounds where we floor, so allow ±3 luma there
+      assert(maxOurs == 0, s"$tag: our decode drifted ($maxOurs)")
+      assert(maxImgIo <= 3, s"$tag: ImageIO disagrees by $maxImgIo")
+    }
+  }
 }

@@ -96,13 +96,27 @@ class MultimodalSpec extends AnyFunSuite with SparkSpec {
     val hashes = Multimodal.decodeJpegPhash(
       Multimodal.jpegImageAssets(spark, docs)).collect()
       .map(h => h.asset_id -> h).toMap
-    // differential: encode (DCT + Huffman) -> decode (Huffman + IDCT)
-    // -> dHash must equal the hash computed straight from the mosaic
-    // formula — only possible because all-ones quantization makes
-    // block-constant pixels round-trip exactly
+    // differential: encode (DCT + Huffman) -> decode (Huffman + IDCT
+    // + YCbCr fold for the color modes) -> dHash must equal the hash
+    // computed straight from the mosaic formula — only possible because
+    // all-ones/all-twos quantization makes block-constant planes
+    // round-trip exactly
+    def cellLuma(d: Long, bx: Int, by: Int): Long = {
+      val p = Multimodal.blockValue(d, bx, by)
+      if ((d / 4) % 3 == 0) p.toLong
+      else {
+        // the decoder's integer YCbCr fold, restated with floorDiv
+        val cbd = Multimodal.chromaCb(d, bx / 2, by / 2) - 128
+        val crd = Multimodal.chromaCr(d, bx / 2, by / 2) - 128
+        def clamp(v: Int) = math.max(0, math.min(255, v))
+        val r = clamp(p + math.floorDiv(91881 * crd, 65536))
+        val g = clamp(p - math.floorDiv(22554 * cbd + 46802 * crd, 65536))
+        val b = clamp(p + math.floorDiv(116130 * cbd, 65536))
+        ((77 * r + 150 * g + 29 * b) >> 8).toLong
+      }
+    }
     def directHash(d: Long): (Long, Long) = {
-      val grid = Array.tabulate(9, 8)((bx, by) =>
-        Multimodal.blockValue(d, bx, by).toLong)
+      val grid = Array.tabulate(9, 8)((bx, by) => cellLuma(d, bx, by))
       var hi = 0L; var lo = 0L
       for (by <- 0 until 8; bx <- 0 until 8)
         if (grid(bx + 1)(by) > grid(bx)(by)) {
@@ -113,6 +127,11 @@ class MultimodalSpec extends AnyFunSuite with SparkSpec {
     }
     val ids = docs.select("doc_id").collect().map(_.getLong(0))
     assert(ids.exists(_ % 91 == 0), "quarantine plant present")
+    // the mixed corpus is non-vacuous: all three modes (gray, 4:2:0,
+    // 4:4:4) are present AND decodable
+    for (mode <- 0 to 2)
+      assert(ids.exists(id => (id / 4) % 3 == mode && id % 91 != 0),
+        s"mode $mode missing from the corpus")
     ids.foreach { id =>
       if (id % 91 == 0) assert(!hashes.contains(id), s"id=$id not quarantined")
       else {
