@@ -399,6 +399,11 @@ object SparkEntry {
     // index probed by the arriving batch; incremental ≡ full is
     // hash-matched (shares the selective oracle verbatim)
     "q_embed_near_dup_incremental" -> DedupQ.embedNearDupIncremental,
+    // the incremental embedding near-dup executed as an ACTUAL streaming
+    // query: twins arrive via readStream, each micro-batch probes the
+    // persisted bucket index, novel vectors append to corpus + index —
+    // streaming ≡ batch ≡ full is hash-matched (selective's oracle)
+    "q_stream_embed_dedup" -> DedupQ.streamEmbedDedup,
     // dedup — embedding near-dup clusters (blocked pairs + star contraction)
     "q_embed_clusters" -> DedupQ.embedClusters,
     // the same clusters through the refreshed stage artifact (parquet
@@ -432,6 +437,12 @@ object SparkEntry {
     // batch-touching pairs over the filtered corpus (a deleted doc can
     // never resurface as a dedup witness)
     "q_forget_index" -> DedupQ.forgetIndex,
+    // forget — the EMBEDDING serving artifact: the persisted cosine
+    // bucket index patched by one anti-join, then the incremental
+    // selective near-dup served from it; oracle = exact all-pairs
+    // selective replay over the filtered corpus (a deleted vector can
+    // never resurface as a dedup witness)
+    "q_forget_cosidx" -> DedupQ.forgetCosidx,
     // forget — the SAME repair over the EMBEDDING cluster artifact
     // (blocked-cosine pairs through the callback): modality genericity
     // in the ledger; oracle = embed closure rebuilt on filtered vectors
@@ -808,6 +819,11 @@ object SparkEntry {
     // EXACTLY the full selective relation (every true pair involves the
     // batch) — one oracle serves both
     "q_embed_near_dup_incremental" ->
+      oracleSqlBase("q_embed_near_dup_selective"),
+    // the STREAMED incremental probe (twins via readStream, persisted
+    // index, novel-vector ingest) must emit EXACTLY the full selective
+    // relation — streaming ≡ batch ≡ full, one oracle for all three
+    "q_stream_embed_dedup" ->
       oracleSqlBase("q_embed_near_dup_selective"),
     // the stream-built register table must serve EXACTLY the batch
     // sketch relation (register max is idempotent over micro-batching)
@@ -1894,6 +1910,25 @@ object SparkEntry {
     "q_forget_index" ->
       s"""WITH p AS (${jaccardPairsSqlFrom(forgottenDocsSql)})
         |SELECT * FROM p WHERE a_id % 7 = 0 OR b_id % 7 = 0""".stripMargin,
+    // the patched cosine bucket index: the selective replay (twin
+    // planting + exact all-pairs at t=0.9) rebuilt on the FILTERED
+    // vector corpus — incremental ≡ full for the embedding serving
+    // artifact
+    "q_forget_cosidx" ->
+      """WITH e AS (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+        |  WHERE vec_id % 17 <> 2
+        |), corpus AS (
+        |  SELECT vec_id, v FROM e
+        |  UNION ALL
+        |  SELECT vec_id + 10000000, list_transform(v, x -> x + 0.01)
+        |  FROM e WHERE vec_id % 10 = 0
+        |), p AS (
+        |  SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+        |   list_cosine_similarity(a.v, b.v) AS c
+        |  FROM corpus a JOIN corpus b ON a.vec_id < b.vec_id
+        |)
+        |SELECT a_id, b_id, round(c, 6) AS cosine FROM p WHERE c >= 0.9""".stripMargin,
     "q_dedup_clusters" ->
       s"""WITH $textClosureSql
         |SELECT doc_id, cluster_id FROM cl""".stripMargin,

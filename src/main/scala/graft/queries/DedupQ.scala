@@ -171,6 +171,44 @@ object DedupQ {
       tables = 24, bitsPerTable = 16)
   }
 
+  /** q_stream_embed_dedup: [[embedNearDupIncremental]] executed as an
+    * ACTUAL Structured Streaming query — the corpus and its persisted
+    * sign-LSH bucket index seed the artifact dirs, the planted twins
+    * arrive via `readStream`, and each micro-batch probes the index
+    * through [[graft.streaming.Streaming.cosineDedupSink]]
+    * (AvailableNow). Every planted pair involves the arriving stream,
+    * so the emitted pair relation IS the full selective relation and
+    * the query shares q_embed_near_dup_selective's oracle VERBATIM —
+    * the S9 streaming-≡-batch contract, embedding modality
+    * (redelivery idempotence and novel-vector ingest are pinned by
+    * StreamingSpec). The run dir is wiped per call so the verified
+    * relation is this run's stream output.
+    */
+  def streamEmbedDedup(spark: SparkSession, dir: String): DataFrame = {
+    val corpus = embeddingsAsDouble(spark, dir)
+    val state = graft.ops.StageArtifacts.refresh(dir, "stream-embed-dedup") {
+      out =>
+        graft.ops.StageArtifacts.wipeDir(out)
+        corpus.write.mode("overwrite").parquet(s"$out/corpus")
+        Dedup.cosineBucketIndex(corpus, "vec_id", "embedding",
+          tables = 24, bitsPerTable = 16)
+          .write.mode("overwrite").parquet(s"$out/index")
+        val twins = Tables.streamEmbeddings(spark, dir)
+          .filter(col("vec_id") % 10 === 0)
+          .select((col("vec_id") + 10000000L).as("vec_id"),
+            transform(col("embedding"),
+              x => x.cast("double") + lit(0.01)).as("embedding"))
+        val q = graft.streaming.Streaming.cosineDedupSink(twins,
+            s"$out/corpus", s"$out/index", s"$out/pairs",
+            idCol = "vec_id", vecCol = "embedding", threshold = 0.9,
+            tables = 24, bitsPerTable = 16)
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        try q.awaitTermination() finally if (q.isActive) q.stop()
+    }
+    spark.read.parquet(s"$state/pairs").distinct()
+  }
+
   /** Embedding near-dup CLUSTERS: the blocked exact cosine pairs fed
     * through the same star-contraction as the text clusters — every
     * vector labeled with its component's min id.
@@ -869,6 +907,39 @@ object DedupQ {
       batch = forgotten.filter(col("doc_id") % 7 === 0),
       corpus = forgotten.filter(col("doc_id") % 7 =!= 0),
       index = patched, idCol = "doc_id", textCol = "text")
+  }
+
+  /** q_forget_cosidx: deletion propagated to the EMBEDDING serving
+    * artifact — the persisted sign-LSH cosine bucket index (the
+    * `cosidx` stage [[embedNearDupIncremental]] probes) is patched by
+    * one anti-join ([[graft.dedup.Forget.forgetIndex]] — index rows
+    * depend only on their own vector, so the patch is row-identical to
+    * a rebuild on the filtered corpus), and the incremental selective
+    * near-dup then runs against it. A deleted vector can never
+    * resurface as a dedup witness; surviving planted pairs are all
+    * still found. Deletion batch: vec_id % 17 == 2 (q_forget_embed's
+    * set); oracle = the exact all-pairs selective replay over the
+    * FILTERED corpus ∪ its planted twins.
+    */
+  def forgetCosidx(spark: SparkSession, dir: String): DataFrame = {
+    val corpus = embeddingsAsDouble(spark, dir)
+    // the pre-forget persisted index of the FULL corpus — the same
+    // artifact the incremental query probes (built once per JVM)
+    val stage = graft.ops.StageArtifacts.ensure(dir, "cosidx") { out =>
+      Dedup.cosineBucketIndex(corpus, "vec_id", "embedding",
+        tables = 24, bitsPerTable = 16)
+        .write.mode("overwrite").parquet(s"$out/index")
+    }
+    val del = corpus.filter(col("vec_id") % 17 === 2)
+      .select(col("vec_id").as("doc_id"))
+    val patched = graft.dedup.Forget.forgetIndex(
+      spark.read.parquet(s"$stage/index"), del)
+    val kept = corpus.join(del.select(col("doc_id").as("vec_id")),
+      Seq("vec_id"), "left_anti")
+    Dedup.incrementalCosineNearDup(
+      batch = plantedTwins(kept), corpus = kept, corpusIndex = patched,
+      idCol = "vec_id", vecCol = "embedding", threshold = 0.9,
+      tables = 24, bitsPerTable = 16)
   }
 
   /** q_forget_embed: [[graft.dedup.Forget.forgetLabels]] applied to the

@@ -143,4 +143,34 @@ class ForgetSpec extends AnyFunSuite with SparkSpec {
     val del = deleted.collect().map(_.getLong(0)).toSet
     assert(!viaPatched.exists { case (a, b) => del(a) || del(b) })
   }
+
+  test("forgetIndex on the cosine bucket index: patch ≡ rebuild on the " +
+      "filtered vectors; untouched rows pass through identically (sf0.001)") {
+    val spark0 = spark
+    val dir = "/root/testdata/sf0.001"
+    val emb = graft.Tables(spark0, dir, "embeddings")
+      .select(col("vec_id"), org.apache.spark.sql.functions.transform(
+        col("embedding"), _.cast("double")).as("embedding"))
+    val deleted = emb.filter(col("vec_id") % 17 === 2)
+      .select(col("vec_id").as("doc_id"))
+    val kept = emb.join(deleted.select(col("doc_id").as("vec_id")),
+      Seq("vec_id"), "left_anti")
+    def index(of: DataFrame) = Dedup.cosineBucketIndex(of, "vec_id",
+      "embedding", tables = 24, bitsPerTable = 16)
+    val patched = Forget.forgetIndex(index(emb), deleted)
+    val fresh = index(kept)
+    // row-identical: index rows depend only on their own vector, so the
+    // anti-join patch IS the rebuild (same buckets, same tables)
+    assert(patched.except(fresh).isEmpty && fresh.except(patched).isEmpty)
+    // untouched vectors' rows survive the patch byte-for-byte: the
+    // patched index restricted to surviving ids equals the original's
+    val origSurviving = index(emb).join(
+      deleted.select(col("doc_id").as("doc")), Seq("doc"), "left_anti")
+    assert(patched.except(origSurviving).isEmpty &&
+      origSurviving.except(patched).isEmpty)
+    // the deletion batch is non-vacuous and no deleted id remains
+    val del = deleted.collect().map(_.getLong(0)).toSet
+    assert(del.nonEmpty)
+    assert(patched.filter(col("doc").isInCollection(del)).isEmpty)
+  }
 }

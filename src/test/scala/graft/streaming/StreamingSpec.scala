@@ -600,6 +600,55 @@ class StreamingSpec extends AnyFunSuite with SparkSpec {
     assert(Seq(1L, 5L, 9L).forall(bf.mightContainLong))
   }
 
+  test("cosineDedupSink: streaming embedding near-dup vs the persisted " +
+      "cosine bucket index, idempotent under redelivery") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val root = java.nio.file.Files.createTempDirectory("stream_cosdedup").toString
+    val (corpusDir, indexDir, pairsDir) =
+      (s"$root/corpus", s"$root/index", s"$root/pairs")
+    val a = Array(1f, 0f, 0f, 0f)
+    val a2 = Array(0.999f, 0.04f, 0f, 0f) // cosine vs a ≈ 0.9992 >= 0.9
+    val b = Array(0f, 1f, 0f, 0f)
+    val c = Array(0f, 0f, 1f, 0f)
+    val in = MemoryStream[QVec]
+    val q = Streaming.cosineDedupSink(in.toDF(), corpusDir, indexDir,
+      pairsDir).start()
+    // batch 1: vec 2 is a within-batch near-dup of vec 1 -> dropped
+    in.addData(QVec(1, a), QVec(2, a2), QVec(5, b))
+    q.processAllAvailable()
+    assert(spark.read.parquet(corpusDir).select("vec_id").collect()
+      .map(_.getLong(0)).toSet == Set(1L, 5L))
+    // batch 2: vec 7 near-matches corpus vec 1 via the PERSISTED index
+    // (the corpus is never re-bucketed) -> dropped; vec 9 novel -> kept
+    in.addData(QVec(7, a2), QVec(9, c))
+    q.processAllAvailable()
+    assert(spark.read.parquet(corpusDir).select("vec_id").collect()
+      .map(_.getLong(0)).toSet == Set(1L, 5L, 9L))
+    // REDELIVERY: the same rows again — corpus, index and the DISTINCT
+    // pair relation must not change
+    in.addData(QVec(7, a2), QVec(9, c))
+    q.processAllAvailable()
+    q.stop()
+    val corpus = spark.read.parquet(corpusDir)
+    assert(corpus.select("vec_id").collect().map(_.getLong(0)).toSet ==
+      Set(1L, 5L, 9L))
+    assert(corpus.count() == 3) // no duplicate rows for redelivered keys
+    // the stream-built index obeys the batch persistence contract: one
+    // row per (kept vec, table), probe-able by batch incremental dedup
+    val idx = spark.read.parquet(indexDir)
+    assert(idx.select("doc").distinct().collect().map(_.getLong(0)).toSet ==
+      Set(1L, 5L, 9L))
+    assert(idx.count() == 3 * 24)
+    // the served pair relation: the within-batch pair and the
+    // index-probe pair, nothing else (redelivered rows only re-emitted
+    // duplicates of already-served pairs)
+    val pairs = spark.read.parquet(pairsDir)
+      .select("a_id", "b_id").distinct().collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == Set((1L, 2L), (1L, 7L)))
+  }
+
   test("vectorIngestSink: stream-built index serves IVF-ADC identical to batch artifacts") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
