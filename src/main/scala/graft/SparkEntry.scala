@@ -485,6 +485,11 @@ object SparkEntry {
     // tokenizer application — per-doc BPE token counts via the
     // once-encoded distinct-word table (rows-only; BpeSpec round-trips)
     "q_bpe_encode" -> TextQ.bpeEncode,
+    // tokenizer fixture — encode-under-PINNED-merges over the pinned
+    // fixture corpus: the hash-matched twin of the two rows-only BPE
+    // members (the real merge folds run engine-side; DuckDB replays
+    // the stats from the pinned per-word encodings)
+    "q_bpe_fixture" -> TextQ.bpeFixture,
     // corpus statistics — windowed PMI co-occurrence pairs (word2vec/
     // PPMI preprocessing)
     "q_pmi_pairs" -> TextQ.pmiPairs,
@@ -792,8 +797,8 @@ object SparkEntry {
     "q_ann_pq_probe" -> "fixture twin q_ann_pq_fixture; PqSpec pins probe ≡ rebuild",
     "q_approx_distinct" -> "sketch by design; SketchQSpec pins HLL estimate within 5% of exact distinct per group",
     "q_approx_percentiles" -> "sketch by design; SketchQSpec pins approx percentiles within 2% of exact per group",
-    "q_bpe_encode" -> "BpeSpec pins encode round-trip + merge-for-merge determinism vs a from-scratch reference",
-    "q_bpe_train" -> "BpeSpec pins merge-for-merge training vs a from-scratch driver reference",
+    "q_bpe_encode" -> "fixture twin q_bpe_fixture (hash-match: the same encodeStats path under pinned merges); BpeSpec pins encode round-trip + merge-for-merge determinism vs a from-scratch reference",
+    "q_bpe_train" -> "fixture twin q_bpe_fixture (hash-match; BpeSpec pins the fixture merge table against the trainer); BpeSpec pins merge-for-merge training vs a from-scratch driver reference",
     "q_simhash_pairs" -> "fixture twin q_simhash_fixture (hash-match); DedupSpec pins band/verify shape",
   )
 
@@ -2321,6 +2326,21 @@ object SparkEntry {
         | CAST(count(*) FILTER (f.df = 1) AS DOUBLE)
         |   / CAST(count(*) AS DOUBLE) AS novelty
         |FROM s JOIN f USING (sh) GROUP BY 1""".stripMargin,
+    // BPE fixture: per-doc stats replayed from the PINNED per-word
+    // token counts (the engine runs the real merge folds; the pins are
+    // drift-guarded by BpeSpec against trainer + scalar reference)
+    "q_bpe_fixture" ->
+      s"""WITH fdocs(doc_id, text) AS (VALUES
+        |  ${graft.text.BpeFixture.docsValuesSql}
+        |), w AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM fdocs
+        |), enc(word, n_toks) AS (VALUES
+        |  ${graft.text.BpeFixture.wordValuesSql}
+        |)
+        |SELECT w.doc_id, CAST(count(*) AS BIGINT) AS n_words,
+        | CAST(sum(e.n_toks) AS BIGINT) AS n_bpe_tokens
+        |FROM w JOIN enc e ON e.word = w.word
+        |GROUP BY 1""".stripMargin,
     // char entropy: per-character 6dp terms summed as exact decimals
     "q_char_entropy" ->
       """WITH d AS (

@@ -579,6 +579,19 @@ object TextQ {
     graft.text.Bpe.encodeStats(docs, "doc_id", "text", merges)
   }
 
+  /** q_bpe_fixture: per-document BPE token counts over the PINNED
+    * fixture corpus under the PINNED merge table
+    * ([[graft.text.BpeFixture]]) — the hash-matched twin of
+    * q_bpe_train/q_bpe_encode: the engine tokenizes the fixture docs
+    * and applies the real greedy merge folds ([[graft.text.Bpe
+    * .encodeStats]]); DuckDB replays the stats from the pinned per-word
+    * encodings (BpeSpec drift-guards the pins against both the
+    * distributed trainer and the from-scratch scalar reference).
+    */
+  def bpeFixture(spark: SparkSession, dir: String): DataFrame =
+    graft.text.Bpe.encodeStats(graft.text.BpeFixture.df(spark),
+      "doc_id", "text", graft.text.BpeFixture.mergePairs)
+
   /** Vocabulary coverage curve — what fraction of all corpus tokens the
     * top-k most frequent types cover, at k = 5 / 10 / 20
     * (the synthetic corpus has a 31-type vocabulary; at real scale the

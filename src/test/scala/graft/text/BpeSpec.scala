@@ -80,6 +80,34 @@ class BpeSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("BpeFixture drift guard: pinned merges == distributed trainer == " +
+      "scalar reference; pinned word encodings == the real encode fold") {
+    import spark.implicits._
+    val fx = graft.text.BpeFixture
+    val counts = Bpe.wordCounts(fx.df(spark), "text")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(counts.keySet == fx.wordToks.map(_._1).toSet,
+      "pinned word list must cover the fixture vocabulary exactly")
+    // the pins came from the trainer; the SCALAR reference breaks the
+    // circle (an engine bug and its pin would have to agree with an
+    // independent from-scratch implementation to slip through)
+    val scalar = scalarTrain(counts, 12)
+      .zipWithIndex.map { case ((l, r, c), i) => (i + 1L, l, r, c) }
+    assert(scalar == fx.merges)
+    val dist = Bpe.train(Bpe.wordCounts(fx.df(spark), "text"), 12)
+      .orderBy(col("rank")).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3)))
+      .toSeq
+    assert(dist == fx.merges)
+    val enc = Bpe.encodeWords(counts.keys.toSeq.toDF("word"), fx.mergePairs)
+      .collect().map(r => r.getString(0) -> r.getSeq[String](1).size.toLong)
+      .toMap
+    assert(enc == fx.wordToks.toMap)
+    // and the fixture is non-trivial: merged singles AND unmerged runs
+    assert(fx.wordToks.toMap.apply("low") == 1L)
+    assert(fx.wordToks.exists(_._2 >= 5L))
+  }
+
   test("mergeOnce is greedy left-to-right non-overlapping") {
     import spark.implicits._
     val df = Seq(Seq("a", "a", "a"), Seq("a", "b", "a", "b"), Seq("x"))
