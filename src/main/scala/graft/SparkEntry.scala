@@ -388,6 +388,11 @@ object SparkEntry {
     "q_simhash_fixture" -> DedupQ.simhashFixturePairs,
     // dedup — connected-component duplicate clusters (label propagation)
     "q_dedup_clusters" -> DedupQ.dedupClusters,
+    // dedup — the pruning/recall LEDGER: per formula-replayable banded
+    // family (png/jpeg phash, audio, video, simhash fixture), candidates
+    // vs the N²/2 baseline and measured recall vs the exact all-pairs
+    // relation — the BENCH_NOTES pruning honesty, hash-matched
+    "q_dedup_pruning_report" -> DedupQ.dedupPruningReport,
     // dedup — embedding cosine near-dup pairs
     "q_embed_near_dup" -> DedupQ.embedNearDup,
     // dedup — the PRODUCTION selective-threshold regime: sign-LSH
@@ -1545,6 +1550,62 @@ object SparkEntry {
         | CAST(bit_count(xor(a.sh64, b.sh64)) AS BIGINT) AS hamming
         |FROM h a JOIN h b ON a.doc_id < b.doc_id
         |WHERE bit_count(xor(a.sh64, b.sh64)) <= 3""".stripMargin,
+    // the pruning/recall ledger: each banded family's block reuses its
+    // own hash CTEs and band/Hamming rules VERBATIM (nested WITH per
+    // family — the CTE names collide across families); the simhash row
+    // replays the 16-bit-chunk pigeonhole from the pinned fixture
+    "q_dedup_pruning_report" ->
+      s"""WITH fam AS (
+        |${bandedPruningSqlFrom("image_png", phashHashSql, "phash",
+             "phash_hi", "phash_lo")}
+        |UNION ALL
+        |${bandedPruningSqlFrom("image_jpeg", jpegHashSql, "jphash",
+             "phash_hi", "phash_lo")}
+        |UNION ALL
+        |${bandedPruningSqlFrom("audio", ahashHashSql, "ahash",
+             "ahash_hi", "ahash_lo")}
+        |UNION ALL
+        |${bandedPruningSqlFrom("video", vhashHashSql, "vhash",
+             "vhash_hi", "vhash_lo")}
+        |UNION ALL
+        |SELECT * FROM (
+        |  WITH h(doc_id, sh64) AS (VALUES
+        |    ${graft.dedup.SimhashFixture.valuesSql}
+        |  ),
+        |  ch AS (
+        |    SELECT doc_id, sh64, c.range AS chunk,
+        |      (sh64 >> (CAST(c.range AS INTEGER) * 16)) & 65535 AS v
+        |    FROM h, range(4) c
+        |  ),
+        |  cnd AS (
+        |    SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+        |    FROM ch a JOIN ch b ON a.chunk = b.chunk AND a.v = b.v
+        |      AND a.doc_id < b.doc_id
+        |  ),
+        |  ver AS (
+        |    SELECT 1 AS one FROM cnd
+        |    JOIN h x ON x.doc_id = cnd.a_id
+        |    JOIN h y ON y.doc_id = cnd.b_id
+        |    WHERE bit_count(xor(x.sh64, y.sh64)) <= 3
+        |  ),
+        |  ex AS (
+        |    SELECT 1 AS one FROM h x JOIN h y ON x.doc_id < y.doc_id
+        |    WHERE bit_count(xor(x.sh64, y.sh64)) <= 3
+        |  )
+        |  SELECT 'simhash_fixture' AS family,
+        |    (SELECT count(*) FROM h) AS n_items,
+        |    (SELECT count(*) FROM cnd) AS n_cand,
+        |    (SELECT count(*) FROM ver) AS n_pairs,
+        |    (SELECT count(*) FROM ex) AS n_exact
+        |)
+        |)
+        |SELECT family, n_items,
+        | (n_items * (n_items - 1)) // 2 AS n_possible,
+        | n_cand, n_pairs, n_exact,
+        | CAST(n_cand AS DOUBLE)
+        |   / CAST((n_items * (n_items - 1)) // 2 AS DOUBLE) AS cand_ratio,
+        | CAST(n_pairs AS DOUBLE) / CAST(n_exact AS DOUBLE) AS recall
+        |FROM fam""".stripMargin,
     // PQ ADC serving replayed from the pinned integer fixture: argmin
     // encoding, LUT sums, rnorm and the (cosine desc, id) ranking are
     // all exact arithmetic — every dot is an integer in DOUBLE, sqrt and
@@ -4111,6 +4172,46 @@ object SparkEntry {
       |    CAST(SUM(CASE WHEN pos < 32
       |      THEN bit * (1::BIGINT << CAST(pos AS INTEGER)) ELSE 0 END) AS BIGINT) AS phash_lo
       |  FROM bits GROUP BY doc_id
+      |)""".stripMargin
+
+  /** One banded-family block of the q_dedup_pruning_report oracle: a
+    * nested-WITH subquery (each family's hash CTEs reuse names like
+    * `docs`/`grid`/`bits`, so they must not share one WITH scope)
+    * computing items / band candidates / verified / exact-all-pairs
+    * counts over the family's formula-replayed 64-bit fingerprints —
+    * the SAME band and Hamming rules as the family's own pair oracle.
+    */
+  private def bandedPruningSqlFrom(family: String, ctes: String,
+      rel: String, hi: String, lo: String): String =
+    s"""SELECT * FROM (
+      |WITH $ctes,
+      |hrel AS (SELECT asset_id, $hi AS hi, $lo AS lo FROM $rel),
+      |bnd AS (
+      |  SELECT asset_id, b.range AS band,
+      |    CASE b.range WHEN 0 THEN lo % 65536 WHEN 1 THEN lo // 65536
+      |                 WHEN 2 THEN hi % 65536 ELSE hi // 65536 END AS v
+      |  FROM hrel, range(4) b
+      |),
+      |cnd AS (
+      |  SELECT DISTINCT a.asset_id AS a_id, c.asset_id AS b_id
+      |  FROM bnd a JOIN bnd c ON a.band = c.band AND a.v = c.v
+      |    AND a.asset_id < c.asset_id
+      |),
+      |ver AS (
+      |  SELECT 1 AS one FROM cnd
+      |  JOIN hrel x ON x.asset_id = cnd.a_id
+      |  JOIN hrel y ON y.asset_id = cnd.b_id
+      |  WHERE bit_count(xor(x.hi, y.hi)) + bit_count(xor(x.lo, y.lo)) <= 10
+      |),
+      |ex AS (
+      |  SELECT 1 AS one FROM hrel x JOIN hrel y ON x.asset_id < y.asset_id
+      |  WHERE bit_count(xor(x.hi, y.hi)) + bit_count(xor(x.lo, y.lo)) <= 10
+      |)
+      |SELECT '$family' AS family,
+      |  (SELECT count(*) FROM hrel) AS n_items,
+      |  (SELECT count(*) FROM cnd) AS n_cand,
+      |  (SELECT count(*) FROM ver) AS n_pairs,
+      |  (SELECT count(*) FROM ex) AS n_exact
       |)""".stripMargin
 
   /** [[phashHashSql]] parameterized over the document relation — the

@@ -1048,6 +1048,139 @@ object DedupQ {
       graft.ops.Publish.current(spark, s"$state/store")("clusters"))
   }
 
+  /** q_dedup_pruning_report: the dedup PRUNING/RECALL LEDGER — one
+    * oracled dashboard relation auditing the candidate-generation
+    * honesty of every formula-replayable banded dedup family at once
+    * (q_ann_recall_report's pattern applied to dedup): per family,
+    * items, the N·(N−1)/2 all-pairs baseline, candidates the banding
+    * actually generated, verified pairs, the EXACT all-pairs relation's
+    * size, the pruning ratio and the measured recall. The banded-pHash
+    * families are honestly approximate (a pair whose every band is hit
+    * misses), so recall here is a MEASURED number the oracle replays,
+    * not an assumed 1.0 — promoting the BENCH_NOTES pruning prose into
+    * the hash-matched correctness gate.
+    *
+    * Families covered are exactly those whose hashes replay as closed
+    * formulas in SQL (PNG/JPEG pHash, audio, video) plus the pinned
+    * SimHash fixture (pigeonhole candidates — exact at hamming ≤ 3 by
+    * construction, and the report proves it: recall 1.0). MinHash and
+    * selective-cosine candidates depend on engine hashing (xxhash64 /
+    * seeded planes), so their counts cannot be oracled — their RECALL
+    * is already a hash-matched gate through their own queries
+    * (q_minhash_lsh ≡ exact Jaccard, q_embed_near_dup_selective ≡
+    * exact all-pairs), and their measured candidate counts live in
+    * BENCH_NOTES.
+    *
+    * Scale note: the n_exact column is the one all-pairs pass — over
+    * the 24-byte hash relation (broadcast nested-loop on a
+    * decode-reduced frame), present PRECISELY to measure what the
+    * banding prunes; at 100 TB you compute it on a sample or not at
+    * all, and the report's other columns stay sub-quadratic.
+    */
+  def dedupPruningReport(spark: SparkSession, dir: String): DataFrame = {
+    import graft.multimodal.Multimodal
+    val docs = Tables(spark, dir, "documents")
+    val png = bandedPruningRow("image_png",
+      Multimodal.decodePhash(
+        Multimodal.phashImageAssets(spark, docs)).toDF().barrierOnce())
+    val jpeg = bandedPruningRow("image_jpeg",
+      Multimodal.decodeJpegPhash(
+        Multimodal.jpegImageAssets(spark, docs)).toDF().barrierOnce())
+    val audio = bandedPruningRow("audio",
+      MultimodalQ.audioAhash(spark, dir)
+        .select(col("asset_id"), col("ahash_hi").as("phash_hi"),
+          col("ahash_lo").as("phash_lo")).barrierOnce())
+    val video = bandedPruningRow("video",
+      MultimodalQ.videoVhash(spark, dir)
+        .select(col("asset_id"), col("vhash_hi").as("phash_hi"),
+          col("vhash_lo").as("phash_lo")).barrierOnce())
+    png.unionByName(jpeg).unionByName(audio).unionByName(video)
+      .unionByName(simhashPruningRow(spark))
+      .orderBy(col("family"))
+  }
+
+  /** One report row for a banded 64-bit-fingerprint family: candidates
+    * by the SHARED 4×16-bit band rule, verified pairs through the
+    * shared machinery ([[graft.multimodal.Multimodal.phashPairs]]),
+    * exact pairs by all-pairs Hamming over the (tiny, broadcast) hash
+    * relation. `hashes` must be barriered by the caller — four
+    * consumers below.
+    */
+  private def bandedPruningRow(name: String, hashes: DataFrame): DataFrame = {
+    val h = hashes.select(col("asset_id"), col("phash_hi"), col("phash_lo"))
+    val bands = h.select(col("asset_id"),
+      posexplode(array(
+        col("phash_lo").bitwiseAND(lit(65535L)),
+        shiftright(col("phash_lo"), 16),
+        col("phash_hi").bitwiseAND(lit(65535L)),
+        shiftright(col("phash_hi"), 16))).as(Seq("band", "v")))
+    val cand = bands.select(col("asset_id").as("a_id"), col("band"), col("v"))
+      .join(bands.select(col("asset_id").as("b_id"), col("band"), col("v")),
+        Seq("band", "v"))
+      .filter(col("a_id") < col("b_id"))
+      .select("a_id", "b_id").distinct()
+    val verified = graft.multimodal.Multimodal.phashPairs(h, maxHamming = 10)
+    val exact = h.select(col("asset_id").as("a_id"),
+        col("phash_hi").as("ah"), col("phash_lo").as("al"))
+      .join(broadcast(h.select(col("asset_id").as("b_id"),
+        col("phash_hi").as("bh"), col("phash_lo").as("bl"))),
+        col("a_id") < col("b_id"))
+      .filter((bit_count(col("ah").bitwiseXOR(col("bh"))) +
+        bit_count(col("al").bitwiseXOR(col("bl")))) <= 10)
+    pruningRow(name,
+      h.agg(count(lit(1)).as("n_items")),
+      cand.agg(count(lit(1)).as("n_cand")),
+      verified.agg(count(lit(1)).as("n_pairs")),
+      exact.agg(count(lit(1)).as("n_exact")))
+  }
+
+  /** The SimHash row over the PINNED fixture corpus: candidates by the
+    * 4×16-bit-chunk pigeonhole (exact at hamming ≤ 3 — the report's
+    * recall-1.0 witness), fingerprints computed by the ENGINE from raw
+    * text (the oracle replays from the spec-guarded pinned values).
+    */
+  private def simhashPruningRow(spark: SparkSession): DataFrame = {
+    val h = Dedup.simhash64(graft.dedup.SimhashFixture.df(spark),
+      "doc_id", "text").barrierOnce()
+    val chunks = h.select(col("doc"), col("sh64"),
+      posexplode(transform(sequence(lit(0), lit(3)),
+        c => call_function("shiftright", col("sh64"), c * 16)
+          .bitwiseAND(0xFFFFL))))
+      .toDF("doc", "sh64", "chunk", "v")
+    val cand = chunks.select(col("doc").as("a_id"), col("chunk"), col("v"))
+      .join(chunks.select(col("doc").as("b_id"), col("chunk"), col("v")),
+        Seq("chunk", "v"))
+      .filter(col("a_id") < col("b_id"))
+      .select("a_id", "b_id").distinct()
+    val verified = Dedup.simhashPairs(
+      graft.dedup.SimhashFixture.df(spark), "doc_id", "text", maxHamming = 3)
+    val exact = h.select(col("doc").as("a_id"), col("sh64").as("ha"))
+      .join(broadcast(h.select(col("doc").as("b_id"), col("sh64").as("hb"))),
+        col("a_id") < col("b_id"))
+      .filter(bit_count(col("ha").bitwiseXOR(col("hb"))) <= 3)
+    pruningRow("simhash_fixture",
+      h.agg(count(lit(1)).as("n_items")),
+      cand.agg(count(lit(1)).as("n_cand")),
+      verified.agg(count(lit(1)).as("n_pairs")),
+      exact.agg(count(lit(1)).as("n_exact")))
+  }
+
+  /** Assemble one (family, counts, ratios) row from four single-row
+    * aggregates (1×1 cross joins — no data-sized shuffle).
+    */
+  private def pruningRow(name: String, items: DataFrame, cand: DataFrame,
+      pairs: DataFrame, exact: DataFrame): DataFrame =
+    items.crossJoin(cand).crossJoin(pairs).crossJoin(exact)
+      .select(lit(name).as("family"),
+        col("n_items"),
+        ((col("n_items") * (col("n_items") - 1)) / lit(2)).cast("long")
+          .as("n_possible"),
+        col("n_cand"), col("n_pairs"), col("n_exact"))
+      .withColumn("cand_ratio",
+        col("n_cand").cast("double") / col("n_possible").cast("double"))
+      .withColumn("recall",
+        col("n_pairs").cast("double") / col("n_exact").cast("double"))
+
   private def semDedupFrom(spark: SparkSession, dir: String,
       clusters: DataFrame): DataFrame = {
     val quality = TextQ.qualityScore(spark, dir)
