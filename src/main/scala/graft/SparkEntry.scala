@@ -612,6 +612,11 @@ object SparkEntry {
     // cluster labels it summarizes (one manifest pointer), resolved
     // via Publish.current — shares q_data_card's oracle verbatim
     "q_data_card_published" -> CardQ.dataCardPublished,
+    // the card maintained from per-batch PARTIAL AGGREGATION STATE
+    // (mergeable sums / sets / decimal quality / KMV bottom-k) and
+    // finalized by a state-sized merge — incremental ≡ full is
+    // hash-matched (shares q_data_card's oracle verbatim)
+    "q_data_card_incremental" -> CardQ.dataCardIncremental,
     // what today's ingest changed in the verdict: added / keep_flipped
     // / canonical_moved per doc, old corpus = minus the arrival batch
     "q_verdict_diff" -> DedupQ.verdictDiff,
@@ -825,6 +830,9 @@ object SparkEntry {
     // the published card must serve EXACTLY the inline card's relation
     // through the manifest pointer — same oracle, release shape
     "q_data_card_published" -> oracleSqlBase("q_data_card"),
+    // the state-merged card must reproduce the one-pass card to the
+    // last rounded digit — same oracle, partial-agg deployment shape
+    "q_data_card_incremental" -> oracleSqlBase("q_data_card"),
     // the incremental probe of the persisted bucket index must produce
     // EXACTLY the full selective relation (every true pair involves the
     // batch) — one oracle serves both
