@@ -668,6 +668,10 @@ object SparkEntry {
     // (rows-only; PqSpec measures the reconstruction-MSE drop vs raw
     // PQ; the fixture twin hash-matches the rotate+ADC serving path)
     "q_ann_opq" -> AnnQ.opqTopK,
+    // OPQ_NP: non-parametric refinement (alternating Lloyd + orthogonal
+    // Procrustes over the actual quantization error) — same serving
+    // plan as q_ann_opq, better codebook fit (PqSpec gates MSE < OPQ_P)
+    "q_ann_opq_np" -> AnnQ.opqNpTopK,
     // PQ ADC serving over the PINNED integer fixture — hash-match
     // oracle: DuckDB replays encode + LUT + rnorm + ranking exactly
     "q_ann_pq_fixture" -> AnnQ.pqFixtureTopK,
@@ -804,6 +808,7 @@ object SparkEntry {
     "q_ann_mmr" -> "fixture twin q_ann_mmr_fixture (hash-match); MmrSpec pins the greedy selection",
     "q_ann_pq" -> "fixture twin q_ann_pq_fixture (hash-match); PqSpec pins ADC ≡ reconstructed-dot + recall + determinism",
     "q_ann_opq" -> "fixture twin q_ann_opq_fixture (hash-match: rotate + encode + ADC); PqSpec measures reconstruction-MSE drop vs raw PQ at the same code budget + determinism",
+    "q_ann_opq_np" -> "fixture twin q_ann_opq_fixture (hash-match: the identical rotate + encode + ADC serving path); PqSpec gates registration on NP MSE strictly below parametric OPQ at the same (m,k), pins basis orthonormality, bit-determinism of the alternating train, and the planted-rotation Procrustes recovery",
     "q_ann_pq_probe" -> "fixture twin q_ann_pq_fixture; PqSpec pins probe ≡ rebuild",
     "q_approx_distinct" -> "sketch by design; SketchQSpec pins HLL estimate within 5% of exact distinct per group",
     "q_approx_percentiles" -> "sketch by design; SketchQSpec pins approx percentiles within 2% of exact per group",

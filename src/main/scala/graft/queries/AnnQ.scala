@@ -314,6 +314,51 @@ object AnnQ {
       "vec_id", "embedding", kNeighbors = 5)
   }
 
+  /** Build + persist the OPQ_NP artifacts: identical layout to the
+    * parametric index, with the basis produced by the NON-parametric
+    * alternation ([[graft.ann.Opq.rotationBasisNp]] — Lloyd in the
+    * rotated space, then the orthogonal-Procrustes rotation against
+    * the actual quantization error). Same (m, k) code budget as
+    * q_ann_pq/q_ann_opq, so the three-way MSE ladder isolates what
+    * each refinement buys (PqSpec measures both steps).
+    */
+  private def buildOpqNpIndex(spark: SparkSession, dir: String)(out: String): Unit = {
+    val corpus = Tables(spark, dir, "embeddings")
+    val basis = graft.ann.Opq.rotationBasisNp(corpus, "vec_id", "embedding",
+      m = 16, k = 32)
+    import spark.implicits._
+    basis.toSeq.zipWithIndex.map { case (row, j) => (j, row.toSeq) }
+      .toDF("row", "basis")
+      .write.mode("overwrite").parquet(s"$out/basis")
+    val rotated = graft.ann.Opq.rotate(corpus, "vec_id", "embedding", basis)
+    graft.ann.Pq.fitCodebooks(rotated, "vec_id", "embedding",
+      m = 16, k = 32, iterations = 3)
+      .write.mode("overwrite").parquet(s"$out/codebooks")
+    graft.ann.Pq.encode(rotated, "vec_id", "embedding",
+      spark.read.parquet(s"$out/codebooks"))
+      .write.mode("overwrite").parquet(s"$out/codes")
+  }
+
+  /** q_ann_opq_np: OPQ_NP serving — the same rotate-queries + ADC
+    * probe as [[opqTopK]] over the non-parametrically refined basis.
+    * Serving cost is identical to q_ann_opq (the refinement is all in
+    * the once-per-corpus-version train); the rows-only member leans on
+    * q_ann_opq_fixture for the rotate+encode+ADC arithmetic and on
+    * PqSpec's NP gate (MSE strictly below the parametric variant,
+    * bit-deterministic train) for the optimization claim.
+    */
+  def opqNpTopK(spark: SparkSession, dir: String): DataFrame = {
+    val idx = graft.ops.StageArtifacts.ensure(dir, "opq_np")(buildOpqNpIndex(spark, dir))
+    val (_, queries) = corpusAndQueries(spark, dir)
+    val basis = spark.read.parquet(s"$idx/basis")
+      .orderBy(col("row")).collect()
+      .map(_.getSeq[Double](1).toArray)
+    graft.ann.Pq.adcTopK(spark.read.parquet(s"$idx/codes"),
+      spark.read.parquet(s"$idx/codebooks"),
+      graft.ann.Opq.rotate(queries, "vec_id", "embedding", basis),
+      "vec_id", "embedding", kNeighbors = 5)
+  }
+
   /** q_ann_opq_fixture: the ROTATED-SERVING twin of [[pqFixtureTopK]] —
     * the real [[graft.ann.Opq.rotate]] + [[graft.ann.Pq]] encode/ADC
     * (all unchanged) with a PINNED signed-permutation rotation
