@@ -195,15 +195,19 @@ object Bench {
     // resolve the repo root instead of trusting the launch cwd: honor
     // SPARK_GRAFT_REPO_DIR first, else walk up from cwd to the nearest
     // directory holding build.sbt — launching from anywhere inside the
-    // repo still lands the file at the tracked top-level path
-    val repoRoot = sys.env.get("SPARK_GRAFT_REPO_DIR")
-      .map(java.nio.file.Paths.get(_))
-      .orElse {
-        Iterator.iterate(
-          java.nio.file.Paths.get("").toAbsolutePath)(_.getParent)
-          .takeWhile(_ != null).take(8)
-          .find(p => java.nio.file.Files.exists(p.resolve("build.sbt")))
-      }
+    // repo still lands the file at the tracked top-level path.
+    // FILTERED runs (SPARK_GRAFT_ONLY) skip the repo copy: a one-query
+    // iteration run must not overwrite the full-suite artifact of record
+    val repoRoot =
+      if (only.isDefined) None
+      else sys.env.get("SPARK_GRAFT_REPO_DIR")
+        .map(java.nio.file.Paths.get(_))
+        .orElse {
+          Iterator.iterate(
+            java.nio.file.Paths.get("").toAbsolutePath)(_.getParent)
+            .takeWhile(_ != null).take(8)
+            .find(p => java.nio.file.Files.exists(p.resolve("build.sbt")))
+        }
     repoRoot match {
       case Some(rootDir) =>
         val repoCopy = rootDir.resolve("BENCH_FULL_latest.json")
@@ -216,7 +220,8 @@ object Bench {
         }
       case None =>
         System.err.println(
-          "bench: SKIPPED repo copy (no SPARK_GRAFT_REPO_DIR and no " +
+          "bench: SKIPPED repo copy (filtered SPARK_GRAFT_ONLY run, or no " +
+            "SPARK_GRAFT_REPO_DIR and no " +
             s"build.sbt above ${java.nio.file.Paths.get("").toAbsolutePath}); " +
             s"full JSON remains at $outPath")
     }
