@@ -9,17 +9,27 @@ needs an sf1-sized corpus whose PER-TILE structure matches the driver's
 generator exactly. Each of the <tiles> tiles is the source corpus under
 a tile-specific transform chosen so that
 
- - documents: every token is Caesar-shifted by the tile index (a-z
-   rotation; digits/whitespace unchanged). Token lengths, n_chars, gram
-   counts, and the planted near-dup pair structure are preserved
-   EXACTLY within a tile, while cross-tile 3/8-gram overlap is zero —
-   so dup density (pairs per doc) stays constant as the corpus grows,
-   which is how a real corpus scales (more docs, same dup rate), and
-   banded dedup work grows linearly, not quadratically.
- - embeddings: per-tile deterministic sign flips per dimension — an
-   orthogonal transform, so intra-tile cosines (and hence the per-tile
-   cluster structure k-means/PQ sees) are bit-preserved, while
-   cross-tile cosines decorrelate.
+ - documents: every letter is mapped through a tile-seeded substitution
+   cipher (a-z permutation; digits/whitespace unchanged). Token
+   lengths, n_chars, gram counts, and the planted near-dup pair
+   structure are preserved EXACTLY within a tile, while a cross-tile
+   8-gram survives only when the composed permutation fixes every
+   distinct letter in it (~26^-k, negligible) — so dup density (pairs
+   per doc) stays constant as the corpus grows, which is how a real
+   corpus scales (more docs, same dup rate), and banded dedup work
+   grows linearly, not quadratically. (The earlier Caesar-shift
+   variant aliased tiles k and k+26 into exact duplicates, capping the
+   method at 26 tiles; the permutation removes the cap.)
+ - embeddings: a tile-seeded SIGNED PERMUTATION of the dimensions
+   (permute dims, then flip signs). Orthogonal and exact in float
+   (values move, they are never recombined), so intra-tile cosines —
+   and hence the per-tile cluster structure k-means/PQ sees — are
+   bit-preserved, while cross-tile cosines decorrelate. (The earlier
+   diagonal-sign variant used `(dim*101 + k*37) % 2`, which collapses
+   to `(dim + k) % 2`: only TWO distinct patterns, so every third
+   tile was a bit-exact copy. Pure diagonal signs are also weak even
+   when distinct — a heavy coordinate keeps self-pair cosines high
+   under any sign pattern; the permutation mixes coordinates.)
 
 The remaining TPC-H tables are symlinked from the source dir (the bench
 warm-up reads them; the heavy tier under measurement does not).
@@ -36,16 +46,12 @@ import pyarrow as pa
 import pyarrow.parquet as pq
 
 
-def shift_text(text: str, k: int) -> str:
-    if k == 0:
-        return text
-    out = []
-    for ch in text:
-        if "a" <= ch <= "z":
-            out.append(chr((ord(ch) - 97 + k) % 26 + 97))
-        else:
-            out.append(ch)
-    return "".join(out)
+def tile_cipher(k: int) -> dict:
+    """Tile-seeded a-z substitution cipher as a str.translate table."""
+    perm = np.random.default_rng(20_000 + k).permutation(26)
+    return str.maketrans(
+        "abcdefghijklmnopqrstuvwxyz",
+        "".join(chr(97 + int(p)) for p in perm))
 
 
 def main(src: str, out: str, tiles: int) -> None:
@@ -58,12 +64,16 @@ def main(src: str, out: str, tiles: int) -> None:
         t = docs.copy()
         t["doc_id"] = t["doc_id"] + k * n_docs
         if k:
-            t["text"] = t["text"].map(lambda s, k=k: shift_text(s, k))
+            table = tile_cipher(k)
+            t["text"] = t["text"].map(lambda s, table=table:
+                                      s.translate(table))
         doc_tiles.append(t)
     all_docs = pd.concat(doc_tiles, ignore_index=True)
     assert (all_docs["n_chars"] == all_docs["text"].str.len()).all()
+    # one row group per tile: Spark splits parquet at row-group
+    # boundaries, so a single jumbo group would serialize the scan
     pq.write_table(pa.Table.from_pandas(all_docs, preserve_index=False),
-                   f"{out}/documents.parquet")
+                   f"{out}/documents.parquet", row_group_size=n_docs)
     print(f"documents: {len(all_docs)} rows ({tiles} x {n_docs})")
 
     emb = pq.read_table(f"{src}/embeddings.parquet").to_pandas()
@@ -75,16 +85,18 @@ def main(src: str, out: str, tiles: int) -> None:
         t = emb.copy()
         t["vec_id"] = t["vec_id"] + k * n_vec
         if k:
-            # deterministic per-(tile, dim) sign: orthogonal, so
-            # intra-tile cosines are preserved bit-for-bit
-            signs = np.where((np.arange(d) * 101 + k * 37) % 2 == 0,
-                             1.0, -1.0).astype(np.float32)
-            flipped = mat * signs
+            # tile-seeded signed permutation: orthogonal, and exact in
+            # float (no recombination), so intra-tile cosines are
+            # preserved bit-for-bit while cross-tile cosines decorrelate
+            rng = np.random.default_rng(30_000 + k)
+            perm = rng.permutation(d)
+            signs = (rng.integers(0, 2, d) * 2 - 1).astype(np.float32)
+            flipped = mat[:, perm] * signs
             t["embedding"] = list(flipped)
         emb_tiles.append(t)
     all_emb = pd.concat(emb_tiles, ignore_index=True)
     pq.write_table(pa.Table.from_pandas(all_emb, preserve_index=False),
-                   f"{out}/embeddings.parquet")
+                   f"{out}/embeddings.parquet", row_group_size=n_vec)
     print(f"embeddings: {len(all_emb)} rows ({tiles} x {n_vec})")
 
     for t in ["region", "nation", "customer", "supplier", "part",

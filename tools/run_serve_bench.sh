@@ -1,0 +1,31 @@
+#!/bin/bash
+# Serve-tier bench runner (r11 methodology: median of 3, one JVM per
+# sf, serve/compose/probe members only). Usage:
+#   tools/run_serve_bench.sh <sfDir> <outJson> [runs]
+# Runs graft.Bench directly on the compiled classes (no sbt lock) with
+# the JDK17 add-opens Spark 4 needs outside spark-submit.
+set -euo pipefail
+cd "$(dirname "$0")/.."
+
+SF_DIR="$1"; OUT="$2"; RUNS="${3:-3}"
+
+SERVE_MEMBERS=q_ann_ivf_probe,q_ann_ivfpq_probe,q_ann_opq,q_ann_opq_np,q_ann_pq_probe,q_corpus_filter_mm_compose,q_corpus_filter_staged_compose,q_corpus_report_compose,q_corpus_report_mm_compose,q_cross_source_dups_compose,q_data_card_published,q_forget_clusters,q_forget_verdict,q_hard_negatives_compose,q_image_jpeg_clusters,q_publish_verdict,q_semdedup_compose,q_split_leakage_safe_compose
+
+ADD_OPENS=""
+for p in java.lang java.lang.invoke java.lang.reflect java.io java.net \
+         java.nio java.util java.util.concurrent java.util.concurrent.atomic; do
+  ADD_OPENS="$ADD_OPENS --add-opens java.base/$p=ALL-UNNAMED"
+done
+for p in sun.nio.ch sun.nio.cs sun.security.action sun.util.calendar; do
+  ADD_OPENS="$ADD_OPENS --add-opens java.base/$p=ALL-UNNAMED"
+done
+
+SPARK_GRAFT_SF_DIR="$SF_DIR" \
+SPARK_GRAFT_CPUS=32 \
+SPARK_GRAFT_RUNS="$RUNS" \
+SPARK_GRAFT_ONLY="$SERVE_MEMBERS" \
+SPARK_GRAFT_BENCH_OUT="$OUT" \
+java $ADD_OPENS -Xmx${SPARK_DRIVER_MEM:-48g} \
+  -Dspark.ui.enabled=false -Dspark.sql.session.timeZone=UTC \
+  -cp "target/scala-2.13/classes:/opt/spark/jars/*" \
+  graft.Bench
