@@ -17,6 +17,25 @@ object AnnQ {
     (e, e.filter(col("vec_id") < 20))
   }
 
+  /** Corpus-adaptive IVF sizing — the standard inverted-file rule:
+    * nlist = ⌈√N⌉ keeps cells at ~√N vectors and nProbe = ⌈√nlist⌉
+    * lets the scanned fraction nProbe/nlist ≈ N^(−1/4) SHRINK as the
+    * corpus grows, so probe work is O(N^(3/4)) per query batch. A
+    * constant (nlist, nProbe) instead degenerates to scanning a fixed
+    * fraction of the corpus — measured as q_ann_ivfpq_probe's 0.80
+    * second-decade exponent at sf10 (BENCH_NOTES r14) while the probe
+    * members beside it stayed ≤ 0.2. Floors keep tiny corpora at the
+    * historical (16, 4) operating point. The build pays one extra
+    * narrow count pass; probes derive nlist from the metadata-sized
+    * persisted centroid table, never the corpus.
+    */
+  private[graft] def ivfNList(corpus: DataFrame): Int =
+    math.max(16, math.ceil(math.sqrt(corpus.count().toDouble)).toInt)
+  private[graft] def ivfNProbe(nList: Int): Int =
+    math.max(4, math.ceil(math.sqrt(nList.toDouble)).toInt)
+  private def probeWidth(centroids: DataFrame): Int =
+    ivfNProbe(centroids.count().toInt)
+
   /** Exact cosine top-5 per query — the ANN correctness baseline. */
   def bruteTopK(spark: SparkSession, dir: String): DataFrame = {
     val (corpus, queries) = corpusAndQueries(spark, dir)
@@ -45,15 +64,17 @@ object AnnQ {
     Ann.lshNeighborsMultiprobe(corpus, queries, "vec_id", "embedding", k = 5)
   }
 
-  /** IVF approximate top-5 (16 cells, probe 4 → scans ~25% of the
-    * corpus; measured 0.55 recall@5 on this weakly-clustered corpus —
-    * the recall/scan-fraction dial is (nCentroids, nProbe)). Rows-only;
-    * AnnSpec pins recall and determinism.
+  /** IVF approximate top-5 under the corpus-adaptive [[ivfNList]]
+    * sizing (√N cells, √nlist probed → the scanned fraction shrinks
+    * with the corpus instead of pinning at a constant). Rows-only;
+    * AnnSpec pins recall and determinism at the pinned (16, 4)
+    * operating point and saved ≡ fresh at the adaptive one.
     */
   def ivfTopK(spark: SparkSession, dir: String): DataFrame = {
     val (corpus, queries) = corpusAndQueries(spark, dir)
+    val nList = ivfNList(corpus)
     Ann.ivfNeighbors(corpus, queries, "vec_id", "embedding", k = 5,
-      nCentroids = 16, nProbe = 4)
+      nCentroids = nList, nProbe = ivfNProbe(nList))
   }
 
   /** Quantized brute-force top-5: exact cosine RANKING over the int8
@@ -109,10 +130,18 @@ object AnnQ {
     */
   private def buildIvfIndex(spark: SparkSession, dir: String)(out: String): Unit = {
     val corpus = Tables(spark, dir, "embeddings")
-    Ann.ivfCentroids(corpus, "vec_id", "embedding", nCentroids = 16)
+    Ann.ivfCentroids(corpus, "vec_id", "embedding",
+        nCentroids = ivfNList(corpus))
       .write.mode("overwrite").parquet(s"$out/centroids")
     Ann.ivfAssignments(corpus, "vec_id", "embedding",
       spark.read.parquet(s"$out/centroids"))
+      // repartition BY THE PARTITION COLUMN before the partitioned
+      // write: without it every shuffle task writes a sliver into
+      // every cell dir — nlist × tasks tiny files (~22k at sf10) whose
+      // open/listing overhead dominates the pruned probe scan. With it
+      // each cell lands in exactly one task → one file per cell, the
+      // layout a 100 TB index needs.
+      .repartition(col("cluster"))
       .write.mode("overwrite").partitionBy("cluster")
       .parquet(s"$out/assignments")
   }
@@ -120,9 +149,10 @@ object AnnQ {
   private def probeIvfIndex(spark: SparkSession, dir: String,
       idx: String): DataFrame = {
     val (corpus, queries) = corpusAndQueries(spark, dir)
+    val centroids = spark.read.parquet(s"$idx/centroids")
     Ann.ivfProbeIndexed(corpus, spark.read.parquet(s"$idx/assignments"),
-      spark.read.parquet(s"$idx/centroids"), queries,
-      "vec_id", "embedding", k = 5, nProbe = 4)
+      centroids, queries,
+      "vec_id", "embedding", k = 5, nProbe = probeWidth(centroids))
   }
 
   /** The IVF INDEXING path: build the index, persist centroids +
@@ -157,10 +187,11 @@ object AnnQ {
         Tables(spark, dir, "embeddings"), "vec_id", "embedding")
         .write.mode("overwrite").parquet(s"$out/codes")
     }
+    val centroids = spark.read.parquet(s"$idx/centroids")
     Ann.ivfProbeQuantized(spark.read.parquet(s"$codes/codes"),
-      spark.read.parquet(s"$idx/assignments"),
-      spark.read.parquet(s"$idx/centroids"),
-      queries, "vec_id", "embedding", "qv", k = 5, nProbe = 4)
+      spark.read.parquet(s"$idx/assignments"), centroids,
+      queries, "vec_id", "embedding", "qv", k = 5,
+      nProbe = probeWidth(centroids))
   }
 
   /** Build + persist the PQ artifacts: codebooks (m×k rows) and the
@@ -226,6 +257,7 @@ object AnnQ {
       .write.mode("overwrite").parquet(s"$out/codebooks")
     graft.ann.IvfPq.encode(corpus, assignments, means, centroids,
       spark.read.parquet(s"$out/codebooks"), "vec_id", "embedding")
+      .repartition(col("cluster")) // one file per cell — see buildIvfIndex
       .write.mode("overwrite").partitionBy("cluster").parquet(s"$out/codes")
   }
 
@@ -233,11 +265,13 @@ object AnnQ {
       idx: String): DataFrame = {
     val (_, queries) = corpusAndQueries(spark, dir)
     val ivf = graft.ops.StageArtifacts.ensure(dir, "ivf")(buildIvfIndex(spark, dir))
+    val centroids = spark.read.parquet(s"$ivf/centroids")
     graft.ann.IvfPq.probe(spark.read.parquet(s"$idx/codes"),
-      spark.read.parquet(s"$ivf/centroids"),
+      centroids,
       spark.read.parquet(s"$idx/means"),
       spark.read.parquet(s"$idx/codebooks"), queries,
-      "vec_id", "embedding", kNeighbors = 5, nProbe = 4)
+      "vec_id", "embedding", kNeighbors = 5,
+      nProbe = probeWidth(centroids))
   }
 
   /** The IVF-PQ INDEXING path: residual codebooks + cluster-partitioned

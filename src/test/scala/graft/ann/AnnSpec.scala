@@ -83,18 +83,22 @@ class AnnSpec extends AnyFunSuite with SparkSpec {
     def rows(df: org.apache.spark.sql.DataFrame) =
       df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
         r.getDouble(3))).toSet
+    // the corpus-adaptive sizing the SparkEntry queries use — fresh and
+    // saved must be compared at the SAME (nlist, nProbe) operating point
+    val nList = graft.queries.AnnQ.ivfNList(e)
+    val nProbe = graft.queries.AnnQ.ivfNProbe(nList)
     val fresh = rows(Ann.ivfNeighbors(e, q, "vec_id", "embedding", 5,
-      nCentroids = 16, nProbe = 4))
+      nCentroids = nList, nProbe = nProbe))
     // build/persist/load the index, then probe without any k-means pass
     val tmp = java.nio.file.Files.createTempDirectory("graft-ivf").toString
-    Ann.ivfCentroids(e, "vec_id", "embedding", nCentroids = 16)
+    Ann.ivfCentroids(e, "vec_id", "embedding", nCentroids = nList)
       .write.mode("overwrite").parquet(s"$tmp/centroids")
     val centroids = spark.read.parquet(s"$tmp/centroids")
     Ann.ivfAssignments(e, "vec_id", "embedding", centroids)
       .write.mode("overwrite").partitionBy("cluster").parquet(s"$tmp/assignments")
     val assignments = spark.read.parquet(s"$tmp/assignments")
     val indexed = rows(Ann.ivfProbeIndexed(e, assignments, centroids, q,
-      "vec_id", "embedding", 5, nProbe = 4))
+      "vec_id", "embedding", 5, nProbe = nProbe))
     assert(indexed == fresh)
     // the SparkEntry probe-only serving query (managed prebuilt
     // artifact) must reproduce the fresh build too

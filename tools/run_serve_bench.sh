@@ -9,7 +9,7 @@ cd "$(dirname "$0")/.."
 
 SF_DIR="$1"; OUT="$2"; RUNS="${3:-3}"
 
-SERVE_MEMBERS=q_ann_ivf_probe,q_ann_ivfpq_probe,q_ann_opq,q_ann_opq_np,q_ann_pq_probe,q_corpus_filter_mm_compose,q_corpus_filter_staged_compose,q_corpus_report_compose,q_corpus_report_mm_compose,q_cross_source_dups_compose,q_data_card_published,q_forget_clusters,q_forget_verdict,q_hard_negatives_compose,q_image_jpeg_clusters,q_publish_verdict,q_semdedup_compose,q_split_leakage_safe_compose
+SERVE_MEMBERS=${SERVE_MEMBERS_OVERRIDE:-q_ann_ivf_probe,q_ann_ivfpq_probe,q_ann_opq,q_ann_opq_np,q_ann_pq_probe,q_corpus_filter_mm_compose,q_corpus_filter_staged_compose,q_corpus_report_compose,q_corpus_report_mm_compose,q_cross_source_dups_compose,q_data_card_published,q_forget_clusters,q_forget_verdict,q_hard_negatives_compose,q_image_jpeg_clusters,q_publish_verdict,q_semdedup_compose,q_split_leakage_safe_compose}
 
 ADD_OPENS=""
 for p in java.lang java.lang.invoke java.lang.reflect java.io java.net \
