@@ -1,6 +1,6 @@
 package graft.dedup
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -726,6 +726,127 @@ object Dedup {
     signBuckets(corpus, prepped, idCol, vecCol, tables, bitsPerTable, seed)
       .getOrElse(prepped.select(col("doc"), lit(0).as("table"),
         lit(0L).as("bucket")).limit(0))
+  }
+
+  /** Corpus-adaptive sign-LSH bucket width: bits = max(floor, ⌈log₂ N⌉)
+    * (capped at 48 so the per-table fold stays inside a Long with room).
+    *
+    * The r14 scale lesson, third instance (after IVF nlist and nProbe):
+    * a FIXED bucket width degenerates one decade after it looks fine —
+    * expected random collisions per table are ~N²/2^bits, so pinning
+    * bits pins the denominator while the numerator squares (measured:
+    * q_embed_near_dup_selective 7.45 → 56.68 s over sf1 → sf10 at the
+    * old fixed 16 bits, BENCH_DEDUP_r14_sf10). With bits ≈ log₂N the
+    * expected collisions per table stay Θ(N) — candidate verification
+    * linear in the corpus, the correct asymptote for an all-pairs-
+    * output build. Recall: each +1 bit multiplies the per-table hit
+    * probability by p = 1 − θ/π, which for genuine near-dups (cos ≥
+    * 0.99 ⇒ p ≥ 0.955) costs almost nothing while halving random
+    * collisions — LSH amplification hurts far pairs much faster than
+    * near pairs. The floor keeps every corpus at or below 2^16 vectors
+    * (all oracled SFs) at the historical 16-bit operating point, so
+    * hash-matched members are bit-unchanged there.
+    */
+  def adaptiveBits(n: Long, floor: Int = 16): Int = {
+    val lg = if (n <= 1L) 1
+      else 64 - java.lang.Long.numberOfLeadingZeros(n - 1L) // ⌈log₂ n⌉
+    math.min(48, math.max(floor, lg))
+  }
+
+  /** The sizing/compatibility contract a PERSISTED cosine bucket index
+    * carries: probes must bucket the arriving batch with the SAME
+    * (tables, bits, seed) the index was built with, or the (table,
+    * bucket) equi-join silently finds nothing. Stored as
+    * `_graft_cosidx_meta` INSIDE the index's parquet directory
+    * (underscore-prefixed → invisible to the parquet reader, and it
+    * travels with any whole-directory rename swap, so index rows and
+    * their sizing can never commit separately).
+    */
+  final case class CosineIndexMeta(tables: Int, bits: Int, seed: Long,
+      n: Long)
+
+  private val CosMetaName = "_graft_cosidx_meta"
+
+  private def fsOf(spark: SparkSession, path: String) =
+    new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  def writeCosineIndexMeta(spark: SparkSession, indexDir: String,
+      meta: CosineIndexMeta): Unit = {
+    val p = new org.apache.hadoop.fs.Path(indexDir, CosMetaName)
+    val out = fsOf(spark, indexDir).create(p, true)
+    try out.write(
+      s"${meta.tables}\t${meta.bits}\t${meta.seed}\t${meta.n}\n"
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+  }
+
+  /** None for a pre-r15 index directory (those encode the legacy fixed
+    * 16-bit buckets — callers fall back to the historical parameters,
+    * so old artifacts stay probe-compatible).
+    */
+  def readCosineIndexMeta(spark: SparkSession,
+      indexDir: String): Option[CosineIndexMeta] = {
+    val fs = fsOf(spark, indexDir)
+    val p = new org.apache.hadoop.fs.Path(indexDir, CosMetaName)
+    if (!fs.exists(p)) return None
+    val in = fs.open(p)
+    val line =
+      try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
+      finally in.close()
+    val Array(t, b, s, n) = line.split("\t", 4)
+    Some(CosineIndexMeta(t.toInt, b.toInt, s.toLong, n.toLong))
+  }
+
+  /** Build + persist the corpus bucket index at the corpus-adaptive
+    * width, meta alongside the rows: the ONE builder every cosidx
+    * writer (batch stage, stream seed) shares. Returns the sizing it
+    * chose.
+    */
+  def writeCosineIndex(corpus: DataFrame, idCol: String, vecCol: String,
+      indexDir: String, tables: Int = 24, seed: Long = 42L,
+      floorBits: Int = 16): CosineIndexMeta = {
+    val n = corpus.count()
+    val meta = CosineIndexMeta(tables, adaptiveBits(n, floorBits), seed, n)
+    cosineBucketIndex(corpus, idCol, vecCol, tables, meta.bits, seed)
+      .write.mode("overwrite").parquet(indexDir)
+    writeCosineIndexMeta(corpus.sparkSession, indexDir, meta)
+    meta
+  }
+
+  /** Crash-safe RE-SIZE of a live index directory (the streaming-ingest
+    * rebuild trigger fires mid-stream): the re-bucketed rows AND their
+    * meta are written to a temp dir first, then rename-swapped into
+    * place with [[graft.etl.Upsert.replaceParquet]]'s two-rename
+    * choreography — at no instant can a reader see new-width rows under
+    * old-width meta (the silent-candidate-loss failure a separate meta
+    * write would open).
+    */
+  def rebuildCosineIndexSwap(corpus: DataFrame, idCol: String,
+      vecCol: String, indexDir: String, tables: Int = 24,
+      seed: Long = 42L, floorBits: Int = 16): CosineIndexMeta = {
+    val spark = corpus.sparkSession
+    val fs = fsOf(spark, indexDir)
+    val target = new org.apache.hadoop.fs.Path(indexDir)
+    val tmp = new org.apache.hadoop.fs.Path(indexDir + "__tmp")
+    val old = new org.apache.hadoop.fs.Path(indexDir + "__old")
+    // recovery: a previous run that died between its two renames left
+    // the live index at __old and no target (replaceParquet's contract)
+    if (!fs.exists(target) && fs.exists(old) && !fs.rename(old, target))
+      throw new RuntimeException(s"recovery failed: $old -> $target")
+    if (fs.exists(tmp)) fs.delete(tmp, true)
+    val meta = writeCosineIndex(corpus, idCol, vecCol, tmp.toString,
+      tables, seed, floorBits)
+    if (fs.exists(old)) fs.delete(old, true)
+    val hadTarget = fs.exists(target)
+    if (hadTarget && !fs.rename(target, old))
+      throw new RuntimeException(s"swap failed: $target -> $old")
+    if (!fs.rename(tmp, target)) {
+      if (hadTarget) fs.rename(old, target)
+      throw new RuntimeException(s"swap failed: $tmp -> $target")
+    }
+    if (hadTarget) fs.delete(old, true)
+    meta
   }
 
   /** Incremental selective near-dup: pairs (cosine ≥ threshold) that

@@ -113,17 +113,26 @@ object DedupQ {
     * cos 0.997 is ~2e-12 and the measured miss count on every SF is 0.
     *
     * Scale shape (the reason this member exists): candidates come from
-    * equi-joins on (table, bucket) content keys — 16-bit buckets prune
-    * 99.9 % of this corpus' pairs (measured: 1,993 candidates of 2.4 M
-    * at sf0.1) and work scales with bucket co-occurrence, not N². This
-    * is the path a 100 TB near-dup pass at production thresholds ships
-    * on; the Ω(N²)-by-contract exact trio (semdedup / embed_clusters /
-    * hard_negatives at t = 0.4, below the pair-cosine bulk) stays
-    * quarantined to once-per-corpus-version builds.
+    * equi-joins on (table, bucket) content keys — buckets prune 99.9 %
+    * of this corpus' pairs (measured: 1,993 candidates of 2.4 M at
+    * sf0.1) and work scales with bucket co-occurrence, not N². Bucket
+    * width is CORPUS-ADAPTIVE ([[Dedup.adaptiveBits]]: ⌈log₂N⌉, floor
+    * 16) — the r14 bench caught the fixed 16-bit width degenerating in
+    * its second decade (7.45 → 56.68 s sf1 → sf10, within-bucket pairs
+    * ∝ N²/2¹⁶) exactly like the fixed IVF nlist before it; with
+    * log-scaled width expected collisions stay Θ(N). All oracled SFs
+    * sit under the floor, so the hash-matched contract is bit-unchanged
+    * there. This is the path a 100 TB near-dup pass at production
+    * thresholds ships on; the Ω(N²)-by-contract exact trio (semdedup /
+    * embed_clusters / hard_negatives at t = 0.4, below the pair-cosine
+    * bulk) stays quarantined to once-per-corpus-version builds.
     */
-  def embedNearDupSelective(spark: SparkSession, dir: String): DataFrame =
-    Dedup.cosinePairsBucketed(plantedTwinCorpus(spark, dir), "vec_id",
-      "embedding", threshold = 0.9, tables = 24, bitsPerTable = 16)
+  def embedNearDupSelective(spark: SparkSession, dir: String): DataFrame = {
+    val corpus = plantedTwinCorpus(spark, dir)
+    Dedup.cosinePairsBucketed(corpus, "vec_id", "embedding",
+      threshold = 0.9, tables = 24,
+      bitsPerTable = Dedup.adaptiveBits(corpus.count()))
+  }
 
   /** embeddings ∪ planted twins (vec_id % 10 == 0 → id + 10⁷, every
     * coordinate + 0.01 in double) — the selective-threshold corpus the
@@ -159,16 +168,32 @@ object DedupQ {
     */
   def embedNearDupIncremental(spark: SparkSession, dir: String): DataFrame = {
     val corpus = embeddingsAsDouble(spark, dir)
-    val stage = graft.ops.StageArtifacts.ensure(dir, "cosidx") { out =>
-      Dedup.cosineBucketIndex(corpus, "vec_id", "embedding",
-        tables = 24, bitsPerTable = 16)
-        .write.mode("overwrite").parquet(s"$out/index")
-    }
+    val (stage, meta) = cosidxStage(spark, dir, corpus)
     Dedup.incrementalCosineNearDup(
       batch = plantedTwins(corpus), corpus = corpus,
       corpusIndex = spark.read.parquet(s"$stage/index"),
       idCol = "vec_id", vecCol = "embedding", threshold = 0.9,
-      tables = 24, bitsPerTable = 16)
+      tables = meta.tables, bitsPerTable = meta.bits, seed = meta.seed)
+  }
+
+  /** The ONE per-JVM persisted `cosidx` stage both the incremental
+    * query and [[forgetCosidx]] probe — built once at the corpus-
+    * adaptive bucket width with its sizing meta alongside
+    * ([[Dedup.writeCosineIndex]]); probes take (tables, bits, seed)
+    * from the meta so batch bucketing can never drift from what the
+    * persisted rows encode. A meta-less directory (a pre-r15 artifact)
+    * falls back to the legacy fixed-16-bit parameters it was built
+    * with.
+    */
+  private def cosidxStage(spark: SparkSession, dir: String,
+      corpus: DataFrame): (String, Dedup.CosineIndexMeta) = {
+    val stage = graft.ops.StageArtifacts.ensure(dir, "cosidx") { out =>
+      Dedup.writeCosineIndex(corpus, "vec_id", "embedding",
+        s"$out/index"): Unit
+    }
+    val meta = Dedup.readCosineIndexMeta(spark, s"$stage/index")
+      .getOrElse(Dedup.CosineIndexMeta(24, 16, 42L, -1L))
+    (stage, meta)
   }
 
   /** q_stream_embed_dedup: [[embedNearDupIncremental]] executed as an
@@ -190,9 +215,10 @@ object DedupQ {
       out =>
         graft.ops.StageArtifacts.wipeDir(out)
         corpus.write.mode("overwrite").parquet(s"$out/corpus")
-        Dedup.cosineBucketIndex(corpus, "vec_id", "embedding",
-          tables = 24, bitsPerTable = 16)
-          .write.mode("overwrite").parquet(s"$out/index")
+        // adaptive width + meta: the sink probes with whatever the
+        // persisted index encodes, never its own defaults
+        Dedup.writeCosineIndex(corpus, "vec_id", "embedding",
+          s"$out/index"): Unit
         val twins = Tables.streamEmbeddings(spark, dir)
           .filter(col("vec_id") % 10 === 0)
           .select((col("vec_id") + 10000000L).as("vec_id"),
@@ -200,8 +226,7 @@ object DedupQ {
               x => x.cast("double") + lit(0.01)).as("embedding"))
         val q = graft.streaming.Streaming.cosineDedupSink(twins,
             s"$out/corpus", s"$out/index", s"$out/pairs",
-            idCol = "vec_id", vecCol = "embedding", threshold = 0.9,
-            tables = 24, bitsPerTable = 16)
+            idCol = "vec_id", vecCol = "embedding", threshold = 0.9)
           .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
           .start()
         try q.awaitTermination() finally if (q.isActive) q.stop()
@@ -925,11 +950,7 @@ object DedupQ {
     val corpus = embeddingsAsDouble(spark, dir)
     // the pre-forget persisted index of the FULL corpus — the same
     // artifact the incremental query probes (built once per JVM)
-    val stage = graft.ops.StageArtifacts.ensure(dir, "cosidx") { out =>
-      Dedup.cosineBucketIndex(corpus, "vec_id", "embedding",
-        tables = 24, bitsPerTable = 16)
-        .write.mode("overwrite").parquet(s"$out/index")
-    }
+    val (stage, meta) = cosidxStage(spark, dir, corpus)
     val del = corpus.filter(col("vec_id") % 17 === 2)
       .select(col("vec_id").as("doc_id"))
     val patched = graft.dedup.Forget.forgetIndex(
@@ -939,7 +960,7 @@ object DedupQ {
     Dedup.incrementalCosineNearDup(
       batch = plantedTwins(kept), corpus = kept, corpusIndex = patched,
       idCol = "vec_id", vecCol = "embedding", threshold = 0.9,
-      tables = 24, bitsPerTable = 16)
+      tables = meta.tables, bitsPerTable = meta.bits, seed = meta.seed)
   }
 
   /** q_forget_embed: [[graft.dedup.Forget.forgetLabels]] applied to the

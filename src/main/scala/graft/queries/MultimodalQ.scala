@@ -86,9 +86,10 @@ object MultimodalQ {
 
   /** q_image_jpeg_phash: the JPEG-modality fingerprint — full baseline
     * JPEG decode (real Huffman + IDCT, [[graft.multimodal.MediaCodec
-    * .decodeJpegGray]]) then the same dHash as the PNG path. The
-    * all-ones-quant mosaic assets decode EXACTLY, so the oracle replays
-    * the hash from the block formula — the codec family's last
+    * .decodeJpeg]] — color-capable since r14: gray, 4:2:0 and 4:4:4
+    * streams all decode to luma) then the same dHash as the PNG path.
+    * The all-ones-quant mosaic assets decode EXACTLY, so the oracle
+    * replays the hash from the block formula — the codec family's last
     * by-scope quarantine (JPEG pixels) retired to a hash-matched path.
     */
   def imageJpegPhash(spark: SparkSession, dir: String): DataFrame =

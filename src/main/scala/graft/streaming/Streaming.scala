@@ -542,6 +542,21 @@ object Streaming {
     * verification of the colliding candidates — never a corpus scan,
     * never a cross join (the measured exp-0.36 probe shape, now as the
     * arrival path).
+    *
+    * Bucket-width compatibility + RE-SIZE policy: the probe buckets
+    * each batch with the (tables, bits, seed) the PERSISTED index's
+    * meta records ([[graft.dedup.Dedup.readCosineIndexMeta]] — the
+    * passed parameters are only the cold-start/legacy fallback), so an
+    * index built at any width stays probe-correct. When the grown
+    * corpus outgrows its width (adaptiveBits(N) > meta.bits — a
+    * streamed corpus crosses the next power of two), the batch that
+    * crossed it REBUILDS the index at the new width behind a crash-safe
+    * rename swap ([[graft.dedup.Dedup.rebuildCosineIndexSwap]]: rows
+    * and meta move as one directory, so no reader can pair new-width
+    * rows with old-width meta). Rebuild triggers are log-spaced
+    * (one per corpus doubling past the floor), so total rebuild work
+    * over a stream's life is ≤ 2× the final index build — amortized
+    * O(1) per ingested vector.
     */
   def cosineDedupSink(vecs: DataFrame, corpusDir: String, indexDir: String,
       pairsDir: String, idCol: String = "vec_id",
@@ -557,20 +572,24 @@ object Streaming {
           val p = new org.apache.hadoop.fs.Path(d)
           p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
         }
+        // the index's OWN sizing wins; parameters are the cold-start /
+        // pre-meta-artifact fallback
+        val meta = Dedup.readCosineIndexMeta(spark, indexDir)
+          .getOrElse(Dedup.CosineIndexMeta(tables, bitsPerTable, seed, 0L))
         val empty = batch0.limit(0)
         val corpus =
           if (exists(corpusDir)) spark.read.parquet(corpusDir) else empty
         val index =
           if (exists(indexDir)) spark.read.parquet(indexDir)
           else Dedup.cosineBucketIndex(empty, idCol, vecCol,
-            tables, bitsPerTable, seed)
+            meta.tables, meta.bits, meta.seed)
         // redelivery convergence: ids already ingested drop out here
         val corpusIds = corpus.select(col(idCol).as("cid"))
         val deduped = batch0.dropDuplicates(idCol)
         val batch = deduped
           .join(corpusIds, deduped(idCol) === col("cid"), "left_anti")
         val pairs = Dedup.incrementalCosineNearDup(batch, corpus, index,
-          idCol, vecCol, threshold, tables, bitsPerTable, seed)
+          idCol, vecCol, threshold, meta.tables, meta.bits, meta.seed)
           .localCheckpoint() // read three ways below; probe work runs once
         // greedy representative rule (the text sink's): a batch vector
         // drops if it pairs with any corpus vector, or with a smaller-id
@@ -593,9 +612,24 @@ object Streaming {
           pairs.write.mode("append").parquet(pairsDir)
           // INDEX FIRST (see nearDupDedupSink for the crash-window proof)
           Dedup.cosineBucketIndex(kept, idCol, vecCol,
-            tables, bitsPerTable, seed)
+            meta.tables, meta.bits, meta.seed)
             .write.mode("append").parquet(indexDir)
+          // cold start: the append above created the dir — record the
+          // width it actually used before any other reader probes it
+          if (Dedup.readCosineIndexMeta(spark, indexDir).isEmpty)
+            Dedup.writeCosineIndexMeta(spark, indexDir, meta)
           kept.write.mode("append").parquet(corpusDir)
+          // RE-SIZE trigger: the corpus just crossed its width's
+          // capacity — rebuild at the adaptive width (never downsizes:
+          // floor = the current width). A crash between the corpus
+          // append and this swap re-fires the trigger on the next
+          // batch (N is still past the boundary), so the policy
+          // converges without its own journal.
+          val n = spark.read.parquet(corpusDir).count()
+          if (Dedup.adaptiveBits(n, meta.bits) > meta.bits)
+            Dedup.rebuildCosineIndexSwap(spark.read.parquet(corpusDir),
+              idCol, vecCol, indexDir, meta.tables, meta.seed,
+              floorBits = meta.bits): Unit
         } finally {
           org.apache.spark.sql.graft.CheckpointUtils.release(kept)
           org.apache.spark.sql.graft.CheckpointUtils.release(pairs)

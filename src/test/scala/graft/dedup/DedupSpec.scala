@@ -197,6 +197,97 @@ class DedupSpec extends AnyFunSuite with SparkSpec {
     assert(got == Set((10L, 11L), (1L, 10L), (1L, 11L)), got.toString)
   }
 
+  test("adaptiveBits: floor 16 through 2^16, then ceil(log2 N), capped at 48") {
+    assert(Dedup.adaptiveBits(0L) == 16)
+    assert(Dedup.adaptiveBits(1L) == 16)
+    assert(Dedup.adaptiveBits(2000L) == 16)    // sf0.1 — floor, unchanged
+    assert(Dedup.adaptiveBits(22000L) == 16)   // sf1 — still under the floor
+    assert(Dedup.adaptiveBits(1L << 16) == 16) // exactly 2^16 fits 16 bits
+    assert(Dedup.adaptiveBits((1L << 16) + 1) == 17)
+    assert(Dedup.adaptiveBits(220000L) == 18)  // sf10 — the r14 defect zone
+    assert(Dedup.adaptiveBits(1L << 30) == 30)
+    assert(Dedup.adaptiveBits(Long.MaxValue) == 48) // Long-safety cap
+    // a custom floor floors (the spec-scale/test hook)
+    assert(Dedup.adaptiveBits(6L, floor = 2) == 3)
+    assert(Dedup.adaptiveBits(3L, floor = 2) == 2)
+  }
+
+  test("cosinePairsBucketed at a WIDER adaptive width equals the 16-bit " +
+      "relation (recall survives the r15 re-sizing) on planted twins") {
+    // the exact contract the scale fix must not break: selective pairs
+    // at the width sf10 would choose (18–20 bits) == the floor-width
+    // relation == the planted ground truth
+    val emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+      .select(col("vec_id"), org.apache.spark.sql.functions.transform(
+        col("embedding"), _.cast("double")).as("embedding"))
+    val twins = emb.filter(col("vec_id") % 10 === 0)
+      .select((col("vec_id") + 10000000L).as("vec_id"),
+        org.apache.spark.sql.functions.transform(
+          col("embedding"), _ + lit(0.01)).as("embedding"))
+    val corpus = emb.unionByName(twins)
+    def pairs(bits: Int) = Dedup.cosinePairsBucketed(corpus, "vec_id",
+      "embedding", threshold = 0.9, tables = 24, bitsPerTable = bits)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val at16 = pairs(16)
+    assert(at16.nonEmpty)
+    assert(pairs(20) == at16)
+  }
+
+  test("writeCosineIndex: meta round-trips, a meta-driven probe equals the " +
+      "full relation, and a meta-less legacy dir reads None") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .select(col("vec_id"), org.apache.spark.sql.functions.transform(
+        col("embedding"), _.cast("double")).as("embedding"))
+    val batch = emb.filter(col("vec_id") % 10 === 0)
+      .select((col("vec_id") + 10000000L).as("vec_id"),
+        org.apache.spark.sql.functions.transform(
+          col("embedding"), _ + lit(0.01)).as("embedding"))
+    val root = java.nio.file.Files.createTempDirectory("cosidx_meta").toString
+    val written = Dedup.writeCosineIndex(emb, "vec_id", "embedding",
+      s"$root/index")
+    val meta = Dedup.readCosineIndexMeta(spark, s"$root/index")
+    assert(meta.contains(written))
+    assert(written.n == emb.count() && written.bits == 16) // floor at 500
+    // the meta file is invisible to the parquet reader AND the probe at
+    // meta's params finds every planted pair
+    val idx = spark.read.parquet(s"$root/index")
+    assert(idx.columns.toSet == Set("doc", "table", "bucket"))
+    val got = Dedup.incrementalCosineNearDup(batch, emb, idx, "vec_id",
+      "embedding", threshold = 0.9, tables = written.tables,
+      bitsPerTable = written.bits, seed = written.seed)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val plantedSources = emb.filter(col("vec_id") % 10 === 0)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(got == plantedSources.map(v => (v, v + 10000000L)))
+    // legacy (pre-meta) artifact: bare parquet, no _graft_cosidx_meta
+    idx.write.mode("overwrite").parquet(s"$root/legacy")
+    assert(Dedup.readCosineIndexMeta(spark, s"$root/legacy").isEmpty)
+  }
+
+  test("rebuildCosineIndexSwap: the swapped dir holds the wider-width rows " +
+      "and their meta as one unit") {
+    import spark.implicits._
+    val vecs = (1L to 12L).map(i =>
+      (i, Array.tabulate(8)(j => if (j == (i % 8).toInt) 1.0 else 0.0)))
+      .toDF("vec_id", "embedding")
+    val root = java.nio.file.Files.createTempDirectory("cosidx_swap").toString
+    val dir = s"$root/index"
+    val first = Dedup.writeCosineIndex(vecs.limit(3), "vec_id", "embedding",
+      dir, tables = 4, floorBits = 2)
+    assert(first.bits == 2) // ceil(log2 3) = 2 at floor 2
+    val resized = Dedup.rebuildCosineIndexSwap(vecs, "vec_id", "embedding",
+      dir, tables = 4, floorBits = first.bits)
+    assert(resized.bits == 4 && resized.n == 12) // ceil(log2 12) = 4
+    assert(Dedup.readCosineIndexMeta(spark, dir).contains(resized))
+    val swapped = spark.read.parquet(dir)
+    val fresh = Dedup.cosineBucketIndex(vecs, "vec_id", "embedding",
+      tables = 4, bitsPerTable = 4)
+    assert(swapped.except(fresh).isEmpty && fresh.except(swapped).isEmpty)
+    // no residue from the two-rename choreography
+    assert(!new java.io.File(dir + "__tmp").exists())
+    assert(!new java.io.File(dir + "__old").exists())
+  }
+
   test("incrementalNearDup equals the full-corpus pairs restricted to the batch") {
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     val batch = docs.filter(col("doc_id") % 7 === 0)

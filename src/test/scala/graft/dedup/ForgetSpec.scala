@@ -172,5 +172,21 @@ class ForgetSpec extends AnyFunSuite with SparkSpec {
     val del = deleted.collect().map(_.getLong(0)).toSet
     assert(del.nonEmpty)
     assert(patched.filter(col("doc").isInCollection(del)).isEmpty)
+    // r15 (adaptive-width index): the PERSISTED artifact now carries a
+    // sizing meta file inside its parquet dir — the patch path must be
+    // unaffected by it (file invisible to the reader) and the meta must
+    // survive the patch-in-place flow the forget queries use
+    val root = java.nio.file.Files.createTempDirectory("forget_cosidx").toString
+    val written = Dedup.writeCosineIndex(emb, "vec_id", "embedding",
+      s"$root/index")
+    assert(written.bits == 16) // testdata sits under the floor
+    val readBack = spark0.read.parquet(s"$root/index")
+    val patchedPersisted = Forget.forgetIndex(readBack, deleted)
+    val freshAtMeta = Dedup.cosineBucketIndex(kept, "vec_id", "embedding",
+      tables = written.tables, bitsPerTable = written.bits)
+    assert(patchedPersisted.except(freshAtMeta).isEmpty &&
+      freshAtMeta.except(patchedPersisted).isEmpty)
+    assert(Dedup.readCosineIndexMeta(spark0, s"$root/index")
+      .contains(written))
   }
 }

@@ -649,6 +649,55 @@ class StreamingSpec extends AnyFunSuite with SparkSpec {
     assert(pairs == Set((1L, 2L), (1L, 7L)))
   }
 
+  test("cosineDedupSink: probes with the PERSISTED index's meta width and " +
+      "re-sizes the index when the streamed corpus outgrows it") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.dedup.Dedup
+    val root = java.nio.file.Files.createTempDirectory("stream_cos_resize").toString
+    val (corpusDir, indexDir, pairsDir) =
+      (s"$root/corpus", s"$root/index", s"$root/pairs")
+    def oneHot(j: Int) = Array.tabulate(8)(i => if (i == j) 1f else 0f)
+    def twoHot(j: Int) = Array.tabulate(8)(i =>
+      if (i == j || i == (j + 1) % 8) 0.7071f else 0f)
+    // tiny widths so testdata-scale streams actually cross a boundary:
+    // floor 2 bits, 8 tables
+    val in = MemoryStream[QVec]
+    val q = Streaming.cosineDedupSink(in.toDF(), corpusDir, indexDir,
+      pairsDir, tables = 8, bitsPerTable = 2).start()
+    // batch 1: 6 mutually-far vectors (max pairwise cosine 0.7071) —
+    // cold start writes meta at the fallback width, then the trigger
+    // immediately re-sizes to ceil(log2 6) = 3
+    in.addData((1 to 6).map(i => QVec(i.toLong,
+      if (i <= 4) oneHot(i - 1) else twoHot(2 * (i - 4)))): _*)
+    q.processAllAvailable()
+    val m1 = Dedup.readCosineIndexMeta(spark, indexDir).get
+    assert(m1.bits == 3 && m1.tables == 8, m1.toString)
+    // batch 2: 6 more far vectors -> n = 12 crosses 2^3: re-size to 4
+    in.addData((11 to 16).map(i => QVec(i.toLong,
+      if (i <= 14) oneHot(i - 7) else twoHot(2 * (i - 14) + 1))): _*)
+    q.processAllAvailable()
+    val m2 = Dedup.readCosineIndexMeta(spark, indexDir).get
+    assert(m2.bits == 4, m2.toString)
+    // the re-sized rows ARE a fresh full-corpus build at the new width
+    // (probe parity across the re-size event: same rows -> same probes)
+    val idx = spark.read.parquet(indexDir)
+    val fresh = Dedup.cosineBucketIndex(spark.read.parquet(corpusDir),
+      "vec_id", "embedding", tables = 8, bitsPerTable = 4)
+    assert(idx.except(fresh).isEmpty && fresh.except(idx).isEmpty)
+    // batch 3 probes THROUGH the re-sized index: a near-dup of vector 1
+    // (ingested two re-sizes ago) is still caught and dropped
+    in.addData(QVec(99L, Array(0.999f, 0.04f, 0f, 0f, 0f, 0f, 0f, 0f)))
+    q.processAllAvailable()
+    q.stop()
+    val pairs = spark.read.parquet(pairsDir)
+      .select("a_id", "b_id").distinct().collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 99L)), pairs.toString)
+    assert(!spark.read.parquet(corpusDir).select("vec_id").collect()
+      .map(_.getLong(0)).contains(99L))
+  }
+
   test("vectorIngestSink: stream-built index serves IVF-ADC identical to batch artifacts") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext

@@ -85,9 +85,13 @@ def main(src: str, out: str, tiles: int) -> None:
         t = emb.copy()
         t["vec_id"] = t["vec_id"] + k * n_vec
         if k:
-            # tile-seeded signed permutation: orthogonal, and exact in
-            # float (no recombination), so intra-tile cosines are
-            # preserved bit-for-bit while cross-tile cosines decorrelate
+            # tile-seeded signed permutation: exactly orthogonal, and each
+            # coordinate is exact in float (no recombination) — but a
+            # permutation reorders the terms of every downstream dot-product
+            # sum, and float addition is not associative at the ULP level,
+            # so intra-tile cosines are preserved up to float summation
+            # reorder (near-threshold pair/rank decisions may flip per
+            # tile), while cross-tile cosines decorrelate
             rng = np.random.default_rng(30_000 + k)
             perm = rng.permutation(d)
             signs = (rng.integers(0, 2, d) * 2 - 1).astype(np.float32)

@@ -20,11 +20,19 @@ java $ADD_OPENS -Xmx${SPARK_DRIVER_MEM:-48g} \
   -Dspark.ui.enabled=false -Dspark.sql.session.timeZone=UTC \
   -cp "target/scala-2.13/classes:/opt/spark/jars/*" \
   graft.Verify "$SF_DIR" "$OUT" "$ONLY" || exit 1
-python3 - "$OUT" <<'PY'
+python3 - "$OUT" "$ONLY" <<'PY'
 import json, os, sys
-out = sys.argv[1]
+out, only = sys.argv[1], sys.argv[2]
 o = json.load(open(f"{out}/oracle_sql.json"))
 keep = {k: v for k, v in o.items() if os.path.isdir(f"{out}/{k}")}
+# a typo'd/unregistered name in ONLY must FAIL the pre-flight, not let
+# check_oracle pass vacuously over an empty (or silently smaller) map
+missing = [q for q in only.split(",") if q and not os.path.isdir(f"{out}/{q}")]
+if missing:
+    sys.exit(f"ERROR: no verify output for: {', '.join(missing)} "
+             "(typo'd or unregistered query name?)")
+if not keep:
+    sys.exit("ERROR: filtered oracle map is empty — nothing to check")
 json.dump(keep, open(f"{out}/oracle_sql.json", "w"))
 print(f"filtered oracle map: {len(o)} -> {len(keep)}")
 PY
