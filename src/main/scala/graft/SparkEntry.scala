@@ -1595,29 +1595,47 @@ object SparkEntry {
         |    FROM ch a JOIN ch b ON a.chunk = b.chunk AND a.v = b.v
         |      AND a.doc_id < b.doc_id
         |  ),
+        |  prm AS (
+        |    SELECT GREATEST(1, CAST(ceil(count(*) / 2048.0) AS BIGINT)) AS d
+        |    FROM h
+        |  ),
+        |  smp AS (
+        |    SELECT h.* FROM h, prm
+        |    WHERE (doc_id * 1000003 + 12345) % prm.d = 0
+        |  ),
         |  ver AS (
-        |    SELECT 1 AS one FROM cnd
+        |    SELECT cnd.a_id, cnd.b_id FROM cnd
         |    JOIN h x ON x.doc_id = cnd.a_id
         |    JOIN h y ON y.doc_id = cnd.b_id
         |    WHERE bit_count(xor(x.sh64, y.sh64)) <= 3
         |  ),
+        |  vsm AS (
+        |    SELECT 1 AS one FROM ver
+        |    JOIN smp x ON x.doc_id = ver.a_id
+        |    JOIN smp y ON y.doc_id = ver.b_id
+        |  ),
         |  ex AS (
-        |    SELECT 1 AS one FROM h x JOIN h y ON x.doc_id < y.doc_id
+        |    SELECT 1 AS one FROM smp x JOIN smp y ON x.doc_id < y.doc_id
         |    WHERE bit_count(xor(x.sh64, y.sh64)) <= 3
         |  )
         |  SELECT 'simhash_fixture' AS family,
         |    (SELECT count(*) FROM h) AS n_items,
         |    (SELECT count(*) FROM cnd) AS n_cand,
         |    (SELECT count(*) FROM ver) AS n_pairs,
-        |    (SELECT count(*) FROM ex) AS n_exact
+        |    (SELECT count(*) FROM ex) AS n_exact,
+        |    (SELECT count(*) FROM vsm) AS n_pairs_exact_scope,
+        |    (SELECT count(*) FROM smp) AS exact_items
         |)
         |)
         |SELECT family, n_items,
         | (n_items * (n_items - 1)) // 2 AS n_possible,
-        | n_cand, n_pairs, n_exact,
+        | n_cand, n_pairs, n_exact, n_pairs_exact_scope, exact_items,
         | CAST(n_cand AS DOUBLE)
         |   / CAST((n_items * (n_items - 1)) // 2 AS DOUBLE) AS cand_ratio,
-        | CAST(n_pairs AS DOUBLE) / CAST(n_exact AS DOUBLE) AS recall
+        | CASE WHEN n_exact > 0 THEN CAST(n_pairs_exact_scope AS DOUBLE)
+        |   / CAST(n_exact AS DOUBLE) END AS recall,
+        | CAST(exact_items * (exact_items - 1) AS DOUBLE)
+        |   / CAST(n_items * (n_items - 1) AS DOUBLE) AS exact_coverage
         |FROM fam""".stripMargin,
     // PQ ADC serving replayed from the pinned integer fixture: argmin
     // encoding, LUT sums, rnorm and the (cosine desc, id) ranking are
@@ -4190,15 +4208,26 @@ object SparkEntry {
   /** One banded-family block of the q_dedup_pruning_report oracle: a
     * nested-WITH subquery (each family's hash CTEs reuse names like
     * `docs`/`grid`/`bits`, so they must not share one WITH scope)
-    * computing items / band candidates / verified / exact-all-pairs
-    * counts over the family's formula-replayed 64-bit fingerprints —
-    * the SAME band and Hamming rules as the family's own pair oracle.
+    * computing items / band candidates / verified / exact counts over
+    * the family's formula-replayed 64-bit fingerprints — the SAME band
+    * and Hamming rules as the family's own pair oracle, and the SAME
+    * deterministic item-sample rule the engine's exact baseline uses
+    * (`(id·1000003 + 12345) % ceil(n/2048) = 0`; divisor 1 — no
+    * sampling — at every oracled SF, so the replay is exact there).
     */
   private def bandedPruningSqlFrom(family: String, ctes: String,
       rel: String, hi: String, lo: String): String =
     s"""SELECT * FROM (
       |WITH $ctes,
       |hrel AS (SELECT asset_id, $hi AS hi, $lo AS lo FROM $rel),
+      |prm AS (
+      |  SELECT GREATEST(1, CAST(ceil(count(*) / 2048.0) AS BIGINT)) AS d
+      |  FROM hrel
+      |),
+      |smp AS (
+      |  SELECT hrel.* FROM hrel, prm
+      |  WHERE (asset_id * 1000003 + 12345) % prm.d = 0
+      |),
       |bnd AS (
       |  SELECT asset_id, b.range AS band,
       |    CASE b.range WHEN 0 THEN lo % 65536 WHEN 1 THEN lo // 65536
@@ -4211,20 +4240,27 @@ object SparkEntry {
       |    AND a.asset_id < c.asset_id
       |),
       |ver AS (
-      |  SELECT 1 AS one FROM cnd
+      |  SELECT cnd.a_id, cnd.b_id FROM cnd
       |  JOIN hrel x ON x.asset_id = cnd.a_id
       |  JOIN hrel y ON y.asset_id = cnd.b_id
       |  WHERE bit_count(xor(x.hi, y.hi)) + bit_count(xor(x.lo, y.lo)) <= 10
       |),
+      |vsm AS (
+      |  SELECT 1 AS one FROM ver
+      |  JOIN smp x ON x.asset_id = ver.a_id
+      |  JOIN smp y ON y.asset_id = ver.b_id
+      |),
       |ex AS (
-      |  SELECT 1 AS one FROM hrel x JOIN hrel y ON x.asset_id < y.asset_id
+      |  SELECT 1 AS one FROM smp x JOIN smp y ON x.asset_id < y.asset_id
       |  WHERE bit_count(xor(x.hi, y.hi)) + bit_count(xor(x.lo, y.lo)) <= 10
       |)
       |SELECT '$family' AS family,
       |  (SELECT count(*) FROM hrel) AS n_items,
       |  (SELECT count(*) FROM cnd) AS n_cand,
       |  (SELECT count(*) FROM ver) AS n_pairs,
-      |  (SELECT count(*) FROM ex) AS n_exact
+      |  (SELECT count(*) FROM ex) AS n_exact,
+      |  (SELECT count(*) FROM vsm) AS n_pairs_exact_scope,
+      |  (SELECT count(*) FROM smp) AS exact_items
       |)""".stripMargin
 
   /** [[phashHashSql]] parameterized over the document relation — the

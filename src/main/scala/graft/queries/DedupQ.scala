@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
@@ -1092,11 +1092,14 @@ object DedupQ {
     * exact all-pairs), and their measured candidate counts live in
     * BENCH_NOTES.
     *
-    * Scale note: the n_exact column is the one all-pairs pass — over
-    * the 24-byte hash relation (broadcast nested-loop on a
-    * decode-reduced frame), present PRECISELY to measure what the
-    * banding prunes; at 100 TB you compute it on a sample or not at
-    * all, and the report's other columns stay sub-quadratic.
+    * Scale note (r15): the exact/recall columns run over a
+    * DETERMINISTIC item sample capped at [[ExactSampleCap]] items
+    * (≈2M Hamming evaluations max, broadcast nested-loop on the
+    * 24-byte hash relation) — the report no longer carries the Θ(N²)
+    * term its other rows exist to avoid. `exact_items` /
+    * `exact_coverage` say how much of the pair space the audit
+    * actually touched; under the cap (every oracled SF) the sample IS
+    * the full relation and every value matches the r14 ledger.
     */
   def dedupPruningReport(spark: SparkSession, dir: String): DataFrame = {
     import graft.multimodal.Multimodal
@@ -1120,14 +1123,34 @@ object DedupQ {
       .orderBy(col("family"))
   }
 
+  /** The exact-baseline ITEM-SAMPLE divisor: every d-th item by a
+    * deterministic multiplicative rule on the id (REPLAYED VERBATIM in
+    * the DuckDB oracle — pure integer arithmetic, engine-independent),
+    * sized so the exact all-pairs pass never exceeds ~cap²/2 ≈ 2M
+    * Hamming evaluations regardless of corpus size. d = 1 (no
+    * sampling) at every oracled SF, so the hash-matched contract is
+    * value-unchanged there; past the cap the report measures recall on
+    * a fixed-cost pair sample instead of carrying the Θ(N²) term its
+    * other columns exist to avoid (the r14 verdict's named defect).
+    */
+  private[queries] val ExactSampleCap = 2048L
+  private def sampleDivisor(n: Long): Long =
+    math.max(1L, (n + ExactSampleCap - 1L) / ExactSampleCap)
+  private def sampledId(id: Column, d: Long): Column =
+    pmod(id * lit(1000003L) + lit(12345L), lit(d)) === 0
+
   /** One report row for a banded 64-bit-fingerprint family: candidates
     * by the SHARED 4×16-bit band rule, verified pairs through the
     * shared machinery ([[graft.multimodal.Multimodal.phashPairs]]),
-    * exact pairs by all-pairs Hamming over the (tiny, broadcast) hash
-    * relation. `hashes` must be barriered by the caller — four
-    * consumers below.
+    * and the exact/recall columns by all-pairs Hamming over the
+    * DETERMINISTIC item sample (the full relation while the family is
+    * under [[ExactSampleCap]] items — every oracled SF; a fixed-cost
+    * sample beyond it, with `exact_items`/`exact_coverage` reporting
+    * how much of the pair space the exact columns actually audited).
+    * `hashes` must be barriered by the caller — five consumers below.
     */
-  private def bandedPruningRow(name: String, hashes: DataFrame): DataFrame = {
+  private[queries] def bandedPruningRow(name: String,
+      hashes: DataFrame): DataFrame = {
     val h = hashes.select(col("asset_id"), col("phash_hi"), col("phash_lo"))
     val bands = h.select(col("asset_id"),
       posexplode(array(
@@ -1141,18 +1164,26 @@ object DedupQ {
       .filter(col("a_id") < col("b_id"))
       .select("a_id", "b_id").distinct()
     val verified = graft.multimodal.Multimodal.phashPairs(h, maxHamming = 10)
-    val exact = h.select(col("asset_id").as("a_id"),
+    val d = sampleDivisor(h.count())
+    val hs = h.filter(sampledId(col("asset_id"), d))
+    val exact = hs.select(col("asset_id").as("a_id"),
         col("phash_hi").as("ah"), col("phash_lo").as("al"))
-      .join(broadcast(h.select(col("asset_id").as("b_id"),
+      .join(broadcast(hs.select(col("asset_id").as("b_id"),
         col("phash_hi").as("bh"), col("phash_lo").as("bl"))),
         col("a_id") < col("b_id"))
       .filter((bit_count(col("ah").bitwiseXOR(col("bh"))) +
         bit_count(col("al").bitwiseXOR(col("bl")))) <= 10)
+    // recall numerator: verified pairs with BOTH endpoints in the
+    // sample — apples-to-apples with the sampled exact denominator
+    val verifiedInSample = verified
+      .filter(sampledId(col("a_id"), d) && sampledId(col("b_id"), d))
     pruningRow(name,
       h.agg(count(lit(1)).as("n_items")),
       cand.agg(count(lit(1)).as("n_cand")),
       verified.agg(count(lit(1)).as("n_pairs")),
-      exact.agg(count(lit(1)).as("n_exact")))
+      exact.agg(count(lit(1)).as("n_exact")),
+      verifiedInSample.agg(count(lit(1)).as("n_pairs_exact_scope")),
+      hs.agg(count(lit(1)).as("exact_items")))
   }
 
   /** The SimHash row over the PINNED fixture corpus: candidates by the
@@ -1175,32 +1206,55 @@ object DedupQ {
       .select("a_id", "b_id").distinct()
     val verified = Dedup.simhashPairs(
       graft.dedup.SimhashFixture.df(spark), "doc_id", "text", maxHamming = 3)
-    val exact = h.select(col("doc").as("a_id"), col("sh64").as("ha"))
-      .join(broadcast(h.select(col("doc").as("b_id"), col("sh64").as("hb"))),
+    // the pinned fixture sits far under ExactSampleCap: d = 1, the
+    // exact scope IS the full relation (same machinery, no branch)
+    val d = sampleDivisor(h.count())
+    val hs = h.filter(sampledId(col("doc"), d))
+    val exact = hs.select(col("doc").as("a_id"), col("sh64").as("ha"))
+      .join(broadcast(hs.select(col("doc").as("b_id"), col("sh64").as("hb"))),
         col("a_id") < col("b_id"))
       .filter(bit_count(col("ha").bitwiseXOR(col("hb"))) <= 3)
+    val verifiedInSample = verified
+      .filter(sampledId(col("a_id"), d) && sampledId(col("b_id"), d))
     pruningRow("simhash_fixture",
       h.agg(count(lit(1)).as("n_items")),
       cand.agg(count(lit(1)).as("n_cand")),
       verified.agg(count(lit(1)).as("n_pairs")),
-      exact.agg(count(lit(1)).as("n_exact")))
+      exact.agg(count(lit(1)).as("n_exact")),
+      verifiedInSample.agg(count(lit(1)).as("n_pairs_exact_scope")),
+      hs.agg(count(lit(1)).as("exact_items")))
   }
 
-  /** Assemble one (family, counts, ratios) row from four single-row
-    * aggregates (1×1 cross joins — no data-sized shuffle).
+  /** Assemble one (family, counts, ratios) row from six single-row
+    * aggregates (1×1 cross joins — no data-sized shuffle). `recall` is
+    * measured INSIDE the exact scope (verified∩sample / exact-sample —
+    * identical to the old full-relation recall whenever the family is
+    * under the cap, i.e. at every oracled SF); `exact_coverage` is the
+    * audited fraction of the pair space (1.0 under the cap).
     */
   private def pruningRow(name: String, items: DataFrame, cand: DataFrame,
-      pairs: DataFrame, exact: DataFrame): DataFrame =
+      pairs: DataFrame, exact: DataFrame, pairsExactScope: DataFrame,
+      exactItems: DataFrame): DataFrame =
     items.crossJoin(cand).crossJoin(pairs).crossJoin(exact)
+      .crossJoin(pairsExactScope).crossJoin(exactItems)
       .select(lit(name).as("family"),
         col("n_items"),
         ((col("n_items") * (col("n_items") - 1)) / lit(2)).cast("long")
           .as("n_possible"),
-        col("n_cand"), col("n_pairs"), col("n_exact"))
+        col("n_cand"), col("n_pairs"), col("n_exact"),
+        col("n_pairs_exact_scope"), col("exact_items"))
       .withColumn("cand_ratio",
         col("n_cand").cast("double") / col("n_possible").cast("double"))
+      // NULL, not a crash, when the sampled scope holds no exact pair
+      // (possible past the cap: pair coverage is (m/n)² — ANSI division
+      // by zero would otherwise kill the whole report)
       .withColumn("recall",
-        col("n_pairs").cast("double") / col("n_exact").cast("double"))
+        when(col("n_exact") > 0,
+          col("n_pairs_exact_scope").cast("double")
+            / col("n_exact").cast("double")))
+      .withColumn("exact_coverage",
+        (col("exact_items") * (col("exact_items") - 1)).cast("double")
+          / (col("n_items") * (col("n_items") - 1)).cast("double"))
 
   private def semDedupFrom(spark: SparkSession, dir: String,
       clusters: DataFrame): DataFrame = {
