@@ -148,16 +148,35 @@ object Ann {
     * serving loads it instead of re-running k-means per query batch
     * (the build/probe split [[ivfAssignments]] + [[ivfProbeIndexed]]
     * complete; AnnSpec proves saved-index probes ≡ fresh-build probes).
+    *
+    * TRAINING SAMPLE (r15): with the corpus-adaptive nlist = ⌈√N⌉,
+    * full-corpus Lloyd passes cost N·√N dots each — an N^1.5 build
+    * term (measured: q_ann_ivfpq build 6.1 → 11.2 s at sf0.1 alone).
+    * Centroid QUALITY needs O(nCentroids · trainPerCell) evidence, not
+    * the whole corpus, so Lloyd trains on a deterministic content-hash
+    * sample of every d-th vector (d = ⌊N / (nCentroids·trainPerCell)⌋,
+    * xxhash64 on the id — seedless, reproducible, engine-side only:
+    * centroids are no one's oracle), and only the SINGLE final
+    * assignment pass ([[ivfAssignments]]) touches all N rows.
+    * trainPerCell = 64 keeps ~64 training vectors per cell (inside the
+    * 39–256/cell band the FAISS guidelines publish); corpora under
+    * 2 × nCentroids·trainPerCell train unsampled (d = 1 — every
+    * testdata recall gate unchanged).
     */
   def ivfCentroids(corpus: DataFrame, idCol: String, vecCol: String,
-      nCentroids: Int = 16, iterations: Int = 3): DataFrame = {
+      nCentroids: Int = 16, iterations: Int = 3,
+      trainPerCell: Int = 64): DataFrame = {
     val spark = corpus.sparkSession
     import spark.implicits._
+    val d = math.max(1L,
+      corpus.count() / (nCentroids.toLong * trainPerCell))
+    val trainSrc = if (d <= 1L) corpus
+      else corpus.filter(pmod(xxhash64(col(idCol)), lit(d)) === 0)
     // the barrier materializes (id, v, norm, vn) ONCE: the k-means
     // loop runs one action per iteration, and without it the normalize
     // pipeline would re-inline into each of the nCentroids argmax fold
     // steps of every action (measured 10x slower)
-    val cv = graft.ops.Barrier.once(prepIvf(corpus, idCol, vecCol))
+    val cv = graft.ops.Barrier.once(prepIvf(trainSrc, idCol, vecCol))
     val cs = fitCentroids(cv, nCentroids, iterations)
     graft.ops.Barrier.release(cv)
     cs.zipWithIndex.map { case (c, i) => (i, c) }.toDF("cluster", "centroid")

@@ -75,6 +75,18 @@ class AnnSpec extends AnyFunSuite with SparkSpec {
     assert(recall >= 0.5, s"recall=$recall")
     assert(ivf == pairs(Ann.ivfNeighbors(e, q, "vec_id", "embedding", 5,
       nCentroids = 16, nProbe = 4)))
+    // the ADAPTIVE serving point (what SparkEntry's q_ann_ivf actually
+    // runs: nlist = ceil(sqrt N), nProbe = ceil(sqrt nlist)) — the
+    // scanned fraction shrinks ~N^(-1/4), so recall there is a separate
+    // claim from the (16, 4) floor gate above (ADVICE r14): on this
+    // corpus (45, 7) scans ~16% of cells and must still clear 0.5
+    val nList = graft.queries.AnnQ.ivfNList(e)
+    val nProbe = graft.queries.AnnQ.ivfNProbe(nList)
+    val adaptive = pairs(Ann.ivfNeighbors(e, q, "vec_id", "embedding", 5,
+      nCentroids = nList, nProbe = nProbe))
+    val recallAdaptive = (brute & adaptive).size.toDouble / brute.size
+    assert(recallAdaptive >= 0.5,
+      s"adaptive ($nList, $nProbe) recall=$recallAdaptive")
   }
 
   test("IVF saved-index probes == fresh-build probes (parquet round-trip)") {
