@@ -338,6 +338,108 @@ object Streaming {
         } finally graft.ops.Barrier.releaseIter(novel)
       }
 
+  /** Streaming vector ingest with a RE-SIZE policy — closes
+    * [[vectorIngestSink]]'s open end: that sink assigns to FIXED
+    * centroids, so under corpus-adaptive sizing a growing streamed
+    * corpus silently outgrows its nlist (cells average N/nlist vectors;
+    * with nlist pinned the probe scan degenerates toward linear — the
+    * same measured disease as the fixed-nlist batch defect r14 fixed).
+    *
+    * The index here is a PUBLISHED versioned store
+    * ([[graft.ops.Publish]], root = `storeRoot`, artifacts `centroids`
+    * + `index`): per batch, novel vectors (id anti-join against the
+    * current index — the redelivery convergence check, one growing
+    * artifact so there is no two-append crash window) are assigned to
+    * the CURRENT version's centroids and appended to its index. When
+    * the corpus outgrows the operating point — N > headroom · nlist²,
+    * i.e. average cell occupancy past headroom·√N — the batch that
+    * crossed it RETRAINS at nlist′ = max(floor, ⌈√N⌉) and publishes
+    * {centroids′, re-assigned index} as the NEXT version behind the
+    * manifest swap: mid-stream readers that resolved version v keep
+    * reading v's mutually-consistent centroids+index (Publish retains
+    * the previous version; within a version the index only APPENDS,
+    * and every appended row was assigned with that version's
+    * centroids, so v stays probe-consistent while it grows). Triggers
+    * are log-spaced (each publish quadruples the next threshold), so
+    * total re-assignment work over a stream's life is ≤ 4/3 × the
+    * final index build — amortized O(1) per ingested vector.
+    *
+    * Retraining runs on the DEQUANTIZED index codes (qv cast back to
+    * double): spherical k-means only needs directions, which int8
+    * codes preserve to ~0.4 % — so the store never keeps a second
+    * float copy of the corpus, and the publish twin
+    * (train-on-codes) is exactly reproducible batch-side, which the
+    * StreamingSpec probe-parity pin exploits.
+    */
+  def vectorIngestPublishSink(vecs: DataFrame, storeRoot: String,
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      nListFloor: Int = 16, headroom: Int = 4)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    vecs.writeStream
+      .outputMode(OutputMode.Append())
+      .foreachBatch { (batch0: DataFrame, _: Long) =>
+        import graft.ann.{Ann, Quantize}
+        import graft.ops.Publish
+        val spark = batch0.sparkSession
+        def adaptiveNList(n: Long): Int = math.max(nListFloor,
+          math.ceil(math.sqrt(math.max(n, 1L).toDouble)).toInt)
+        def dequantized(index: DataFrame): DataFrame = index
+          .select(col(idCol), transform(col("qv"), _.cast("double")).as("fv"))
+        def writeIndex(rows: DataFrame): String => Unit = out =>
+          rows.select(col(idCol), col("cluster"), col("qv"))
+            .repartition(col("cluster")) // one file per cell (see A3)
+            .write.partitionBy("cluster").parquet(out)
+        val cur = Publish.current(spark, storeRoot)
+        val deduped = batch0.dropDuplicates(idCol)
+        if (cur.isEmpty) {
+          // cold start: this batch IS the corpus — train, assign, v1
+          val batch = graft.ops.Barrier.iter(deduped)
+          try {
+            val centroids = Ann.ivfCentroids(batch, idCol, vecCol,
+              nCentroids = adaptiveNList(batch.count())).localCheckpoint()
+            val indexed = Ann.ivfAssignments(batch, idCol, vecCol, centroids)
+              .join(Quantize.codes(batch, idCol, vecCol), idCol)
+            Publish.publish(spark, storeRoot, Map(
+              "centroids" -> (out => centroids.write.parquet(out)),
+              "index" -> writeIndex(indexed))): Unit
+            org.apache.spark.sql.graft.CheckpointUtils.release(centroids)
+          } finally graft.ops.Barrier.releaseIter(batch)
+        } else {
+          val centroids = spark.read.parquet(cur("centroids"))
+          val seen = spark.read.parquet(cur("index"))
+            .select(col(idCol).as("sid"))
+          val novel = graft.ops.Barrier.iter(
+            deduped.join(seen, deduped(idCol) === col("sid"), "left_anti"))
+          try {
+            Ann.ivfAssignments(novel, idCol, vecCol, centroids)
+              .join(Quantize.codes(novel, idCol, vecCol), idCol)
+              .select(col(idCol), col("cluster"), col("qv"))
+              .write.mode("append").partitionBy("cluster")
+              .parquet(cur("index"))
+          } finally graft.ops.Barrier.releaseIter(novel)
+          // RE-SIZE trigger on the grown corpus. A crash between the
+          // append and the publish re-fires here next batch (N is
+          // still past the bound) — the policy needs no journal.
+          val grown = spark.read.parquet(cur("index"))
+          val n = grown.count()
+          val nList = centroids.count()
+          if (n > headroom.toLong * nList * nList) {
+            val frozen = grown.localCheckpoint() // one answer, three reads
+            try {
+              val deq = dequantized(frozen)
+              val next = Ann.ivfCentroids(deq, idCol, "fv",
+                nCentroids = adaptiveNList(n)).localCheckpoint()
+              val reassigned = Ann.ivfAssignments(deq, idCol, "fv", next)
+                .join(frozen.select(col(idCol), col("qv")), idCol)
+              Publish.publish(spark, storeRoot, Map(
+                "centroids" -> (out => next.write.parquet(out)),
+                "index" -> writeIndex(reassigned))): Unit
+              org.apache.spark.sql.graft.CheckpointUtils.release(next)
+            } finally org.apache.spark.sql.graft.CheckpointUtils.release(frozen)
+          }
+        }
+      }
+
   /** Streaming NEAR-dup dedup — the S8 foreachBatch sink composed with
     * the D10 incremental band index: each micro-batch of documents is
     * deduplicated against the persisted corpus (MinHash/LSH + exact

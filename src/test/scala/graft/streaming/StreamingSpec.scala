@@ -740,6 +740,86 @@ class StreamingSpec extends AnyFunSuite with SparkSpec {
     assert(streamed.nonEmpty)
   }
 
+  test("vectorIngestPublishSink: re-sizes past N > headroom*nlist^2 as a " +
+      "new published version; probe parity; old version stays consistent") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.functions.col
+    import graft.ops.Publish
+    val dir = "/root/testdata/sf0.001"
+    val root = java.nio.file.Files.createTempDirectory("stream_vec_resize")
+      .toString + "/store"
+    val emb = graft.Tables(spark, dir, "embeddings")
+    val all = emb.collect().map(r => QVec(r.getLong(0),
+      r.getSeq[Float](r.fieldIndex("embedding")).toArray))
+    val in = MemoryStream[QVec]
+    // floor 4 so testdata-scale streams cross a boundary: batch 1 of
+    // 100 -> v1 at nlist 10 (no trigger: 100 <= 4*100); batch 2 grows
+    // the corpus to 500 > 400 -> re-size to nlist 23, published as v2
+    val q = Streaming.vectorIngestPublishSink(in.toDF(), root,
+      nListFloor = 4).start()
+    in.addData(all.take(100).toIndexedSeq)
+    q.processAllAvailable()
+    assert(Publish.currentVersion(spark, root).contains(1L))
+    val v1 = Publish.current(spark, root)
+    assert(spark.read.parquet(v1("centroids")).count() == 10)
+    in.addData(all.drop(100).toIndexedSeq)
+    q.processAllAvailable()
+    assert(Publish.currentVersion(spark, root).contains(2L))
+    val v2 = Publish.current(spark, root)
+    val v2centroids = spark.read.parquet(v2("centroids"))
+    assert(v2centroids.count() == 23) // ceil(sqrt 500)
+    val v2index = spark.read.parquet(v2("index"))
+    assert(v2index.count() == all.length)
+    assert(v2index.select("cluster").distinct().collect()
+      .forall(_.getInt(0) < 23))
+    // REDELIVERY after the re-size: converges, publishes nothing new
+    in.addData(all.drop(100).toIndexedSeq)
+    q.processAllAvailable()
+    q.stop()
+    assert(Publish.currentVersion(spark, root).contains(2L))
+    assert(spark.read.parquet(v2("index")).count() == all.length)
+    // PROBE PARITY across the re-size event: the published artifacts
+    // serve identically to a batch build over the same code table at
+    // the same operating point (retraining is deterministic, so
+    // stream-published centroids == batch-trained centroids)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3))).toSet
+    val queries = emb.filter(col("vec_id") < 20)
+    val served = rows(graft.ann.Ann.ivfProbeQuantized(
+      v2index.select(col("vec_id"), col("qv")),
+      v2index.select(col("vec_id"), col("cluster")),
+      v2centroids, queries, "vec_id", "embedding", "qv", k = 5, nProbe = 5))
+    val codeTable = graft.ann.Quantize.codes(emb, "vec_id", "embedding")
+    val deq = codeTable.select(col("vec_id"),
+      org.apache.spark.sql.functions.transform(
+        col("qv"), _.cast("double")).as("fv"))
+    val batchCentroids = graft.ann.Ann.ivfCentroids(deq, "vec_id", "fv",
+      nCentroids = 23)
+    val batchBuilt = rows(graft.ann.Ann.ivfProbeQuantized(
+      codeTable,
+      graft.ann.Ann.ivfAssignments(deq, "vec_id", "fv", batchCentroids),
+      batchCentroids, queries, "vec_id", "embedding", "qv",
+      k = 5, nProbe = 5))
+    assert(served == batchBuilt)
+    assert(served.nonEmpty)
+    // the OLD version a mid-stream reader resolved stays consistent:
+    // its dir survives the publish (grace window), every row was
+    // assigned with ITS centroids (clusters < 10), and it holds the
+    // full pre-publish corpus — still probe-able at the old width
+    val v1index = spark.read.parquet(v1("index"))
+    assert(v1index.count() == all.length) // grew in place before v2
+    assert(v1index.select("cluster").distinct().collect()
+      .forall(_.getInt(0) < 10))
+    val v1served = rows(graft.ann.Ann.ivfProbeQuantized(
+      v1index.select(col("vec_id"), col("qv")),
+      v1index.select(col("vec_id"), col("cluster")),
+      spark.read.parquet(v1("centroids")), queries,
+      "vec_id", "embedding", "qv", k = 5, nProbe = 4))
+    assert(v1served.nonEmpty)
+  }
+
   test("vectorIngestSink: duplicate-id batch writes ONE self-consistent row") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
