@@ -566,6 +566,20 @@ object TextQ {
       graft.text.Bpe.wordCounts(Tables(spark, dir, "documents"), "text"),
       merges = 20)
 
+  /** q_bpe_train_batched: the corpus trained TO EXHAUSTION (this
+    * vocabulary sustains 105 merges) through the BATCHED trainer — one
+    * distributed pair-count pass per batch of merges instead of per
+    * merge ([[graft.text.Bpe.trainBatched]]; provably identical to the
+    * sequential argmax, BpeSpec pins table-for-table parity at 200
+    * merges incl. the exhaustion point). The genuine-capability path
+    * for real tokenizers: 30k merges is 30k jobs sequentially, a few
+    * hundred batched.
+    */
+  def bpeTrainBatched(spark: SparkSession, dir: String): DataFrame =
+    graft.text.Bpe.trainBatched(
+      graft.text.Bpe.wordCounts(Tables(spark, dir, "documents"), "text"),
+      merges = 200)
+
   /** q_bpe_encode: per-document BPE token counts under the trained
     * vocabulary — train on the distinct-word table, encode each
     * distinct word once, join counts back to documents.

@@ -95,6 +95,126 @@ object Bpe {
     out.toSeq.toDF("rank", "left", "right", "n")
   }
 
+  /** Train `merges` BPE merges in BATCHES — one distributed pair-count
+    * pass per batch of merges instead of per merge, PROVABLY identical
+    * to [[train]]'s sequential argmax (BpeSpec pins table-for-table
+    * parity at 200+ merges). At real tokenizer scale (30k+ merges)
+    * the sequential trainer is 30k Spark jobs; this runs
+    * merges/batch-size of them.
+    *
+    * Exactness argument (why a batch can be applied without recounting
+    * between its members): sort all pairs by (count desc, left, right)
+    * — sequential's exact pick order. Take the maximal PREFIX that is
+    * pairwise symbol-disjoint, stopping at the first interference (no
+    * skipping), then truncate to the largest j with count(p_j) STRICTLY
+    * above the first non-taken pair's count B. Then for each i ≤ j, at
+    * sequential step i:
+    *   - p_i's own adjacency count is UNCHANGED by merging p_1..p_{i-1}
+    *     (replacing occurrences of a disjoint pair never creates or
+    *     destroys an adjacency of p_i's symbols);
+    *   - every pair outside the prefix still counts ≤ B < count(p_i)
+    *     (original counts only decrease under merging);
+    *   - every NEW pair (x, a·b) created by a merge (a, b) counts at
+    *     most the pre-merge count of (x, a) — each "x·ab" occurrence
+    *     was an "x a b" occurrence — and (x, a) interferes with (a, b)
+    *     so it sits outside the prefix: inductively every new pair
+    *     counts ≤ B < count(p_i);
+    *   - ties INSIDE the prefix resolve by the same (l, r) order the
+    *     sort already applied.
+    *   So sequential's argmax at step i is exactly p_i. A batch of one
+    *   (the plain argmax) is always safe, so progress never stalls.
+    *
+    * Two created-symbol clauses make the count-invariance claims above
+    * airtight: (1) a prefix pair naming a symbol an EARLIER accepted
+    * merge creates (e.g. (c, "ab") after (a, b)) is treated as an
+    * interferer — its count grows mid-batch; (2) a created symbol
+    * colliding with a PRE-EXISTING vocabulary symbol (e.g. merging
+    * ("in","g") while "ing" already exists) stops the prefix there,
+    * because conflated occurrences could grow an outside pair past B.
+    * (2) is checked with one narrow symbol-existence probe per round.
+    *
+    * `maxBatch` additionally caps a batch (plan health: each member is
+    * one nested fold in the single apply pass); any prefix cut keeps
+    * the strict-gap rule against the first non-taken pair, so the
+    * proof is unaffected.
+    */
+  def trainBatched(words: DataFrame, merges: Int,
+      maxBatch: Int = 48): DataFrame = {
+    val spark = words.sparkSession
+    var syms = graft.ops.Barrier.iter(
+      words.select(col("word"), col("n"),
+        concat(split(col("word"), ""), array(lit(Eow))).as("syms")))
+    val out = mutable.ArrayBuffer.empty[(Long, String, String, Long)]
+    var exhausted = false
+    while (out.size < merges && !exhausted) {
+      val want = math.min(maxBatch, merges - out.size)
+      // want+1 rows: the boundary count B must be visible even when
+      // the whole fetch is disjoint
+      val top = syms
+        .select(col("n"), explode(adjacentPairs(col("syms"))).as("p"))
+        .groupBy(col("p.l").as("l"), col("p.r").as("r"))
+        .agg(sum(col("n")).as("c"))
+        .orderBy(col("c").desc, col("l"), col("r")).limit(want + 1)
+        .collect()
+        .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+      if (top.isEmpty) exhausted = true
+      else {
+        // maximal disjoint prefix, stopped at the FIRST interference —
+        // a pair interferes if it shares a symbol with an accepted
+        // pair, OR names a symbol an accepted pair's merge CREATES
+        // (its count at its sequential turn would differ from the
+        // sorted count; see the created-symbol clause in the scaladoc)
+        val used = mutable.Set.empty[String]
+        val created = mutable.Set.empty[String]
+        var k = 0
+        while (k < math.min(want, top.length) &&
+            !used(top(k)._1) && !used(top(k)._2) &&
+            !created(top(k)._1) && !created(top(k)._2)) {
+          used += top(k)._1 += top(k)._2
+          created += top(k)._1 + top(k)._2
+          k += 1
+        }
+        // a created symbol COLLIDING with a pre-existing vocabulary
+        // symbol would grow outside-prefix counts (new occurrences
+        // conflate with the old symbol's), voiding the ≤ B bound —
+        // stop the prefix at the first such pair (one tiny existence
+        // probe per ROUND; the colliding pair alone is still safe, so
+        // progress never stalls)
+        if (k > 1) {
+          val concats = top.take(k).map(t => t._1 + t._2).distinct
+          val existing = syms.select(explode(col("syms")).as("s"))
+            .filter(col("s").isin(concats: _*))
+            .distinct().collect().map(_.getString(0)).toSet
+          top.take(k).indexWhere(t => existing(t._1 + t._2)) match {
+            case -1 =>
+            case 0 => k = 1
+            case i => k = i
+          }
+        }
+        // strict-gap truncation: count(p_j) must exceed the first
+        // non-taken pair's count (index j in the sorted order); batch
+        // of 1 is exempt (the plain argmax with deterministic ties)
+        var j = k
+        while (j > 1 && j < top.length && top(j - 1)._3 <= top(j)._3)
+          j -= 1
+        val batch = top.take(math.max(1, j))
+        batch.zipWithIndex.foreach { case ((l, r, c), i) =>
+          out += ((out.size + 1L, l, r, c))
+        }
+        // ONE distributed pass applies the whole batch in rank order
+        val merged = batch.foldLeft(col("syms")) { case (acc, (l, r, _)) =>
+          mergeOnce(acc, l, r)
+        }
+        val next = graft.ops.Barrier.iter(syms.withColumn("syms", merged))
+        graft.ops.Barrier.releaseIter(syms)
+        syms = next
+      }
+    }
+    graft.ops.Barrier.releaseIter(syms)
+    import spark.implicits._
+    out.toSeq.toDF("rank", "left", "right", "n")
+  }
+
   /** Encode the distinct-word table with a driver-side merge list
     * (rank order): (word, toks ARRAY<STRING>). The merge loop runs
     * over |vocab| rows; corpus-sized encoding is a join against this.

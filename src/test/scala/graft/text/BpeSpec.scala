@@ -58,6 +58,55 @@ class BpeSpec extends AnyFunSuite with SparkSpec {
     assert(got.size == 20, "the corpus must sustain 20 merges")
   }
 
+  /** 400 deterministic pseudo-words (seeded LCG, no RNG state) — the
+    * corpus vocabulary alone exhausts at 105 merges; deep-parity tests
+    * need a vocabulary that sustains 200+.
+    */
+  private def pseudoWords: Map[String, Long] = (0 until 400).map { i =>
+    var x = i.toLong * 0x9E3779B97F4A7C15L
+    val len = 5 + (i % 7)
+    val sb = new StringBuilder
+    (0 until len).foreach { _ =>
+      x = x * 6364136223846793005L + 1442695040888963407L
+      sb += ('a' + ((x >>> 33) % 26)).toChar
+    }
+    sb.toString -> (1L + (i % 97))
+  }.toMap
+
+  test("trainBatched == scalar reference at 200 merges (and == train), " +
+      "in far fewer distributed passes") {
+    import spark.implicits._
+    // the r15 capability gate: exact parity DEEP into training, where
+    // ties, created-symbol interference and vocab collisions actually
+    // occur — a wrong batch rule cannot survive 200 table-for-table rows
+    val deep = (wordCounts.toSeq ++ pseudoWords.toSeq)
+      .groupBy(_._1).map { case (w, xs) => w -> xs.map(_._2).sum }
+    val expected = scalarTrain(deep, 200)
+      .zipWithIndex.map { case ((l, r, c), i) => (i + 1L, l, r, c) }
+    assert(expected.size == 200, s"vocab sustains only ${expected.size}")
+    val deepDf = deep.toSeq.toDF("word", "n")
+    val got = Bpe.trainBatched(deepDf, 200).orderBy(col("rank"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2),
+        r.getLong(3))).toSeq
+    assert(got == expected)
+    // the raw corpus EXHAUSTS at 105: the batched trainer must stop at
+    // the same point with the same table, and agree with the
+    // sequential distributed trainer at the q_bpe_train depth
+    val words = Bpe.wordCounts(graft.Tables(spark, dir, "documents"), "text")
+    val corpusExpected = scalarTrain(wordCounts, 200)
+      .zipWithIndex.map { case ((l, r, c), i) => (i + 1L, l, r, c) }
+    assert(corpusExpected.size == 105,
+      s"corpus depth moved: ${corpusExpected.size}")
+    val corpusGot = Bpe.trainBatched(words, 200).orderBy(col("rank"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2),
+        r.getLong(3))).toSeq
+    assert(corpusGot == corpusExpected)
+    val seq20 = Bpe.train(words, 20).orderBy(col("rank"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2),
+        r.getLong(3))).toSeq
+    assert(corpusGot.take(20) == seq20)
+  }
+
   test("encodeWords round-trips and matches the scalar fold") {
     import spark.implicits._
     val merges = scalarTrain(wordCounts, 20).map { case (l, r, _) => (l, r) }
