@@ -677,6 +677,52 @@ class MediaCodecSpec extends AnyFunSuite {
     assert(MediaCodec.decodeJpegGray(shortSos).isEmpty)
   }
 
+  test("decode-gate rate on a mixed JPEG corpus: baseline decodes, " +
+      "progressive/DRI quarantine — the measured scope-decision split") {
+    // the r15 scope decision (SURVEY §9 / BENCH_NOTES): progressive
+    // (SOF2) and restart-interval (DRI) streams are quarantined BY
+    // CONTRACT, not silently misdecoded. This pins the gate's measured
+    // split on a 40-stream mix: every baseline stream (gray, 4:2:0,
+    // 4:4:4) decodes; every SOF2/DRI stream gates; rate = exactly the
+    // non-baseline fraction (25% here), never a baseline casualty.
+    def pix(s: Int)(x: Int, y: Int): Int = ((x / 8) * (19 + s) + (y / 8) * 7) % 256
+    def color(s: Int, subsample: Boolean): Array[Byte] =
+      MediaCodec.jpegColor(16, 16, pix(s),
+        (x, y) => (pix(s)(x, y) + 31) % 256,
+        (x, y) => (pix(s)(x, y) + 97) % 256, subsample)
+    def toProgressive(b: Array[Byte]): Array[Byte] = {
+      val out = b.clone()
+      val sof = out.indices.find(i => (out(i) & 0xff) == 0xff &&
+        (out(i + 1) & 0xff) == 0xc0).get
+      out(sof + 1) = 0xc2.toByte
+      out
+    }
+    def withDri(b: Array[Byte]): Array[Byte] = {
+      val sos = b.indices.find(i => (b(i) & 0xff) == 0xff &&
+        (b(i + 1) & 0xff) == 0xda).get
+      val dri = Array(0xff, 0xdd, 0x00, 0x04, 0x00, 0x08).map(_.toByte)
+      b.take(sos) ++ dri ++ b.drop(sos)
+    }
+    val baseline =
+      (0 until 10).map(s => MediaCodec.jpegGray(16, 16, pix(s))) ++
+      (0 until 10).map(s => color(s, subsample = true)) ++
+      (0 until 10).map(s => color(s, subsample = false))
+    val gated =
+      (0 until 3).map(s => toProgressive(MediaCodec.jpegGray(16, 16, pix(s)))) ++
+      (0 until 3).map(s => toProgressive(color(s, subsample = true))) ++
+      (0 until 2).map(s => withDri(MediaCodec.jpegGray(16, 16, pix(s)))) ++
+      (0 until 2).map(s => withDri(color(s, subsample = false)))
+    val mix = baseline ++ gated
+    assert(mix.size == 40)
+    val decoded = mix.map(MediaCodec.decodeJpeg(_).isDefined)
+    assert(decoded.take(baseline.size).forall(identity),
+      "a baseline stream was misquarantined")
+    assert(!decoded.drop(baseline.size).exists(identity),
+      "a progressive/DRI stream was misdecoded")
+    val gateRate = decoded.count(!_).toDouble / mix.size
+    assert(gateRate == 0.25) // exactly the non-baseline fraction
+  }
+
   // ===== baseline JPEG (color: 4:2:0 / 4:4:4) ==========================
 
   /** The decoder's integer YCbCr→luma fold, restated independently with
