@@ -85,6 +85,7 @@ class AnnSpec extends AnyFunSuite with SparkSpec {
     val adaptive = pairs(Ann.ivfNeighbors(e, q, "vec_id", "embedding", 5,
       nCentroids = nList, nProbe = nProbe))
     val recallAdaptive = (brute & adaptive).size.toDouble / brute.size
+    info(s"adaptive ($nList, $nProbe) recall@5 = $recallAdaptive")
     assert(recallAdaptive >= 0.5,
       s"adaptive ($nList, $nProbe) recall=$recallAdaptive")
   }
