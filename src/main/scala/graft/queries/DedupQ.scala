@@ -1163,7 +1163,11 @@ object DedupQ {
         Seq("band", "v"))
       .filter(col("a_id") < col("b_id"))
       .select("a_id", "b_id").distinct()
+    // barriered: counted twice below (full + in-scope) — without the
+    // barrier the banded candidate join + verify would run twice
+    // (measured: the report rose 8.9 -> 14.1 s at sf0.1 before this)
     val verified = graft.multimodal.Multimodal.phashPairs(h, maxHamming = 10)
+      .barrierOnce()
     val d = sampleDivisor(h.count())
     val hs = h.filter(sampledId(col("asset_id"), d))
     val exact = hs.select(col("asset_id").as("a_id"),
@@ -1206,6 +1210,7 @@ object DedupQ {
       .select("a_id", "b_id").distinct()
     val verified = Dedup.simhashPairs(
       graft.dedup.SimhashFixture.df(spark), "doc_id", "text", maxHamming = 3)
+      .barrierOnce() // two consumers below
     // the pinned fixture sits far under ExactSampleCap: d = 1, the
     // exact scope IS the full relation (same machinery, no branch)
     val d = sampleDivisor(h.count())
