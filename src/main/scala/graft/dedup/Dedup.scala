@@ -728,29 +728,37 @@ object Dedup {
         lit(0L).as("bucket")).limit(0))
   }
 
-  /** Corpus-adaptive sign-LSH bucket width: bits = max(floor, ⌈log₂ N⌉)
-    * (capped at 48 so the per-table fold stays inside a Long with room).
+  /** Corpus-adaptive sign-LSH bucket width: bits = max(floor,
+    * ⌈log₂ N⌉ + 2) (capped at 48 so the per-table fold stays inside a
+    * Long with room).
     *
     * The r14 scale lesson, third instance (after IVF nlist and nProbe):
     * a FIXED bucket width degenerates one decade after it looks fine —
     * expected random collisions per table are ~N²/2^bits, so pinning
     * bits pins the denominator while the numerator squares (measured:
     * q_embed_near_dup_selective 7.45 → 56.68 s over sf1 → sf10 at the
-    * old fixed 16 bits, BENCH_DEDUP_r14_sf10). With bits ≈ log₂N the
-    * expected collisions per table stay Θ(N) — candidate verification
-    * linear in the corpus, the correct asymptote for an all-pairs-
-    * output build. Recall: each +1 bit multiplies the per-table hit
-    * probability by p = 1 − θ/π, which for genuine near-dups (cos ≥
-    * 0.99 ⇒ p ≥ 0.955) costs almost nothing while halving random
-    * collisions — LSH amplification hurts far pairs much faster than
-    * near pairs. The floor keeps every corpus at or below 2^16 vectors
-    * (all oracled SFs) at the historical 16-bit operating point, so
-    * hash-matched members are bit-unchanged there.
+    * old fixed 16 bits, BENCH_DEDUP_r14_sf10). With bits ≈ log₂N + 2
+    * the expected collisions per table stay ≤ N/4 — candidate
+    * verification linear in the corpus, the correct asymptote for an
+    * all-pairs-output build. The 2 slack bits are the hash-table
+    * load-factor rule: bare ⌈log₂N⌉ lets the collision rate oscillate
+    * between 0.5·N and 1.0·N with the rounding phase (measured: sf10
+    * lands at phase 0.84·N and paid 31 s where sf1's phase was
+    * 0.34·N — slack flattens the phase, not just the asymptote).
+    * Recall: each +1 bit multiplies the per-table hit probability by
+    * p = 1 − θ/π, which for genuine near-dups (cos ≥ 0.99 ⇒ p ≥
+    * 0.955) costs almost nothing while halving random collisions —
+    * LSH amplification hurts far pairs much faster than near pairs
+    * (at 24 tables and cos 0.997, the planted-twin contract, per-pair
+    * miss stays < 1e-9 through 24 bits). The floor keeps every corpus
+    * at or below 2^14 vectors (all oracled SFs) at the historical
+    * 16-bit operating point, so hash-matched members are bit-unchanged
+    * there.
     */
   def adaptiveBits(n: Long, floor: Int = 16): Int = {
     val lg = if (n <= 1L) 1
       else 64 - java.lang.Long.numberOfLeadingZeros(n - 1L) // ⌈log₂ n⌉
-    math.min(48, math.max(floor, lg))
+    math.min(48, math.max(floor, lg + 2))
   }
 
   /** The sizing/compatibility contract a PERSISTED cosine bucket index

@@ -116,8 +116,9 @@ object DedupQ {
     * equi-joins on (table, bucket) content keys — buckets prune 99.9 %
     * of this corpus' pairs (measured: 1,993 candidates of 2.4 M at
     * sf0.1) and work scales with bucket co-occurrence, not N². Bucket
-    * width is CORPUS-ADAPTIVE ([[Dedup.adaptiveBits]]: ⌈log₂N⌉, floor
-    * 16) — the r14 bench caught the fixed 16-bit width degenerating in
+    * width is CORPUS-ADAPTIVE ([[Dedup.adaptiveBits]]: ⌈log₂N⌉ + 2
+    * slack bits, floor 16) — the r14 bench caught the fixed 16-bit
+    * width degenerating in
     * its second decade (7.45 → 56.68 s sf1 → sf10, within-bucket pairs
     * ∝ N²/2¹⁶) exactly like the fixed IVF nlist before it; with
     * log-scaled width expected collisions stay Θ(N). All oracled SFs

@@ -197,19 +197,21 @@ class DedupSpec extends AnyFunSuite with SparkSpec {
     assert(got == Set((10L, 11L), (1L, 10L), (1L, 11L)), got.toString)
   }
 
-  test("adaptiveBits: floor 16 through 2^16, then ceil(log2 N), capped at 48") {
+  test("adaptiveBits: floor 16, then ceil(log2 N) + 2 slack, capped at 48") {
     assert(Dedup.adaptiveBits(0L) == 16)
     assert(Dedup.adaptiveBits(1L) == 16)
-    assert(Dedup.adaptiveBits(2000L) == 16)    // sf0.1 — floor, unchanged
-    assert(Dedup.adaptiveBits(22000L) == 16)   // sf1 — still under the floor
-    assert(Dedup.adaptiveBits(1L << 16) == 16) // exactly 2^16 fits 16 bits
-    assert(Dedup.adaptiveBits((1L << 16) + 1) == 17)
-    assert(Dedup.adaptiveBits(220000L) == 18)  // sf10 — the r14 defect zone
-    assert(Dedup.adaptiveBits(1L << 30) == 30)
+    assert(Dedup.adaptiveBits(2000L) == 16)   // sf0.1 — floor, unchanged
+    assert(Dedup.adaptiveBits(2200L) == 16)   // selective corpus at sf0.1
+    assert(Dedup.adaptiveBits(1L << 14) == 16) // 2^14 is the floor edge
+    assert(Dedup.adaptiveBits((1L << 14) + 1) == 17)
+    assert(Dedup.adaptiveBits(22000L) == 17)  // sf1
+    assert(Dedup.adaptiveBits(220000L) == 20) // sf10 — the r14 defect zone
+    assert(Dedup.adaptiveBits(1L << 30) == 32)
     assert(Dedup.adaptiveBits(Long.MaxValue) == 48) // Long-safety cap
     // a custom floor floors (the spec-scale/test hook)
-    assert(Dedup.adaptiveBits(6L, floor = 2) == 3)
-    assert(Dedup.adaptiveBits(3L, floor = 2) == 2)
+    assert(Dedup.adaptiveBits(6L, floor = 2) == 5)
+    assert(Dedup.adaptiveBits(3L, floor = 2) == 4)
+    assert(Dedup.adaptiveBits(2L, floor = 2) == 3)
   }
 
   test("cosinePairsBucketed at a WIDER adaptive width equals the 16-bit " +
@@ -274,14 +276,14 @@ class DedupSpec extends AnyFunSuite with SparkSpec {
     val dir = s"$root/index"
     val first = Dedup.writeCosineIndex(vecs.limit(3), "vec_id", "embedding",
       dir, tables = 4, floorBits = 2)
-    assert(first.bits == 2) // ceil(log2 3) = 2 at floor 2
+    assert(first.bits == 4) // ceil(log2 3) + 2 slack at floor 2
     val resized = Dedup.rebuildCosineIndexSwap(vecs, "vec_id", "embedding",
       dir, tables = 4, floorBits = first.bits)
-    assert(resized.bits == 4 && resized.n == 12) // ceil(log2 12) = 4
+    assert(resized.bits == 6 && resized.n == 12) // ceil(log2 12) + 2
     assert(Dedup.readCosineIndexMeta(spark, dir).contains(resized))
     val swapped = spark.read.parquet(dir)
     val fresh = Dedup.cosineBucketIndex(vecs, "vec_id", "embedding",
-      tables = 4, bitsPerTable = 4)
+      tables = 4, bitsPerTable = 6)
     assert(swapped.except(fresh).isEmpty && fresh.except(swapped).isEmpty)
     // no residue from the two-rename choreography
     assert(!new java.io.File(dir + "__tmp").exists())

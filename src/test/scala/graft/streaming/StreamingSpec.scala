@@ -667,23 +667,23 @@ class StreamingSpec extends AnyFunSuite with SparkSpec {
       pairsDir, tables = 8, bitsPerTable = 2).start()
     // batch 1: 6 mutually-far vectors (max pairwise cosine 0.7071) —
     // cold start writes meta at the fallback width, then the trigger
-    // immediately re-sizes to ceil(log2 6) = 3
+    // immediately re-sizes to ceil(log2 6) + 2 slack = 5
     in.addData((1 to 6).map(i => QVec(i.toLong,
       if (i <= 4) oneHot(i - 1) else twoHot(2 * (i - 4)))): _*)
     q.processAllAvailable()
     val m1 = Dedup.readCosineIndexMeta(spark, indexDir).get
-    assert(m1.bits == 3 && m1.tables == 8, m1.toString)
-    // batch 2: 6 more far vectors -> n = 12 crosses 2^3: re-size to 4
+    assert(m1.bits == 5 && m1.tables == 8, m1.toString)
+    // batch 2: 6 more far vectors -> n = 12 crosses 2^3: re-size to 6
     in.addData((11 to 16).map(i => QVec(i.toLong,
       if (i <= 14) oneHot(i - 7) else twoHot(2 * (i - 14) + 1))): _*)
     q.processAllAvailable()
     val m2 = Dedup.readCosineIndexMeta(spark, indexDir).get
-    assert(m2.bits == 4, m2.toString)
+    assert(m2.bits == 6, m2.toString)
     // the re-sized rows ARE a fresh full-corpus build at the new width
     // (probe parity across the re-size event: same rows -> same probes)
     val idx = spark.read.parquet(indexDir)
     val fresh = Dedup.cosineBucketIndex(spark.read.parquet(corpusDir),
-      "vec_id", "embedding", tables = 8, bitsPerTable = 4)
+      "vec_id", "embedding", tables = 8, bitsPerTable = 6)
     assert(idx.except(fresh).isEmpty && fresh.except(idx).isEmpty)
     // batch 3 probes THROUGH the re-sized index: a near-dup of vector 1
     // (ingested two re-sizes ago) is still caught and dropped
