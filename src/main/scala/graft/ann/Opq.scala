@@ -246,19 +246,33 @@ object Opq {
     * refine the regime OPQ_P already wins. Each alternation costs one
     * rotate pass + the Lloyd fit + one encode/cross-cov pass — all
     * corpus-sized work stays distributed, the driver holds d² state.
+    *
+    * TRAINING SAMPLE (r16): the whole alternation loop runs on the
+    * deterministic xxhash64 sample of [[Pq.fitCodebooks]]'s recipe
+    * (d = ⌊N / (k·trainPerCode)⌋, unsampled under 2× the bound) — a
+    * rotation is d² parameters estimated from the sample's
+    * cross-covariance, and each alternation otherwise costs THREE
+    * full-corpus passes (rotate, Lloyd, encode+cross-cov). The
+    * parametric PCA init ([[rotationBasis]]) stays full-corpus: one
+    * exact pass, and it keeps q_ann_opq's basis bit-identical at every
+    * SF. Oracled SFs and fixtures sit under the floor → unsampled,
+    * bit-unchanged.
     */
   def rotationBasisNp(df: DataFrame, idCol: String, vecCol: String,
       m: Int, k: Int = 32, alternations: Int = 3,
-      lloydIters: Int = 2): Array[Array[Double]] = {
+      lloydIters: Int = 2, trainPerCode: Int = 64): Array[Array[Double]] = {
     var basis = rotationBasis(df, vecCol, m)
     val d = basis.length
+    val samp = math.max(1L, df.count() / (k.toLong * trainPerCode))
+    val train = if (samp <= 1L) df
+      else df.filter(pmod(xxhash64(col(idCol)), lit(samp)) === 0)
     // original vectors as exact micro-longs, keyed for the code join
-    val xm = df.select(col(idCol).as("np_id"),
+    val xm = train.select(col(idCol).as("np_id"),
       transform(col(vecCol),
         x => floor(x.cast("double") * Pca.Micro + lit(0.5)).cast("long"))
         .as("xm"))
     for (_ <- 1 to alternations) {
-      val rotated = rotate(df, idCol, vecCol, basis)
+      val rotated = rotate(train, idCol, vecCol, basis)
       val books = Pq.fitCodebooks(rotated, idCol, vecCol, m, k, lloydIters)
       val booksArr = Pq.collectBooks(books)
       val blit = typedlit(booksArr.map(_.map(_.toIndexedSeq)))

@@ -86,12 +86,30 @@ object Pq {
   /** Train the codebooks: (subspace INT, code INT, centroid
     * ARRAY<DOUBLE>) — m×k rows, the persistable metadata-sized artifact.
     * One fused job per Lloyd iteration trains every subspace at once.
+    *
+    * TRAINING SAMPLE (r16, the [[graft.ann.Ann.ivfCentroids]] recipe
+    * verbatim): full-corpus Lloyd costs `iterations` passes of N·m·k
+    * centroid dots — linear in N but a heavy constant, and multiplied
+    * by OPQ_NP's alternations. Codebook QUALITY needs
+    * O(k · trainPerCode) evidence per subspace, not the whole corpus
+    * (FAISS publishes 39–256 training points per centroid), so Lloyd
+    * trains on a deterministic content-hash sample of every d-th vector
+    * (d = ⌊N / (k·trainPerCode)⌋, xxhash64 on the id — seedless,
+    * reproducible, engine-side only: codebooks are no one's oracle).
+    * Corpora under 2 × k·trainPerCode train UNSAMPLED (d = 1) — every
+    * oracled SF (≤ 2¹¹ vectors at k = 32) and every pinned fixture sits
+    * under the floor, so their codebooks are bit-unchanged. Encoding
+    * ([[encode]]) always touches all N rows.
     */
   def fitCodebooks(corpus: DataFrame, idCol: String, vecCol: String,
-      m: Int = 8, k: Int = 16, iterations: Int = 3): DataFrame = {
+      m: Int = 8, k: Int = 16, iterations: Int = 3,
+      trainPerCode: Int = 64): DataFrame = {
     val spark = corpus.sparkSession
     import spark.implicits._
-    val sv = graft.ops.Barrier.iter(subvectors(corpus, idCol, vecCol, m))
+    val d = math.max(1L, corpus.count() / (k.toLong * trainPerCode))
+    val trainSrc = if (d <= 1L) corpus
+      else corpus.filter(pmod(xxhash64(col(idCol)), lit(d)) === 0)
+    val sv = graft.ops.Barrier.iter(subvectors(trainSrc, idCol, vecCol, m))
     try {
       // init: the k corpus vectors with the smallest xxhash64(id); code j
       // = j-th smallest hash, identically in every subspace

@@ -802,8 +802,22 @@ object Dedup {
     val line =
       try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
       finally in.close()
-    val Array(t, b, s, n) = line.split("\t", 4)
-    Some(CosineIndexMeta(t.toInt, b.toInt, s.toLong, n.toLong))
+    // A present-but-corrupt meta (crash between create and write/close)
+    // must fail LOUDLY: falling back to the legacy 16-bit parameters on
+    // a wider index is the silent zero-candidate probe failure this
+    // file exists to prevent.
+    val parts = line.split("\t", 4)
+    if (parts.length != 4)
+      throw new IllegalStateException(
+        s"corrupt cosine index meta at $p: expected 4 tab-separated " +
+          s"fields, got ${parts.length} in '$line' — rebuild the index")
+    try Some(CosineIndexMeta(parts(0).toInt, parts(1).toInt,
+      parts(2).toLong, parts(3).toLong))
+    catch {
+      case e: NumberFormatException => throw new IllegalStateException(
+        s"corrupt cosine index meta at $p: unparseable field in " +
+          s"'$line' — rebuild the index", e)
+    }
   }
 
   /** Build + persist the corpus bucket index at the corpus-adaptive
@@ -814,11 +828,24 @@ object Dedup {
   def writeCosineIndex(corpus: DataFrame, idCol: String, vecCol: String,
       indexDir: String, tables: Int = 24, seed: Long = 42L,
       floorBits: Int = 16): CosineIndexMeta = {
+    // Rows and meta commit ATOMICALLY: build both into a temp dir, then
+    // one whole-directory rename. A crash can leave the old index or no
+    // index (both loud), never adaptive-width rows under missing meta —
+    // the legacy-fallback zero-candidate probe failure.
+    val spark = corpus.sparkSession
+    val fs = fsOf(spark, indexDir)
+    val target = new org.apache.hadoop.fs.Path(indexDir)
+    val tmp = new org.apache.hadoop.fs.Path(indexDir + "__build")
+    if (fs.exists(tmp)) fs.delete(tmp, true)
     val n = corpus.count()
     val meta = CosineIndexMeta(tables, adaptiveBits(n, floorBits), seed, n)
     cosineBucketIndex(corpus, idCol, vecCol, tables, meta.bits, seed)
-      .write.mode("overwrite").parquet(indexDir)
-    writeCosineIndexMeta(corpus.sparkSession, indexDir, meta)
+      .write.mode("overwrite").parquet(tmp.toString)
+    writeCosineIndexMeta(spark, tmp.toString, meta)
+    if (fs.exists(target)) fs.delete(target, true)
+    if (!fs.rename(tmp, target))
+      throw new RuntimeException(
+        s"cosine index commit failed: $tmp -> $target")
     meta
   }
 

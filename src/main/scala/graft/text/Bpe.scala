@@ -124,14 +124,19 @@ object Bpe {
     *   So sequential's argmax at step i is exactly p_i. A batch of one
     *   (the plain argmax) is always safe, so progress never stalls.
     *
-    * Two created-symbol clauses make the count-invariance claims above
-    * airtight: (1) a prefix pair naming a symbol an EARLIER accepted
-    * merge creates (e.g. (c, "ab") after (a, b)) is treated as an
-    * interferer — its count grows mid-batch; (2) a created symbol
+    * Three created-symbol clauses make the count-invariance claims
+    * above airtight: (1) a prefix pair naming a symbol an EARLIER
+    * accepted merge creates (e.g. (c, "ab") after (a, b)) is treated as
+    * an interferer — its count grows mid-batch; (2) a prefix pair whose
+    * OWN concatenation equals a symbol an earlier accepted merge
+    * creates (e.g. ("a","bc") then ("ab","c"), both making "abc") stops
+    * the prefix there — two same-name creations conflate, so a new pair
+    * (x, "abc") could accumulate c₁+c₂ ≤ 2B > B occurrences and beat a
+    * later prefix member at its sequential turn; (3) a created symbol
     * colliding with a PRE-EXISTING vocabulary symbol (e.g. merging
     * ("in","g") while "ing" already exists) stops the prefix there,
     * because conflated occurrences could grow an outside pair past B.
-    * (2) is checked with one narrow symbol-existence probe per round.
+    * (3) is checked with one narrow symbol-existence probe per round.
     *
     * `maxBatch` additionally caps a batch (plan health: each member is
     * one nested fold in the single apply pass); any prefix cut keeps
@@ -161,15 +166,18 @@ object Bpe {
       else {
         // maximal disjoint prefix, stopped at the FIRST interference —
         // a pair interferes if it shares a symbol with an accepted
-        // pair, OR names a symbol an accepted pair's merge CREATES
-        // (its count at its sequential turn would differ from the
-        // sorted count; see the created-symbol clause in the scaladoc)
+        // pair, OR names a symbol an accepted pair's merge CREATES, OR
+        // its own concatenation collides with a symbol an accepted
+        // merge creates (two same-name creations conflate downstream
+        // new-pair counts up to 2B; see the created-symbol clauses in
+        // the scaladoc)
         val used = mutable.Set.empty[String]
         val created = mutable.Set.empty[String]
         var k = 0
         while (k < math.min(want, top.length) &&
             !used(top(k)._1) && !used(top(k)._2) &&
-            !created(top(k)._1) && !created(top(k)._2)) {
+            !created(top(k)._1) && !created(top(k)._2) &&
+            !created(top(k)._1 + top(k)._2)) {
           used += top(k)._1 += top(k)._2
           created += top(k)._1 + top(k)._2
           k += 1

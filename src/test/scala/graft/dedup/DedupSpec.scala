@@ -290,6 +290,41 @@ class DedupSpec extends AnyFunSuite with SparkSpec {
     assert(!new java.io.File(dir + "__old").exists())
   }
 
+  test("writeCosineIndex commits atomically (no __build residue) and a " +
+      "corrupt meta fails loudly instead of a silent legacy fallback") {
+    import spark.implicits._
+    val vecs = (1L to 5L).map(i =>
+      (i, Array.tabulate(8)(j => if (j == (i % 8).toInt) 1.0 else 0.0)))
+      .toDF("vec_id", "embedding")
+    val root = java.nio.file.Files.createTempDirectory("cosidx_crash").toString
+    val dir = s"$root/index"
+    Dedup.writeCosineIndex(vecs, "vec_id", "embedding", dir, tables = 4)
+    assert(!new java.io.File(dir + "__build").exists(),
+      "temp build dir must not survive a successful commit")
+    assert(Dedup.readCosineIndexMeta(spark, dir).isDefined)
+    // a crash between meta create and write/close leaves an EMPTY meta:
+    // that must throw a descriptive error, never parse as legacy params
+    // (written through the Hadoop fs, exactly as the crashed writer
+    // would have — keeps the local fs checksum sidecar consistent)
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val metaPath = new org.apache.hadoop.fs.Path(dir, "_graft_cosidx_meta")
+    def putMeta(content: String): Unit = {
+      val out = fs.create(metaPath, true)
+      try out.write(content.getBytes("UTF-8")) finally out.close()
+    }
+    putMeta("")
+    val e1 = intercept[IllegalStateException] {
+      Dedup.readCosineIndexMeta(spark, dir)
+    }
+    assert(e1.getMessage.contains("corrupt cosine index meta"))
+    putMeta("4\tnotanint\t42\t5\n")
+    val e2 = intercept[IllegalStateException] {
+      Dedup.readCosineIndexMeta(spark, dir)
+    }
+    assert(e2.getMessage.contains("corrupt cosine index meta"))
+  }
+
   test("incrementalNearDup equals the full-corpus pairs restricted to the batch") {
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     val batch = docs.filter(col("doc_id") % 7 === 0)

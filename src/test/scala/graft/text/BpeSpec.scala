@@ -107,6 +107,40 @@ class BpeSpec extends AnyFunSuite with SparkSpec {
     assert(corpusGot.take(20) == seq20)
   }
 
+  test("trainBatched == scalar reference on adversarial tiny-alphabet " +
+      "corpora (ties, created-symbol and same-concat interference)") {
+    import spark.implicits._
+    // tiny alphabets make multi-character symbols collide constantly:
+    // deep training over {a,b,c} exercises every prefix-acceptance
+    // clause, including the r16 same-concat rule (two batch members
+    // whose concatenations name the SAME new symbol, e.g. ("a","bc")
+    // and ("ab","c") — symbol-disjoint, but their creations conflate).
+    // A seeded LCG (no RNG state) generates the corpora; small
+    // maxBatch values force many batch boundaries.
+    var x = 0xDEADBEEFL
+    def nxt(n: Int): Int = {
+      x = x * 6364136223846793005L + 1442695040888963407L
+      ((x >>> 33) % n).toInt
+    }
+    for (trial <- 0 until 6) {
+      val alpha = "abc".take(2 + trial % 2)
+      val words = (0 until 14).map { _ =>
+        val len = 2 + nxt(6)
+        (0 until len).map(_ => alpha(nxt(alpha.length))).mkString
+      }.distinct.map(w => w -> (1L + nxt(9))).toMap
+      val expected = scalarTrain(words, 40)
+        .zipWithIndex.map { case ((l, r, c), i) => (i + 1L, l, r, c) }
+      val df = words.toSeq.toDF("word", "n")
+      val batch = if (trial % 2 == 0) 3 else 48
+      val got = Bpe.trainBatched(df, 40, maxBatch = batch)
+        .orderBy(col("rank"))
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2),
+          r.getLong(3))).toSeq
+      assert(got == expected,
+        s"trial $trial (maxBatch=$batch, words=${words.keys.toSeq.sorted})")
+    }
+  }
+
   test("encodeWords round-trips and matches the scalar fold") {
     import spark.implicits._
     val merges = scalarTrain(wordCounts, 20).map { case (l, r, _) => (l, r) }

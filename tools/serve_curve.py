@@ -17,6 +17,13 @@ def main(p01: str, p1: str, p10: str) -> None:
     if dropped:
         print(f"WARNING: dropped (not in all three samples): "
               f"{', '.join(dropped)}", file=sys.stderr)
+    if not shared:
+        # zero shared members (wrong files, disjoint OVERRIDE subsets)
+        # must not exit 0 with an empty table — a vacuous success reads
+        # as a valid empty curve
+        print("ERROR: the three samples share no member; no curve to "
+              "emit", file=sys.stderr)
+        sys.exit(1)
     rows = []
     for q in shared:
         if min(qa[q], qb[q], qc[q]) <= 0:
