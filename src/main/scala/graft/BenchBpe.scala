@@ -1,0 +1,100 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Deep batched-BPE measurement main (r16, judge ask #5): train the
+  * batched trainer to ≥1,000 merges on a scale dir's distinct-word
+  * table and report wall time, distributed rounds, merges-per-pass and
+  * the accepted-batch-size distribution — the evidence behind the
+  * "30k-merge tokenizer build collapses to hundreds of passes" claim.
+  *
+  * Usage:
+  *   SPARK_GRAFT_SF_DIR=<dir> [SPARK_GRAFT_BPE_MERGES=1000]
+  *   [SPARK_GRAFT_BPE_BATCH=48] java ... graft.BenchBpe
+  *
+  * Emits one JSON line per run: the raw-corpus run always; if the
+  * corpus vocabulary exhausts before the target depth, a second run on
+  * the table augmented with deterministic LCG pseudo-words (the
+  * BpeSpec 200-merge-gate recipe, scaled up) — augmentation changes
+  * WHAT is trained, never the trainer.
+  */
+object BenchBpe {
+
+  private def measure(spark: SparkSession, label: String, sfDir: String,
+      words: DataFrame, merges: Int, maxBatch: Int, nWords: Long,
+      augWords: Long): (Long, String) = {
+    System.gc()
+    val t0 = System.nanoTime()
+    val (table, batchSizes) =
+      graft.text.Bpe.trainBatchedStats(words, merges, maxBatch)
+    val got = table.count()
+    val wall = (System.nanoTime() - t0) / 1e9
+    val sizes = batchSizes.sorted
+    def pct(p: Double): Int =
+      if (sizes.isEmpty) 0 else sizes(((sizes.size - 1) * p).toInt)
+    val rounds = batchSizes.size
+    val perPass = if (rounds == 0) 0.0 else got.toDouble / rounds
+    def f2(v: Double) =
+      String.format(java.util.Locale.ROOT, "%.2f", Double.box(v))
+    (got,
+      s"""{"metric":"bpe_train_batched","run":${Json.str(label)},""" +
+        s""""unit":"sec","value":${f2(wall)},"sf":${Json.str(sfDir)},""" +
+        s""""merges":$got,"target":$merges,"max_batch":$maxBatch,""" +
+        s""""rounds":$rounds,"merges_per_pass":${f2(perPass)},""" +
+        s""""batch_p10":${pct(0.10)},"batch_p50":${pct(0.50)},""" +
+        s""""batch_p90":${pct(0.90)},""" +
+        s""""batch_min":${sizes.headOption.getOrElse(0)},""" +
+        s""""batch_max":${sizes.lastOption.getOrElse(0)},""" +
+        s""""distinct_words":$nWords,"augmented_words":$augWords}""")
+  }
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val merges = sys.env.getOrElse("SPARK_GRAFT_BPE_MERGES", "1000").toInt
+    val maxBatch = sys.env.getOrElse("SPARK_GRAFT_BPE_BATCH", "48").toInt
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val b = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.ui.enabled", "false")
+    Tables.sessionConfs.foreach { case (k, v) => b.config(k, v) }
+    val spark = b.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    import spark.implicits._
+
+    val words = graft.text.Bpe.wordCounts(
+      Tables(spark, sfDir, "documents"), "text")
+    val nWords = words.count()
+    val lines = scala.collection.mutable.ArrayBuffer.empty[String]
+
+    val (corpusDepth, corpusLine) = measure(spark, "corpus", sfDir,
+      words, merges, maxBatch, nWords, 0L)
+    lines += corpusLine
+    if (corpusDepth < merges) {
+      // deterministic LCG pseudo-words (no RNG state), enough pair
+      // diversity to sustain the target depth — BpeSpec's recipe
+      val pseudo = (0 until 20000).map { i =>
+        var x = i.toLong * 0x9E3779B97F4A7C15L
+        val len = 5 + (i % 9)
+        val sb = new StringBuilder
+        (0 until len).foreach { _ =>
+          x = x * 6364136223846793005L + 1442695040888963407L
+          sb += ('a' + ((x >>> 33) % 26)).toChar
+        }
+        sb.toString -> (1L + (i % 97))
+      }.toMap
+      val aug = words.unionByName(pseudo.toSeq.toDF("word", "n"))
+        .groupBy("word").agg(sum(col("n")).as("n"))
+      val (_, augLine) = measure(spark, "augmented", sfDir, aug, merges,
+        maxBatch, nWords, pseudo.size.toLong)
+      lines += augLine
+    }
+    lines.foreach(println)
+    sys.env.get("SPARK_GRAFT_BENCH_OUT").foreach { p =>
+      java.nio.file.Files.writeString(java.nio.file.Paths.get(p),
+        lines.mkString("", "\n", "\n"))
+    }
+    spark.stop()
+  }
+}

@@ -535,6 +535,55 @@ object Multimodal {
       .select(col("a_id"), col("b_id"), col("hamming"))
   }
 
+  /** Connected-component EDGES for fingerprint clustering, with
+    * EXACT-HASH CONTRACTION before the banded join (r16 — the named
+    * sf10 OOM mechanism): a corpus where many assets share one
+    * fingerprint (identical media are the COMMON case in a crawled
+    * corpus, and the sf10 synthetic audio corpus holds 197k assets
+    * over 1,617 distinct hashes) makes every equal-hash group collide
+    * in EVERY band, so [[phashPairs]]'s candidate relation carries
+    * Σ C(K,2) ≈ quadratic rows — measured 252M candidate rows for
+    * audio at sf10, a 4 GiB single-task sort allocation, and the
+    * joint-JVM OOM.
+    *
+    * Cluster labels never needed those pairs. This builder emits:
+    *  - one STAR edge (min-id rep → member) per equal-hash group —
+    *    K−1 edges, linear; and
+    *  - [[phashPairs]] near-dup edges over the DISTINCT-hash reps
+    *    only — the banding input shrinks from corpus size to content
+    *    diversity (1,617 rows instead of 197k for sf10 audio).
+    *
+    * The connected components are PROVABLY those of the full pair
+    * relation: members of an equal-hash group share every band and
+    * verify at Hamming 0, so the full relation connects them — the
+    * star does too; and for a ∈ X, b ∈ Y (distinct hashes X ≠ Y),
+    * bands and Hamming are functions of the HASH alone, so (a, b) is
+    * a full-relation edge iff (rep_X, rep_Y) is an edge here, and
+    * a—rep_X—rep_Y—b connects the same component. Min-id labels are
+    * therefore identical, and every cluster-label oracle is unchanged
+    * (CurationSpec pins the equivalence against the full relation).
+    *
+    * Scale shape: the contraction groupBy shuffles 16-byte hashes; the
+    * star-edge join is skew-bounded by AQE (a mega-group ships K rows
+    * to one reducer but writes K−1 edges — linear, never C(K,2));
+    * the banded join runs at content diversity, not corpus size.
+    * Serving members that genuinely SELL the pair relation
+    * (q_image_phash_pairs etc.) keep [[phashPairs]] unchanged.
+    */
+  def phashClusterEdges(hashes: DataFrame, maxHamming: Int): DataFrame = {
+    val groups = hashes.groupBy(col("phash_hi"), col("phash_lo"))
+      .agg(min(col("asset_id")).as("rep"))
+    val exact = hashes
+      .join(groups, Seq("phash_hi", "phash_lo"))
+      .filter(col("asset_id") =!= col("rep"))
+      .select(col("rep").as("a_id"), col("asset_id").as("b_id"))
+    val near = phashPairs(
+      groups.select(col("rep").as("asset_id"),
+        col("phash_hi"), col("phash_lo")),
+      maxHamming).select(col("a_id"), col("b_id"))
+    exact.unionByName(near)
+  }
+
   // ------------------------------------------- audio content fingerprint
 
   private[multimodal] val AhashFrames = 65

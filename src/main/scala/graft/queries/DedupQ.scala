@@ -383,8 +383,8 @@ object DedupQ {
       graft.multimodal.Multimodal.phashImageAssets(
         spark, Tables(spark, dir, "documents"))).toDF()
       .barrierOnce()
-    val pairs = graft.multimodal.Multimodal.phashPairs(hashes, maxHamming = 10)
-      .select(col("a_id"), col("b_id"))
+    val pairs = graft.multimodal.Multimodal.phashClusterEdges(hashes,
+      maxHamming = 10)
     Dedup.clusterLabels(hashes.select(col("asset_id")), "asset_id", pairs)
   }
 
@@ -399,8 +399,8 @@ object DedupQ {
       graft.multimodal.Multimodal.jpegImageAssets(
         spark, Tables(spark, dir, "documents"))).toDF()
       .barrierOnce()
-    val pairs = graft.multimodal.Multimodal.phashPairs(hashes, maxHamming = 10)
-      .select(col("a_id"), col("b_id"))
+    val pairs = graft.multimodal.Multimodal.phashClusterEdges(hashes,
+      maxHamming = 10)
     Dedup.clusterLabels(hashes.select(col("asset_id")), "asset_id", pairs)
   }
 
@@ -415,8 +415,8 @@ object DedupQ {
       .select(col("asset_id"), col("ahash_hi").as("phash_hi"),
         col("ahash_lo").as("phash_lo"))
       .barrierOnce()
-    val pairs = graft.multimodal.Multimodal.phashPairs(hashes, maxHamming = 10)
-      .select(col("a_id"), col("b_id"))
+    val pairs = graft.multimodal.Multimodal.phashClusterEdges(hashes,
+      maxHamming = 10)
     Dedup.clusterLabels(hashes.select(col("asset_id")), "asset_id", pairs)
   }
 
@@ -431,8 +431,8 @@ object DedupQ {
       .select(col("asset_id"), col("vhash_hi").as("phash_hi"),
         col("vhash_lo").as("phash_lo"))
       .barrierOnce()
-    val pairs = graft.multimodal.Multimodal.phashPairs(hashes, maxHamming = 10)
-      .select(col("a_id"), col("b_id"))
+    val pairs = graft.multimodal.Multimodal.phashClusterEdges(hashes,
+      maxHamming = 10)
     Dedup.clusterLabels(hashes.select(col("asset_id")), "asset_id", pairs)
   }
 

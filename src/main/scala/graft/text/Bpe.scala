@@ -144,12 +144,23 @@ object Bpe {
     * proof is unaffected.
     */
   def trainBatched(words: DataFrame, merges: Int,
-      maxBatch: Int = 48): DataFrame = {
+      maxBatch: Int = 48): DataFrame =
+    trainBatchedStats(words, merges, maxBatch)._1
+
+  /** [[trainBatched]] plus the per-round accepted-batch sizes — the
+    * merges-per-pass evidence the scale claim rests on (a 30k-merge
+    * tokenizer build collapses to hundreds of distributed passes ONLY
+    * if the accepted prefix stays near maxBatch; graft.BenchBpe
+    * measures the distribution at ≥1,000 merges).
+    */
+  def trainBatchedStats(words: DataFrame, merges: Int,
+      maxBatch: Int = 48): (DataFrame, Seq[Int]) = {
     val spark = words.sparkSession
     var syms = graft.ops.Barrier.iter(
       words.select(col("word"), col("n"),
         concat(split(col("word"), ""), array(lit(Eow))).as("syms")))
     val out = mutable.ArrayBuffer.empty[(Long, String, String, Long)]
+    val batchSizes = mutable.ArrayBuffer.empty[Int]
     var exhausted = false
     while (out.size < merges && !exhausted) {
       val want = math.min(maxBatch, merges - out.size)
@@ -206,6 +217,7 @@ object Bpe {
         while (j > 1 && j < top.length && top(j - 1)._3 <= top(j)._3)
           j -= 1
         val batch = top.take(math.max(1, j))
+        batchSizes += batch.length
         batch.zipWithIndex.foreach { case ((l, r, c), i) =>
           out += ((out.size + 1L, l, r, c))
         }
@@ -220,7 +232,7 @@ object Bpe {
     }
     graft.ops.Barrier.releaseIter(syms)
     import spark.implicits._
-    out.toSeq.toDF("rank", "left", "right", "n")
+    (out.toSeq.toDF("rank", "left", "right", "n"), batchSizes.toSeq)
   }
 
   /** Encode the distinct-word table with a driver-side merge list

@@ -163,6 +163,64 @@ class MultimodalSpec extends AnyFunSuite with SparkSpec {
     assert(groups > 50, s"only $groups groups recovered")
   }
 
+  test("phashClusterEdges: cluster labels identical to the full pair " +
+      "relation, on real hashes and on a duplicate-heavy corpus") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    def labels(hashes: org.apache.spark.sql.DataFrame,
+        edges: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+      graft.dedup.Dedup.clusterLabels(
+        hashes.select(col("asset_id")), "asset_id",
+        edges.select(col("a_id"), col("b_id")))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // real decoded hashes (sf0.001 PNG path)
+    val real = Multimodal.decodePhash(Multimodal.phashImageAssets(
+      spark, Tables(spark, dir, "documents"))).toDF().localCheckpoint()
+    assert(labels(real, Multimodal.phashClusterEdges(real, 10)) ==
+      labels(real, Multimodal.phashPairs(real, 10)))
+    // duplicate-heavy synthetic corpus: 40 assets per distinct hash —
+    // the shape that makes the full candidate relation quadratic (the
+    // r16 sf10 OOM mechanism); plus near groups one bit-flip apart and
+    // a far hash that must stay its own cluster
+    val dup = (0L until 200L).map { i =>
+      val g = i / 40 // 5 groups of 40 identical hashes
+      val hi = g match {
+        case 0 => 0x1111L
+        case 1 => 0x1111L ^ 1L // Hamming 1 from group 0 -> same cluster
+        case 2 => 0x0F0F0F0FL
+        case 3 => 0x0F0F0F0FL ^ 0x30L // Hamming 2 from group 2
+        case _ => 0x7FFFFFFF00000000L // far from everything
+      }
+      (i, hi, g * 1000L)
+    }.toDF("asset_id", "phash_hi", "phash_lo")
+    // lo differs per group => only exact-equal within groups; hi links
+    // groups 0-1 and 2-3 ONLY if lo bands collide... use equal lo for
+    // linked groups instead:
+    val dup2 = (0L until 200L).map { i =>
+      val g = i / 40
+      val (hi, lo) = g match {
+        case 0 => (0x1111L, 7L)
+        case 1 => (0x1111L ^ 1L, 7L)
+        case 2 => (0x0F0FL, 9L)
+        case 3 => (0x0F0FL ^ 0x30L, 9L)
+        case _ => (0x7FFFFFFF00000000L, 11L)
+      }
+      (i, hi, lo)
+    }.toDF("asset_id", "phash_hi", "phash_lo")
+    for (h <- Seq(dup, dup2)) {
+      val viaEdges = labels(h, Multimodal.phashClusterEdges(h, 10))
+      val viaPairs = labels(h, Multimodal.phashPairs(h, 10))
+      assert(viaEdges == viaPairs)
+    }
+    // and the contraction actually contracts: edge count is linear in
+    // group size (39 star edges per group + rep-level near edges),
+    // where the full relation carries C(40,2)+ pairs per group
+    val nEdges = Multimodal.phashClusterEdges(dup2, 10).count()
+    val nPairs = Multimodal.phashPairs(dup2, 10).count()
+    assert(nEdges < 220, s"edges should be ~linear, got $nEdges")
+    assert(nPairs > 3000, s"full relation should be quadratic, got $nPairs")
+  }
+
   test("audio ahash: codec round-trip == direct formula; truncation quarantined") {
     val docs = Tables(spark, dir, "documents")
     val hashes = Multimodal.decodeAhash(

@@ -20,12 +20,15 @@ for p in sun.nio.ch sun.nio.cs sun.security.action sun.util.calendar; do
   ADD_OPENS="$ADD_OPENS --add-opens java.base/$p=ALL-UNNAMED"
 done
 
+# GRAFT_JAVA_OPTS: optional extra JVM flags (GC logging, OOM handlers)
+# for instrumented draws — empty by default so recorded numbers are not
+# perturbed unless a run asks for it.
 SPARK_GRAFT_SF_DIR="$SF_DIR" \
 SPARK_GRAFT_CPUS=32 \
 SPARK_GRAFT_RUNS="$RUNS" \
 SPARK_GRAFT_ONLY="$SERVE_MEMBERS" \
 SPARK_GRAFT_BENCH_OUT="$OUT" \
-java $ADD_OPENS -Xmx${SPARK_DRIVER_MEM:-48g} \
+java $ADD_OPENS -Xmx${SPARK_DRIVER_MEM:-48g} ${GRAFT_JAVA_OPTS:-} \
   -Dspark.ui.enabled=false -Dspark.sql.session.timeZone=UTC \
   -cp "target/scala-2.13/classes:/opt/spark/jars/*" \
   graft.Bench
