@@ -52,11 +52,27 @@ object Dedup {
   /** The ONE (doc, shingle) exploded-relation definition every
     * shingle-based path shares — index construction, candidate
     * generation and exact verification must shingle identically.
+    *
+    * SCAN-PARALLELISM FLOOR (r16 — the measured mechanism behind the
+    * dedup tier's steep first decade): a compact corpus arrives as ONE
+    * ≤ 128 MB parquet split, so the tokenize+shingle+minhash map stage
+    * — by far the index build's dominant cost — ran on ONE core while
+    * 31 idled (measured 3.42 → 21.14 s sf0.1 → sf1 = single-task
+    * linear growth; the sf1 → sf10 "flattening" to d2 0.15 was just
+    * the 590 MB file finally splitting 5 ways). When the source scan
+    * yields fewer partitions than the cluster's parallelism, a
+    * repartition fans the narrow (id, text) rows out BEFORE the
+    * explode; at real scale the corpus arrives in thousands of files
+    * and the condition is false, so no shuffle is added where scan
+    * parallelism already exists.
     */
   private def shingleRows(df: DataFrame, idCol: String, textCol: String,
-      n: Int): DataFrame =
-    df.select(col(idCol).as("doc"),
+      n: Int): DataFrame = {
+    val p = df.sparkSession.sparkContext.defaultParallelism
+    val src = if (df.rdd.getNumPartitions < p) df.repartition(p) else df
+    src.select(col(idCol).as("doc"),
       explode(TextOps.shingles(TextOps.tokens(col(textCol)), n)).as("sh"))
+  }
 
   def jaccardPairs(df: DataFrame, idCol: String, textCol: String,
       n: Int = 3, threshold: Double = 0.8): DataFrame = {

@@ -1,7 +1,10 @@
 #!/bin/bash
 # Targeted pre-flight: verify only the named queries, then filter the
 # oracle map to those with outputs before the DuckDB compare.
-set -uo pipefail
+# -e: a failed filter step (typo'd query name) must stop the run —
+# without it check_oracle compared the UNFILTERED map and reported 167
+# vacuous failures (r16)
+set -euo pipefail
 cd "$(dirname "$0")/.."
 SF_DIR="$1"; OUT="$2"; ONLY="$3"
 
