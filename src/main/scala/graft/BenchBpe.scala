@@ -89,6 +89,20 @@ object BenchBpe {
       val (_, augLine) = measure(spark, "augmented", sfDir, aug, merges,
         maxBatch, nWords, pseudo.size.toLong)
       lines += augLine
+      // ZIPF variant: same pseudo-words under a Zipf count law
+      // (count(rank) = ⌊10⁶ / rank⌋). The uniform small counts above
+      // are tie-DENSE (many pairs share a count), and ties truncate
+      // the strict-gap prefix to 1 — a realistic Zipfian corpus has
+      // few ties near the top, so this run measures the batch-size
+      // distribution the production claim actually depends on.
+      val zipf = pseudo.keys.toSeq.sorted.zipWithIndex.map {
+        case (w, i) => (w, 1000000L / (i + 1))
+      }
+      val zdf = words.unionByName(zipf.toDF("word", "n"))
+        .groupBy("word").agg(sum(col("n")).as("n"))
+      val (_, zipfLine) = measure(spark, "zipf", sfDir, zdf, merges,
+        maxBatch, nWords, zipf.size.toLong)
+      lines += zipfLine
     }
     lines.foreach(println)
     sys.env.get("SPARK_GRAFT_BENCH_OUT").foreach { p =>
