@@ -60,7 +60,9 @@ object Ann {
     */
   def scoreAll(corpus: DataFrame, queries: DataFrame,
       idCol: String, vecCol: String): DataFrame = {
-    val c = corpus.select(col(idCol).as("neighbor_id"),
+    // FanOut: the per-(query, corpus-row) dot is THE serving cost — a
+    // single-split corpus file must not score on one core
+    val c = graft.ops.FanOut(corpus).select(col(idCol).as("neighbor_id"),
       asDouble(col(vecCol)).as("vc"))
       .withColumn("nc", l2(col("vc")))
     val q = queries.select(col(idCol).as("query_id"),
@@ -194,7 +196,11 @@ object Ann {
   def ivfAssignments(corpus: DataFrame, idCol: String, vecCol: String,
       centroids: DataFrame): DataFrame = {
     val cs = centroidSeq(centroids)
-    prepIvf(corpus, idCol, vecCol)
+    // FanOut the assignment map (per-row argmax vs a fixed centroid
+    // literal — partitioning-invariant); the TRAINING path (ivfCentroids)
+    // is deliberately NOT fanned: its Lloyd float sums must stay
+    // reproducible against stream-vs-batch equality pins
+    prepIvf(graft.ops.FanOut(corpus), idCol, vecCol)
       .select(col("neighbor_id").as(idCol), assignExpr(cs).as("cluster"))
   }
 

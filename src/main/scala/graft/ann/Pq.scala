@@ -229,7 +229,10 @@ object Pq {
       element_at(
         transform(array(sliced), sv => argminCode(sv, books(s), norms(s))), 1)
     }: _*)
-    corpus.select(col(idCol), codes.as("codes"))
+    // FanOut: the m×k argmin folds per row are the encode pass's whole
+    // cost (per-row, partitioning-invariant; the cross-cov consumer
+    // accumulates exact integer micro-units, also invariant)
+    graft.ops.FanOut(corpus).select(col(idCol), codes.as("codes"))
   }
 
   /** ADC top-`kNeighbors` per query over a PQ code table: per query the

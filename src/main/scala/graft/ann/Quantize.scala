@@ -63,7 +63,7 @@ object Quantize {
     * is fully deterministic and cross-engine oracle-able).
     */
   def codes(df: DataFrame, idCol: String, vecCol: String): DataFrame =
-    prepared(df, idCol, vecCol)
+    prepared(graft.ops.FanOut(df), idCol, vecCol)
       .select(col(idCol), codeExpr(col("v"), col("scale")).as("qv"))
 
   /** Quantize `vecCol` of `df`: (id, scale, q_csv, n_sat) where q_csv is

@@ -67,12 +67,9 @@ object Dedup {
     * parallelism already exists.
     */
   private def shingleRows(df: DataFrame, idCol: String, textCol: String,
-      n: Int): DataFrame = {
-    val p = df.sparkSession.sparkContext.defaultParallelism
-    val src = if (df.rdd.getNumPartitions < p) df.repartition(p) else df
-    src.select(col(idCol).as("doc"),
+      n: Int): DataFrame =
+    graft.ops.FanOut(df).select(col(idCol).as("doc"),
       explode(TextOps.shingles(TextOps.tokens(col(textCol)), n)).as("sh"))
-  }
 
   def jaccardPairs(df: DataFrame, idCol: String, textCol: String,
       n: Int = 3, threshold: Double = 0.8): DataFrame = {
@@ -574,7 +571,10 @@ object Dedup {
   /** (id, v as double[], norm) projection shared by the cosine paths. */
   private def prepVectors(df: DataFrame, idCol: String, vecCol: String): DataFrame = {
     import graft.functions.ArrayDotProduct.ofColumns
-    df.select(col(idCol).as("doc"),
+    // FanOut: the norm + downstream bucket/dot folds are the heavy
+    // per-row maps — single-split compact corpora must not run them on
+    // one core (see graft.ops.FanOut; results per-row invariant)
+    graft.ops.FanOut(df).select(col(idCol).as("doc"),
       transform(col(vecCol), x => x.cast("double")).as("v"))
       .withColumn("norm", sqrt(ofColumns(col("v"), col("v"))))
   }
