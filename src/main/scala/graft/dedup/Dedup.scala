@@ -451,12 +451,62 @@ object Dedup {
   def duplicateClusters(df: DataFrame, idCol: String, textCol: String,
       n: Int = 3, threshold: Double = 0.8, maxIters: Int = 20,
       nHashes: Int = 128, nBands: Int = 32): DataFrame = {
-    // pair generation goes through the banded MinHash workhorse (verified
-    // identical to jaccardPairs; at the default banding a J=0.8 pair is
-    // missed with p < 5e-8) and runs ONCE, outside the iteration.
-    val pairs = minhashLshPairs(df, idCol, textCol, n, threshold,
-      nHashes, nBands)
-    clusterLabels(df, idCol, pairs, maxIters)
+    // EXACT-TEXT CONTRACTION before the banded MinHash (r16 — the text
+    // twin of [[graft.multimodal.Multimodal.phashClusterEdges]]'s fix
+    // for the measured sf10 quadratic-candidate OOM): a crawled corpus
+    // is exact-duplicate-heavy by nature, and every equal-text group
+    // collides in EVERY band, so the banded candidate relation carries
+    // Σ C(K,2) rows — quadratic in duplicate MULTIPLICITY even when
+    // near-dup density is low. Cluster labels never needed those
+    // pairs: emit one star edge (min-id rep → member) per equal-text
+    // group — K−1 edges, linear — and run the banded workhorse over
+    // the DISTINCT-text reps only.
+    //
+    // The components are PROVABLY those of the full pair relation:
+    // equal texts (with ≥ 1 shingle) have identical shingle sets, so
+    // Jaccard = 1 ≥ threshold — the full relation makes each group a
+    // clique and the star connects the same nodes; across groups,
+    // shingle sets (hence Jaccard, bands, and the verify) are
+    // functions of the TEXT alone, so (a, b) is a full-relation edge
+    // iff (rep_A, rep_B) is one here, and a—rep_A—rep_B—b closes the
+    // same component. Zero-shingle docs (fewer than n tokens) never
+    // enter the pair relation at all, so they are EXCLUDED from the
+    // contraction too (two equal sub-n-token docs are singletons in
+    // both graphs). Min-id labels are therefore identical and every
+    // cluster-label oracle is unchanged (DedupSpec pins the
+    // equivalence on a duplicate-heavy corpus).
+    //
+    // Scale shape: the contraction groupBy shuffles the text column
+    // once — the same content the shingle explode already ships — and
+    // a mega-group costs K rows at one reducer but writes K−1 edges,
+    // never C(K,2); the banded join then runs at content DIVERSITY,
+    // not corpus size. Pair-SERVING members (q_minhash_lsh,
+    // q_jaccard_pairs) keep the exact pair relation unchanged.
+    clusterLabels(df, idCol,
+      textClusterEdges(df, idCol, textCol, n, threshold, nHashes, nBands),
+      maxIters)
+  }
+
+  /** [[duplicateClusters]]' contracted edge relation (star edges over
+    * equal-text groups ∪ banded near-dup edges over distinct-text
+    * reps) — component-equivalent to the full [[minhashLshPairs]]
+    * relation; exposed package-private so DedupSpec can pin the
+    * linear-vs-quadratic edge counts alongside the label equivalence.
+    */
+  private[dedup] def textClusterEdges(df: DataFrame, idCol: String,
+      textCol: String, n: Int, threshold: Double,
+      nHashes: Int, nBands: Int): DataFrame = {
+    val eligible = df.select(col(idCol).as("doc"), col(textCol).as("txt"))
+      .filter(size(TextOps.tokens(col("txt"))) >= n)
+    val groups = eligible.groupBy(col("txt")).agg(min(col("doc")).as("rep"))
+    val exact = eligible.join(groups, "txt")
+      .filter(col("doc") =!= col("rep"))
+      .select(col("rep").as("a_id"), col("doc").as("b_id"))
+    val near = minhashLshPairs(
+      groups.select(col("rep").as(idCol), col("txt").as(textCol)),
+      idCol, textCol, n, threshold, nHashes, nBands)
+      .select(col("a_id"), col("b_id"))
+    exact.unionByName(near)
   }
 
   /** Attach connected-component labels to an id universe given a
@@ -577,6 +627,13 @@ object Dedup {
     graft.ops.FanOut(df).select(col(idCol).as("doc"),
       transform(col(vecCol), x => x.cast("double")).as("v"))
       .withColumn("norm", sqrt(ofColumns(col("v"), col("v"))))
+      // zero-norm vectors have no cosine: under ANSI arithmetic the
+      // division would RAISE (one degenerate embedding killing a
+      // corpus-sized dedup pass), so the pair/bucket contract is
+      // explicit — they never pair, never bucket, and stay singletons
+      // in every cluster consumer (the same eligibility rule as
+      // [[cosineClusterEdges]]'s contraction)
+      .filter(col("norm") > 0)
   }
 
   /** Exact-cosine verification of candidate (a_id, b_id) pairs — the one
@@ -594,6 +651,39 @@ object Dedup {
       .withColumn("cosine", ofColumns(col("va"), col("vb")) / (col("na") * col("nb")))
       .filter(col("cosine") >= threshold)
       .select(col("a_id"), col("b_id"), round(col("cosine"), 6).as("cosine"))
+  }
+
+  /** Connected-component EDGES for embedding clustering, with
+    * EXACT-VECTOR CONTRACTION before the pair search — the embedding
+    * twin of [[textClusterEdges]] (r16; the same duplicate-multiplicity
+    * lesson as the mm sf10 OOM): a corpus where many docs share one
+    * embedding (exact re-crawls, boilerplate pages, canonical images)
+    * makes every pair builder emit Σ C(K,2) pair rows per equal-vector
+    * group — quadratic in multiplicity — when the cluster labels only
+    * ever needed K−1 star edges.
+    *
+    * `pairsOf` runs the caller's pair search (blocked-exact, bucketed
+    * sign-LSH, …) over the DISTINCT-vector reps only. Components equal
+    * the full relation's: equal nonzero vectors have engine cosine
+    * dot(v,v)/sqrt(dot)² = 1 − O(ulp) ≥ any threshold < 1, so the full
+    * relation makes each group a clique and the star connects the same
+    * nodes; across groups cosine is a function of the two VECTORS, so
+    * (a, b) is a full-relation edge iff (rep_A, rep_B) is one here.
+    * Zero/null/empty vectors never pair in the full relation (their
+    * cosine is null) and are excluded from the contraction too.
+    * DedupSpec pins the label equivalence and the linear edge counts.
+    */
+  def cosineClusterEdges(df: DataFrame, idCol: String, vecCol: String,
+      pairsOf: DataFrame => DataFrame): DataFrame = {
+    val eligible = df.select(col(idCol).as("doc"), col(vecCol).as("v"))
+      .filter(col("v").isNotNull && exists(col("v"), x => x =!= 0))
+    val groups = eligible.groupBy(col("v")).agg(min(col("doc")).as("rep"))
+    val exact = eligible.join(groups, "v")
+      .filter(col("doc") =!= col("rep"))
+      .select(col("rep").as("a_id"), col("doc").as("b_id"))
+    val near = pairsOf(groups.select(col("rep").as(idCol),
+      col("v").as(vecCol))).select(col("a_id"), col("b_id"))
+    exact.unionByName(near)
   }
 
   /** Exact cosine near-duplicate pairs over an embedding column, cosine

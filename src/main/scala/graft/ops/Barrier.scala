@@ -84,6 +84,37 @@ object Barrier {
       case other => badMode(other)
     }
 
+  /** [[iter]] with DEFERRED materialization (r16): the barrier frame is
+    * marked for checkpointing but materializes on the caller's NEXT
+    * action instead of paying a dedicated job here. For loops whose
+    * per-round state is immediately consumed by an action that computes
+    * every partition (the incremental BPE trainer's delta aggregation),
+    * this fuses the barrier job into that action — one distributed job
+    * per round instead of two under `local` (under `reliable` the
+    * checkpoint-file write job still follows the first action, exactly
+    * as it does for [[iter]] — deferring is never slower, it just
+    * stops being a win). Lineage truncation and the row contract
+    * are identical to [[iter]] once the first action has run; callers
+    * MUST run such an action before releasing the PREVIOUS round's
+    * frame (the lazy checkpoint still reads it) — the natural order in
+    * every iterate-then-release loop. Not a [[iter]] replacement:
+    * multi-consumer frames whose first consumers race, or loops with no
+    * full-coverage action, keep the eager barrier.
+    */
+  def iterLazy(df: DataFrame): DataFrame =
+    modeOf(df) match {
+      case "local" => df.localCheckpoint(eager = false)
+      case mode @ ("replicated" | "reliable") =>
+        if (df.sparkSession.sparkContext.getCheckpointDir.isEmpty)
+          throw new IllegalStateException(
+            s"Barrier.iterLazy: spark.graft.barrier.mode=$mode maps to " +
+              "df.checkpoint(), which requires " +
+              "SparkContext.setCheckpointDir (HDFS/object store on a " +
+              "real cluster) before the first iterative barrier")
+        df.checkpoint(eager = false)
+      case other => badMode(other)
+    }
+
   /** Release a frame [[iter]] materialized: `local` → unpersist the
     * checkpoint RDD; cluster modes → no-op (reliable checkpoint files
     * belong to the checkpoint dir's lifecycle, exactly as in

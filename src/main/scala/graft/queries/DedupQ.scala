@@ -237,13 +237,18 @@ object DedupQ {
 
   /** Embedding near-dup CLUSTERS: the blocked exact cosine pairs fed
     * through the same star-contraction as the text clusters — every
-    * vector labeled with its component's min id.
+    * vector labeled with its component's min id. Exact-equal vectors
+    * contract to star edges BEFORE the pair search
+    * ([[graft.dedup.Dedup.cosineClusterEdges]], r16 — labels provably
+    * unchanged, edge volume linear in duplicate multiplicity instead
+    * of Σ C(K,2)).
     */
   def embedClusters(spark: SparkSession, dir: String): DataFrame = {
     val emb = Tables(spark, dir, "embeddings")
-    val pairs = Dedup.cosinePairsBlocked(emb, "vec_id", "embedding",
-      threshold = 0.4).select(col("a_id"), col("b_id"))
-    Dedup.clusterLabels(emb, "vec_id", pairs)
+    val edges = Dedup.cosineClusterEdges(emb, "vec_id", "embedding",
+      reps => Dedup.cosinePairsBlocked(reps, "vec_id", "embedding",
+        threshold = 0.4))
+    Dedup.clusterLabels(emb, "vec_id", edges)
       .select(col("doc_id").as("vec_id"), col("cluster_id"))
   }
 

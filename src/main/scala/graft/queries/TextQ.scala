@@ -580,6 +580,22 @@ object TextQ {
       graft.text.Bpe.wordCounts(Tables(spark, dir, "documents"), "text"),
       merges = 200)
 
+  /** q_bpe_train_incremental: the corpus trained to exhaustion through
+    * the INCREMENTAL-DELTA trainer ([[graft.text.Bpe.trainIncremental]])
+    * — identical merge table to q_bpe_train_batched (BpeSpec pins all
+    * three trainers table-for-table), but each round's full-vocabulary
+    * pair recount is replaced by exact driver-held counts maintained
+    * from changed-rows-only deltas and a lazy-deletion argmax heap.
+    * The per-ROUND cost fix the r16 batched measurement named: at 30k
+    * merges the vocabulary-wide explode+shuffle per round is the bill,
+    * and this pays it only for words an accepted merge actually
+    * touched.
+    */
+  def bpeTrainIncremental(spark: SparkSession, dir: String): DataFrame =
+    graft.text.Bpe.trainIncremental(
+      graft.text.Bpe.wordCounts(Tables(spark, dir, "documents"), "text"),
+      merges = 200)
+
   /** q_bpe_encode: per-document BPE token counts under the trained
     * vocabulary — train on the distinct-word table, encode each
     * distinct word once, join counts back to documents.

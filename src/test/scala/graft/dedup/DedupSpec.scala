@@ -81,6 +81,73 @@ class DedupSpec extends AnyFunSuite with SparkSpec {
     assert(labels(4) == 4) // singleton keeps its own id
   }
 
+  test("duplicateClusters: exact-text contraction — labels identical to " +
+      "the full pair relation, edges linear in duplicate multiplicity") {
+    // the text twin of the mm phashClusterEdges equivalence pin: a
+    // duplicate-HEAVY corpus (40 exact copies of one doc, 25 of a
+    // near-dup of it, equal sub-n-token docs that must stay singletons)
+    // where the uncontracted banded relation carries C(40,2)+C(25,2)
+    // + 40·25 = 2,080 pairs and the contracted edge set stays linear
+    val base = "the quick brown fox jumps over the lazy dog near the river bank today"
+    val near = "the quick brown fox jumps over the lazy dog near the river bank tonight"
+    val heavy = docs(
+      (1 to 40).map(i => i -> base) ++
+        (41 to 65).map(i => i -> near) ++
+        Seq(70 -> "tiny doc", 71 -> "tiny doc", // < n tokens: singletons
+          80 -> "completely different content about spark query engines and shuffles at scale"): _*)
+    // full-relation reference: banded pairs over the UNCONTRACTED corpus
+    val fullPairs = Dedup.minhashLshPairs(heavy, "doc_id", "text",
+      n = 3, threshold = 0.8)
+    val expected = Dedup.clusterLabels(heavy, "doc_id", fullPairs)
+      .collect().map(r => r.getAs[Int]("doc_id") -> r.getAs[Int]("cluster_id"))
+      .toMap
+    val got = Dedup.duplicateClusters(heavy, "doc_id", "text",
+      n = 3, threshold = 0.8)
+      .collect().map(r => r.getAs[Int]("doc_id") -> r.getAs[Int]("cluster_id"))
+      .toMap
+    assert(got == expected)
+    // the corpus collapses as built: one 65-doc component rooted at 1
+    // (base↔near jaccard ≥ 0.8 at these texts), tiny docs singletons
+    assert((1 to 65).forall(i => got(i) == 1))
+    assert(got(70) == 70 && got(71) == 71 && got(80) == 80)
+    // edge linearity: 39 + 24 star edges + 1 rep-rep near edge — vs
+    // the full relation's 2,080 verified pairs
+    val edges = Dedup.textClusterEdges(heavy, "doc_id", "text",
+      n = 3, threshold = 0.8, nHashes = 128, nBands = 32).count()
+    assert(edges == 64L, s"contracted edges: $edges")
+    assert(fullPairs.count() == 2080L)
+  }
+
+  test("cosineClusterEdges: exact-vector contraction — labels identical " +
+      "to the full pair relation, edges linear in multiplicity") {
+    import spark.implicits._
+    // 30 copies of one vector, 20 of a near-dup of it (cosine ≈ 0.995),
+    // equal ZERO vectors (must stay singletons — they never pair), and
+    // one far-away vector
+    val a = Seq(1.0f, 0.0f, 0.0f, 0.0f)
+    val b = Seq(0.995f, 0.0999f, 0.0f, 0.0f) // cos(a,b) ≈ 0.995
+    val far = Seq(0.0f, 0.0f, 1.0f, 0.0f)
+    val zero = Seq(0.0f, 0.0f, 0.0f, 0.0f)
+    val vecs = ((1 to 30).map(i => i.toLong -> a) ++
+      (31 to 50).map(i => i.toLong -> b) ++
+      Seq(60L -> zero, 61L -> zero, 70L -> far)).toDF("vec_id", "embedding")
+    def pairsOf(df: org.apache.spark.sql.DataFrame) =
+      Dedup.cosinePairsBlocked(df, "vec_id", "embedding", threshold = 0.9)
+    val fullPairs = pairsOf(vecs).select(col("a_id"), col("b_id"))
+    val expected = Dedup.clusterLabels(vecs, "vec_id", fullPairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val edges = Dedup.cosineClusterEdges(vecs, "vec_id", "embedding", pairsOf)
+    val got = Dedup.clusterLabels(vecs, "vec_id", edges)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == expected)
+    assert((1 to 50).forall(i => got(i.toLong) == 1L))
+    assert(got(60L) == 60L && got(61L) == 61L && got(70L) == 70L)
+    // 29 + 19 star edges + 1 rep-rep near edge — vs C(30,2) + C(20,2)
+    // + 30·20 = 1,225 full pairs
+    assert(edges.count() == 49L)
+    assert(fullPairs.count() == 1225L)
+  }
+
   test("connectedComponents: long chain and multi-component graphs collapse to min roots") {
     import spark.implicits._
     // a 10-node chain (worst case for naive propagation), a triangle

@@ -120,6 +120,40 @@ class BarrierSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("iterLazy: deferred barrier is row-identical to iter in local " +
+      "and reliable modes, truncates lineage, and releases cleanly") {
+    import org.apache.spark.sql.functions._
+    spark.sparkContext.setCheckpointDir(
+      java.nio.file.Files.createTempDirectory("barrier-lazy-spec").toString)
+    def build() = Tables(spark, dir, "documents")
+      .select(col("doc_id"), length(col("text")).as("n"))
+      .filter(col("doc_id") % 2 === 0)
+    val expected = withMode(Some("local"))(Barrier.iter(build())).collect()
+      .map(r => (r.getLong(0), r.getInt(1))).toSet
+    assert(expected.nonEmpty)
+    for (mode <- Seq("local", "reliable")) withMode(Some(mode)) {
+      val lazyFrame = Barrier.iterLazy(build())
+      // the first action materializes; rows match the eager barrier
+      val got = lazyFrame.collect().map(r => (r.getLong(0), r.getInt(1))).toSet
+      assert(got == expected, s"mode=$mode")
+      // lineage is truncated exactly as iter's (plan root is the
+      // checkpointed LogicalRDD, so releaseIter accepts the frame)
+      assert(lazyFrame.queryExecution.analyzed
+        .isInstanceOf[org.apache.spark.sql.execution.LogicalRDD])
+      Barrier.releaseIter(lazyFrame)
+    }
+    // the incremental-BPE usage shape: consume via an aggregation that
+    // covers every partition, then keep reading the materialized frame
+    withMode(Some("local")) {
+      val frame = Barrier.iterLazy(build())
+      assert(frame.agg(count(lit(1))).collect()(0).getLong(0) ==
+        expected.size.toLong)
+      assert(frame.collect().map(r => (r.getLong(0), r.getInt(1))).toSet ==
+        expected)
+      Barrier.releaseIter(frame)
+    }
+  }
+
   test("unknown mode is a loud config error, not a silent fallback") {
     import spark.implicits._
     val df = Seq(1, 2, 3).toDF("x")

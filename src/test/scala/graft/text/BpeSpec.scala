@@ -107,6 +107,65 @@ class BpeSpec extends AnyFunSuite with SparkSpec {
     assert(corpusGot.take(20) == seq20)
   }
 
+  test("trainIncremental == scalar reference at 200 merges (and == " +
+      "trainBatched at the exhaustion point)") {
+    import spark.implicits._
+    // the same deep-parity gate as trainBatched: exact table-for-table
+    // agreement where ties, created-symbol interference and vocab
+    // collisions occur — a drifted delta count or a stale-heap bug
+    // cannot survive 200 rows of (rank, left, right, COUNT)
+    val deep = (wordCounts.toSeq ++ pseudoWords.toSeq)
+      .groupBy(_._1).map { case (w, xs) => w -> xs.map(_._2).sum }
+    val expected = scalarTrain(deep, 200)
+      .zipWithIndex.map { case ((l, r, c), i) => (i + 1L, l, r, c) }
+    val deepDf = deep.toSeq.toDF("word", "n")
+    val got = Bpe.trainIncremental(deepDf, 200).orderBy(col("rank"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2),
+        r.getLong(3))).toSeq
+    assert(got == expected)
+    // corpus exhaustion: must stop at the same 105-merge point with the
+    // same table as the batched trainer
+    val words = Bpe.wordCounts(graft.Tables(spark, dir, "documents"), "text")
+    val corpusExpected = scalarTrain(wordCounts, 200)
+      .zipWithIndex.map { case ((l, r, c), i) => (i + 1L, l, r, c) }
+    val corpusGot = Bpe.trainIncremental(words, 200).orderBy(col("rank"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2),
+        r.getLong(3))).toSeq
+    assert(corpusGot == corpusExpected)
+    assert(corpusGot.size == 105)
+  }
+
+  test("trainIncremental == scalar reference on adversarial " +
+      "tiny-alphabet corpora (deltas under constant interference)") {
+    import spark.implicits._
+    // tiny alphabets maximize count-update churn: every merge touches
+    // a large fraction of words, counts rise and fall repeatedly (the
+    // stale-heap duplicate case), and created symbols collide with
+    // existing vocabulary — the hardest regime for the delta maps
+    var x = 0xBADC0FFEL
+    def nxt(n: Int): Int = {
+      x = x * 6364136223846793005L + 1442695040888963407L
+      ((x >>> 33) % n).toInt
+    }
+    for (trial <- 0 until 6) {
+      val alpha = "abc".take(2 + trial % 2)
+      val words = (0 until 14).map { _ =>
+        val len = 2 + nxt(6)
+        (0 until len).map(_ => alpha(nxt(alpha.length))).mkString
+      }.distinct.map(w => w -> (1L + nxt(9))).toMap
+      val expected = scalarTrain(words, 40)
+        .zipWithIndex.map { case ((l, r, c), i) => (i + 1L, l, r, c) }
+      val df = words.toSeq.toDF("word", "n")
+      val batch = if (trial % 2 == 0) 3 else 48
+      val got = Bpe.trainIncremental(df, 40, maxBatch = batch)
+        .orderBy(col("rank"))
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2),
+          r.getLong(3))).toSeq
+      assert(got == expected,
+        s"trial $trial (maxBatch=$batch, words=${words.keys.toSeq.sorted})")
+    }
+  }
+
   test("trainBatched == scalar reference on adversarial tiny-alphabet " +
       "corpora (ties, created-symbol and same-concat interference)") {
     import spark.implicits._
