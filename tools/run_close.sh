@@ -25,6 +25,11 @@ for p in sun.nio.ch sun.nio.cs sun.security.action sun.util.calendar; do
   ADD_OPENS="$ADD_OPENS --add-opens java.base/$p=ALL-UNNAMED"
 done
 
+# same JIT flags as run_serve_bench.sh (r16 "bimodal ADC kernels"):
+# without them a huge generated kernel HotSpot gives up on runs
+# interpreted at 4-10x for the rest of the JVM
+JIT_OPTS="-XX:-DontCompileHugeMethods -XX:PerMethodRecompilationCutoff=-1 -XX:PerBytecodeRecompilationCutoff=-1"
+
 parts=()
 for i in $(seq 0 $((SHARDS - 1))); do
   part="target/close_shard_${i}_of_${SHARDS}.json"
@@ -34,7 +39,7 @@ for i in $(seq 0 $((SHARDS - 1))); do
   SPARK_GRAFT_RUNS="$RUNS" \
   SPARK_GRAFT_SHARD="$i/$SHARDS" \
   SPARK_GRAFT_BENCH_OUT="$part" \
-  java $ADD_OPENS -Xmx${SPARK_DRIVER_MEM:-48g} ${GRAFT_JAVA_OPTS:-} \
+  java $ADD_OPENS $JIT_OPTS -Xmx${SPARK_DRIVER_MEM:-48g} ${GRAFT_JAVA_OPTS:-} \
     -Dspark.ui.enabled=false -Dspark.sql.session.timeZone=UTC \
     -cp "target/scala-2.13/classes:/opt/spark/jars/*" \
     graft.Bench > /dev/null

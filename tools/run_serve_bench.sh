@@ -23,12 +23,21 @@ done
 # GRAFT_JAVA_OPTS: optional extra JVM flags (GC logging, OOM handlers)
 # for instrumented draws — empty by default so recorded numbers are not
 # perturbed unless a run asks for it.
+#
+# JIT_OPTS (r16): the big generated ADC/brute-force kernels
+# (q_ann_pq_probe / q_ann_opq / q_ann_opq_np at sf10) measured BIMODAL
+# — ~2.5 s compiled vs 10–30 s when HotSpot abandons the method after
+# repeated deoptimizations (or refuses a huge generated method) and
+# leaves it interpreted for the rest of the JVM. Standard Spark
+# deployment flags; measured to remove most slow-mode samples
+# (BENCH_NOTES r16 "bimodal ADC kernels").
+JIT_OPTS="-XX:-DontCompileHugeMethods -XX:PerMethodRecompilationCutoff=-1 -XX:PerBytecodeRecompilationCutoff=-1"
 SPARK_GRAFT_SF_DIR="$SF_DIR" \
 SPARK_GRAFT_CPUS=32 \
 SPARK_GRAFT_RUNS="$RUNS" \
 SPARK_GRAFT_ONLY="$SERVE_MEMBERS" \
 SPARK_GRAFT_BENCH_OUT="$OUT" \
-java $ADD_OPENS -Xmx${SPARK_DRIVER_MEM:-48g} ${GRAFT_JAVA_OPTS:-} \
+java $ADD_OPENS $JIT_OPTS -Xmx${SPARK_DRIVER_MEM:-48g} ${GRAFT_JAVA_OPTS:-} \
   -Dspark.ui.enabled=false -Dspark.sql.session.timeZone=UTC \
   -cp "target/scala-2.13/classes:/opt/spark/jars/*" \
   graft.Bench
