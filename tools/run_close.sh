@@ -25,10 +25,11 @@ for p in sun.nio.ch sun.nio.cs sun.security.action sun.util.calendar; do
   ADD_OPENS="$ADD_OPENS --add-opens java.base/$p=ALL-UNNAMED"
 done
 
-# same JIT flags as run_serve_bench.sh (r16 "bimodal ADC kernels"):
-# without them a huge generated kernel HotSpot gives up on runs
-# interpreted at 4-10x for the rest of the JVM
-JIT_OPTS="-XX:-DontCompileHugeMethods -XX:PerMethodRecompilationCutoff=-1 -XX:PerBytecodeRecompilationCutoff=-1"
+# NO JIT overrides here: the ADC flags (see run_serve_bench.sh,
+# SPARK_GRAFT_JIT=adc) measured +25% on the normal member mix — the
+# full close keeps stock JIT behavior; the bimodal-kernel caveat only
+# bites the three full-ADC members at sf10 (BENCH_NOTES r16)
+JIT_OPTS=""
 
 parts=()
 for i in $(seq 0 $((SHARDS - 1))); do

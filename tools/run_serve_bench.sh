@@ -24,14 +24,18 @@ done
 # for instrumented draws — empty by default so recorded numbers are not
 # perturbed unless a run asks for it.
 #
-# JIT_OPTS (r16): the big generated ADC/brute-force kernels
-# (q_ann_pq_probe / q_ann_opq / q_ann_opq_np at sf10) measured BIMODAL
-# — ~2.5 s compiled vs 10–30 s when HotSpot abandons the method after
-# repeated deoptimizations (or refuses a huge generated method) and
-# leaves it interpreted for the rest of the JVM. Standard Spark
-# deployment flags; measured to remove most slow-mode samples
-# (BENCH_NOTES r16 "bimodal ADC kernels").
-JIT_OPTS="-XX:-DontCompileHugeMethods -XX:PerMethodRecompilationCutoff=-1 -XX:PerBytecodeRecompilationCutoff=-1"
+# SPARK_GRAFT_JIT=adc (r16, OPT-IN): the big generated ADC/brute-force
+# kernels (q_ann_pq_probe / q_ann_opq / q_ann_opq_np at sf10) measured
+# BIMODAL — ~2.5 s compiled vs 10–30 s when HotSpot abandons the
+# method after repeated deoptimizations (or refuses a huge generated
+# method) and leaves it interpreted for the rest of the JVM. These
+# flags remove most slow-mode samples BUT measured +25% on a normal
+# member mix (compile churn), so they are opt-in for ANN-heavy sf10
+# draws, not a default (BENCH_NOTES r16 "bimodal ADC kernels").
+JIT_OPTS=""
+if [ "${SPARK_GRAFT_JIT:-}" = "adc" ]; then
+  JIT_OPTS="-XX:-DontCompileHugeMethods -XX:PerMethodRecompilationCutoff=-1 -XX:PerBytecodeRecompilationCutoff=-1"
+fi
 SPARK_GRAFT_SF_DIR="$SF_DIR" \
 SPARK_GRAFT_CPUS=32 \
 SPARK_GRAFT_RUNS="$RUNS" \
