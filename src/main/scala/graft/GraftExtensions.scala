@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
 
-import graft.functions.{ArrayDotProduct, RollingHash, RollingHash2}
+import graft.functions.{AdcLookupSum, ArrayDotProduct, RollingHash, RollingHash2}
 
 /** Session extensions: registers graft's native SQL functions. Opt in
   * with `.config("spark.sql.extensions", "graft.GraftExtensions")` —
@@ -34,6 +34,19 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
         require(children.size == 2, "graft_dot takes exactly 2 arguments")
         ArrayDotProduct(children.head, children(1))
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("graft_adc_sum"),
+      new ExpressionInfo(classOf[AdcLookupSum].getName, "graft_adc_sum"),
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+        require(children.size == 3,
+          "graft_adc_sum takes exactly 3 arguments: codes, lut, k")
+        val kExpr = children(2)
+        require(kExpr.foldable &&
+          kExpr.dataType == org.apache.spark.sql.types.IntegerType,
+          "graft_adc_sum: k must be an integer literal")
+        AdcLookupSum(children.head, children(1),
+          kExpr.eval().asInstanceOf[Int])
       }))
     // declaratively-written dot-product folds run the native loop
     ext.injectOptimizerRule(_ => graft.plans.NativeDotRewrite)

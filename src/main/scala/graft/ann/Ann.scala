@@ -25,7 +25,7 @@ import org.apache.spark.sql.functions._
 object Ann {
 
   /** Cast a float-array column to double for deterministic arithmetic. */
-  private def asDouble(v: Column): Column = transform(v, _.cast("double"))
+  private def asDouble(v: Column): Column = v.cast("array<double>")
 
   /** L2 norm via the native index-order dot (cross-engine deterministic). */
   private def l2(v: Column): Column = sqrt(dot(v, v))
@@ -90,18 +90,13 @@ object Ann {
     * cells — like [[graft.dedup.Dedup.minhashIndex]]'s banding, the
     * assignment is a persistence contract, not an implementation detail.
     */
-  private def assignExpr(cs: Seq[Seq[Double]]): Column = {
-    val clit = typedlit(cs)
-    aggregate(
-      sequence(lit(0), lit(cs.size - 1)),
-      struct(lit(-1).as("c"), lit(Double.NegativeInfinity).as("best")),
-      (acc, c) => {
-        val d = graft.functions.ArrayDotProduct.ofColumns(
-          col("vn"), element_at(clit, c + 1))
-        when(d > acc.getField("best"),
-          struct(c.as("c"), d.as("best"))).otherwise(acc)
-      }).getField("c")
-  }
+  private def assignExpr(cs: Seq[Seq[Double]]): Column =
+    // native argmax loop (r16): the aggregate-over-cells HOF fold paid
+    // an interpreted dispatch + struct allocation per (row, cell) —
+    // ~√N of them per row on the full assignment pass; arithmetic,
+    // tie-breaks and degenerate-input outcomes are bit-identical
+    // (ArgmaxDotIndex scaladoc; ArgmaxDotIndexSpec differential)
+    graft.functions.ArgmaxDotIndex.ofColumn(col("vn"), cs)
 
   /** Driver-coordinated spherical k-means over a prepared (checkpointed)
     * corpus frame: init = the `nCentroids` vectors with the smallest
@@ -428,24 +423,15 @@ object Ann {
     require(probeBits >= 0 && probeBits <= planeTensor.head.size,
       s"probeBits $probeBits outside [0, ${planeTensor.head.size}]")
     val tables = planeTensor.size
-    val bitsPerTable = planeTensor.head.size
-    // plane tensor [table][bit][dim] as a single literal
-    val planeLit = typedlit(planeTensor)
     def withBuckets(df: DataFrame, id: String): DataFrame = {
-      // explode the table axis first: v materializes at the Generate
-      // node, then each output row computes one bucket (bits × dim fold)
-      val tablePlanes = element_at(planeLit, col("table") + 1)
-      val bucket = aggregate(
-        sequence(lit(0), lit(bitsPerTable - 1)),
-        lit(0L),
-        (acc, b) => {
-          val d = dot(col("v"), element_at(tablePlanes, b + 1))
-          acc.bitwiseOR(when(d >= 0, call_function("shiftleft", lit(1L), b))
-            .otherwise(lit(0L)))
-        })
+      // explode the table axis first: v materializes once per (row,
+      // table) at the Generate node, then the native bucket loop runs
+      // on top of it (r16 — the aggregate-over-bits HOF fold it
+      // replaces is bit-identical; SignLshBucketSpec differential)
       df.select(col(id), col("v"),
         explode(sequence(lit(0), lit(tables - 1))).as("table"))
-        .withColumn("bucket", bucket)
+        .withColumn("bucket", graft.functions.SignLshBucket.ofColumns(
+          col("v"), col("table"), planeTensor))
     }
     val cv = corpus.select(col(idCol).as("neighbor_id"),
       asDouble(col(vecCol)).as("v"))

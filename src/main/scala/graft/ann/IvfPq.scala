@@ -40,7 +40,7 @@ import org.apache.spark.sql.functions._
   */
 object IvfPq {
 
-  private def asDouble(v: Column): Column = transform(v, _.cast("double"))
+  private def asDouble(v: Column): Column = v.cast("array<double>")
 
   /** (cluster → centroid) as driver matrices, 0-gap-checked. */
   private def centroidSeq(centroids: DataFrame): IndexedSeq[Seq[Double]] = {
@@ -213,10 +213,10 @@ object IvfPq {
       .filter(col("cluster").isin(probedCells: _*))
       .join(broadcast(routes), Seq("cluster"))
       .filter(col("neighbor_id") =!= col("query_id"))
-      .withColumn("adc_dot", col("qcdot") + aggregate(
-        sequence(lit(0), lit(m - 1)), lit(0.0),
-        (acc, s) => acc + element_at(col("lut"),
-          s * k + element_at(col("codes"), s + 1) + 1)))
+      // native codegen lookup-sum — same swap as [[Pq.adcTopK]] (the
+      // r16 bimodal-kernel note's structural fix); bit-identical fold
+      .withColumn("adc_dot", col("qcdot") +
+        graft.functions.AdcLookupSum.ofColumns(col("codes"), col("lut"), k))
       // zero-norm guard: same convention as [[Pq.adcTopK]]
       .withColumn("cosine",
         when(col("rnorm") * col("nq") > 0.0,

@@ -57,7 +57,7 @@ object Mmr {
       .sortBy { case (id, rel) => (-rel, id) }
     val ids = cands.map(_._1)
     val vecs = emb
-      .select(col(idCol), transform(col(vecCol), _.cast("double")).as("v"))
+      .select(col(idCol), col(vecCol).cast("array<double>").as("v"))
       .filter(col(idCol).isin(ids: _*))
       .collect().map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).toMap
     val orphans = ids.filterNot(vecs.contains)

@@ -74,26 +74,23 @@ object Opq {
     allocate(eig.map(_._2), m).flatten.map(i => eig(i)._1).toArray
   }
 
-  /** Rotate `vecCol` by `basis` (rows): y_j = Σ_k basis(j)(k)·x_k, each
-    * output coordinate an ordered fold over one zip_with — the
-    * [[Pca.embedProject]] expression shape at full output width. One
-    * narrow pass; the basis ships as literals.
+  /** Rotate `vecCol` by `basis` (rows): y_j = Σ_k basis(j)(k)·x_k via
+    * the native [[graft.functions.MatVecProduct]] loop (input-index
+    * accumulation order per output coordinate — bit-identical to the
+    * per-dim zip_with folds it replaced). One narrow pass; the basis
+    * ships once as a reference object.
     */
   def rotate(df: DataFrame, idCol: String, vecCol: String,
-      basis: Array[Array[Double]]): DataFrame = {
-    // materialize the cast vector behind a Generate barrier first:
-    // referencing a computed transform inside d output-dim lambdas
-    // would re-run the cast chain per output dimension after
-    // CollapseProject inlines it (the Quantize.prepared discipline)
-    val prepped = df.select(col(idCol), explode(array(struct(
-      transform(col(vecCol), _.cast("double")).as("x")))).as("s"))
-      .select(col(idCol), col("s.x").as("x"))
-    val ys: Seq[Column] = basis.toSeq.map { row =>
-      aggregate(zip_with(col("x"), typedlit(row.toSeq), (a, b) => a * b),
-        lit(0.0), (acc, v) => acc + v)
-    }
-    prepped.select(col(idCol), array(ys: _*).as(vecCol))
-  }
+      basis: Array[Array[Double]]): DataFrame =
+    // native mat-vec loop (r16): the per-output-dim aggregate(zip_with)
+    // folds paid d² interpreted dispatches + d array allocations per
+    // row over the full-corpus rotate pass of every OPQ build — and
+    // needed an explode barrier just to evaluate the cast once. One
+    // expression consumes the cast vector once; accumulation order and
+    // results are bit-identical (MatVecProduct scaladoc + differential)
+    df.select(col(idCol), graft.functions.MatVecProduct.ofColumn(
+      col(vecCol).cast("array<double>"),
+      basis.toSeq.map(_.toSeq)).as(vecCol))
 
   /** Cross-covariance aggregator for the Procrustes step: folds each
     * row's d² products x_i·ŷ_j into an exact integer micro-unit buffer

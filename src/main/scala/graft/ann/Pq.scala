@@ -29,7 +29,7 @@ import org.apache.spark.sql.functions._
   */
 object Pq {
 
-  private def asDouble(v: Column): Column = transform(v, _.cast("double"))
+  private def asDouble(v: Column): Column = v.cast("array<double>")
 
   private def dot(a: Column, b: Column): Column =
     graft.functions.ArrayDotProduct.ofColumns(a, b)
@@ -190,14 +190,13 @@ object Pq {
   def encode(corpus: DataFrame, idCol: String, vecCol: String,
       codebooks: DataFrame): DataFrame = {
     val books = collectBooks(codebooks)
-    val m = books.size
+    val k = books.head.size
     val norms = books.map(_.map(c => c.map(x => x * x).sum))
-    val nlit = typedlit(norms.map(_.toIndexedSeq))
+    // the rnorm fold is the AdcLookupSum shape with the flattened
+    // per-code squared norms as the lut — same index-order sum, native
     encodeCodesWith(corpus, idCol, vecCol, books)
-      .withColumn("rnorm", sqrt(aggregate(
-        sequence(lit(0), lit(m - 1)), lit(0.0),
-        (acc, s) => acc + element_at(element_at(nlit, s + 1),
-          element_at(col("codes"), s + 1) + 1))))
+      .withColumn("rnorm", sqrt(graft.functions.AdcLookupSum.ofColumns(
+        col("codes"), typedlit(norms.flatten), k)))
   }
 
   /** Code assignment only — (id, codes ARRAY<INT>) without the rnorm
@@ -215,24 +214,17 @@ object Pq {
     */
   private[ann] def encodeCodesWith(corpus: DataFrame, idCol: String,
       vecCol: String, books: IndexedSeq[IndexedSeq[Seq[Double]]]): DataFrame = {
-    val m = books.size
-    val norms = books.map(_.map(c => c.map(x => x * x).sum))
-    val v = asDouble(col(vecCol))
-    val sub = subDimChecked(v, m)
-    // the subspace index is static, so each element of the code array is
-    // its own expression over only ITS codebook literal; the slice is
-    // let-bound via a single-element transform() so the fold over codes
-    // binds `sv` once instead of re-slicing per code (the HOF-inlining
-    // hazard [[Quantize.int8]] documents)
-    val codes = array((0 until m).map { s =>
-      val sliced = slice(v, lit(s) * sub + 1, sub)
-      element_at(
-        transform(array(sliced), sv => argminCode(sv, books(s), norms(s))), 1)
-    }: _*)
-    // FanOut: the m×k argmin folds per row are the encode pass's whole
+    // native argmin over all m subspaces in one codegen loop — the r16
+    // composed form (m slice + transform-let + aggregate-over-codes HOF
+    // islands) paid an interpreted lambda dispatch per (row, subspace,
+    // code) across the WHOLE encode pass; arithmetic and tie-breaks are
+    // bit-identical (PqAssignCodes scaladoc; fixture oracles pin it)
+    // FanOut: the m×k argmin loops per row are the encode pass's whole
     // cost (per-row, partitioning-invariant; the cross-cov consumer
     // accumulates exact integer micro-units, also invariant)
-    graft.ops.FanOut(corpus).select(col(idCol), codes.as("codes"))
+    graft.ops.FanOut(corpus).select(col(idCol),
+      graft.functions.PqAssignCodes.ofColumn(asDouble(col(vecCol)), books)
+        .as("codes"))
   }
 
   /** ADC top-`kNeighbors` per query over a PQ code table: per query the
@@ -277,10 +269,13 @@ object Pq {
       .select(col(idCol).as("neighbor_id"), col("codes"), col("rnorm"))
       .crossJoin(broadcast(luts))
       .filter(col("neighbor_id") =!= col("query_id"))
-      .withColumn("adc_dot", aggregate(
-        sequence(lit(0), lit(m - 1)), lit(0.0),
-        (acc, s) => acc + element_at(col("lut"),
-          s * k + element_at(col("codes"), s + 1) + 1)))
+      // native codegen lookup-sum — one tight loop instead of the
+      // aggregate() HOF island whose interpreted dispatch dominated the
+      // probe and bloated the stage kernel past HotSpot's huge-method
+      // cutoffs (the r16 bimodal-kernel note; semantics and bits
+      // identical, AdcLookupSumSpec pins the differential)
+      .withColumn("adc_dot",
+        graft.functions.AdcLookupSum.ofColumns(col("codes"), col("lut"), k))
       // zero-norm guard: an all-zero query or reconstruction has no
       // direction — define its cosine as 0 rather than NaN (NaN sorts
       // ABOVE every real cosine under a descending window and would

@@ -51,7 +51,7 @@ object Prototype {
     import graft.functions.ArrayDotProduct.ofColumns
     val protos = labelMeans(emb, vecCol, labelCol).collect()
       .map(r => r.getInt(0) -> r.getSeq[Double](1)).sortBy(_._1)
-    val v = transform(col(vecCol), _.cast("double"))
+    val v = col(vecCol).cast("array<double>")
     val base = emb.select(col(labelCol).as("label"), v.as("v"))
       .withColumn("nv", sqrt(ofColumns(col("v"), col("v"))))
     // argmax as an aggregate() LAMBDA over the prototype matrix, like

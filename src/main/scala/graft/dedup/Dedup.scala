@@ -646,7 +646,7 @@ object Dedup {
     // per-row maps — single-split compact corpora must not run them on
     // one core (see graft.ops.FanOut; results per-row invariant)
     graft.ops.FanOut(df).select(col(idCol).as("doc"),
-      transform(col(vecCol), x => x.cast("double")).as("v"))
+      col(vecCol).cast("array<double>").as("v"))
       .withColumn("norm", sqrt(ofColumns(col("v"), col("v"))))
       // zero-norm vectors have no cosine: under ANSI arithmetic the
       // division would RAISE (one degenerate embedding killing a
@@ -823,23 +823,20 @@ object Dedup {
   private def signBuckets(df: DataFrame, prepped: DataFrame,
       idCol: String, vecCol: String, tables: Int, bitsPerTable: Int,
       seed: Long): Option[DataFrame] = {
-    import graft.functions.ArrayDotProduct.ofColumns
     // infer dim from data: a plane/vector length mismatch nulls the dot
     // and would silently land everything in bucket 0
     val dimRow = df.select(size(col(vecCol)).as("d"))
       .filter(col("d").isNotNull).head(1)
     if (dimRow.isEmpty) return None
     val dim = dimRow(0).getInt(0)
-    val planeLit = typedlit((0 until tables).map(t =>
-      graft.ann.Ann.planes(seed + t, bitsPerTable, dim)))
-    val tablePlanes = element_at(planeLit, col("table") + 1)
-    val bucket = aggregate(
-      sequence(lit(0), lit(bitsPerTable - 1)), lit(0L),
-      (acc, b) => {
-        val d = ofColumns(col("v"), element_at(tablePlanes, b + 1))
-        acc.bitwiseOR(when(d >= 0, call_function("shiftleft", lit(1L), b))
-          .otherwise(lit(0L)))
-      })
+    // native per-(row, table) bucket loop (r16): the aggregate-over-bits
+    // HOF fold paid an interpreted dispatch per (row, table, bit) —
+    // tables × up-to-48 bits of them per corpus row, the map-side term
+    // of the index build; signs and null plumbing bit-identical
+    // (SignLshBucket scaladoc; SignLshBucketSpec differential)
+    val bucket = graft.functions.SignLshBucket.ofColumns(
+      col("v"), col("table"),
+      (0 until tables).map(t => graft.ann.Ann.planes(seed + t, bitsPerTable, dim)))
     // explode is the plan barrier: v materializes once per (row, table)
     // at the Generate, the per-table bucket fold runs on top of it
     Some(prepped

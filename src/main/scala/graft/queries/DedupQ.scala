@@ -148,7 +148,7 @@ object DedupQ {
   private def embeddingsAsDouble(spark: SparkSession, dir: String): DataFrame =
     Tables(spark, dir, "embeddings")
       .select(col("vec_id"),
-        transform(col("embedding"), _.cast("double")).as("embedding"))
+        col("embedding").cast("array<double>").as("embedding"))
 
   private def plantedTwins(emb: DataFrame): DataFrame =
     emb.filter(col("vec_id") % 10 === 0)

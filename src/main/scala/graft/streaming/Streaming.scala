@@ -384,7 +384,7 @@ object Streaming {
         def adaptiveNList(n: Long): Int = math.max(nListFloor,
           math.ceil(math.sqrt(math.max(n, 1L).toDouble)).toInt)
         def dequantized(index: DataFrame): DataFrame = index
-          .select(col(idCol), transform(col("qv"), _.cast("double")).as("fv"))
+          .select(col(idCol), col("qv").cast("array<double>").as("fv"))
         def writeIndex(rows: DataFrame): String => Unit = out =>
           rows.select(col(idCol), col("cluster"), col("qv"))
             .repartition(col("cluster")) // one file per cell (see A3)
