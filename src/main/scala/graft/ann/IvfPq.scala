@@ -120,30 +120,30 @@ object IvfPq {
       means: DataFrame, centroids: DataFrame, codebooks: DataFrame,
       idCol: String, vecCol: String): DataFrame = {
     val ms = meanSeq(means, centroidSeq(centroids).size)
-    // feeds the code branch AND the (id, cluster) projection: assign-join
-    // and residual arithmetic run once (collected when the result drops;
-    // multi-consumer, so the mode-aware multi-consumer barrier)
-    val res = graft.ops.Barrier.once(
-      residuals(corpus, assignments, ms, idCol, vecCol))
-    // codes only: the rnorm Pq.encode would fold is ‖r̂‖, not the ‖μ+r̂‖
-    // this index stores — skip the wasted per-row work; books collect
-    // ONCE for both the code projection and the recon literals
     val books = Pq.collectBooks(codebooks)
-    val coded = Pq.encodeCodesWith(res, idCol, "res", books)
-    val m = books.size
-    val bookLit = (0 until m).map(s => typedlit(books(s).map(_.toSeq)))
-    val mlit = typedlit(ms)
-    res.select(col(idCol), col("cluster")).join(coded, idCol)
-      // recon = μ(cluster) + concat of per-subspace codewords; rnorm =
-      // ||recon||. Materialized behind this single projection — the
-      // decode literals appear once per subspace, not per element
-      .withColumn("recon", zip_with(
-        element_at(mlit, col("cluster") + 1),
-        flatten(array((0 until m).map(s =>
-          element_at(bookLit(s), element_at(col("codes"), s + 1) + 1)): _*)),
-        (a, b) => a + b))
-      .withColumn("rnorm", sqrt(
-        graft.functions.ArrayDotProduct.ofColumns(col("recon"), col("recon"))))
+    val msSeq = ms.map(_.toSeq)
+    val booksSeq = books.map(_.map(_.toSeq).toSeq).toSeq
+    // ONE narrow pass after the assignment join (r16): the residual
+    // subtraction, the per-subspace argmin, and the recon norm all run
+    // fused in two native expressions — the previous form materialized
+    // a residual array per row (interpreted zip_with), checkpointed it,
+    // projected codes, and JOINED them back to their clusters by id:
+    // a second full-corpus shuffle the encode never needed. Values are
+    // bit-identical (PqResidualOps scaladoc; IvfPqSpec + the ivfpq
+    // fixture oracle pin cluster/codes/rnorm end-to-end).
+    corpus.select(col(idCol), asDouble(col(vecCol)).as("v"))
+      .join(assignments.select(col(idCol), col("cluster")), idCol)
+      // codes materialize at an explode(array(struct)) Generate barrier
+      // BEFORE rnorm reads them — otherwise CollapseProject inlines the
+      // argmin expression into the rnorm consumer and the whole encode
+      // runs twice per row (the Quantize.prepared discipline; measured
+      // 2× on the first join-free draft of this pass)
+      .select(col(idCol), col("cluster"), explode(array(struct(
+        graft.functions.PqResidualAssignCodes.ofColumns(
+          col("v"), col("cluster"), msSeq, booksSeq).as("codes")))).as("s"))
+      .select(col(idCol), col("cluster"), col("s.codes").as("codes"))
+      .withColumn("rnorm", graft.functions.PqReconNorm.ofColumns(
+        col("cluster"), col("codes"), msSeq, booksSeq))
       .select(col(idCol), col("cluster"), col("codes"), col("rnorm"))
   }
 

@@ -72,32 +72,8 @@ case class PqAssignCodes(child: Expression,
     * expression instance with the same left-fold the composed form's
     * literals used (norms(s)(c) = Σ x², index order).
     */
-  @transient private lazy val packed: PqAssignCodes.Packed = {
-    val m = books.size
-    val k = books.head.size
-    val subDim = books.head.head.size
-    val flat = new Array[Double](m * k * subDim)
-    val norms = new Array[Double](m * k)
-    var s = 0
-    while (s < m) {
-      var c = 0
-      while (c < k) {
-        val cent = books(s)(c)
-        var acc = 0.0
-        var j = 0
-        while (j < subDim) {
-          val x = cent(j)
-          flat((s * k + c) * subDim + j) = x
-          acc += x * x
-          j += 1
-        }
-        norms(s * k + c) = acc
-        c += 1
-      }
-      s += 1
-    }
-    PqAssignCodes.Packed(flat, norms, m, k, subDim)
-  }
+  @transient private lazy val packed: PqAssignCodes.Packed =
+    PqAssignCodes.pack(books)
 
   override protected def nullSafeEval(vec: Any): Any =
     PqAssignCodes.assign(vec.asInstanceOf[ArrayData], packed)
@@ -122,6 +98,37 @@ object PqAssignCodes {
     */
   case class Packed(flat: Array[Double], norms: Array[Double],
       m: Int, k: Int, subDim: Int) extends Serializable
+
+  /** Pack a codebook matrix into the flat executor form; shared by
+    * the residual-PQ expressions ([[PqResidualAssignCodes]],
+    * [[PqReconNorm]]) so one packing definition exists.
+    */
+  def pack(books: Seq[Seq[Seq[Double]]]): Packed = {
+    val m = books.size
+    val k = books.head.size
+    val subDim = books.head.head.size
+    val flat = new Array[Double](m * k * subDim)
+    val norms = new Array[Double](m * k)
+    var s = 0
+    while (s < m) {
+      var c = 0
+      while (c < k) {
+        val cent = books(s)(c)
+        var acc = 0.0
+        var j = 0
+        while (j < subDim) {
+          val x = cent(j)
+          flat((s * k + c) * subDim + j) = x
+          acc += x * x
+          j += 1
+        }
+        norms(s * k + c) = acc
+        c += 1
+      }
+      s += 1
+    }
+    Packed(flat, norms, m, k, subDim)
+  }
 
   def assign(vec: ArrayData, p: Packed): ArrayData = {
     val n = vec.numElements()
