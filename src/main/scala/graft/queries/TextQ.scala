@@ -21,16 +21,22 @@ object TextQ {
     * tokens, distinct tokens, average token length.
     */
   def tokenStats(spark: SparkSession, dir: String): DataFrame = {
-    val toks = TextOps.tokens(col("text"))
+    // tokenize ONCE at a Generate barrier (the chunkDocs discipline),
+    // then the char-sum fold runs as the native single-pass TokenStats
+    // loop instead of an interpreted per-token aggregate (r16; values
+    // bit-identical — TokenStatsSpec pins the fold differential)
     Tables(spark, dir, "documents")
+      .select(col("doc_id"), col("text"),
+        explode(array(struct(TextOps.tokens(col("text")).as("toks")))).as("s"))
       .select(
         col("doc_id"),
         length(col("text")).cast("long").as("chars"),
-        size(toks).cast("long").as("ws_tokens"),
+        size(col("s.toks")).cast("long").as("ws_tokens"),
         TextOps.regexTokenCount(col("text")).cast("long").as("re_tokens"),
-        size(array_distinct(toks)).cast("long").as("distinct_tokens"),
-        round(TextOps.totalTokenChars(toks).cast("double") /
-          size(toks).cast("double"), 6).as("avg_token_len"))
+        size(array_distinct(col("s.toks"))).cast("long").as("distinct_tokens"),
+        round(element_at(graft.functions.TokenStats.ofColumn(
+          col("s.toks"), Nil), 1).cast("double") /
+          size(col("s.toks")).cast("double"), 6).as("avg_token_len"))
   }
 
   /** Quality scoring: stopword ratio, lexical diversity, length signal,
@@ -39,15 +45,23 @@ object TextQ {
     * so both engines agree bitwise.
     */
   def qualityScore(spark: SparkSession, dir: String): DataFrame = {
-    val toks = TextOps.tokens(col("text"))
+    // tokenize ONCE at a Generate barrier, then ONE native TokenStats
+    // pass feeds the stopword count (previously an interpreted
+    // filter-HOF island per document on top of a re-inlined tokenize
+    // chain per statistic; ratios divide the same exact integers —
+    // TokenStatsSpec pins the differential)
     Tables(spark, dir, "documents")
-      .select(col("doc_id"), col("text"))
-      .withColumn("n_tokens", size(toks).cast("long"))
+      .select(col("doc_id"), explode(array(struct(
+        TextOps.tokens(col("text")).as("toks")))).as("s"))
+      .select(col("doc_id"), col("s.toks").as("toks"))
+      .withColumn("n_tokens", size(col("toks")).cast("long"))
       .withColumn("stop_ratio",
-        round(TextOps.wordRatio(toks, TextOps.stopwords), 6))
+        round(element_at(graft.functions.TokenStats.ofColumn(
+          col("toks"), Seq(TextOps.stopwords)), 2).cast("double") /
+          size(col("toks")).cast("double"), 6))
       .withColumn("diversity",
-        round(size(array_distinct(toks)).cast("double") /
-          size(toks).cast("double"), 6))
+        round(size(array_distinct(col("toks"))).cast("double") /
+          size(col("toks")).cast("double"), 6))
       .withColumn("length_signal",
         round(least(col("n_tokens").cast("double") / 50.0, lit(1.0)), 6))
       // composite in exact DECIMAL (the 6dp components are exact decimals):
@@ -60,20 +74,32 @@ object TextQ {
             (lit(BigDecimal("1.0")) - col("stop_ratio").cast(DecimalType(9, 6))))
           .cast("double"))
       .withColumn("keep", col("quality") >= 0.5 && col("n_tokens") >= 10)
-      .drop("text")
+      .drop("toks")
   }
 
   /** n-gram-heuristic language identification: marker-token hit ratios
     * per language, argmax with fixed-priority tie-break.
     */
   def langId(spark: SparkSession, dir: String): DataFrame = {
-    val toks = TextOps.tokens(col("text"))
-    val scores = TextOps.langScores(toks)
-    val scoreCols = scores.map { case (l, c) => round(c, 6).as(s"score_$l") }
+    // one tokenize + ONE native TokenStats pass over all five marker
+    // sets (previously five filter-HOF islands per document); each
+    // score divides the same exact hit/size integers as before
+    val langs = TextOps.langMarkers.map(_._1)
+    val scoreCols = langs.zipWithIndex.map { case (l, i) =>
+      round(element_at(col("st"), i + 2).cast("double") /
+        size(col("toks")).cast("double"), 6).as(s"score_$l")
+    }
     Tables(spark, dir, "documents")
+      .select(col("doc_id"), explode(array(struct(
+        TextOps.tokens(col("text")).as("toks")))).as("s"))
+      .select(col("doc_id"), col("s.toks").as("toks"))
+      .select(col("doc_id"), col("toks"), explode(array(struct(
+        graft.functions.TokenStats.ofColumn(col("toks"),
+          TextOps.langMarkers.map(_._2)).as("st")))).as("s2"))
+      .select(col("doc_id"), col("toks"), col("s2.st").as("st"))
       .select(col("doc_id") +: scoreCols: _*)
       .withColumn("predicted",
-        TextOps.predictLang(scores.map { case (l, _) => l -> col(s"score_$l") }))
+        TextOps.predictLang(langs.map(l => l -> col(s"score_$l"))))
   }
 
   /** Long-document chunking: 100-token windows every 80 tokens — the
