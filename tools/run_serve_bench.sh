@@ -24,14 +24,15 @@ done
 # for instrumented draws — empty by default so recorded numbers are not
 # perturbed unless a run asks for it.
 #
-# SPARK_GRAFT_JIT=adc (r16, OPT-IN): the big generated ADC/brute-force
-# kernels (q_ann_pq_probe / q_ann_opq / q_ann_opq_np at sf10) measured
-# BIMODAL — ~2.5 s compiled vs 10–30 s when HotSpot abandons the
-# method after repeated deoptimizations (or refuses a huge generated
-# method) and leaves it interpreted for the rest of the JVM. These
-# flags remove most slow-mode samples BUT measured +25% on a normal
-# member mix (compile churn), so they are opt-in for ANN-heavy sf10
-# draws, not a default (BENCH_NOTES r16 "bimodal ADC kernels").
+# SPARK_GRAFT_JIT=adc (r16, OPT-IN -- OBSOLETE since the native-ADC
+# commit): the interpreted aggregate() islands that bloated the ADC
+# kernels past HotSpot's huge-method/recompilation cutoffs (the
+# measured 2.5 s vs 10-30 s bimodal flips) were replaced by small
+# native codegen loops, and three fresh stock-JIT sf10 draws show
+# zero flips with warm probes ~3x FASTER than the old fast mode
+# (BENCH_NOTES r16 "native codegen expressions"). The flags remain
+# only to reproduce the r16 mid-round draws; do not use them for new
+# numbers -- they measured +25% on a normal member mix.
 JIT_OPTS=""
 if [ "${SPARK_GRAFT_JIT:-}" = "adc" ]; then
   JIT_OPTS="-XX:-DontCompileHugeMethods -XX:PerMethodRecompilationCutoff=-1 -XX:PerBytecodeRecompilationCutoff=-1"
