@@ -34,7 +34,20 @@ import org.apache.spark.sql.SparkSession
   *  - the full JSON line is ALSO written to `target/bench.json`
   *    (override: SPARK_GRAFT_BENCH_OUT) — stdout tail capture truncated
   *    the per-query map out of BENCH_r07.json entirely, so the file,
-  *    not stdout, is the artifact of record.
+  *    not stdout, is the artifact of record;
+  *  - the evaluation SINK is a noop-format write (r17, judge ask #1):
+  *    the old `.count()` sink let Catalyst prune every computed column
+  *    from pure-projection plans (no agg/join/window/Generate), so
+  *    those members benched a parquet row-count scan, not their work —
+  *    q_lang_id "cost" 0.4 s at sf10 while the real scoring pass was
+  *    1.9 s (BENCH_NOTES r16). `df.write.format("noop")` evaluates
+  *    every column of every row and discards them executor-side. The
+  *    rows figure now comes from an `observe(count(1))` node on the
+  *    same run — zero-column, so it prunes nothing and re-runs
+  *    nothing. SPARK_GRAFT_SINK=count restores the old sink for
+  *    bridge A/Bs against pre-r17 artifacts; never compare a count-
+  *    sink total against a noop-sink total (BENCH_NOTES r17 bridge
+  *    table maps one onto the other).
   */
 object Bench {
   private def jsonEsc(s: String): String = Json.esc(s)
@@ -128,14 +141,39 @@ object Bench {
         case b: com.sun.management.OperatingSystemMXBean => Some(b)
         case _ => None
       }
+    // r17: noop-write sink by default (full column evaluation, nothing
+    // kept); "count" restores the pre-r17 pruned sink for bridge A/Bs
+    val sinkMode = sys.env.getOrElse("SPARK_GRAFT_SINK", "noop")
+    require(sinkMode == "noop" || sinkMode == "count",
+      s"SPARK_GRAFT_SINK must be noop|count, got '$sinkMode'")
+    // rows from the observe() node: the listener fires asynchronously
+    // after save() returns, so poll briefly; −1 = metric never arrived
+    // (diagnosable, never hangs the bench)
+    def observedRows(obs: org.apache.spark.sql.Observation): Long =
+      try {
+        val row = scala.concurrent.Await.result(obs.future,
+          scala.concurrent.duration.Duration(10, "s"))
+        row.getAs[Long]("rows")
+      } catch { case _: java.util.concurrent.TimeoutException => -1L }
     names.foreach { name =>
+      var sampleIdx = 0
       val samples = (1 to runs).map { _ =>
         System.gc() // fence: don't bill the previous query's garbage here
         val c0 = osBean.map(_.getProcessCpuTime).getOrElse(0L)
         val t0 = System.nanoTime()
         val ok =
           try {
-            rowsLog(name) = registry(name)(spark, sfDir).count()
+            val df = registry(name)(spark, sfDir)
+            if (sinkMode == "count") rowsLog(name) = df.count()
+            else {
+              sampleIdx += 1
+              val obs = org.apache.spark.sql.Observation(
+                s"graft_bench_${name}_$sampleIdx")
+              df.observe(obs, org.apache.spark.sql.functions.count(
+                  org.apache.spark.sql.functions.lit(1)).as("rows"))
+                .write.format("noop").mode("overwrite").save()
+              rowsLog(name) = observedRows(obs)
+            }
             true
           }
           catch {

@@ -37,6 +37,17 @@ object BenchBpe {
         (graft.text.Bpe.trainBatchedStats(_, _, _)))
       case "incremental" => Seq("bpe_train_incremental" ->
         (graft.text.Bpe.trainIncrementalStats(_, _, _)))
+      // r17: the driver-side trainer — zero distributed rounds, so its
+      // batch stats are empty by construction ("rounds":0 in the line)
+      case "driver" => Seq("bpe_train_driver" ->
+        ((df: DataFrame, m: Int, _: Int) =>
+          (graft.text.Bpe.trainDriver(df, m), Seq.empty[Int])))
+      case "all" => Seq(
+        "bpe_train_batched" -> (graft.text.Bpe.trainBatchedStats(_, _, _)),
+        "bpe_train_incremental" ->
+          (graft.text.Bpe.trainIncrementalStats(_, _, _)),
+        "bpe_train_driver" -> ((df: DataFrame, m: Int, _: Int) =>
+          (graft.text.Bpe.trainDriver(df, m), Seq.empty[Int])))
       case _ => Seq(
         "bpe_train_batched" -> (graft.text.Bpe.trainBatchedStats(_, _, _)),
         "bpe_train_incremental" ->

@@ -45,8 +45,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         require(kExpr.foldable &&
           kExpr.dataType == org.apache.spark.sql.types.IntegerType,
           "graft_adc_sum: k must be an integer literal")
+        // eval() of a foldable NULL int (CAST(NULL AS INT)) is null;
+        // the asInstanceOf unboxes it to 0, which would surface as a
+        // misleading "requires a positive k, got 0" downstream
+        val kVal = kExpr.eval()
+        require(kVal != null,
+          "graft_adc_sum: k must be a non-null integer literal")
         AdcLookupSum(children.head, children(1),
-          kExpr.eval().asInstanceOf[Int])
+          kVal.asInstanceOf[Int])
       }))
     // declaratively-written dot-product folds run the native loop
     ext.injectOptimizerRule(_ => graft.plans.NativeDotRewrite)

@@ -489,6 +489,7 @@ object SparkEntry {
     "q_bpe_train" -> TextQ.bpeTrain,
     "q_bpe_train_batched" -> TextQ.bpeTrainBatched,
     "q_bpe_train_incremental" -> TextQ.bpeTrainIncremental,
+    "q_bpe_train_auto" -> TextQ.bpeTrainAuto,
     // tokenizer application — per-doc BPE token counts via the
     // once-encoded distinct-word table (rows-only; BpeSpec round-trips)
     "q_bpe_encode" -> TextQ.bpeEncode,
@@ -818,6 +819,7 @@ object SparkEntry {
     "q_bpe_train" -> "fixture twin q_bpe_fixture (hash-match; BpeSpec pins the fixture merge table against the trainer); BpeSpec pins merge-for-merge training vs a from-scratch driver reference",
     "q_bpe_train_batched" -> "fixture twin q_bpe_fixture (hash-match; the same merge semantics under pinned merges); BpeSpec pins the batched trainer table-for-table against the from-scratch scalar reference at 200 merges (incl. the exhaustion point and the sequential trainer's prefix) — a wrong batch rule cannot survive 200 rows",
     "q_bpe_train_incremental" -> "fixture twin q_bpe_fixture (hash-match; the same merge semantics under pinned merges); BpeSpec pins the incremental-delta trainer table-for-table against the scalar reference, train AND trainBatched at 200 merges incl. the exhaustion point and the adversarial tiny-alphabet trials — a drifted delta or heap cannot survive the parity rows",
+    "q_bpe_train_auto" -> "fixture twin q_bpe_fixture (hash-match; the same merge semantics under pinned merges); BpeSpec pins the driver-side trainer table-for-table against the scalar reference at 200 merges incl. exhaustion and the tiny-alphabet trials, pins the utf8 tie-break comparator against Spark's own string sort, and drives BOTH sides of the trainAuto size gate to the same table",
     "q_simhash_pairs" -> "fixture twin q_simhash_fixture (hash-match); DedupSpec pins band/verify shape",
   )
 

@@ -41,7 +41,14 @@ object Pq {
     * fail loudly", so the slice refuses rather than mis-slicing.
     */
   private[ann] def subDimChecked(v: Column, m: Int): Column =
-    when(pmod(size(v), lit(m)) === 0, (size(v) / m).cast("int"))
+    // the null-vector branch must come FIRST: size(null) is null, so
+    // without it a null vector (e.g. MatVecProduct's null row for a
+    // mismatched-dim input) falls to the otherwise-branch and raises
+    // with a garbled "vector dim NULL" concat — fail with the real cause
+    when(v.isNull, raise_error(lit(
+      "PQ: null vector — null/mixed-dim embeddings must fail loudly " +
+        "rather than be silently dropped from the codes")).cast("int"))
+      .when(pmod(size(v), lit(m)) === 0, (size(v) / m).cast("int"))
       .otherwise(raise_error(concat(
         lit("PQ: vector dim "), size(v).cast("string"),
         lit(s" is not divisible by m=$m — trailing dimensions would be " +
@@ -170,6 +177,11 @@ object Pq {
       : IndexedSeq[IndexedSeq[Seq[Double]]] = {
     val rows = codebooks.select(col("subspace"), col("code"), col("centroid"))
       .collect()
+    // encode reads books.head.size for k; an empty codebook artifact
+    // must name itself here, not throw a raw NoSuchElementException
+    require(rows.nonEmpty,
+      "PQ: empty codebook table — the codebook artifact has no rows " +
+        "(was the training stage skipped or its output path wrong?)")
     val bySub = rows.groupBy(_.getInt(0))
     (0 until bySub.size).map(s => {
       val cb = bySub(s).sortBy(_.getInt(1))

@@ -1,9 +1,11 @@
 package graft.functions
 
 import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode, FalseLiteral}
+import org.apache.spark.sql.catalyst.expressions.codegen.Block._
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.graft.ColumnBridge
 import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, IntegerType}
@@ -27,14 +29,17 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, IntegerType}
   * comparison, and a cell whose dot is null (length mismatch or a null
   * element) is skipped exactly as null-poisoned comparisons skipped it
   * — a row with no comparable cell yields −1, like the fold's initial
-  * accumulator. A null vector row yields null (the fold produced −1
-  * there; no producer emits null vectors — AnnSpec's saved≡fresh and
-  * stream-equality pins run through this path).
+  * accumulator. A null vector row ALSO yields −1 — exact fold parity
+  * (the fold's initial accumulator survives when every dot is null) —
+  * so a null-embedding row lands in the sentinel −1 cell of every
+  * cluster join/group-by instead of silently vanishing
+  * (ArgmaxDotIndexSpec pins this; no current producer emits null
+  * vectors, but the sentinel keeps misuse visible).
   */
 case class ArgmaxDotIndex(child: Expression,
     centroids: Seq[Seq[Double]]) extends UnaryExpression {
 
-  override def nullable: Boolean = true
+  override def nullable: Boolean = false
 
   override def checkInputDataTypes(): TypeCheckResult = {
     if (centroids.isEmpty)
@@ -66,15 +71,21 @@ case class ArgmaxDotIndex(child: Expression,
     ArgmaxDotIndex.Packed(flat, n, dim)
   }
 
-  override protected def nullSafeEval(vec: Any): Any =
-    ArgmaxDotIndex.assign(vec.asInstanceOf[ArrayData], packed)
+  override def eval(input: InternalRow): Any = {
+    val v = child.eval(input)
+    if (v == null) -1
+    else ArgmaxDotIndex.assign(v.asInstanceOf[ArrayData], packed)
+  }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val childGen = child.genCode(ctx)
     val packedRef = ctx.addReferenceObj("centroidsPacked", packed,
       classOf[ArgmaxDotIndex.Packed].getName)
-    nullSafeCodeGen(ctx, ev, vec => {
-      s"${ev.value} = graft.functions.ArgmaxDotIndex.assign($vec, $packedRef);"
-    })
+    ev.copy(code = code"""
+      ${childGen.code}
+      int ${ev.value} = ${childGen.isNull} ? -1 :
+        graft.functions.ArgmaxDotIndex.assign(${childGen.value}, $packedRef);
+      """, isNull = FalseLiteral)
   }
 
   override protected def withNewChildInternal(newChild: Expression): ArgmaxDotIndex =

@@ -27,13 +27,18 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType}
   * differential; the OPQ fixture oracle pins the serve path
   * end-to-end).
   *
-  * Degenerate inputs follow the fold: a vector whose length differs
-  * from the matrix row length makes every output null in the composed
-  * form (zip_with pads with null, null poisons the fold) — here the
-  * whole output row is null, which composes identically downstream
-  * (every consumer treats an all-null vector and a null vector the
-  * same: dots and slices null-poison). A null element likewise nulls
-  * every output coordinate → null row. A null vector row is null.
+  * Degenerate inputs: a vector whose length differs from the matrix
+  * row length makes every output COORDINATE null in the composed form
+  * (zip_with pads with null, null poisons the fold — an all-null array
+  * of length d); here the whole output ROW is null instead. The two
+  * are NOT interchangeable everywhere — `size(all-null array)` = d
+  * while `size(null)` is null, so [[graft.ann.Pq.subDimChecked]] takes
+  * its explicit null-vector raise branch on this form where the
+  * composed form would have mis-sliced an all-null array — which is
+  * the intended outcome: the repo contract is that mixed-dim/null
+  * embeddings fail loudly, and the null row fails louder and earlier.
+  * A null element likewise nulls every output coordinate → null row.
+  * A null vector row is null.
   */
 case class MatVecProduct(child: Expression,
     rows: Seq[Seq[Double]]) extends UnaryExpression {

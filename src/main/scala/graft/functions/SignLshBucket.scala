@@ -123,12 +123,17 @@ object SignLshBucket {
     extends Serializable
 
   def bucket(v: ArrayData, table: Int, p: Packed): Long = {
-    if (table >= p.tables)
+    // only −1 is legal below 0: it is the INTERNAL null-table sentinel
+    // the eval/codegen paths substitute for a null index. A genuinely
+    // negative index must raise — ANSI element_at would have read from
+    // the END of the tensor for it, so silently aliasing to bucket 0
+    // would be a semantic divergence a reuse site could never see
+    if (table >= p.tables || table < -1)
       throw new SparkException(
         s"graft_sign_bucket: table $table outside the ${p.tables}-table tensor")
     // the fold's null plumbing: null vector / null table lookup /
     // length mismatch / null element → every dot null → bucket 0
-    if (v == null || table < 0 || v.numElements() != p.dim) return 0L
+    if (v == null || table == -1 || v.numElements() != p.dim) return 0L
     var j = 0
     while (j < p.dim) {
       if (v.isNullAt(j)) return 0L

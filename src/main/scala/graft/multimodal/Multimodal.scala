@@ -571,17 +571,25 @@ object Multimodal {
     * (q_image_phash_pairs etc.) keep [[phashPairs]] unchanged.
     */
   def phashClusterEdges(hashes: DataFrame, maxHamming: Int): DataFrame = {
-    val groups = hashes.groupBy(col("phash_hi"), col("phash_lo"))
-      .agg(min(col("asset_id")).as("rep"))
-    val exact = hashes
-      .join(groups, Seq("phash_hi", "phash_lo"))
-      .filter(col("asset_id") =!= col("rep"))
-      .select(col("rep").as("a_id"), col("asset_id").as("b_id"))
-    val near = phashPairs(
-      groups.select(col("rep").as("asset_id"),
-        col("phash_hi"), col("phash_lo")),
-      maxHamming).select(col("a_id"), col("b_id"))
-    exact.unionByName(near)
+    val (groups, maxK) = graft.dedup.Dedup.contractionGroups(
+      hashes, Seq("phash_hi", "phash_lo"), "asset_id")
+    if (maxK <= 1L) {
+      // multiplicity gate (r17, [[graft.dedup.Dedup.contractionGroups]]):
+      // every fingerprint unique ⇒ star edges = ∅ and reps = corpus —
+      // band the original hash table directly, zero contraction cost
+      graft.ops.Barrier.releaseIter(groups)
+      phashPairs(hashes, maxHamming).select(col("a_id"), col("b_id"))
+    } else {
+      val exact = hashes
+        .join(groups, Seq("phash_hi", "phash_lo"))
+        .filter(col("asset_id") =!= col("rep"))
+        .select(col("rep").as("a_id"), col("asset_id").as("b_id"))
+      val near = phashPairs(
+        groups.select(col("rep").as("asset_id"),
+          col("phash_hi"), col("phash_lo")),
+        maxHamming).select(col("a_id"), col("b_id"))
+      exact.unionByName(near)
+    }
   }
 
   // ------------------------------------------- audio content fingerprint

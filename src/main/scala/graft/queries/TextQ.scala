@@ -622,6 +622,21 @@ object TextQ {
       graft.text.Bpe.wordCounts(Tables(spark, dir, "documents"), "text"),
       merges = 200)
 
+  /** q_bpe_train_auto: the corpus trained to exhaustion through the
+    * vocabulary-size-gated trainer ([[graft.text.Bpe.trainAuto]]) —
+    * the DRIVER path at every oracled SF (the distinct-word table is
+    * vocabulary-sized), with [[graft.text.Bpe.trainIncremental]] as
+    * the spill-over above the bound. Identical merge table to the
+    * other three trainers (BpeSpec pins all four table-for-table);
+    * what it removes is the per-round Spark JOB LATENCY, which after
+    * r16's incremental trainer was the entire remaining 30k-merge
+    * cost (~12k rounds × ~0.45 s ≈ 1.5 h of scheduling).
+    */
+  def bpeTrainAuto(spark: SparkSession, dir: String): DataFrame =
+    graft.text.Bpe.trainAuto(
+      graft.text.Bpe.wordCounts(Tables(spark, dir, "documents"), "text"),
+      merges = 200)
+
   /** q_bpe_encode: per-document BPE token counts under the trained
     * vocabulary — train on the distinct-word table, encode each
     * distinct word once, join counts back to documents.

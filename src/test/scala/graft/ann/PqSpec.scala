@@ -326,4 +326,33 @@ class PqSpec extends AnyFunSuite with SparkSpec {
     // cell pruning did nothing on this corpus)
     assert(pq != ivfpq)
   }
+
+  test("empty codebook table fails with a named message; null vector " +
+      "raises the explicit null-vector branch") {
+    import spark.implicits._
+    val corpus = Seq((1L, Seq(1.0f, 2.0f))).toDF("vec_id", "embedding")
+    val emptyBooks = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      org.apache.spark.sql.types.StructType.fromDDL(
+        "subspace INT, code INT, centroid ARRAY<DOUBLE>"))
+    val e = intercept[IllegalArgumentException] {
+      Pq.encode(corpus, "vec_id", "embedding", emptyBooks).collect()
+    }
+    assert(e.getMessage.contains("empty codebook table"))
+    // a null vector must take subDimChecked's explicit null-vector
+    // raise branch: size(null) is null, so without the branch the
+    // otherwise-arm raises a garbled concat-with-null message. (When
+    // inlined into a slice lambda the check is lazily skipped — Slice
+    // short-circuits on its null first child — so pin the expression
+    // where it IS evaluated.)
+    val withNull = Seq(
+      (1L, Some(Seq(1.0, 2.0))), (3L, Option.empty[Seq[Double]]))
+      .toDF("vec_id", "embedding")
+    val e2 = intercept[Exception] {
+      withNull.select(Pq.subDimChecked(col("embedding"), 1)).collect()
+    }
+    def all(t: Throwable): String =
+      if (t == null) "" else Option(t.getMessage).getOrElse("") + all(t.getCause)
+    assert(all(e2).contains("PQ: null vector"))
+  }
 }

@@ -148,6 +148,53 @@ class DedupSpec extends AnyFunSuite with SparkSpec {
     assert(fullPairs.count() == 1225L)
   }
 
+  test("multiplicity gate: on an all-unique corpus the contraction is " +
+      "skipped and labels still equal the full relation") {
+    import spark.implicits._
+    // CLEAN corpora (no exact dups) are where the r16 contraction paid
+    // its +40-77% premium for nothing; the r17 gate must (a) take the
+    // skip branch — pinned via contractionGroups reading max k = 1 —
+    // and (b) leave the label relation bit-identical to the full one.
+    val base = "the quick brown fox jumps over the lazy dog near the river bank"
+    val uniq = docs((1 to 12).map(i => i -> s"$base variant $i") ++
+      Seq(20 -> "tiny", // < n tokens: never eligible
+        30 -> "completely different content about spark query engines"): _*)
+    val eligibleKeys = uniq
+      .select(col("doc_id").as("doc"), xxhash64(col("text")).as("h1"),
+        xxhash64(lit(1L), col("text")).as("h2"))
+    val (g, maxK) = Dedup.contractionGroups(eligibleKeys, Seq("h1", "h2"), "doc")
+    graft.ops.Barrier.releaseIter(g)
+    assert(maxK == 1L)
+    val fullPairs = Dedup.minhashLshPairs(uniq, "doc_id", "text",
+      n = 3, threshold = 0.8)
+    val expected = Dedup.clusterLabels(uniq, "doc_id", fullPairs)
+      .collect().map(r => r.getAs[Int]("doc_id") -> r.getAs[Int]("cluster_id"))
+      .toMap
+    val got = Dedup.duplicateClusters(uniq, "doc_id", "text",
+      n = 3, threshold = 0.8)
+      .collect().map(r => r.getAs[Int]("doc_id") -> r.getAs[Int]("cluster_id"))
+      .toMap
+    assert(got == expected)
+    // cosine family, all-unique vectors: same gate, same equivalence
+    val vecs = (1 to 8).map(i =>
+      i.toLong -> Seq(1.0f, i * 0.001f, 0.0f, 0.0f))
+      .toDF("vec_id", "embedding")
+    def pairsOf(df: org.apache.spark.sql.DataFrame) =
+      Dedup.cosinePairsBlocked(df, "vec_id", "embedding", threshold = 0.9)
+    val fullCos = pairsOf(vecs).select(col("a_id"), col("b_id"))
+    val expCos = Dedup.clusterLabels(vecs, "vec_id", fullCos)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val gotCos = Dedup.clusterLabels(vecs, "vec_id",
+      Dedup.cosineClusterEdges(vecs, "vec_id", "embedding", pairsOf))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(gotCos == expCos)
+    // an empty eligible frame reads max k = 0 and takes the same branch
+    val (ge, maxE) = Dedup.contractionGroups(
+      eligibleKeys.filter(lit(false)), Seq("h1", "h2"), "doc")
+    graft.ops.Barrier.releaseIter(ge)
+    assert(maxE == 0L)
+  }
+
   test("connectedComponents: long chain and multi-component graphs collapse to min roots") {
     import spark.implicits._
     // a 10-node chain (worst case for naive propagation), a triangle

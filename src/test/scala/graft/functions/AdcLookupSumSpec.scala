@@ -72,4 +72,16 @@ class AdcLookupSumSpec extends AnyFunSuite with SparkSpec {
       .head().getDouble(0)
     assert(r == 5.0) // lut[0*2+1] + lut[1*2+0] = 2 + 3
   }
+
+  test("SQL builder rejects a foldable NULL k with a clear message") {
+    // CAST(NULL AS INT) is foldable and IntegerType; unboxing its null
+    // eval() to 0 would surface as a misleading "positive k, got 0"
+    val e = intercept[Exception] {
+      spark.sql("SELECT graft_adc_sum(array(1, 0), array(1.0d, 2.0d), " +
+        "CAST(NULL AS INT))").collect()
+    }
+    def all(t: Throwable): String =
+      if (t == null) "" else t.getMessage + all(t.getCause)
+    assert(all(e).contains("non-null integer literal"))
+  }
 }

@@ -47,12 +47,15 @@ class ArgmaxDotIndexSpec extends AnyFunSuite with SparkSpec {
     val df = Seq(
       (1L, Some(Seq[Option[Double]](Some(1.0), Some(0.0)))), // tie 0 vs 1
       (2L, Some(Seq[Option[Double]](Some(0.5), None))),      // null elem
-      (3L, Some(Seq[Option[Double]](Some(1.0), Some(0.0), Some(0.0)))) // dim mismatch
+      (3L, Some(Seq[Option[Double]](Some(1.0), Some(0.0), Some(0.0)))), // dim mismatch
+      (4L, None) // null VECTOR: fold parity — the initial accumulator
+                 // survives (−1), the row must NOT vanish from joins
     ).toDF("id", "v")
     val r = df.orderBy("id")
       .select(ArgmaxDotIndex.ofColumn(col("v"), cs)).collect()
     assert(r(0).getInt(0) == 0)
     assert(r(1).getInt(0) == -1)
     assert(r(2).getInt(0) == -1)
+    assert(!r(3).isNullAt(0) && r(3).getInt(0) == -1)
   }
 }

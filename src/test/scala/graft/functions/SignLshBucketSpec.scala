@@ -78,4 +78,24 @@ class SignLshBucketSpec extends AnyFunSuite with SparkSpec {
     assert((e.getMessage + Option(e.getCause).map(_.getMessage).getOrElse(""))
       .contains("outside the 1-table tensor"))
   }
+
+  test("genuinely negative table raises; only NULL table lands in bucket 0") {
+    import spark.implicits._
+    val tensor = Seq(Seq(Seq(1.0)))
+    // ANSI element_at reads negative indices from the END of the
+    // tensor, so aliasing table=-2 to bucket 0 would be a silent
+    // semantic divergence for any reuse site — it must raise. Only the
+    // internal null sentinel (a null table index) maps to bucket 0.
+    val neg = Seq((1L, Seq(1.0))).toDF("id", "v").withColumn("table", lit(-2))
+    val e = intercept[Exception] {
+      neg.select(SignLshBucket.ofColumns(col("v"), col("table"), tensor)).collect()
+    }
+    assert((e.getMessage + Option(e.getCause).map(_.getMessage).getOrElse(""))
+      .contains("outside the 1-table tensor"))
+    val nullTable = Seq((1L, Seq(1.0))).toDF("id", "v")
+      .withColumn("table", lit(null).cast("int"))
+    val r = nullTable
+      .select(SignLshBucket.ofColumns(col("v"), col("table"), tensor)).collect()
+    assert(r(0).getLong(0) == 0L)
+  }
 }

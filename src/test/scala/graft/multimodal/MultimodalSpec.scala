@@ -219,6 +219,17 @@ class MultimodalSpec extends AnyFunSuite with SparkSpec {
     val nPairs = Multimodal.phashPairs(dup2, 10).count()
     assert(nEdges < 220, s"edges should be ~linear, got $nEdges")
     assert(nPairs > 3000, s"full relation should be quadratic, got $nPairs")
+    // r17 multiplicity gate: on ALL-UNIQUE fingerprints the contraction
+    // is skipped (max group size 1) and the edge relation must equal
+    // the plain banded pair relation on ids — zero insurance premium
+    // for clean media corpora
+    import spark.implicits._
+    val uniq = (0L until 24L).map(i =>
+      (i, (0x9E3779B97F4A7C15L * (i + 1)) ^ (i << 17), i * 131))
+      .toDF("asset_id", "phash_hi", "phash_lo")
+    val gotU = labels(uniq, Multimodal.phashClusterEdges(uniq, 10))
+    val expU = labels(uniq, Multimodal.phashPairs(uniq, 10))
+    assert(gotU == expU)
   }
 
   test("audio ahash: codec round-trip == direct formula; truncation quarantined") {

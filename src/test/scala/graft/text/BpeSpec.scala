@@ -200,6 +200,76 @@ class BpeSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("trainDriver == scalar reference at 200 merges, exhaustion, " +
+      "and adversarial tiny-alphabet corpora; trainAuto gates on size") {
+    import spark.implicits._
+    // the r17 job-latency path: the indexed driver trainer must be
+    // table-for-table identical to the same scalar reference that pins
+    // the three distributed trainers — deep (ties/interference), at the
+    // corpus exhaustion point, and under tiny-alphabet churn where the
+    // occurrence index and lazy heap are stressed hardest
+    val deep = (wordCounts.toSeq ++ pseudoWords.toSeq)
+      .groupBy(_._1).map { case (w, xs) => w -> xs.map(_._2).sum }
+    val expected = scalarTrain(deep, 200)
+      .zipWithIndex.map { case ((l, r, c), i) => (i + 1L, l, r, c) }
+    val got = Bpe.trainDriver(deep.toSeq.toDF("word", "n"), 200)
+      .orderBy(col("rank"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2),
+        r.getLong(3))).toSeq
+    assert(got == expected)
+    // corpus exhaustion at 105, same table
+    val words = Bpe.wordCounts(graft.Tables(spark, dir, "documents"), "text")
+    val corpusExpected = scalarTrain(wordCounts, 200)
+      .zipWithIndex.map { case ((l, r, c), i) => (i + 1L, l, r, c) }
+    val corpusGot = Bpe.trainDriver(words, 200).orderBy(col("rank"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2),
+        r.getLong(3))).toSeq
+    assert(corpusGot == corpusExpected && corpusGot.size == 105)
+    // tiny-alphabet churn (same seeded trials as the distributed pins)
+    var x = 0x5EEDFACEL
+    def nxt(n: Int): Int = {
+      x = x * 6364136223846793005L + 1442695040888963407L
+      ((x >>> 33) % n).toInt
+    }
+    for (trial <- 0 until 6) {
+      val alpha = "abc".take(2 + trial % 2)
+      val tw = (0 until 14).map { _ =>
+        val len = 2 + nxt(6)
+        (0 until len).map(_ => alpha(nxt(alpha.length))).mkString
+      }.distinct.map(w => w -> (1L + nxt(9))).toMap
+      val exp = scalarTrain(tw, 40)
+        .zipWithIndex.map { case ((l, r, c), i) => (i + 1L, l, r, c) }
+      val g = Bpe.trainDriver(tw.toSeq.toDF("word", "n"), 40)
+        .orderBy(col("rank"))
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2),
+          r.getLong(3))).toSeq
+      assert(g == exp, s"trial $trial (words=${tw.keys.toSeq.sorted})")
+    }
+    // trainAuto: same table through BOTH sides of the size gate
+    def rows(df: org.apache.spark.sql.DataFrame) = df.orderBy(col("rank"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2),
+        r.getLong(3))).toSeq
+    assert(rows(Bpe.trainAuto(words, 20)) == corpusExpected.take(20))
+    assert(rows(Bpe.trainAuto(words, 20, driverMaxWords = 0L)) ==
+      corpusExpected.take(20)) // forced spill-over → incremental path
+  }
+
+  test("utf8Lt orders like Spark strings, incl. supplementary chars") {
+    import spark.implicits._
+    // the tie-break comparator must equal UTF8String order: U+FFFD
+    // (BMP, 3-byte UTF-8) sorts BELOW U+10400 (supplementary, 4-byte)
+    // in code-point order, but Java compareTo says the OPPOSITE
+    // (surrogate D801 < FFFD) — pin against Spark's own sort
+    val ss = Seq("a", "b", "ab", "�", new String(Character.toChars(0x10400)),
+      "</w>", "z</w>", "", "aa")
+    val sparkSorted = ss.toDF("s").orderBy(col("s"))
+      .collect().map(_.getString(0)).toSeq
+    val ours = ss.sortWith(Bpe.utf8Lt)
+    assert(ours == sparkSorted)
+    assert(new String(Character.toChars(0x10400)).compareTo("�") < 0,
+      "Java order must actually differ here, or the pin proves nothing")
+  }
+
   test("encodeWords round-trips and matches the scalar fold") {
     import spark.implicits._
     val merges = scalarTrain(wordCounts, 20).map { case (l, r, _) => (l, r) }

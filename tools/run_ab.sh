@@ -1,0 +1,101 @@
+#!/bin/bash
+# Interleaved two-checkout A/B runner (r17, judge ask #7): THE trusted
+# way to compare member timings across commits. Single-number canary
+# normalization provably does not transfer across member shapes (a
+# narrow-CPU canary improved in a session where shuffle/media members
+# read +40%, BENCH_NOTES r16), so cross-commit claims need the two
+# checkouts drawn ALTERNATELY on the same box in the same session.
+#
+# Usage: tools/run_ab.sh <refA> <refB> <sfDir> <members> <outPrefix> \
+#          [draws_per_side] [runs_per_draw]
+#   refA/refB  git refs (commit/branch); each is materialized into its
+#              own worktree under target/ab_wt_* and compiled there once
+#   members    comma-separated SPARK_GRAFT_ONLY list
+#   outPrefix  writes <outPrefix>_{A,B}_draw<N>.json + a merged report
+#              <outPrefix>_report.json (per-member median-of-draws per
+#              side + the B/A ratio)
+#
+# Draw order is A B B A A B B A ... (balanced ABBA blocks): linear
+# floor drift within the session cancels in the pairwise differences.
+set -euo pipefail
+cd "$(dirname "$0")/.."
+REPO="$(pwd)"
+
+REF_A="$1"; REF_B="$2"; SF_DIR="$3"; MEMBERS="$4"; PREFIX="$5"
+DRAWS="${6:-2}"; RUNS="${7:-3}"
+
+ADD_OPENS=""
+for p in java.lang java.lang.invoke java.lang.reflect java.io java.net \
+         java.nio java.util java.util.concurrent java.util.concurrent.atomic; do
+  ADD_OPENS="$ADD_OPENS --add-opens java.base/$p=ALL-UNNAMED"
+done
+for p in sun.nio.ch sun.nio.cs sun.security.action sun.util.calendar; do
+  ADD_OPENS="$ADD_OPENS --add-opens java.base/$p=ALL-UNNAMED"
+done
+
+setup_side() { # $1 = side name (A|B), $2 = ref -> echoes classes dir
+  local side="$1" ref="$2"
+  local wt="$REPO/target/ab_wt_${side}"
+  if [ ! -d "$wt" ]; then
+    git worktree add --detach "$wt" "$ref" >&2
+  else
+    git -C "$wt" checkout --detach "$ref" >&2
+  fi
+  # compile the side ONCE, in its own worktree (its own sbt target dir:
+  # never two sbt invocations against one build dir — lock arbitration
+  # kills one). Serialized with everything else by construction.
+  (cd "$wt" && sbt -batch compile > /dev/null 2>&1) \
+    || { echo "ab: compile failed for $side=$ref" >&2; exit 1; }
+  echo "$wt/target/scala-2.13/classes"
+}
+
+echo "ab: compiling side A ($REF_A)" >&2
+CLASSES_A="$(setup_side A "$REF_A")"
+echo "ab: compiling side B ($REF_B)" >&2
+CLASSES_B="$(setup_side B "$REF_B")"
+
+draw() { # $1 = side, $2 = classes dir, $3 = draw index
+  local out="${PREFIX}_$1_draw$3.json"
+  echo "ab: draw $3 side $1 -> $out" >&2
+  SPARK_GRAFT_SF_DIR="$SF_DIR" \
+  SPARK_GRAFT_CPUS=32 \
+  SPARK_GRAFT_RUNS="$RUNS" \
+  SPARK_GRAFT_ONLY="$MEMBERS" \
+  SPARK_GRAFT_BENCH_OUT="$out" \
+  java $ADD_OPENS -Xmx${SPARK_DRIVER_MEM:-48g} ${GRAFT_JAVA_OPTS:-} \
+    -Dspark.ui.enabled=false -Dspark.sql.session.timeZone=UTC \
+    -cp "$2:/opt/spark/jars/*" \
+    graft.Bench > /dev/null
+}
+
+# ABBA blocks: draw 2k goes A-first, draw 2k+1 goes B-first
+for d in $(seq 1 "$DRAWS"); do
+  if [ $(( (d - 1) % 2 )) -eq 0 ]; then
+    draw A "$CLASSES_A" "$d"; draw B "$CLASSES_B" "$d"
+  else
+    draw B "$CLASSES_B" "$d"; draw A "$CLASSES_A" "$d"
+  fi
+done
+
+python3 - "$PREFIX" "$DRAWS" <<'EOF'
+import json, sys, statistics
+prefix, draws = sys.argv[1], int(sys.argv[2])
+sides = {}
+for side in ("A", "B"):
+    per = {}
+    for d in range(1, draws + 1):
+        q = json.load(open(f"{prefix}_{side}_draw{d}.json"))["queries"]
+        for k, v in q.items():
+            per.setdefault(k, []).append(v)
+    sides[side] = {k: statistics.median(v) for k, v in per.items()}
+report = {"members": {}}
+for k in sorted(sides["A"]):
+    a, b = sides["A"][k], sides["B"].get(k)
+    report["members"][k] = {"A_median": round(a, 3),
+                            "B_median": round(b, 3) if b else None,
+                            "B_over_A": round(b / a, 3) if b and a else None}
+out = f"{prefix}_report.json"
+json.dump(report, open(out, "w"), indent=1)
+print(json.dumps(report["members"], indent=1))
+print(f"ab: report -> {out}", file=sys.stderr)
+EOF
