@@ -515,15 +515,17 @@ object Dedup {
         (size(TextOps.tokens(col(textCol))) >= n).as("ok"))
       .filter(col("ok")).drop("ok")
     val eligible = keyed(df)
-    val (groups, maxK) = contractionGroups(eligible, Seq("h1", "h2"), "doc")
-    if (maxK <= 1L) {
-      // multiplicity gate (r17): every eligible text is unique, so the
-      // contraction is a provable no-op (exact = ∅, reps = corpus) —
-      // skip the star-edge join AND the corpus-sized rep semi-join and
-      // run the banded workhorse over the original frame. This is what
-      // makes the contraction's linear-vs-quadratic insurance FREE on
-      // clean corpora (the r16 premium was +40–77% on the no-dup
-      // forget/staged members).
+    val (groups, stats) = contractionGroups(eligible, Seq("h1", "h2"), "doc")
+    if (!stats.contract) {
+      // duplicate-MASS gate (r17, [[ContractionStats.contract]]): the
+      // exact-dup fan-out is linear-bounded (Σk(k−1) ≤ rows — e.g. the
+      // driver corpus' planted k = 2 pairs), so the banded workhorse
+      // over the ORIGINAL frame is strictly cheaper than the star-edge
+      // join + corpus-sized rep semi-join; labels are branch-identical
+      // (equal texts collide in every band and verify at Jaccard 1).
+      // This is what makes the contraction's linear-vs-quadratic
+      // insurance FREE outside the genuinely duplicate-heavy regime
+      // (the r16 premium was +40–77% on the cluster members).
       graft.ops.Barrier.releaseIter(groups)
       minhashLshPairs(df, idCol, textCol, n, threshold, nHashes, nBands)
         .select(col("a_id"), col("b_id"))
@@ -542,28 +544,59 @@ object Dedup {
     }
   }
 
+  /** Exact-duplicate multiplicity profile of a contraction's group
+    * table (r17): `maxK` = largest equal-content group, `rows` = Σk =
+    * eligible corpus rows, `pairFanout` = Σk(k−1) = twice the in-bucket
+    * candidate pairs the equal-content groups would inject into the
+    * banded join (each group collides in EVERY band, so its members
+    * pair as a clique per band).
+    */
+  private[graft] final case class ContractionStats(
+      maxK: Long, rows: Long, pairFanout: Long) {
+
+    /** The duplicate-MASS gate: contract only when the exact-dup pair
+      * fan-out is super-linear in the corpus — Σk(k−1) > Σk, i.e. more
+      * than one extra banded candidate per eligible row. Below that the
+      * banded path absorbs the duplicates at ≤ nBands·rows/2 extra
+      * join rows (≤ half of the banding shuffle it pays anyway), which
+      * is strictly cheaper than the contraction's two corpus-sized
+      * shuffles (star join + rep semi-join — the premium measured
+      * +40–77% on the r16 cluster members). Above it the fan-out is the
+      * quadratic regime the r15 sf10 OOM lived in (197k assets over
+      * 1,617 hashes: Σk(k−1) ≈ 24M ≫ 197k) and the linear star
+      * contraction is mandatory. A maxK ≤ 1 corpus has fanout 0 and
+      * never contracts; the label relation is branch-IDENTICAL either
+      * way (equal content collides in every band and verifies at
+      * distance 0 / Jaccard 1, so the full relation already cliques
+      * each group — DedupSpec/CurationSpec pin it), so the gate is
+      * pure cost policy.
+      */
+    def contract: Boolean = pairFanout > rows
+  }
+
   /** The contraction's group table, MATERIALIZED once (r17, judge ask
-    * #4), with the exact-dup multiplicity already aggregated: returns
-    * (groups = one (keys…, rep = min doc, k = group size) row per
-    * distinct content key, max k over all groups). The count rides the
-    * SAME map-side-combinable pass that computed the reps, so the gate
-    * costs one metadata-sized max action over the materialized frame —
-    * and duplicate-heavy corpora come out AHEAD, because the un-gated
-    * path recomputed the groupBy once per consumer (star join + rep
-    * pair search). Callers branch on max k: ≤ 1 means every group is a
-    * singleton, the star edge set is empty, reps = corpus, and the
-    * whole contraction is a provable no-op to skip (release the frame
-    * immediately in that branch). Empty/ineligible corpora read max k
-    * = 0 and take the same branch.
+    * #4), with the exact-dup multiplicity profile already aggregated:
+    * returns (groups = one (keys…, rep = min doc, k = group size) row
+    * per distinct content key, [[ContractionStats]]). The profile rides
+    * the SAME map-side-combinable pass that computed the reps, so the
+    * gate costs one metadata-sized aggregate action over the
+    * materialized frame — and duplicate-heavy corpora come out AHEAD,
+    * because the un-gated path recomputed the groupBy once per
+    * consumer (star join + rep pair search). Callers branch on
+    * [[ContractionStats.contract]] and release the frame immediately in
+    * the skip branch. Empty/ineligible corpora read all-zero stats and
+    * skip.
     */
   private[graft] def contractionGroups(eligible: DataFrame,
-      keys: Seq[String], docCol: String): (DataFrame, Long) = {
+      keys: Seq[String], docCol: String): (DataFrame, ContractionStats) = {
     val groups = graft.ops.Barrier.iter(
       eligible.groupBy(keys.map(col): _*)
         .agg(min(col(docCol)).as("rep"), count(lit(1)).as("k")))
-    val maxK = Option(groups.agg(max(col("k"))).head.get(0))
-      .map(_.asInstanceOf[Long]).getOrElse(0L)
-    (groups, maxK)
+    val prof = groups.agg(max(col("k")), sum(col("k")),
+      sum(col("k") * (col("k") - 1))).head
+    def l(i: Int): Long =
+      if (prof.isNullAt(i)) 0L else prof.getLong(i)
+    (groups, ContractionStats(l(0), l(1), l(2)))
   }
 
   /** Attach connected-component labels to an id universe given a
@@ -740,10 +773,11 @@ object Dedup {
       .select(col(idCol).as("doc"),
         xxhash64(col(vecCol)).as("h1"),
         xxhash64(lit(0x9E3779B9L), col(vecCol)).as("h2"))
-    val (groups, maxK) = contractionGroups(eligible, Seq("h1", "h2"), "doc")
-    if (maxK <= 1L) {
-      // multiplicity gate (r17, see [[contractionGroups]]): all vectors
-      // distinct ⇒ contraction is a no-op; skip both joins
+    val (groups, stats) = contractionGroups(eligible, Seq("h1", "h2"), "doc")
+    if (!stats.contract) {
+      // duplicate-MASS gate (r17, [[ContractionStats.contract]]):
+      // linear-bounded exact-dup fan-out ⇒ the bucketed path absorbs
+      // the duplicate groups cheaper than the two contraction joins
       graft.ops.Barrier.releaseIter(groups)
       pairsOf(df).select(col("a_id"), col("b_id"))
     } else {

@@ -571,12 +571,15 @@ object Multimodal {
     * (q_image_phash_pairs etc.) keep [[phashPairs]] unchanged.
     */
   def phashClusterEdges(hashes: DataFrame, maxHamming: Int): DataFrame = {
-    val (groups, maxK) = graft.dedup.Dedup.contractionGroups(
+    val (groups, stats) = graft.dedup.Dedup.contractionGroups(
       hashes, Seq("phash_hi", "phash_lo"), "asset_id")
-    if (maxK <= 1L) {
-      // multiplicity gate (r17, [[graft.dedup.Dedup.contractionGroups]]):
-      // every fingerprint unique ⇒ star edges = ∅ and reps = corpus —
-      // band the original hash table directly, zero contraction cost
+    if (!stats.contract) {
+      // duplicate-MASS gate (r17,
+      // [[graft.dedup.Dedup.ContractionStats.contract]]): fingerprint
+      // multiplicity is linear-bounded — band the original hash table
+      // directly; media corpora with content-identical assets (the r15
+      // sf10 OOM: Σk(k−1) ≈ 24M over 197k audio assets) stay on the
+      // contraction path
       graft.ops.Barrier.releaseIter(groups)
       phashPairs(hashes, maxHamming).select(col("a_id"), col("b_id"))
     } else {

@@ -153,8 +153,8 @@ class DedupSpec extends AnyFunSuite with SparkSpec {
     import spark.implicits._
     // CLEAN corpora (no exact dups) are where the r16 contraction paid
     // its +40-77% premium for nothing; the r17 gate must (a) take the
-    // skip branch — pinned via contractionGroups reading max k = 1 —
-    // and (b) leave the label relation bit-identical to the full one.
+    // skip branch — pinned via contractionGroups' stats — and (b)
+    // leave the label relation bit-identical to the full one.
     val base = "the quick brown fox jumps over the lazy dog near the river bank"
     val uniq = docs((1 to 12).map(i => i -> s"$base variant $i") ++
       Seq(20 -> "tiny", // < n tokens: never eligible
@@ -162,9 +162,10 @@ class DedupSpec extends AnyFunSuite with SparkSpec {
     val eligibleKeys = uniq
       .select(col("doc_id").as("doc"), xxhash64(col("text")).as("h1"),
         xxhash64(lit(1L), col("text")).as("h2"))
-    val (g, maxK) = Dedup.contractionGroups(eligibleKeys, Seq("h1", "h2"), "doc")
+    val (g, stats) = Dedup.contractionGroups(eligibleKeys, Seq("h1", "h2"), "doc")
     graft.ops.Barrier.releaseIter(g)
-    assert(maxK == 1L)
+    assert(stats == Dedup.ContractionStats(1L, 14L, 0L))
+    assert(!stats.contract)
     val fullPairs = Dedup.minhashLshPairs(uniq, "doc_id", "text",
       n = 3, threshold = 0.8)
     val expected = Dedup.clusterLabels(uniq, "doc_id", fullPairs)
@@ -188,11 +189,64 @@ class DedupSpec extends AnyFunSuite with SparkSpec {
       Dedup.cosineClusterEdges(vecs, "vec_id", "embedding", pairsOf))
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(gotCos == expCos)
-    // an empty eligible frame reads max k = 0 and takes the same branch
-    val (ge, maxE) = Dedup.contractionGroups(
+    // an empty eligible frame reads all-zero stats and takes the same branch
+    val (ge, statsE) = Dedup.contractionGroups(
       eligibleKeys.filter(lit(false)), Seq("h1", "h2"), "doc")
     graft.ops.Barrier.releaseIter(ge)
-    assert(maxE == 0L)
+    assert(statsE == Dedup.ContractionStats(0L, 0L, 0L))
+    assert(!statsE.contract)
+  }
+
+  test("duplicate-MASS gate: linear-bounded dup groups (k = 2, the " +
+      "driver-corpus shape) SKIP the contraction; labels still equal " +
+      "the full relation; heavy multiplicity still contracts") {
+    // The r17 maxK<=1 gate never fired on the driver corpora — they
+    // carry planted k = 2 exact-text pairs at every sf, so every
+    // benched cluster build paid the contraction premium for a
+    // Σk(k−1) = 2·G₂ fan-out the banded path absorbs for free. The
+    // MASS gate (contract iff Σk(k−1) > Σk) must (a) skip here, (b)
+    // keep labels identical WITH the exact pair present (the banded
+    // path finds equal texts at Jaccard 1 in every band), (c) still
+    // contract the 40-copy corpus above.
+    val base = "the quick brown fox jumps over the lazy dog near the river bank"
+    val mild = docs((1 to 10).map(i => i -> s"$base variant number $i") ++
+      Seq(11 -> s"$base variant number 3", // exact copy of doc 3 (k = 2)
+        12 -> s"$base variant number 7", // exact copy of doc 7 (k = 2)
+        30 -> "completely different content about spark query engines"): _*)
+    val keys = mild
+      .select(col("doc_id").as("doc"), xxhash64(col("text")).as("h1"),
+        xxhash64(lit(1L), col("text")).as("h2"))
+    val (gm, sm) = Dedup.contractionGroups(keys, Seq("h1", "h2"), "doc")
+    graft.ops.Barrier.releaseIter(gm)
+    assert(sm == Dedup.ContractionStats(2L, 13L, 4L))
+    assert(!sm.contract, "k = 2 groups are linear-bounded: skip")
+    val fullPairs = Dedup.minhashLshPairs(mild, "doc_id", "text",
+      n = 3, threshold = 0.8)
+    val expected = Dedup.clusterLabels(mild, "doc_id", fullPairs)
+      .collect().map(r => r.getAs[Int]("doc_id") -> r.getAs[Int]("cluster_id"))
+      .toMap
+    val got = Dedup.duplicateClusters(mild, "doc_id", "text",
+      n = 3, threshold = 0.8)
+      .collect().map(r => r.getAs[Int]("doc_id") -> r.getAs[Int]("cluster_id"))
+      .toMap
+    assert(got == expected)
+    // the exact copies must land with their originals in BOTH paths
+    assert(got(11) == got(3) && got(12) == got(7))
+    // heavy multiplicity (the 40+25 corpus of the contraction pin
+    // above): Σk(k−1) = 40·39 + 25·24 = 2160 over 66 eligible rows —
+    // the quadratic regime must still contract
+    val heavy = docs(
+      (1 to 40).map(i => i -> base) ++
+        (41 to 65).map(i => i ->
+          (base + " tonight")) ++
+        Seq(80 -> "completely different content about spark query engines at scale"): _*)
+    val hKeys = heavy
+      .select(col("doc_id").as("doc"), xxhash64(col("text")).as("h1"),
+        xxhash64(lit(1L), col("text")).as("h2"))
+    val (gh, sh) = Dedup.contractionGroups(hKeys, Seq("h1", "h2"), "doc")
+    graft.ops.Barrier.releaseIter(gh)
+    assert(sh == Dedup.ContractionStats(40L, 66L, 2160L))
+    assert(sh.contract, "super-linear fan-out: contract")
   }
 
   test("connectedComponents: long chain and multi-component graphs collapse to min roots") {
