@@ -515,21 +515,21 @@ object Dedup {
         (size(TextOps.tokens(col(textCol))) >= n).as("ok"))
       .filter(col("ok")).drop("ok")
     val eligible = keyed(df)
-    val (groups, stats) = contractionGroups(eligible, Seq("h1", "h2"), "doc")
+    val stats = contractionProfile(eligible, Seq("h1", "h2"))
     if (!stats.contract) {
       // duplicate-MASS gate (r17, [[ContractionStats.contract]]): the
       // exact-dup fan-out is linear-bounded (Σk(k−1) ≤ rows — e.g. the
       // driver corpus' planted k = 2 pairs), so the banded workhorse
-      // over the ORIGINAL frame is strictly cheaper than the star-edge
-      // join + corpus-sized rep semi-join; labels are branch-identical
-      // (equal texts collide in every band and verify at Jaccard 1).
-      // This is what makes the contraction's linear-vs-quadratic
-      // insurance FREE outside the genuinely duplicate-heavy regime
-      // (the r16 premium was +40–77% on the cluster members).
-      graft.ops.Barrier.releaseIter(groups)
+      // over the ORIGINAL frame is strictly cheaper than the group
+      // checkpoint + star-edge join + corpus-sized rep semi-join;
+      // labels are branch-identical (equal texts collide in every band
+      // and verify at Jaccard 1). This is what makes the contraction's
+      // linear-vs-quadratic insurance near-free outside the genuinely
+      // duplicate-heavy regime (one stats-only hash aggregate).
       minhashLshPairs(df, idCol, textCol, n, threshold, nHashes, nBands)
         .select(col("a_id"), col("b_id"))
     } else {
+      val groups = contractionGroups(eligible, Seq("h1", "h2"), "doc")
       val exact = eligible.join(groups, Seq("h1", "h2"))
         .filter(col("doc") =!= col("rep"))
         .select(col("rep").as("a_id"), col("doc").as("b_id"))
@@ -574,30 +574,40 @@ object Dedup {
     def contract: Boolean = pairFanout > rows
   }
 
-  /** The contraction's group table, MATERIALIZED once (r17, judge ask
-    * #4), with the exact-dup multiplicity profile already aggregated:
-    * returns (groups = one (keys…, rep = min doc, k = group size) row
-    * per distinct content key, [[ContractionStats]]). The profile rides
-    * the SAME map-side-combinable pass that computed the reps, so the
-    * gate costs one metadata-sized aggregate action over the
-    * materialized frame — and duplicate-heavy corpora come out AHEAD,
-    * because the un-gated path recomputed the groupBy once per
-    * consumer (star join + rep pair search). Callers branch on
-    * [[ContractionStats.contract]] and release the frame immediately in
-    * the skip branch. Empty/ineligible corpora read all-zero stats and
-    * skip.
+  /** The gate's multiplicity profile as a STATS-ONLY pass (r17): one
+    * groupBy-count over the 24-byte content keys folded straight into a
+    * three-number aggregate — NO group-table materialization, no
+    * checkpoint write, one action. This is what makes the skip branch
+    * actually cheap: the first r17 gate still paid
+    * the materialized group table before branching, and an interleaved
+    * A/B read the "gated" cluster members at parity with always-contract
+    * (B/A 1.01–1.07 at sf0.1) because the premium lives in the
+    * checkpoint, not the star joins. Duplicate-heavy corpora pay this
+    * hash shuffle twice (profile + [[contractionGroups]]) — noise next
+    * to the quadratic fan-out the contraction removes there.
     */
-  private[graft] def contractionGroups(eligible: DataFrame,
-      keys: Seq[String], docCol: String): (DataFrame, ContractionStats) = {
-    val groups = graft.ops.Barrier.iter(
-      eligible.groupBy(keys.map(col): _*)
-        .agg(min(col(docCol)).as("rep"), count(lit(1)).as("k")))
-    val prof = groups.agg(max(col("k")), sum(col("k")),
-      sum(col("k") * (col("k") - 1))).head
+  private[graft] def contractionProfile(eligible: DataFrame,
+      keys: Seq[String]): ContractionStats = {
+    val prof = eligible.groupBy(keys.map(col): _*)
+      .agg(count(lit(1)).as("k"))
+      .agg(max(col("k")), sum(col("k")),
+        sum(col("k") * (col("k") - 1))).head
     def l(i: Int): Long =
       if (prof.isNullAt(i)) 0L else prof.getLong(i)
-    (groups, ContractionStats(l(0), l(1), l(2)))
+    ContractionStats(l(0), l(1), l(2))
   }
+
+  /** The contraction's group table — one (keys…, rep = min doc, k)
+    * row per distinct content key, MATERIALIZED once so the star join
+    * and the rep semi-join share it. Built ONLY in the contract branch
+    * ([[contractionProfile]] decides); the frame backs the returned
+    * edge plan, so the ContextCleaner owns its release.
+    */
+  private[graft] def contractionGroups(eligible: DataFrame,
+      keys: Seq[String], docCol: String): DataFrame =
+    graft.ops.Barrier.iter(
+      eligible.groupBy(keys.map(col): _*)
+        .agg(min(col(docCol)).as("rep"), count(lit(1)).as("k")))
 
   /** Attach connected-component labels to an id universe given a
     * near-dup (a_id < b_id) pair relation: every id maps to its
@@ -773,14 +783,14 @@ object Dedup {
       .select(col(idCol).as("doc"),
         xxhash64(col(vecCol)).as("h1"),
         xxhash64(lit(0x9E3779B9L), col(vecCol)).as("h2"))
-    val (groups, stats) = contractionGroups(eligible, Seq("h1", "h2"), "doc")
+    val stats = contractionProfile(eligible, Seq("h1", "h2"))
     if (!stats.contract) {
       // duplicate-MASS gate (r17, [[ContractionStats.contract]]):
       // linear-bounded exact-dup fan-out ⇒ the bucketed path absorbs
-      // the duplicate groups cheaper than the two contraction joins
-      graft.ops.Barrier.releaseIter(groups)
+      // the duplicate groups cheaper than the group checkpoint + joins
       pairsOf(df).select(col("a_id"), col("b_id"))
     } else {
+      val groups = contractionGroups(eligible, Seq("h1", "h2"), "doc")
       val exact = eligible.join(groups, Seq("h1", "h2"))
         .filter(col("doc") =!= col("rep"))
         .select(col("rep").as("a_id"), col("doc").as("b_id"))

@@ -571,8 +571,8 @@ object Multimodal {
     * (q_image_phash_pairs etc.) keep [[phashPairs]] unchanged.
     */
   def phashClusterEdges(hashes: DataFrame, maxHamming: Int): DataFrame = {
-    val (groups, stats) = graft.dedup.Dedup.contractionGroups(
-      hashes, Seq("phash_hi", "phash_lo"), "asset_id")
+    val stats = graft.dedup.Dedup.contractionProfile(
+      hashes, Seq("phash_hi", "phash_lo"))
     if (!stats.contract) {
       // duplicate-MASS gate (r17,
       // [[graft.dedup.Dedup.ContractionStats.contract]]): fingerprint
@@ -580,9 +580,10 @@ object Multimodal {
       // directly; media corpora with content-identical assets (the r15
       // sf10 OOM: Σk(k−1) ≈ 24M over 197k audio assets) stay on the
       // contraction path
-      graft.ops.Barrier.releaseIter(groups)
       phashPairs(hashes, maxHamming).select(col("a_id"), col("b_id"))
     } else {
+      val groups = graft.dedup.Dedup.contractionGroups(
+        hashes, Seq("phash_hi", "phash_lo"), "asset_id")
       val exact = hashes
         .join(groups, Seq("phash_hi", "phash_lo"))
         .filter(col("asset_id") =!= col("rep"))

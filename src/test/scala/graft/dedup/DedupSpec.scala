@@ -162,8 +162,7 @@ class DedupSpec extends AnyFunSuite with SparkSpec {
     val eligibleKeys = uniq
       .select(col("doc_id").as("doc"), xxhash64(col("text")).as("h1"),
         xxhash64(lit(1L), col("text")).as("h2"))
-    val (g, stats) = Dedup.contractionGroups(eligibleKeys, Seq("h1", "h2"), "doc")
-    graft.ops.Barrier.releaseIter(g)
+    val stats = Dedup.contractionProfile(eligibleKeys, Seq("h1", "h2"))
     assert(stats == Dedup.ContractionStats(1L, 14L, 0L))
     assert(!stats.contract)
     val fullPairs = Dedup.minhashLshPairs(uniq, "doc_id", "text",
@@ -190,9 +189,8 @@ class DedupSpec extends AnyFunSuite with SparkSpec {
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(gotCos == expCos)
     // an empty eligible frame reads all-zero stats and takes the same branch
-    val (ge, statsE) = Dedup.contractionGroups(
-      eligibleKeys.filter(lit(false)), Seq("h1", "h2"), "doc")
-    graft.ops.Barrier.releaseIter(ge)
+    val statsE = Dedup.contractionProfile(
+      eligibleKeys.filter(lit(false)), Seq("h1", "h2"))
     assert(statsE == Dedup.ContractionStats(0L, 0L, 0L))
     assert(!statsE.contract)
   }
@@ -216,8 +214,7 @@ class DedupSpec extends AnyFunSuite with SparkSpec {
     val keys = mild
       .select(col("doc_id").as("doc"), xxhash64(col("text")).as("h1"),
         xxhash64(lit(1L), col("text")).as("h2"))
-    val (gm, sm) = Dedup.contractionGroups(keys, Seq("h1", "h2"), "doc")
-    graft.ops.Barrier.releaseIter(gm)
+    val sm = Dedup.contractionProfile(keys, Seq("h1", "h2"))
     assert(sm == Dedup.ContractionStats(2L, 13L, 4L))
     assert(!sm.contract, "k = 2 groups are linear-bounded: skip")
     val fullPairs = Dedup.minhashLshPairs(mild, "doc_id", "text",
@@ -243,8 +240,7 @@ class DedupSpec extends AnyFunSuite with SparkSpec {
     val hKeys = heavy
       .select(col("doc_id").as("doc"), xxhash64(col("text")).as("h1"),
         xxhash64(lit(1L), col("text")).as("h2"))
-    val (gh, sh) = Dedup.contractionGroups(hKeys, Seq("h1", "h2"), "doc")
-    graft.ops.Barrier.releaseIter(gh)
+    val sh = Dedup.contractionProfile(hKeys, Seq("h1", "h2"))
     assert(sh == Dedup.ContractionStats(40L, 66L, 2160L))
     assert(sh.contract, "super-linear fan-out: contract")
   }
