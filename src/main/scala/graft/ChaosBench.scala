@@ -86,7 +86,17 @@ object ChaosBench {
     spark.sparkContext.setCheckpointDir(
       java.nio.file.Files.createTempDirectory("chaos-ckpt").toString)
     val out = new StringBuilder
-    def emit(line: String): Unit = { println(line); out.append(line + "\n") }
+    val outPath = sys.env.get("SPARK_GRAFT_CHAOS_OUT")
+      .map(java.nio.file.Paths.get(_))
+    // every line is flushed to the artifact AS EMITTED (r18): the local
+    // barrier mode's expected outcome is a death, and a death that
+    // takes the JVM or the SparkContext with it must still leave the
+    // phases that DID complete on disk — the r17 local run left only a
+    // raw log because the artifact write lived solely in `finally`.
+    def emit(line: String): Unit = {
+      println(line); out.append(line + "\n")
+      outPath.foreach(p => java.nio.file.Files.writeString(p, out.toString))
+    }
     try {
       waitForExecutors(spark, 3)
       val q = SparkEntry.queries(member)
@@ -95,20 +105,23 @@ object ChaosBench {
         val counts = new Counts
         spark.sparkContext.addSparkListener(counts)
         @volatile var killed: Option[String] = None
+        @volatile var killedAtNs = 0L
+        System.gc()
+        val t0 = System.nanoTime()
         val killer = killAt.map { at =>
           val th = new Thread(() => {
             Thread.sleep((at * 1000).toLong)
-            killed = killOneExecutor()
+            killed = killOneExecutor(spark.sparkContext.applicationId)
+            killedAtNs = System.nanoTime()
           })
           th.setDaemon(true); th.start(); th
         }
-        System.gc()
-        val t0 = System.nanoTime()
         val result =
           try Right(q(spark, sfDir).count())
           catch { case e: Throwable =>
             Left(s"${rootCause(e).getClass.getSimpleName}") }
-        val wall = (System.nanoTime() - t0) / 1e9
+        val endNs = System.nanoTime()
+        val wall = (endNs - t0) / 1e9
         killer.foreach(_.join(5000))
         // drain listener events so THIS run's retries are attributed here
         org.apache.spark.graft.ListenerBridge
@@ -118,15 +131,24 @@ object ChaosBench {
           case Right(n) => ("survived", n)
           case Left(c) => (s"died:$c", -1L)
         }
+        // kill-timing honesty (ADVICE r17): a kill that lands AFTER the
+        // query finished (warm cache, chaos wall < killAt) would present
+        // an unperturbed run as survival evidence — record when the kill
+        // actually fired relative to the run so the artifact itself says
+        // whether the query was perturbed.
+        val killAtS = if (killedAtNs == 0L) -1.0 else (killedAtNs - t0) / 1e9
+        val beforeFinish = killedAtNs != 0L && killedAtNs < endNs
         emit(String.format(java.util.Locale.ROOT,
           """{"phase":"%s","member":"%s","mode":"%s","wall_s":%.1f,""" +
             """"outcome":"%s","rows":%d,"failed_tasks":%d,""" +
-            """"stage_reattempts":%d,"killed_pid":"%s"}""",
+            """"stage_reattempts":%d,"killed_pid":"%s",""" +
+            """"kill_at_s":%.1f,"killed_before_finish":%b}""",
           label, member, mode, Double.box(wall), outcome,
           java.lang.Long.valueOf(rows),
           java.lang.Long.valueOf(counts.failedTasks),
           java.lang.Long.valueOf(counts.stageReattempts),
-          killed.getOrElse("none")))
+          killed.getOrElse("none"),
+          Double.box(killAtS), java.lang.Boolean.valueOf(beforeFinish)))
       }
 
       runOnce("warm", None)
@@ -143,23 +165,24 @@ object ChaosBench {
         member, mode, Double.box(warmWall)))
       runOnce("chaos", Some(math.max(1.0, warmWall * killFrac)))
     } finally {
-      sys.env.get("SPARK_GRAFT_CHAOS_OUT").foreach { p =>
-        java.nio.file.Files.writeString(
-          java.nio.file.Paths.get(p), out.toString)
-      }
+      outPath.foreach(p =>
+        java.nio.file.Files.writeString(p, out.toString))
       spark.stop()
     }
   }
 
   /** SIGKILL one executor JVM (a CoarseGrainedExecutorBackend child of
     * the in-process standalone worker) — a real OOM-killer-style loss:
-    * no shutdown hooks, block-manager state gone.
+    * no shutdown hooks, block-manager state gone. Scoped to THIS app's
+    * executors by matching the `--app-id` launch argument (ADVICE r17:
+    * a bare class-name pgrep could SIGKILL a concurrently running
+    * Spark app's executor, silently corrupting both runs).
     */
-  private def killOneExecutor(): Option[String] = {
+  private def killOneExecutor(appId: String): Option[String] = {
     import scala.sys.process._
     val pids = try {
       Seq("pgrep", "-f",
-        "CoarseGrainedExecutorBackend").!!.trim.split("\\s+").toSeq
+        s"CoarseGrainedExecutorBackend.*$appId").!!.trim.split("\\s+").toSeq
     } catch { case _: Throwable => Seq.empty }
     pids.headOption.map { pid => Seq("kill", "-9", pid).!; pid }
   }

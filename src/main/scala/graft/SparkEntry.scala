@@ -388,6 +388,12 @@ object SparkEntry {
     "q_simhash_fixture" -> DedupQ.simhashFixturePairs,
     // dedup — connected-component duplicate clusters (label propagation)
     "q_dedup_clusters" -> DedupQ.dedupClusters,
+    // dedup — the same clusters over a duplicate-heavy planting (40/25
+    // verbatim copies per ≡1/≡2 mod-250 doc): the gate's CONTRACT
+    // branch under a hash-match oracle (r18 — the driver corpora only
+    // ever exercise the skip branch), with the branch decision itself
+    // `require`d inside the member
+    "q_dedup_clusters_dupheavy" -> DedupQ.dedupClustersDupHeavy,
     // dedup — the pruning/recall LEDGER: per formula-replayable banded
     // family (png/jpeg phash, audio, video, simhash fixture), candidates
     // vs the N²/2 baseline and measured recall vs the exact all-pairs
@@ -2034,6 +2040,24 @@ object SparkEntry {
         |SELECT a_id, b_id, round(c, 6) AS cosine FROM p WHERE c >= 0.9""".stripMargin,
     "q_dedup_clusters" ->
       s"""WITH $textClosureSql
+        |SELECT doc_id, cluster_id FROM cl""".stripMargin,
+    // the contract-branch witness: replay the 40/25-copy planting
+    // (copy ids = 10^7 + doc_id·100 + i, the same arithmetic the
+    // member runs), then the SAME exact-Jaccard closure over the
+    // augmented corpus — the star-contracted edge relation must
+    // reproduce these components exactly
+    "q_dedup_clusters_dupheavy" ->
+      s"""WITH RECURSIVE corpus AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT 10000000 + doc_id * 100 + t.i AS doc_id, text
+        |  FROM documents, unnest(range(1, 41)) AS t(i)
+        |  WHERE doc_id % 250 = 1
+        |  UNION ALL
+        |  SELECT 10000000 + doc_id * 100 + t.i AS doc_id, text
+        |  FROM documents, unnest(range(51, 76)) AS t(i)
+        |  WHERE doc_id % 250 = 2
+        |), ${textClosureSqlFrom("corpus").stripPrefix("RECURSIVE ")}
         |SELECT doc_id, cluster_id FROM cl""".stripMargin,
     "q_embed_near_dup" ->
       """WITH e AS (

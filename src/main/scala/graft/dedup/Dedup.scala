@@ -508,13 +508,7 @@ object Dedup {
     // agree; a false merge needs a 128-bit collision (~N²/2¹²⁹ —
     // ~10⁻²⁰ even at 10⁹ docs), strictly stronger than the 64-bit
     // content key the exact-dedup member (D1) already stands on.
-    def keyed(in: DataFrame): DataFrame = in
-      .select(col(idCol).as("doc"),
-        xxhash64(col(textCol)).as("h1"),
-        xxhash64(lit(0x9E3779B9L), col(textCol)).as("h2"),
-        (size(TextOps.tokens(col(textCol))) >= n).as("ok"))
-      .filter(col("ok")).drop("ok")
-    val eligible = keyed(df)
+    val eligible = textEligibleKeys(df, idCol, textCol, n)
     val stats = contractionProfile(eligible, Seq("h1", "h2"))
     if (!stats.contract) {
       // duplicate-MASS gate (r17, [[ContractionStats.contract]]): the
@@ -544,6 +538,22 @@ object Dedup {
     }
   }
 
+  /** The text family's contraction-eligible key frame: one
+    * (doc, h1, h2) row per document with at least `n` tokens (sub-n
+    * docs never enter the pair relation, so they never contract
+    * either). Shared by [[textClusterEdges]] and the ledger members
+    * that witness the gate's decision on their own corpus
+    * (q_dedup_clusters_dupheavy), so the eligibility rule can never
+    * diverge between the gate and its witnesses.
+    */
+  private[graft] def textEligibleKeys(df: DataFrame, idCol: String,
+      textCol: String, n: Int): DataFrame = df
+    .select(col(idCol).as("doc"),
+      xxhash64(col(textCol)).as("h1"),
+      xxhash64(lit(0x9E3779B9L), col(textCol)).as("h2"),
+      (size(TextOps.tokens(col(textCol))) >= n).as("ok"))
+    .filter(col("ok")).drop("ok")
+
   /** Exact-duplicate multiplicity profile of a contraction's group
     * table (r17): `maxK` = largest equal-content group, `rows` = Σk =
     * eligible corpus rows, `pairFanout` = Σk(k−1) = twice the in-bucket
@@ -551,6 +561,18 @@ object Dedup {
     * banded join (each group collides in EVERY band, so its members
     * pair as a clique per band).
     */
+  private[graft] object ContractionStats {
+    /** Per-task clique-pair cap for the mega-group guard (r18): an
+      * equal-content group of k collides in EVERY band, and within a
+      * band its k(k−1)/2 candidate pairs land on ONE (band, bucket)
+      * shuffle key — i.e. one task's sort buffer, exactly the r15
+      * sf10 single-task shape. ~2²⁰ pairs ≈ 50–100 MB of candidate
+      * rows in one task (k ≈ 1024): past that, one group alone is a
+      * skew/OOM hazard regardless of total duplicate mass.
+      */
+    val PerTaskPairCap: Long = 1L << 20
+  }
+
   private[graft] final case class ContractionStats(
       maxK: Long, rows: Long, pairFanout: Long) {
 
@@ -570,8 +592,18 @@ object Dedup {
       * distance 0 / Jaccard 1, so the full relation already cliques
       * each group — DedupSpec/CurationSpec pin it), so the gate is
       * pure cost policy.
+      *
+      * Second clause (r18, the mega-group guard): total MASS can stay
+      * linear while ONE group concentrates it — k ≈ √N exact copies in
+      * an otherwise-clean corpus reads Σk(k−1) ≈ N (gate says skip)
+      * yet ships k(k−1)/2 clique pairs through a single (band, bucket)
+      * task per band, the very skew the contraction insures against.
+      * So also contract whenever the LARGEST group alone exceeds the
+      * per-task pair cap ([[ContractionStats.PerTaskPairCap]]).
       */
-    def contract: Boolean = pairFanout > rows
+    def contract: Boolean =
+      pairFanout > rows ||
+        maxK * (maxK - 1) > ContractionStats.PerTaskPairCap
   }
 
   /** The gate's multiplicity profile as a STATS-ONLY pass (r17): one

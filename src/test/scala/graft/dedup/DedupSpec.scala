@@ -153,8 +153,8 @@ class DedupSpec extends AnyFunSuite with SparkSpec {
     import spark.implicits._
     // CLEAN corpora (no exact dups) are where the r16 contraction paid
     // its +40-77% premium for nothing; the r17 gate must (a) take the
-    // skip branch — pinned via contractionGroups' stats — and (b)
-    // leave the label relation bit-identical to the full one.
+    // skip branch — pinned via contractionProfile's ContractionStats —
+    // and (b) leave the label relation bit-identical to the full one.
     val base = "the quick brown fox jumps over the lazy dog near the river bank"
     val uniq = docs((1 to 12).map(i => i -> s"$base variant $i") ++
       Seq(20 -> "tiny", // < n tokens: never eligible
@@ -243,6 +243,32 @@ class DedupSpec extends AnyFunSuite with SparkSpec {
     val sh = Dedup.contractionProfile(hKeys, Seq("h1", "h2"))
     assert(sh == Dedup.ContractionStats(40L, 66L, 2160L))
     assert(sh.contract, "super-linear fan-out: contract")
+  }
+
+  test("mega-group guard: one k≈√N group below the mass threshold " +
+      "still contracts once it alone exceeds the per-task pair cap") {
+    // ADVICE r17: a single group of k ≈ √N exact copies in an
+    // otherwise-clean corpus reads Σk(k−1) ≈ N (mass gate: skip) yet
+    // its k(k−1)/2 clique pairs land on ONE (band, bucket) task per
+    // band — the r15 sf10 single-task sort/OOM shape. Policy table on
+    // ContractionStats directly (the profile math is pinned above):
+    val cap = Dedup.ContractionStats.PerTaskPairCap
+    // 2,000-copy group in a 10M-row corpus: fanout 3.998M < 10M rows,
+    // so the mass clause skips — the guard must contract anyway
+    val mega = Dedup.ContractionStats(2000L, 10000000L, 2000L * 1999L)
+    assert(mega.pairFanout < mega.rows && mega.contract,
+      "mega-group below mass threshold must still contract")
+    // boundary: k = 1024 sits just under the 2^20 cap (1024·1023 =
+    // 1,047,552), k = 1025 just over (1025·1024 = 1,049,600)
+    assert(1024L * 1023L <= cap && 1025L * 1024L > cap)
+    assert(!Dedup.ContractionStats(1024L, 10000000L, 1024L * 1023L).contract)
+    assert(Dedup.ContractionStats(1025L, 10000000L, 1025L * 1024L).contract)
+    // the driver-corpus shape (k = 2 pairs) and the clean corpus are
+    // untouched by the guard
+    assert(!Dedup.ContractionStats(2L, 13L, 4L).contract)
+    assert(!Dedup.ContractionStats(1L, 14L, 0L).contract)
+    // and the mass clause still dominates when both fire
+    assert(Dedup.ContractionStats(40L, 66L, 2160L).contract)
   }
 
   test("connectedComponents: long chain and multi-component graphs collapse to min roots") {
