@@ -14,11 +14,16 @@ package graft
   * The list is the enumeration behind the BENCH_NOTES r17 sink-bridge
   * table; it is diagnostic, not load-bearing — the noop sink fixes all
   * members regardless of shape.
+  *
+  * `runMain graft.PlanDump --formatted <sfDir> <query>` prints
+  * `explain("formatted")` instead — the before/after plan artifact the
+  * r18 optimization round commits under plans/r18/.
   */
 object PlanDump {
   def main(args: Array[String]): Unit = {
     val pruned = args.headOption.contains("--pruned")
-    val sfDir = if (pruned) args(1) else args(0)
+    val formatted = args.headOption.contains("--formatted")
+    val sfDir = if (pruned || formatted) args(1) else args(0)
     val spark = org.apache.spark.sql.SparkSession.builder()
       .master("local[8]")
       .config("spark.sql.shuffle.partitions", "8")
@@ -26,7 +31,11 @@ object PlanDump {
       .config(new org.apache.spark.SparkConf().setAll(Tables.sessionConfs))
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    if (!pruned) {
+    if (formatted) {
+      println(SparkEntry.queries(args(2))(spark, sfDir)
+        .queryExecution.explainString(
+          org.apache.spark.sql.execution.ExplainMode.fromString("formatted")))
+    } else if (!pruned) {
       println(SparkEntry.queries(args(1))(spark, args(0))
         .queryExecution.executedPlan.toString)
     } else {
