@@ -117,7 +117,10 @@ object Dedup {
   def substringPairs(df: DataFrame, idCol: String, textCol: String,
       w: Int = 16, maxDf: Int = 64): DataFrame = {
     val toks = TextOps.tokens(col(textCol))
-    val wins = df
+    // FanOut: the window build (w string joins per token position) is
+    // the dominant per-row map — a single-split compact corpus must not
+    // run it on one core (same floor as [[shingleRows]]; r18)
+    val wins = graft.ops.FanOut(df)
       // sequence() auto-descends when start > stop: docs shorter than w
       // tokens must be filtered out, not clamped
       .filter(size(toks) >= w)
@@ -175,7 +178,8 @@ object Dedup {
   def substringRuns(df: DataFrame, idCol: String, textCol: String,
       w: Int = 16, maxDf: Int = 64): DataFrame = {
     val toks = TextOps.tokens(col(textCol))
-    val wins = df
+    // FanOut: same window-build parallelism floor as [[substringPairs]]
+    val wins = graft.ops.FanOut(df)
       .filter(size(toks) >= w)
       .select(col(idCol).as("doc"),
         posexplode(transform(
@@ -492,6 +496,27 @@ object Dedup {
       maxIters)
   }
 
+  /** [[duplicateClusters]] with the contraction gate's profile EXPOSED
+    * (r18): the eligible-key frame and its [[ContractionStats]] are
+    * computed exactly ONCE and shared between the returned stats and
+    * the branch decision. The gate-witness member
+    * (q_dedup_clusters_dupheavy) previously paid a SECOND full
+    * stats pass (tokenize + two hashes + a hash-shuffle aggregate over
+    * the whole corpus) just to `require` on the branch its own
+    * clustering call had already decided internally.
+    */
+  private[graft] def duplicateClustersProfiled(df: DataFrame, idCol: String,
+      textCol: String, n: Int = 3, threshold: Double = 0.8,
+      maxIters: Int = 20, nHashes: Int = 128,
+      nBands: Int = 32): (ContractionStats, DataFrame) = {
+    val eligible = textEligibleKeys(df, idCol, textCol, n)
+    val stats = contractionProfile(eligible, Seq("h1", "h2"))
+    (stats, clusterLabels(df, idCol,
+      textClusterEdgesFrom(df, idCol, textCol, n, threshold, nHashes, nBands,
+        eligible, stats),
+      maxIters))
+  }
+
   /** [[duplicateClusters]]' contracted edge relation (star edges over
     * equal-text groups ∪ banded near-dup edges over distinct-text
     * reps) — component-equivalent to the full [[minhashLshPairs]]
@@ -510,6 +535,18 @@ object Dedup {
     // content key the exact-dedup member (D1) already stands on.
     val eligible = textEligibleKeys(df, idCol, textCol, n)
     val stats = contractionProfile(eligible, Seq("h1", "h2"))
+    textClusterEdgesFrom(df, idCol, textCol, n, threshold, nHashes, nBands,
+      eligible, stats)
+  }
+
+  /** [[textClusterEdges]] over a PRECOMPUTED eligible frame + profile —
+    * the internal overload [[duplicateClustersProfiled]] uses so a
+    * gate-witness member pays the stats pass exactly once.
+    */
+  private def textClusterEdgesFrom(df: DataFrame, idCol: String,
+      textCol: String, n: Int, threshold: Double,
+      nHashes: Int, nBands: Int,
+      eligible: DataFrame, stats: ContractionStats): DataFrame = {
     if (!stats.contract) {
       // duplicate-MASS gate (r17, [[ContractionStats.contract]]): the
       // exact-dup fan-out is linear-bounded (Σk(k−1) ≤ rows — e.g. the
@@ -673,8 +710,11 @@ object Dedup {
     */
   def contamination(corpus: DataFrame, benchmark: DataFrame, idCol: String,
       textCol: String, n: Int = 8): DataFrame = {
-    def sh(df: DataFrame) = df.select(col(idCol).as("doc_id"),
-      explode(TextOps.shingles(TextOps.tokens(col(textCol)), n)).as("sh"))
+    // FanOut: tokenize + 8-gram shingling is the heavy per-row map —
+    // same single-split parallelism floor as [[shingleRows]] (r18)
+    def sh(df: DataFrame) = graft.ops.FanOut(df)
+      .select(col(idCol).as("doc_id"),
+        explode(TextOps.shingles(TextOps.tokens(col(textCol)), n)).as("sh"))
     val bSh = sh(benchmark).select("sh").distinct()
     val hits = sh(corpus).join(bSh, "sh")
       .groupBy("doc_id").agg(count(lit(1)).as("hits"))
@@ -694,16 +734,23 @@ object Dedup {
     */
   private[dedup] def connectedComponents(pairs: DataFrame,
       maxIters: Int = 20): DataFrame = {
-    // canonical edge orientation throughout: (u = bigger id, v = smaller)
-    var cur = graft.ops.Barrier.iter(
+    // canonical edge orientation throughout: (u = bigger id, v = smaller).
+    // DEFERRED barrier + count (r18): the convergence count is a
+    // full-coverage action, so it doubles as the lazy checkpoint's
+    // materialization — one job per round where the eager barrier paid
+    // a dedicated materialization job AND the count (the same fusion
+    // trainIncremental's delta pass uses). Release order is unchanged:
+    // the previous round's frame is released only after the count has
+    // materialized the next one.
+    var cur = graft.ops.Barrier.iterLazy(
       pairs.select(col("b_id").as("u"), col("a_id").as("v")))
     var curCount = cur.count()
     var changed = true
     var iter = 0
     while (changed && iter < maxIters) {
-      val next = graft.ops.Barrier.iter(smallStar(largeStar(cur)))
-      // Exact set-equality at the cost of ONE count (no shuffle, over the
-      // just-materialized checkpoint) on non-final iterations: smallStar
+      val next = graft.ops.Barrier.iterLazy(smallStar(largeStar(cur)))
+      // Exact set-equality at the cost of ONE count (which IS the round's
+      // materialization) on non-final iterations: smallStar
       // output is distinct, so |next| == |cur| plus next \ cur == ∅ ⇒ the
       // sets are equal. The previous two-sided except + union paid two
       // anti-join shuffles EVERY round — pure overhead on the tiny

@@ -146,8 +146,8 @@ object Multimodal {
     */
   def imageAssets(spark: SparkSession, docs: DataFrame): Dataset[ImageAsset] = {
     import spark.implicits._
-    docs.select(col("doc_id"), widthExpr.as("w"), heightExpr.as("h"),
-      encode(col("text"), "UTF-8").as("payload"))
+    graft.ops.FanOut(docs.select(col("doc_id"), widthExpr.as("w"),
+        heightExpr.as("h"), encode(col("text"), "UTF-8").as("payload")))
       .as[(Long, Long, Long, Array[Byte])]
       .map { case (id, wL, hL, payload) =>
         val (w, h) = (wL.toInt, hL.toInt)
@@ -195,8 +195,8 @@ object Multimodal {
     */
   def videoAssets(spark: SparkSession, docs: DataFrame): Dataset[VideoAsset] = {
     import spark.implicits._
-    docs.select(col("doc_id"), widthExpr.as("w"), heightExpr.as("h"),
-      encode(col("text"), "UTF-8").as("payload"))
+    graft.ops.FanOut(docs.select(col("doc_id"), widthExpr.as("w"),
+        heightExpr.as("h"), encode(col("text"), "UTF-8").as("payload")))
       .as[(Long, Long, Long, Array[Byte])]
       .map { case (id, wL, hL, payload) =>
         val tracks =
@@ -236,7 +236,7 @@ object Multimodal {
     */
   def audioAssets(spark: SparkSession, docs: DataFrame): Dataset[AudioAsset] = {
     import spark.implicits._
-    docs.select(col("doc_id")).as[Long].map { id =>
+    graft.ops.FanOut(docs.select(col("doc_id"))).as[Long].map { id =>
       val bytes = MediaCodec.wavHeader(sampleRate = 8000,
         channels = 1 + (id % 2).toInt,
         bitsPerSample = if (id % 3 == 0) 8 else 16,
@@ -329,7 +329,7 @@ object Multimodal {
 
   def phashImageAssets(spark: SparkSession, docs: DataFrame): Dataset[ImageAsset] = {
     import spark.implicits._
-    docs.select(col("doc_id")).as[Long].map { id =>
+    graft.ops.FanOut(docs.select(col("doc_id"))).as[Long].map { id =>
       val colorType = pngColorType(id)
       val bytes =
         if (colorType == 0)
@@ -439,7 +439,7 @@ object Multimodal {
     */
   def jpegImageAssets(spark: SparkSession, docs: DataFrame): Dataset[ImageAsset] = {
     import spark.implicits._
-    docs.select(col("doc_id")).as[Long].map { id =>
+    graft.ops.FanOut(docs.select(col("doc_id"))).as[Long].map { id =>
       val bytes = ((id / 4) % 3).toInt match {
         case 0 =>
           MediaCodec.jpegGray(JpegW, JpegH,
@@ -623,7 +623,7 @@ object Multimodal {
     */
   def ahashAudioAssets(spark: SparkSession, docs: DataFrame): Dataset[AudioAsset] = {
     import spark.implicits._
-    docs.select(col("doc_id")).as[Long].map { id =>
+    graft.ops.FanOut(docs.select(col("doc_id"))).as[Long].map { id =>
       val bytes = MediaCodec.wavPcm16Mono(8000, AhashFrames * AhashFrameLen,
         s => sampleValue(id, s))
       AudioAsset(id, if (id % 89 == 0) bytes.take(30) else bytes)
@@ -710,7 +710,7 @@ object Multimodal {
     */
   def vhashVideoAssets(spark: SparkSession, docs: DataFrame): Dataset[VideoAsset] = {
     import spark.implicits._
-    docs.select(col("doc_id")).as[Long].map { id =>
+    graft.ops.FanOut(docs.select(col("doc_id"))).as[Long].map { id =>
       val bytes = MediaCodec.mp4LumaVideo(VhashFrameW, VhashFrameH,
         VhashFrames, (f, i) => framePixel(id, f, i))
       VideoAsset(id, if (id % 83 == 0) bytes.take(25) else bytes)

@@ -86,9 +86,16 @@ object CardQ {
     */
   private def artifactRows(spark: SparkSession, dir: String,
       docs: DataFrame): Seq[DataFrame] = {
-    // the cluster artifact, not an inline clustering pass (built once
-    // per JVM; at 100 TB it is simply the current version's labels)
-    val cl = DedupQ.textClustersFromArtifact(spark, dir)
+    // the cluster artifacts, not inline clustering passes (built once
+    // per JVM; at 100 TB they are simply the current version's
+    // labels). The five first-touch builds are independent — overlap
+    // them (r18, [[graft.ops.Overlap]]); later calls are pure reads.
+    val Seq(cl, img, jpg, aud, vid) = graft.ops.Overlap.all(
+      () => DedupQ.textClustersFromArtifact(spark, dir),
+      () => DedupQ.imageClustersFromArtifact(spark, dir),
+      () => DedupQ.jpegClustersFromArtifact(spark, dir),
+      () => DedupQ.audioClustersFromArtifact(spark, dir),
+      () => DedupQ.videoClustersFromArtifact(spark, dir))
     val ded = Seq(
       one("dedup.n_clusters", cl.agg(countDistinct(col("cluster_id")).as("v"))),
       one("dedup.canonical_rate",
@@ -106,10 +113,10 @@ object CardQ {
           sum(when(col("dec").isNull, 1L).otherwise(0L)), count(lit(1)))))
     }
     ded ++ Seq(
-      mediaRow("image", DedupQ.imageClustersFromArtifact(spark, dir)),
-      mediaRow("jpeg", DedupQ.jpegClustersFromArtifact(spark, dir)),
-      mediaRow("audio", DedupQ.audioClustersFromArtifact(spark, dir)),
-      mediaRow("video", DedupQ.videoClustersFromArtifact(spark, dir)))
+      mediaRow("image", img),
+      mediaRow("jpeg", jpg),
+      mediaRow("audio", aud),
+      mediaRow("video", vid))
   }
 
   private def shingleHashes(docs: DataFrame): DataFrame =

@@ -117,12 +117,14 @@ object DedupQ {
   def dedupClustersDupHeavy(spark: SparkSession, dir: String): DataFrame = {
     val corpus = dupHeavyCorpus(
       Tables(spark, dir, "documents").select(col("doc_id"), col("text")))
-    val stats = Dedup.contractionProfile(
-      Dedup.textEligibleKeys(corpus, "doc_id", "text", n = 3),
-      Seq("h1", "h2"))
+    // ONE stats pass (r18): duplicateClustersProfiled exposes the very
+    // profile its gate decided on — the witness `require` no longer
+    // re-tokenizes and re-hashes the whole planted corpus a second time
+    val (stats, labels) = Dedup.duplicateClustersProfiled(
+      corpus, "doc_id", "text", n = 3, threshold = 0.8)
     require(stats.contract,
       s"dup-heavy corpus must take the contract branch, got $stats")
-    Dedup.duplicateClusters(corpus, "doc_id", "text", n = 3, threshold = 0.8)
+    labels
   }
 
   /** Embedding cosine near-dup pairs at cosine ≥ 0.4, via the BLOCKED
@@ -346,10 +348,17 @@ object DedupQ {
     * each is its own artifact and the verdict is a co-partitioned
     * conjunction, same as the text-only form.
     */
-  def corpusFilterMm(spark: SparkSession, dir: String): DataFrame =
-    mmVerdict(corpusVerdict(spark, dir, clusterLabelsInline(spark, dir)),
-      imageClusterLabels(spark, dir), audioClusterLabels(spark, dir),
-      videoClusterLabels(spark, dir))
+  def corpusFilterMm(spark: SparkSession, dir: String): DataFrame = {
+    // the four cluster builds are independent eager pipelines — overlap
+    // them (r18, [[graft.ops.Overlap]]): wall drops toward the longest
+    // single build; frames and the composition are unchanged
+    val Seq(base, img, aud, vid) = graft.ops.Overlap.all(
+      () => corpusVerdict(spark, dir, clusterLabelsInline(spark, dir)),
+      () => imageClusterLabels(spark, dir),
+      () => audioClusterLabels(spark, dir),
+      () => videoClusterLabels(spark, dir))
+    mmVerdict(base, img, aud, vid)
+  }
 
   /** [[corpusFilterMm]] COMPOSED from the persisted cluster artifacts
     * (text near-dup + image pHash + audio aHash + video vHash labels) —
@@ -358,12 +367,16 @@ object DedupQ {
     * joins. Same oracle as the inline twin; CurationSpec pins the
     * differential.
     */
-  def corpusFilterMmCompose(spark: SparkSession, dir: String): DataFrame =
-    mmVerdict(
-      corpusVerdict(spark, dir, canonicalFrom(textClustersFromArtifact(spark, dir))),
-      imageClustersFromArtifact(spark, dir),
-      audioClustersFromArtifact(spark, dir),
-      videoClustersFromArtifact(spark, dir))
+  def corpusFilterMmCompose(spark: SparkSession, dir: String): DataFrame = {
+    // overlap the four artifact ensures too — on the first touch each
+    // builds its stage artifact (later calls are pure parquet reads)
+    val Seq(textCanon, img, aud, vid) = graft.ops.Overlap.all(
+      () => canonicalFrom(textClustersFromArtifact(spark, dir)),
+      () => imageClustersFromArtifact(spark, dir),
+      () => audioClustersFromArtifact(spark, dir),
+      () => videoClustersFromArtifact(spark, dir))
+    mmVerdict(corpusVerdict(spark, dir, textCanon), img, aud, vid)
+  }
 
   /** The prebuilt IMAGE pHash cluster artifact (built at most once per
     * JVM) — shared by the composed mm verdict and the composed mm
@@ -582,19 +595,24 @@ object DedupQ {
   def verdictDiff(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables(spark, dir, "documents")
     val oldDocs = docs.filter(col("doc_id") % 13 =!= 5)
+    // the two versions' cluster builds are independent — overlap their
+    // first-touch artifact ensures (r18, [[graft.ops.Overlap]]); in
+    // production the previous version's artifact is simply still on
+    // disk from when that version was current
+    val Seq(newClusters, oldStagePath) = graft.ops.Overlap.all[AnyRef](
+      () => textClustersFromArtifact(spark, dir),
+      () => graft.ops.StageArtifacts.ensure(dir, "verdict-diff-old") {
+        out =>
+          Dedup.duplicateClusters(oldDocs, "doc_id", "text",
+            n = 3, threshold = 0.8)
+            .write.mode("overwrite").parquet(s"$out/clusters")
+      })
     val newV = corpusVerdict(spark, dir,
-      canonicalFrom(textClustersFromArtifact(spark, dir)))
+      canonicalFrom(newClusters.asInstanceOf[DataFrame]))
       .select(col("doc_id"), col("keep").as("keep_new"),
         col("canonical").as("canonical_new"))
-    // the previous version's cluster artifact — in production it is
-    // simply still on disk from when that version was current
-    val oldStage = graft.ops.StageArtifacts.ensure(dir, "verdict-diff-old") {
-      out =>
-        Dedup.duplicateClusters(oldDocs, "doc_id", "text",
-          n = 3, threshold = 0.8)
-          .write.mode("overwrite").parquet(s"$out/clusters")
-    }
-    val oldClusters = spark.read.parquet(s"$oldStage/clusters")
+    val oldClusters =
+      spark.read.parquet(s"${oldStagePath.asInstanceOf[String]}/clusters")
     val oldV = corpusVerdictOver(spark, dir, canonicalFrom(oldClusters), oldDocs)
       .select(col("doc_id"), col("keep").as("keep_old"),
         col("canonical").as("canonical_old"))
@@ -755,9 +773,14 @@ object DedupQ {
     * carry undecodable (quarantined) image assets. Same two id-keyed
     * joins plus one more; the report stays |sources| rows.
     */
-  def corpusReportMm(spark: SparkSession, dir: String): DataFrame =
-    corpusReportFrom(spark, dir, dedupClusters(spark, dir),
-      img = Some(imageClusterLabels(spark, dir)))
+  def corpusReportMm(spark: SparkSession, dir: String): DataFrame = {
+    // text clustering and the PNG-decode image clustering are
+    // independent builds — overlap them (r18)
+    val Seq(clusters, img) = graft.ops.Overlap.all(
+      () => dedupClusters(spark, dir),
+      () => imageClusterLabels(spark, dir))
+    corpusReportFrom(spark, dir, clusters, img = Some(img))
+  }
 
   /** [[corpusReportMm]] COMPOSED from the same two persisted cluster
     * artifacts the composed mm verdict uses (text near-dup labels +
@@ -1152,22 +1175,27 @@ object DedupQ {
   def dedupPruningReport(spark: SparkSession, dir: String): DataFrame = {
     import graft.multimodal.Multimodal
     val docs = Tables(spark, dir, "documents")
-    val png = bandedPruningRow("image_png",
-      Multimodal.decodePhash(
-        Multimodal.phashImageAssets(spark, docs)).toDF().barrierOnce())
-    val jpeg = bandedPruningRow("image_jpeg",
-      Multimodal.decodeJpegPhash(
-        Multimodal.jpegImageAssets(spark, docs)).toDF().barrierOnce())
-    val audio = bandedPruningRow("audio",
-      MultimodalQ.audioAhash(spark, dir)
-        .select(col("asset_id"), col("ahash_hi").as("phash_hi"),
-          col("ahash_lo").as("phash_lo")).barrierOnce())
-    val video = bandedPruningRow("video",
-      MultimodalQ.videoVhash(spark, dir)
-        .select(col("asset_id"), col("vhash_hi").as("phash_hi"),
-          col("vhash_lo").as("phash_lo")).barrierOnce())
+    // the five family rows are independent decode+band+verify replays,
+    // each a chain of small eager stages — overlap them (r18,
+    // [[graft.ops.Overlap]]); rows and the union are unchanged
+    val Seq(png, jpeg, audio, video, simhash) = graft.ops.Overlap.all(
+      () => bandedPruningRow("image_png",
+        Multimodal.decodePhash(
+          Multimodal.phashImageAssets(spark, docs)).toDF().barrierOnce()),
+      () => bandedPruningRow("image_jpeg",
+        Multimodal.decodeJpegPhash(
+          Multimodal.jpegImageAssets(spark, docs)).toDF().barrierOnce()),
+      () => bandedPruningRow("audio",
+        MultimodalQ.audioAhash(spark, dir)
+          .select(col("asset_id"), col("ahash_hi").as("phash_hi"),
+            col("ahash_lo").as("phash_lo")).barrierOnce()),
+      () => bandedPruningRow("video",
+        MultimodalQ.videoVhash(spark, dir)
+          .select(col("asset_id"), col("vhash_hi").as("phash_hi"),
+            col("vhash_lo").as("phash_lo")).barrierOnce()),
+      () => simhashPruningRow(spark))
     png.unionByName(jpeg).unionByName(audio).unionByName(video)
-      .unionByName(simhashPruningRow(spark))
+      .unionByName(simhash)
       .orderBy(col("family"))
   }
 

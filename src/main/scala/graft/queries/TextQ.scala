@@ -45,12 +45,15 @@ object TextQ {
     * so both engines agree bitwise.
     */
   def qualityScore(spark: SparkSession, dir: String): DataFrame = {
-    // tokenize ONCE at a Generate barrier, then ONE native TokenStats
+    // FanOut (r18): the tokenize + stats map is the whole cost and a
+    // compact corpus arrives as one parquet split — same scan-
+    // parallelism floor as [[graft.dedup.Dedup]]'s shingle pass.
+    // Tokenize ONCE at a Generate barrier, then ONE native TokenStats
     // pass feeds the stopword count (previously an interpreted
     // filter-HOF island per document on top of a re-inlined tokenize
     // chain per statistic; ratios divide the same exact integers —
     // TokenStatsSpec pins the differential)
-    Tables(spark, dir, "documents")
+    graft.ops.FanOut(Tables(spark, dir, "documents"))
       .select(col("doc_id"), explode(array(struct(
         TextOps.tokens(col("text")).as("toks")))).as("s"))
       .select(col("doc_id"), col("s.toks").as("toks"))
@@ -89,7 +92,7 @@ object TextQ {
       round(element_at(col("st"), i + 2).cast("double") /
         size(col("toks")).cast("double"), 6).as(s"score_$l")
     }
-    Tables(spark, dir, "documents")
+    graft.ops.FanOut(Tables(spark, dir, "documents"))
       .select(col("doc_id"), explode(array(struct(
         TextOps.tokens(col("text")).as("toks")))).as("s"))
       .select(col("doc_id"), col("s.toks").as("toks"))
@@ -115,7 +118,7 @@ object TextQ {
     * single-tokenize shape.
     */
   def chunkDocs(spark: SparkSession, dir: String): DataFrame = {
-    Tables(spark, dir, "documents")
+    graft.ops.FanOut(Tables(spark, dir, "documents"))
       .select(col("doc_id"),
         explode(array(TextOps.tokens(col("text")))).as("toks"))
       .select(col("doc_id"),
@@ -135,7 +138,7 @@ object TextQ {
       when(total > 0,
         round(lit(1.0) - dist.cast("double") / total.cast("double"), 6))
         .otherwise(lit(0.0))
-    Tables(spark, dir, "documents")
+    graft.ops.FanOut(Tables(spark, dir, "documents"))
       .select(col("doc_id"),
         greatest(size(toks) - 1, lit(0)).cast("long").as("total_2grams"),
         size(TextOps.shingles(toks, 2)).cast("long").as("distinct_2grams"),

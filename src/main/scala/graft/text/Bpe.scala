@@ -52,6 +52,22 @@ object Bpe {
     docs.select(explode(TextOps.tokens(col(textCol))).as("word"))
       .groupBy(col("word")).agg(count(lit(1)).as("n"))
 
+  /** One batch of merges applied in rank order as ONE native
+    * expression node ([[graft.functions.BpeApplyMerges]], r18) —
+    * semantically the [[mergeOnce]] fold chain, but the plan stays
+    * constant-size however large the batch: a StageProbe run of the
+    * batched trainer read 11.0 s wall vs 1.5 s total executor run
+    * time, i.e. the nested-HOF chain made every round driver-PLANNING-
+    * bound (Catalyst re-analyzed a up-to-48-deep interpreted
+    * `aggregate` tree per round). BpeSpec pins the trainers
+    * table-for-table and BpeApplySpec pins this expression
+    * element-for-element against the fold.
+    */
+  private def applyBatch(syms: Column,
+      batch: Seq[(String, String, Long)]): Column =
+    graft.functions.BpeApplyMerges.ofColumn(
+      syms, batch.map(t => (t._1, t._2)))
+
   /** Adjacent symbol pairs as (l, r) structs. */
   private def adjacentPairs(syms: Column): Column = {
     val n = size(syms)
@@ -67,9 +83,16 @@ object Bpe {
     */
   def train(words: DataFrame, merges: Int): DataFrame = {
     val spark = words.sparkSession
-    var syms = graft.ops.Barrier.iter(
+    // deferred apply barrier, same as [[trainBatchedStats]] (r18): the
+    // next round's recount materializes it — one job per round, not two
+    var syms = graft.ops.Barrier.iterLazy(
       words.select(col("word"), col("n"),
         concat(split(col("word"), ""), array(lit(Eow))).as("syms")))
+    var pending: Option[DataFrame] = None
+    def settleBarrier(): Unit = {
+      pending.foreach(graft.ops.Barrier.releaseIter)
+      pending = None
+    }
     val out = mutable.ArrayBuffer.empty[(Long, String, String, Long)]
     var exhausted = false
     for (rank <- 1 to merges if !exhausted) {
@@ -79,17 +102,19 @@ object Bpe {
         .agg(sum(col("n")).as("c"))
         .orderBy(col("c").desc, col("l"), col("r")).limit(1)
         .collect()
+      settleBarrier() // the recount materialized `syms`
       if (top.isEmpty) exhausted = true
       else {
         val (l, r, c) = (top(0).getString(0), top(0).getString(1),
           top(0).getLong(2))
         out += ((rank.toLong, l, r, c))
-        val next = graft.ops.Barrier.iter(
-          syms.withColumn("syms", mergeOnce(col("syms"), l, r)))
-        graft.ops.Barrier.releaseIter(syms)
+        val next = graft.ops.Barrier.iterLazy(
+          syms.withColumn("syms", applyBatch(col("syms"), Seq((l, r, c)))))
+        pending = Some(syms)
         syms = next
       }
     }
+    settleBarrier()
     graft.ops.Barrier.releaseIter(syms)
     import spark.implicits._
     out.toSeq.toDF("rank", "left", "right", "n")
@@ -156,9 +181,22 @@ object Bpe {
   def trainBatchedStats(words: DataFrame, merges: Int,
       maxBatch: Int = 48): (DataFrame, Seq[Int]) = {
     val spark = words.sparkSession
-    var syms = graft.ops.Barrier.iter(
+    var syms = graft.ops.Barrier.iterLazy(
       words.select(col("word"), col("n"),
         concat(split(col("word"), ""), array(lit(Eow))).as("syms")))
+    // r18: the per-round apply barrier is DEFERRED (iterLazy) — the
+    // next round's recount is a full-coverage action, so it fuses the
+    // barrier materialization into itself and a round pays recount (+
+    // the rare existence probe) instead of recount + a dedicated apply
+    // job. The PREVIOUS round's frame is released only after the
+    // recount has materialized the current one (the lazy checkpoint
+    // still reads it until then) — `pending` holds it across the top
+    // of the loop.
+    var pending: Option[DataFrame] = None
+    def settleBarrier(): Unit = {
+      pending.foreach(graft.ops.Barrier.releaseIter)
+      pending = None
+    }
     val out = mutable.ArrayBuffer.empty[(Long, String, String, Long)]
     val batchSizes = mutable.ArrayBuffer.empty[Int]
     var exhausted = false
@@ -173,6 +211,7 @@ object Bpe {
         .orderBy(col("c").desc, col("l"), col("r")).limit(want + 1)
         .collect()
         .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+      settleBarrier() // the recount materialized `syms`
       if (top.isEmpty) exhausted = true
       else {
         // maximal disjoint prefix, stopped at the FIRST interference —
@@ -222,14 +261,14 @@ object Bpe {
           out += ((out.size + 1L, l, r, c))
         }
         // ONE distributed pass applies the whole batch in rank order
-        val merged = batch.foldLeft(col("syms")) { case (acc, (l, r, _)) =>
-          mergeOnce(acc, l, r)
-        }
-        val next = graft.ops.Barrier.iter(syms.withColumn("syms", merged))
-        graft.ops.Barrier.releaseIter(syms)
+        // (lazy barrier — materialized by the NEXT round's recount)
+        val next = graft.ops.Barrier.iterLazy(
+          syms.withColumn("syms", applyBatch(col("syms"), batch)))
+        pending = Some(syms)
         syms = next
       }
     }
+    settleBarrier()
     graft.ops.Barrier.releaseIter(syms)
     import spark.implicits._
     (out.toSeq.toDF("rank", "left", "right", "n"), batchSizes.toSeq)
@@ -405,11 +444,10 @@ object Bpe {
       batch.foreach { case (l, r, c) => out += ((out.size + 1L, l, r, c)) }
       // ONE distributed pass: apply the batch keeping pre-merge arrays;
       // the delta collect below materializes the lazy round barrier
-      val merged = batch.foldLeft(col("syms")) { case (acc, (l, r, _)) =>
-        mergeOnce(acc, l, r)
-      }
+      // (applyBatch: rows without a batch left-symbol skip the fold)
       val staged = graft.ops.Barrier.iterLazy(curView.select(col("word"),
-        col("n"), col("syms").as("old_syms"), merged.as("syms")))
+        col("n"), col("syms").as("old_syms"),
+        applyBatch(col("syms"), batch).as("syms")))
       applyDeltas(deltaRows(staged))
       graft.ops.Barrier.releaseIter(cur)
       cur = staged
@@ -610,11 +648,12 @@ object Bpe {
     */
   def encodeWords(words: DataFrame,
       merges: Seq[(String, String)]): DataFrame =
-    merges.foldLeft(
-      words.select(col("word"),
-        concat(split(col("word"), ""), array(lit(Eow))).as("toks"))) {
-      case (df, (l, r)) => df.withColumn("toks", mergeOnce(col("toks"), l, r))
-    }
+    // the whole merge list as ONE native expression node (r18): the
+    // per-merge withColumn chain collapsed into |merges| nested
+    // interpreted HOFs — plan analysis alone dominated encode members
+    words.select(col("word"),
+      graft.functions.BpeApplyMerges.ofColumn(
+        concat(split(col("word"), ""), array(lit(Eow))), merges).as("toks"))
 
   /** Per-document BPE token counts: words join the once-encoded vocab
     * table; output is (doc_id, n_words, n_bpe_tokens).
