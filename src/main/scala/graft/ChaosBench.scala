@@ -77,8 +77,15 @@ object ChaosBench {
       .config("spark.ui.enabled", "false")
       .config("spark.graft.barrier.mode", mode)
       // executor JVMs are spawned fresh by the in-process worker: they
-      // need the repo classes and the JDK-17 module opens
-      .config("spark.executor.extraClassPath", sys.props("java.class.path"))
+      // need the repo classes and the JDK-17 module opens. ABSOLUTIZE
+      // the launcher's classpath entries (r18): executors start in the
+      // worker's own cwd, where a relative `target/scala-2.13/classes`
+      // resolves to nothing and every task dies deserializing app
+      // lambdas (SerializedLambda ClassCastException).
+      .config("spark.executor.extraClassPath",
+        sys.props("java.class.path").split(java.io.File.pathSeparator)
+          .map(p => new java.io.File(p).getAbsolutePath)
+          .mkString(java.io.File.pathSeparator))
       .config("spark.executor.extraJavaOptions", Jdk17Opens)
       .config(new org.apache.spark.SparkConf().setAll(Tables.sessionConfs))
       .getOrCreate()

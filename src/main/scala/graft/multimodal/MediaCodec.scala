@@ -361,7 +361,14 @@ object MediaCodec {
     val bpp = pngChannels(colorType).get // bit depth 8: bytes == channels
     val stride = w * bpp + 1 // filter byte + w*bpp samples per row
     val raw = new Array[Byte](h * stride)
-    def s(x: Int, y: Int, c: Int): Int = sample(x, y, c) & 0xff
+    // two-row sample buffers (r18): the filter references each sample
+    // up to FOUR times (cur, left, up, up-left) and `sample` is the
+    // caller's per-pixel generator closure — evaluate it exactly once
+    // per (x, y, c) and filter from the buffers. Identical bytes (same
+    // sample values, same filters); executor sampling put the repeated
+    // closure calls at the top of the mm members' CPU profile.
+    var prevRow = new Array[Int](w * bpp)
+    var curRow = new Array[Int](w * bpp)
     var y = 0
     while (y < h) {
       val f = filterForRow(y)
@@ -370,11 +377,15 @@ object MediaCodec {
       raw(rowOff) = f.toByte
       var i = 0
       while (i < w * bpp) {
-        val x = i / bpp; val c = i % bpp
-        val cur = s(x, y, c)
-        val left = if (x > 0) s(x - 1, y, c) else 0
-        val up = if (y > 0) s(x, y - 1, c) else 0
-        val upLeft = if (x > 0 && y > 0) s(x - 1, y - 1, c) else 0
+        curRow(i) = sample(i / bpp, y, i % bpp) & 0xff
+        i += 1
+      }
+      i = 0
+      while (i < w * bpp) {
+        val cur = curRow(i)
+        val left = if (i >= bpp) curRow(i - bpp) else 0
+        val up = if (y > 0) prevRow(i) else 0
+        val upLeft = if (i >= bpp && y > 0) prevRow(i - bpp) else 0
         val filtered = f match {
           case 0 => cur
           case 1 => cur - left
@@ -385,6 +396,7 @@ object MediaCodec {
         raw(rowOff + 1 + i) = filtered.toByte
         i += 1
       }
+      val t = prevRow; prevRow = curRow; curRow = t
       y += 1
     }
     val deflater = new java.util.zip.Deflater()
