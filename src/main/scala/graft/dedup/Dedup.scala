@@ -608,6 +608,24 @@ object Dedup {
       * skew/OOM hazard regardless of total duplicate mass.
       */
     val PerTaskPairCap: Long = 1L << 20
+
+    /** MEASUREMENT-ONLY branch override for the gate's own A/B (r18):
+      * `SPARK_GRAFT_CONTRACT=always|never` forces one branch so both
+      * sides of the {clean, dup-heavy} × {sf} matrix run on the SAME
+      * HEAD (the r17 A/B compared commits, which stops working once
+      * the HEADs differ by unrelated optimizations). The label relation
+      * is branch-identical (see [[ContractionStats.contract]]), so the
+      * override never changes any query's result — DedupSpec pins the
+      * equivalence both ways. Unset (every driver/oracle run), the
+      * gate decides.
+      */
+    val forced: Option[Boolean] =
+      sys.env.get("SPARK_GRAFT_CONTRACT").map {
+        case "always" => true
+        case "never" => false
+        case other => sys.error(
+          s"SPARK_GRAFT_CONTRACT must be always|never, got: $other")
+      }
   }
 
   private[graft] final case class ContractionStats(
@@ -638,9 +656,9 @@ object Dedup {
       * So also contract whenever the LARGEST group alone exceeds the
       * per-task pair cap ([[ContractionStats.PerTaskPairCap]]).
       */
-    def contract: Boolean =
+    def contract: Boolean = ContractionStats.forced.getOrElse(
       pairFanout > rows ||
-        maxK * (maxK - 1) > ContractionStats.PerTaskPairCap
+        maxK * (maxK - 1) > ContractionStats.PerTaskPairCap)
   }
 
   /** The gate's multiplicity profile as a STATS-ONLY pass (r17): one
